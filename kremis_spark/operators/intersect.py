@@ -1,0 +1,58 @@
+"""Intersection: nodes adjacent (outgoing) to ALL of the input nodes.
+
+Reference: ``crates/kremis-core/src/graph.rs:151-174`` — BTreeSet
+intersection of per-node neighbor sets; arity bounds 2..=100 at the API
+layer (``primitives.rs:89-94``, ``handlers.rs:360-363``); empty input →
+empty result; output ascending by node id.
+
+Spark realization: one semi-join + group-agg —
+``edges WHERE src IN inputs GROUP BY dst HAVING COUNT(DISTINCT src) = n``.
+No N-way join chain: a single shuffle on ``dst`` regardless of arity, and
+the ``src IN (...)`` predicate pushes into the edge scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kremis_spark import primitives as P
+from kremis_spark.engine import GraphState
+
+
+class IntersectArityError(ValueError):
+    pass
+
+
+def intersect_df(state: GraphState, node_ids: list[int]) -> DataFrame:
+    """DataFrame form: single column ``node_id``, ascending."""
+    inputs = sorted(set(node_ids))
+    n = len(inputs)
+    return (
+        state.edges.filter(F.col("src").isin(inputs))
+        .groupBy("dst")
+        .agg(F.count_distinct("src").alias("n_src"))
+        .filter(F.col("n_src") == n)
+        .select(F.col("dst").alias("node_id"))
+        .orderBy("node_id")
+    )
+
+
+def intersect(
+    state: GraphState, node_ids: list[int], enforce_arity: bool = False
+) -> list[int]:
+    """List form, mirroring the trait signature (graph.rs:151-174).
+
+    ``enforce_arity=True`` applies the API-layer 2..=100 bound
+    (handlers.rs:360-363); the core allows any arity (empty → empty).
+    """
+    if not node_ids:
+        return []
+    if enforce_arity and not (
+        P.MIN_INTERSECT_NODES <= len(node_ids) <= P.MAX_INTERSECT_NODES
+    ):
+        raise IntersectArityError(
+            f"intersect arity {len(node_ids)} outside "
+            f"[{P.MIN_INTERSECT_NODES}, {P.MAX_INTERSECT_NODES}]"
+        )
+    return [int(r["node_id"]) for r in intersect_df(state, node_ids).collect()]

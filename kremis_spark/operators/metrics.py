@@ -1,0 +1,133 @@
+"""Status counts, graph metrics, stage assessment, confidence scoring.
+
+All arithmetic is integer-only (fixed-point millionths for density) so
+results match the reference bit-for-bit — the reference denies float
+arithmetic workspace-wide (``Cargo.toml:27``).
+
+References: GraphMetrics ``crates/kremis-core/src/system/stage.rs:128-221``,
+``compute_max_depth`` stage.rs:224-261, StageAssessor stage.rs:267-384,
+confidence ``crates/kremis-core/src/confidence.rs:81-140``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kremis_spark import primitives as P
+from kremis_spark.engine import GraphState
+from kremis_spark.operators.artifact import Artifact
+
+STAGES = ("S0", "S1", "S2", "S3")
+S1_THRESHOLD, S2_THRESHOLD, S3_THRESHOLD = 100, 1000, 5000
+
+
+def status_counts(state: GraphState) -> dict:
+    """node/edge/stable-edge counts + integer density (stage.rs:128-171).
+
+    One pass over edges (count + conditional count fused into a single
+    aggregate) + the cheap nodes count."""
+    edge_row = state.edges.agg(
+        F.count(F.lit(1)).alias("edge_count"),
+        F.sum(
+            F.when(F.col("weight") >= P.PROMOTION_THRESHOLD, 1).otherwise(0)
+        ).alias("stable_edge_count"),
+    ).collect()[0]
+    node_count = state.nodes.count()
+    edge_count = int(edge_row["edge_count"])
+    stable = int(edge_row["stable_edge_count"] or 0)
+    density = (edge_count * 1_000_000) // node_count if node_count > 0 else 0
+    return {
+        "node_count": node_count,
+        "edge_count": edge_count,
+        "stable_edge_count": stable,
+        "density_millionths": density,
+    }
+
+
+def graph_metrics(state: GraphState, sample_depth: bool = True) -> dict:
+    """Full GraphMetrics incl. sampled max BFS depth over the 10 lowest
+    node ids (stage.rs:224-261; BTreeMap order = ascending node_id)."""
+    out = status_counts(state)
+    max_depth = 0
+    if sample_depth and out["node_count"] > 0:
+        from kremis_spark.operators.traverse import bfs_levels
+
+        sample = [
+            int(r["node_id"])
+            for r in state.nodes.orderBy("node_id").limit(10).collect()
+        ]
+        for node in sample:
+            levels = bfs_levels(state, node, depth=100)
+            local_max = levels.agg(F.max("level").alias("m")).collect()[0]["m"]
+            max_depth = max(max_depth, int(local_max or 0))
+    out["max_depth"] = max_depth
+    return out
+
+
+def stage_assessment(stable_edge_count: int) -> dict:
+    """StageAssessor::assess + progress_to_next (stage.rs:267-384)."""
+    if stable_edge_count >= S3_THRESHOLD:
+        return {
+            "current": "S3",
+            "next": None,
+            "percent": 100,
+            "stable_edges_current": stable_edge_count,
+            "stable_edges_needed": stable_edge_count,
+        }
+    if stable_edge_count >= S2_THRESHOLD:
+        current, nxt, lo, hi = "S2", "S3", S2_THRESHOLD, S3_THRESHOLD
+    elif stable_edge_count >= S1_THRESHOLD:
+        current, nxt, lo, hi = "S1", "S2", S1_THRESHOLD, S2_THRESHOLD
+    else:
+        current, nxt, lo, hi = "S0", "S1", 0, S1_THRESHOLD
+    rng = hi - lo
+    percent = min((max(stable_edge_count - lo, 0) * 100) // rng, 100) if rng else 100
+    return {
+        "current": current,
+        "next": nxt,
+        "percent": percent,
+        "stable_edges_current": stable_edge_count,
+        "stable_edges_needed": hi,
+    }
+
+
+def compute_confidence(artifact: Artifact | None) -> dict:
+    """compute_confidence (confidence.rs:81-101): 50 base for a non-empty
+    path, +min(edges,30), +min(path_len,10)*2."""
+    if artifact is None or not artifact.path:
+        return {"score": 0, "evidence_count": 0, "path_length": 0}
+    path_length = len(artifact.path)
+    evidence_count = artifact.edge_count
+    score = 50 + min(evidence_count, 30) + min(path_length, 10) * 2
+    return {
+        "score": min(score, 100),
+        "evidence_count": evidence_count,
+        "path_length": path_length,
+    }
+
+
+def compute_path_confidence(
+    path: list[int], edge_weights: dict[tuple[int, int], int]
+) -> dict:
+    """compute_path_confidence (confidence.rs:107-140): avg consecutive
+    edge weight clamped 0..10 → score 50 + avg*5."""
+    if not path:
+        return {"score": 0, "evidence_count": 0, "path_length": 0}
+    if len(path) == 1:
+        return {"score": 50, "evidence_count": 0, "path_length": 1}
+    total, count = 0, 0
+    for a, b in zip(path, path[1:]):
+        w = edge_weights.get((a, b))
+        if w is not None:
+            total += w
+            count += 1
+    avg = total // count if count > 0 else 0
+    score = min(max(avg, 0), 10) * 5 + 50
+    return {"score": min(score, 100), "evidence_count": count, "path_length": len(path)}
+
+
+def classify_grounding(query_type: str, found: bool) -> str:
+    """fact / inference / unknown (handlers.rs:283-291)."""
+    if not found:
+        return "unknown"
+    return "fact" if query_type in ("lookup", "properties") else "inference"

@@ -1,0 +1,171 @@
+"""Strongest path: maximum-total-weight SIMPLE path between two nodes.
+
+This is NOT shortest-path — longest simple path is NP-hard in general, so
+the reference brute-forces with two bounds (``crates/kremis-core/src/
+graph.rs:176-311``): depth <= 100 and a 50,000 node-visit budget; on
+budget exhaustion the best path found so far is returned. Negative
+weights are clamped to 0 in path sums; ``start == end`` returns
+``[start]``; ties keep the first-found path (DFS explores neighbors in
+ascending node order, so the lexicographically smallest max-weight path
+wins).
+
+Spark realization: the reachable subgraph (bounded by the same depth cap)
+is extracted with the distributed BFS, then the exact bounded DFS runs on
+the driver — identical visit order, identical budget cut. For graphs whose
+reachable component doesn't fit the driver, ``strongest_path_distributed``
+enumerates paths as array columns with per-iteration pruning (no budget
+parity; documented trade-off).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kremis_spark import primitives as P
+from kremis_spark.engine import GraphState
+from kremis_spark.operators.traverse import _collect_reachable_adjacency
+
+
+def strongest_path(
+    state: GraphState,
+    start: int,
+    end: int,
+    visit_budget: int = P.MAX_VISIT_COUNT,
+    max_depth: int = P.MAX_TRAVERSAL_DEPTH,
+) -> list[int] | None:
+    """Exact reference semantics (graph.rs:176-212, 251-311)."""
+    node_ids = {
+        int(r["node_id"])
+        for r in state.nodes.filter(
+            F.col("node_id").isin([start, end])
+        ).collect()
+    }
+    if start not in node_ids or end not in node_ids:
+        return None
+    if start == end:
+        return [start]
+
+    adj = _collect_reachable_adjacency(state, start, max_depth, min_weight=None)
+    return _dfs_strongest(adj, start, end, visit_budget, max_depth)
+
+
+def strongest_path_on_adjacency(
+    adj: dict[int, list[tuple[int, int]]],
+    start: int,
+    end: int,
+    visit_budget: int = P.MAX_VISIT_COUNT,
+    max_depth: int = P.MAX_TRAVERSAL_DEPTH,
+) -> list[int] | None:
+    """Run the exact DFS on a pre-collected adjacency (testing/embedding)."""
+    return _dfs_strongest(adj, start, end, visit_budget, max_depth)
+
+
+def _dfs_strongest(
+    adj: dict[int, list[tuple[int, int]]],
+    start: int,
+    end: int,
+    visit_budget: int,
+    max_depth: int,
+) -> list[int] | None:
+    """Faithful port of dfs_strongest_path_default (graph.rs:251-311):
+    same neighbor order (ascending), same budget decrement placement,
+    same strictly-greater replacement rule."""
+    best_path: list[int] | None = None
+    best_weight = -(2**63)
+    visited = {start}
+    current_path = [start]
+    budget = [visit_budget]
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10_000))
+
+    def rec(current: int, depth: int, current_weight: int) -> None:
+        nonlocal best_path, best_weight
+        if depth >= max_depth or budget[0] == 0:
+            return
+        for neighbor, weight in adj.get(current, ()):
+            budget[0] -= 1
+            if budget[0] <= 0:
+                budget[0] = 0
+                return
+            w = max(weight, 0)
+            new_weight = current_weight + w  # i64 saturating in reference;
+            # python ints don't overflow and weights are bounded, so equal.
+            if neighbor == end:
+                if new_weight > best_weight:
+                    best_path = [*current_path, end]
+                    best_weight = new_weight
+                continue
+            if neighbor in visited:
+                continue
+            visited.add(neighbor)
+            current_path.append(neighbor)
+            rec(neighbor, depth + 1, new_weight)
+            current_path.pop()
+            visited.discard(neighbor)
+
+    try:
+        rec(start, 0, 0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return best_path
+
+
+def strongest_path_distributed(
+    state: GraphState,
+    start: int,
+    end: int,
+    max_depth: int = 10,
+    beam: int | None = None,
+) -> DataFrame:
+    """Scale-path variant: enumerate simple paths as array columns.
+
+    Each iteration extends frontier paths by one edge join, guarding
+    simplicity with ``array_contains``. ``beam`` (optional) keeps only the
+    top-N heaviest partial paths per endpoint per round — an admissible-
+    enough heuristic for huge graphs, exact when ``beam is None``.
+
+    Returns a 1-row DataFrame ``(path ARRAY<LONG>, total_weight LONG)``
+    (empty if unreachable). Tie-break matches the reference: max weight,
+    then lexicographically smallest path.
+    """
+    spark = state.spark
+    edges = state.edges.select("src", "dst", F.greatest("weight", F.lit(0)).alias("w"))
+
+    frontier = spark.createDataFrame(
+        [(start, [start], 0)], "node LONG, path ARRAY<LONG>, total_weight LONG"
+    )
+    done = spark.createDataFrame([], "path ARRAY<LONG>, total_weight LONG")
+
+    for _ in range(max_depth):
+        ext = (
+            frontier.filter(F.col("node") != end)
+            .join(edges, frontier["node"] == edges["src"])
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                (F.col("total_weight") + F.col("w")).alias("total_weight"),
+            )
+        )
+        if beam is not None:
+            from pyspark.sql import Window
+
+            rank = F.row_number().over(
+                Window.partitionBy("node").orderBy(
+                    F.desc("total_weight"), F.asc("path")
+                )
+            )
+            ext = ext.withColumn("_r", rank).filter(F.col("_r") <= beam).drop("_r")
+        ext = ext.localCheckpoint(eager=True)
+        if not ext.take(1):
+            break
+        done = done.unionByName(
+            ext.filter(F.col("node") == end).select("path", "total_weight")
+        ).localCheckpoint(eager=True)
+        frontier = ext.filter(F.col("node") != end)
+
+    return done.orderBy(F.desc("total_weight"), F.asc("path")).limit(1)

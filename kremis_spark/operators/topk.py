@@ -1,0 +1,41 @@
+"""Top-K edge filter on query artifacts.
+
+Reference ``apply_top_k`` (``apps/kremis/src/api/handlers.rs:253-280``):
+keep the K highest-weight edges with the deterministic tiebreak
+(weight desc, from asc, to asc), then restrict the path to nodes that
+appear in a kept edge, always retaining the start node (path[0]).
+
+The DataFrame form is Catalyst's ``TakeOrderedAndProject`` — a global
+top-K without a full sort (per-partition heaps + merge), which is the
+right physical plan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kremis_spark.operators.artifact import Artifact
+
+
+def top_k_edges(edges: DataFrame, k: int) -> DataFrame:
+    """Global deterministic top-K over an edge DataFrame."""
+    return edges.orderBy(
+        F.desc("weight"), F.asc("src"), F.asc("dst")
+    ).limit(k)
+
+
+def apply_top_k(artifact: Artifact, top_k: int | None) -> Artifact:
+    """Exact port of handlers.rs:253-280 for driver-side artifacts."""
+    if top_k is None or artifact.subgraph is None:
+        return artifact
+    kept = sorted(
+        artifact.subgraph, key=lambda e: (-e[2], e[0], e[1])
+    )[:top_k]
+    kept_nodes = {e[0] for e in kept} | {e[1] for e in kept}
+    new_path = [
+        n
+        for i, n in enumerate(artifact.path)
+        if n in kept_nodes or i == 0
+    ]
+    return Artifact(path=new_path, subgraph=kept)

@@ -1,0 +1,181 @@
+"""BFS / filtered / DFS traversal.
+
+Two layers:
+
+1. ``bfs_levels`` — the distributed primitive: iterative frontier joins
+   producing ``(node_id, level)`` with level = minimum BFS depth. This is
+   the 100 TB-scale path: per iteration one join of a (usually small,
+   broadcast) frontier against the edges fact table; the edges side never
+   moves, only the frontier shuffles.
+
+2. ``traverse`` / ``traverse_filtered`` / ``traverse_dfs`` — reference-
+   parity artifacts (visit-order path + touched edges), matching
+   ``crates/kremis-core/src/graph.rs:74-148`` bit-for-bit. The distributed
+   BFS finds the reachable set; only the *result subgraph* (which the
+   caller collects anyway — it is the query answer) is brought to the
+   driver, where queue order is replayed exactly. Edges touched include
+   re-touched visited neighbors (graph.rs:95-102) because certificates
+   serialize them.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kremis_spark import primitives as P
+from kremis_spark.engine import GraphState
+from kremis_spark.operators.artifact import Artifact
+
+
+def bfs_levels(
+    state: GraphState,
+    start: int,
+    depth: int,
+    min_weight: int | None = None,
+) -> DataFrame:
+    """Distributed BFS: DataFrame of (node_id, level), level = min depth.
+
+    Frontier-join loop: at step d, join the frontier to ``edges`` on
+    ``src``, anti-join already-visited, tag level d. The frontier is
+    broadcast (it is small relative to edges); lineage is cut with
+    localCheckpoint every few rounds so the plan does not grow linearly
+    with depth.
+    """
+    depth = min(depth, P.MAX_TRAVERSAL_DEPTH)
+    spark = state.spark
+    edges = state.edges.select("src", "dst")
+    if min_weight is not None:
+        # Predicate applied before the loop: Catalyst pushes it into the
+        # parquet scan of the edge table (one filtered scan, reused).
+        edges = state.edges.filter(F.col("weight") >= min_weight).select("src", "dst")
+
+    frontier = spark.createDataFrame([(start, 0)], "node_id long, level int")
+    visited = frontier
+    for d in range(1, depth + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.select("node_id")),
+                edges["src"] == F.col("node_id"),
+            )
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+            .withColumn("level", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt)
+        if d % 5 == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def traverse(state: GraphState, start: int, depth: int) -> Artifact | None:
+    """Reference-parity BFS artifact (graph.rs:74-106)."""
+    return _traverse_impl(state, start, depth, min_weight=None)
+
+
+def traverse_filtered(
+    state: GraphState, start: int, depth: int, min_weight: int
+) -> Artifact | None:
+    """BFS following only edges with weight >= min_weight
+    (graph.rs:109-148). The filter applies to edge *collection* too."""
+    return _traverse_impl(state, start, depth, min_weight=min_weight)
+
+
+def _collect_reachable_adjacency(
+    state: GraphState, start: int, depth: int, min_weight: int | None
+) -> dict[int, list[tuple[int, int]]]:
+    """Distributed phase: adjacency restricted to out-edges of nodes the
+    BFS will expand (level < depth). Neighbor lists sorted ascending —
+    the BTreeMap iteration-order invariant (graph.rs:319-321)."""
+    levels = bfs_levels(state, start, depth, min_weight)
+    expanded = levels.filter(F.col("level") < depth).select("node_id")
+    edges = state.edges
+    if min_weight is not None:
+        edges = edges.filter(F.col("weight") >= min_weight)
+    sub = (
+        edges.join(
+            F.broadcast(expanded), edges["src"] == expanded["node_id"]
+        )
+        .select("src", "dst", "weight")
+        .collect()
+    )
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in sub:
+        adj.setdefault(int(r["src"]), []).append((int(r["dst"]), int(r["weight"])))
+    for lst in adj.values():
+        lst.sort()
+    return adj
+
+
+def _traverse_impl(
+    state: GraphState, start: int, depth: int, min_weight: int | None
+) -> Artifact | None:
+    depth = min(depth, P.MAX_TRAVERSAL_DEPTH)
+    if not state.nodes.filter(F.col("node_id") == start).take(1):
+        return None  # missing start → None, not error (graph.rs:76-78)
+
+    adj = _collect_reachable_adjacency(state, start, depth, min_weight)
+
+    # Exact queue replay on the (already collected) result subgraph.
+    visited = {start}
+    queue: deque[tuple[int, int]] = deque([(start, 0)])
+    path: list[int] = []
+    subgraph: list[tuple[int, int, int]] = []
+    while queue:
+        current, d = queue.popleft()
+        path.append(current)
+        if d >= depth:
+            continue
+        for neighbor, weight in adj.get(current, ()):
+            subgraph.append((current, neighbor, weight))
+            if neighbor not in visited:
+                visited.add(neighbor)
+                queue.append((neighbor, d + 1))
+    return Artifact(path=path, subgraph=subgraph)
+
+
+def traverse_dfs(state: GraphState, start: int, depth: int) -> Artifact | None:
+    """Pre-order DFS artifact (graph.rs:796-855). Inherently sequential;
+    runs on the collected result subgraph. Note the reference's asymmetry,
+    preserved here: nodes at depth == max_depth are visited but not
+    expanded, and edge recording only happens when expanding."""
+    depth = min(depth, P.MAX_TRAVERSAL_DEPTH)
+    if not state.nodes.filter(F.col("node_id") == start).take(1):
+        return None
+
+    adj = _collect_reachable_adjacency(state, start, depth, min_weight=None)
+
+    visited: set[int] = set()
+    path: list[int] = []
+    subgraph: list[tuple[int, int, int]] = []
+
+    # Depth is capped at 100, so plain recursion is safe and keeps the
+    # edge-recording interleaving byte-faithful to the reference.
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10_000))
+
+    def rec(node: int, nd: int) -> None:
+        if node in visited or nd > depth:
+            return
+        visited.add(node)
+        path.append(node)
+        if nd < depth:
+            for neighbor, weight in adj.get(node, ()):
+                subgraph.append((node, neighbor, weight))
+                if neighbor not in visited:
+                    rec(neighbor, nd + 1)
+
+    try:
+        rec(start, 0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return Artifact(path=path, subgraph=subgraph)

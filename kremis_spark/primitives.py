@@ -1,0 +1,38 @@
+"""Innate primitives: hard-coded runtime constants.
+
+Mirrors the reference's compiled-in constants
+(``crates/kremis-core/src/primitives.rs:20-94``) — these are semantic
+bounds, not tunables, so query results (including budget-cutoff behavior)
+match the reference bit-for-bit.
+"""
+
+# Links form only between strictly adjacent signals (primitives.rs:20).
+ASSOCIATION_WINDOW = 1
+
+# Edges with weight >= this are "stable" (primitives.rs:39).
+PROMOTION_THRESHOLD = 10
+
+# All traversals are depth-bounded (primitives.rs:45).
+MAX_TRAVERSAL_DEPTH = 100
+
+# Total node-visit budget for strongest-path DFS; on exhaustion the best
+# path found so far is returned (primitives.rs:52).
+MAX_VISIT_COUNT = 50_000
+
+# Input validation limits (primitives.rs:58-84).
+MAX_ATTRIBUTE_LENGTH = 256
+MAX_VALUE_LENGTH = 65_536
+MAX_SEQUENCE_LENGTH = 10_000
+MAX_PROPERTIES_PER_NODE = 4_096
+
+# Intersect arity bounds (primitives.rs:89-94).
+MIN_INTERSECT_NODES = 2
+MAX_INTERSECT_NODES = 100
+
+# Stage thresholds: stable-edge counts for S0..S3
+# (apps side: system/stage.rs:36-42).
+STAGE_THRESHOLDS = (0, 100, 1000, 5000)
+
+# Grounding: results with confidence >= this are "verified"
+# (confidence.rs:16).
+CONFIDENCE_VERIFIED_THRESHOLD = 70

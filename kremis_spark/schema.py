@@ -1,0 +1,62 @@
+"""Fixed schemas for the graph state tables.
+
+The reference's type system is deliberately minimal — u64 ids, i64
+weights, String attribute/value, integer-only arithmetic
+(``crates/kremis-core/src/types/mod.rs:29-92``) — so everything maps to
+flat ``LongType``/``StringType`` StructTypes. No floats appear in any
+engine-visible metric; this is the determinism contract that makes results
+hash-reproducible.
+"""
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Input unit: one (entity, attribute, value) observation plus its position
+# in the ingestion sequence (drives adjacent-pair edge creation).
+# Reference: Signal, types/mod.rs:148-175; seq is implicit Vec order there.
+SIGNALS_SCHEMA = StructType(
+    [
+        StructField("seq", LongType(), nullable=False),
+        StructField("entity_id", LongType(), nullable=False),
+        StructField("attribute", StringType(), nullable=False),
+        StructField("value", StringType(), nullable=False),
+    ]
+)
+
+# Node: internal dense id + external entity id (types/mod.rs:87-92).
+NODES_SCHEMA = StructType(
+    [
+        StructField("node_id", LongType(), nullable=False),
+        StructField("entity_id", LongType(), nullable=False),
+    ]
+)
+
+# Directed weighted edge, unique on (src, dst) (graph.rs:327,519-530).
+EDGES_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), nullable=False),
+        StructField("dst", LongType(), nullable=False),
+        StructField("weight", LongType(), nullable=False),
+    ]
+)
+
+# Per-node (attribute, value) with set semantics (graph.rs:332-334,726-769).
+PROPERTIES_SCHEMA = StructType(
+    [
+        StructField("node_id", LongType(), nullable=False),
+        StructField("attribute", StringType(), nullable=False),
+        StructField("value", StringType(), nullable=False),
+    ]
+)
+
+# Single-row counters table (redb metadata table, storage/redb_graph.rs:40).
+METADATA_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), nullable=False),
+        StructField("value", LongType(), nullable=False),
+    ]
+)

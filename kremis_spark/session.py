@@ -1,0 +1,51 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Defaults are tuned for correctness-critical determinism plus the settings
+that matter at cluster scale: AQE on (runtime re-planning, skew-join
+handling), explicit shuffle partitioning, Arrow for any Pandas-UDF
+boundary. Local tests use ``local[N]``; nothing here is local-mode-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kremis_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so the
+    same entry points run unchanged under the driver harness and on a real
+    cluster (where ``master`` comes from spark-submit).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions + skew-join splits.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Fixed shuffle width: determinism of plan shape and sane local perf.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transfer for Pandas UDFs / toPandas (the only sanctioned
+        # Python boundary — row-at-a-time UDFs are banned in hot paths).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast small dimension tables aggressively (nodes table is a
+        # small dim relative to edges/properties facts).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

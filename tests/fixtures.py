@@ -1,0 +1,50 @@
+"""Graph topology fixtures from FIXTURES.md §3 (reference bench/test
+generators, crates/kremis-core/benches/graph_bench.rs:23-93)."""
+
+from pyspark.sql import SparkSession
+
+from kremis_spark.engine import GraphState
+from kremis_spark.schema import EDGES_SCHEMA, NODES_SCHEMA, PROPERTIES_SCHEMA
+
+
+def state_from_edges(
+    spark: SparkSession,
+    edges: list[tuple[int, int, int]],
+    extra_nodes: list[int] | None = None,
+    properties: list[tuple[int, str, str]] | None = None,
+) -> GraphState:
+    node_ids = sorted(
+        {e[0] for e in edges} | {e[1] for e in edges} | set(extra_nodes or [])
+    )
+    nodes = spark.createDataFrame([(n, n) for n in node_ids], NODES_SCHEMA)
+    edges_df = spark.createDataFrame(edges, EDGES_SCHEMA)
+    props_df = spark.createDataFrame(properties or [], PROPERTIES_SCHEMA)
+    return GraphState.from_tables(nodes, edges_df, props_df)
+
+
+def linear(spark: SparkSession, n: int, weight: int = 10) -> GraphState:
+    return state_from_edges(spark, [(i, i + 1, weight) for i in range(n - 1)])
+
+
+def star(spark: SparkSession, n: int, weight: int = 10) -> GraphState:
+    return state_from_edges(spark, [(0, i, weight) for i in range(1, n)])
+
+
+def diamond(spark: SparkSession) -> GraphState:
+    # A=0 → B=1 → D=3 (weights 1,1); A → C=2 → D (weights 10,10)
+    return state_from_edges(
+        spark, [(0, 1, 1), (1, 3, 1), (0, 2, 10), (2, 3, 10)]
+    )
+
+
+def cycle(spark: SparkSession) -> GraphState:
+    return state_from_edges(spark, [(0, 1, 5), (1, 2, 5), (2, 0, 5)])
+
+
+def intersect3(spark: SparkSession) -> GraphState:
+    # a=0→common=2, b=1→common, a→x=3
+    return state_from_edges(spark, [(0, 2, 1), (1, 2, 1), (0, 3, 1)])
+
+
+def disconnected(spark: SparkSession) -> GraphState:
+    return state_from_edges(spark, [(0, 1, 5), (2, 3, 5)])

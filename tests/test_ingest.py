@@ -1,0 +1,129 @@
+"""Ingestion tests (tiers T0 signal integrity / T1 deterministic edges of
+the reference's validation suite; ingest semantics from
+crates/kremis-core/src/ingestor.rs + storage/redb_graph.rs:192-372)."""
+
+import pytest
+
+from kremis_spark.engine import GraphEngine, GraphState
+from kremis_spark.ingest import (
+    InvalidSignalError,
+    SequenceTooLongError,
+    ingest_batch,
+    validate_signals,
+)
+from kremis_spark.schema import SIGNALS_SCHEMA
+
+
+def make_signals(spark, rows):
+    return spark.createDataFrame(rows, SIGNALS_SCHEMA)
+
+
+SAMPLE = [
+    (0, 1, "name", "Alice"),
+    (1, 1, "role", "engineer"),
+    (2, 2, "name", "Bob"),
+    (3, 1, "knows", "Bob"),
+]
+
+
+def test_node_minting_first_seen_order(spark):
+    st = ingest_batch(GraphState.empty(spark), make_signals(spark, SAMPLE))
+    nodes = {r["entity_id"]: r["node_id"] for r in st.nodes.collect()}
+    assert nodes == {1: 0, 2: 1}
+    assert st.next_node_id == 2
+
+
+def test_adjacent_pair_edges(spark):
+    st = ingest_batch(GraphState.empty(spark), make_signals(spark, SAMPLE))
+    edges = {(r["src"], r["dst"]): r["weight"] for r in st.edges.collect()}
+    # pairs: (1,1) self-edge, (1,2), (2,1)
+    assert edges == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_property_set_semantics(spark):
+    rows = SAMPLE + [(4, 1, "name", "Alice"), (5, 1, "knows", "Charlie")]
+    st = ingest_batch(GraphState.empty(spark), make_signals(spark, rows))
+    props = sorted(
+        (r["node_id"], r["attribute"], r["value"])
+        for r in st.properties.filter("node_id = 0").collect()
+    )
+    assert props == [
+        (0, "knows", "Bob"),
+        (0, "knows", "Charlie"),
+        (0, "name", "Alice"),
+        (0, "role", "engineer"),
+    ]
+
+
+def test_idempotent_reingest(spark):
+    st1 = ingest_batch(GraphState.empty(spark), make_signals(spark, SAMPLE))
+    st2 = ingest_batch(st1, make_signals(spark, SAMPLE))
+    assert st2.nodes.count() == st1.nodes.count()
+    assert st2.properties.count() == st1.properties.count()
+    # edges increment across batches
+    edges = {(r["src"], r["dst"]): r["weight"] for r in st2.edges.collect()}
+    assert edges == {(0, 0): 2, (0, 1): 2, (1, 0): 2}
+
+
+def test_incremental_ids_continue(spark):
+    st1 = ingest_batch(GraphState.empty(spark), make_signals(spark, SAMPLE))
+    st2 = ingest_batch(st1, make_signals(spark, [(0, 99, "name", "Zed")]))
+    nodes = {r["entity_id"]: r["node_id"] for r in st2.nodes.collect()}
+    assert nodes[99] == 2
+    assert st2.next_node_id == 3
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        (0, 1, "", "v"),  # empty attribute
+        (0, 1, "a", ""),  # empty value
+        (0, 1, "a" * 257, "v"),  # oversize attribute
+        (0, 1, "a\x1bb", "v"),  # control char in attribute
+        (0, 1, "a\tb", "v"),  # tab in attribute (identifiers: none allowed)
+        (0, 1, "a", "v\x00"),  # NUL in value
+        (0, 1, "a", "v\x1b[31m"),  # ANSI escape in value
+    ],
+)
+def test_invalid_signal_aborts_batch(spark, bad):
+    rows = [bad, (1, 2, "ok", "fine")]
+    with pytest.raises(InvalidSignalError):
+        ingest_batch(GraphState.empty(spark), make_signals(spark, rows))
+
+
+def test_whitespace_controls_allowed_in_value(spark):
+    rows = [(0, 1, "a", "line1\nline2\r\ttab")]
+    st = ingest_batch(GraphState.empty(spark), make_signals(spark, rows))
+    assert st.properties.count() == 1
+
+
+def test_oversize_value_rejected(spark):
+    rows = [(0, 1, "a", "v" * 65537)]
+    with pytest.raises(InvalidSignalError):
+        validate_signals(make_signals(spark, rows))
+
+
+def test_sequence_too_long(spark):
+    rows = [(i, i, "a", "v") for i in range(10_001)]
+    with pytest.raises(SequenceTooLongError):
+        validate_signals(make_signals(spark, rows))
+
+
+def test_engine_ingest_returns_node_ids_in_seq_order(spark):
+    eng = GraphEngine(spark)
+    ids = eng.ingest(make_signals(spark, SAMPLE))
+    assert ids == [0, 0, 1, 0]
+    assert eng.lookup(1) == 0
+    assert eng.lookup(2) == 1
+    assert eng.lookup(404) is None
+
+
+def test_engine_retract_floors_at_zero(spark):
+    eng = GraphEngine(spark)
+    eng.ingest(make_signals(spark, [(0, 1, "a", "v"), (1, 2, "a", "v")]))
+    assert eng.get_edge(0, 1) == 1
+    assert eng.retract(1, 2) is True
+    assert eng.get_edge(0, 1) == 0
+    assert eng.retract(1, 2) is True  # floors at 0
+    assert eng.get_edge(0, 1) == 0
+    assert eng.retract(2, 1) is False  # absent edge

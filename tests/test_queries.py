@@ -1,0 +1,197 @@
+"""Query operator tests over the topology fixtures (tiers T2/T3 of the
+reference's validation suite, crates/kremis-core/tests/validation_tiers.rs
++ unit tests in graph.rs)."""
+
+import pytest
+
+from kremis_spark.operators.intersect import intersect
+from kremis_spark.operators.metrics import (
+    compute_confidence,
+    compute_path_confidence,
+    stage_assessment,
+    status_counts,
+)
+from kremis_spark.operators.path import strongest_path, strongest_path_distributed
+from kremis_spark.operators.topk import apply_top_k
+from kremis_spark.operators.traverse import traverse, traverse_dfs, traverse_filtered
+
+from tests.fixtures import (
+    cycle,
+    diamond,
+    disconnected,
+    intersect3,
+    linear,
+    star,
+    state_from_edges,
+)
+
+
+# --- traverse -------------------------------------------------------------
+
+
+def test_traverse_linear_depth_bound(spark):
+    st = linear(spark, 10)
+    art = traverse(st, 0, 3)
+    assert art.path == [0, 1, 2, 3]
+    # edges recorded only when expanding (depth < limit)
+    assert art.subgraph == [(0, 1, 10), (1, 2, 10), (2, 3, 10)]
+
+
+def test_traverse_missing_start_is_none(spark):
+    st = linear(spark, 5)
+    assert traverse(st, 999, 3) is None
+
+
+def test_traverse_star_visit_order(spark):
+    st = star(spark, 6)
+    art = traverse(st, 0, 1)
+    # queue order: start, then spokes ascending
+    assert art.path == [0, 1, 2, 3, 4, 5]
+    assert art.subgraph == [(0, i, 10) for i in range(1, 6)]
+
+
+def test_traverse_cycle_no_revisit(spark):
+    st = cycle(spark)
+    art = traverse(st, 0, 10)
+    assert art.path == [0, 1, 2]
+    # edge back to visited node 0 IS recorded (graph.rs:95-102)
+    assert (2, 0, 5) in art.subgraph
+
+
+def test_traverse_filtered(spark):
+    st = state_from_edges(spark, [(0, 1, 1), (0, 2, 10), (2, 3, 10), (1, 4, 10)])
+    art = traverse_filtered(st, 0, 5, min_weight=5)
+    # weight-1 edge not followed and not recorded; its subtree unreachable
+    assert art.path == [0, 2, 3]
+    assert art.subgraph == [(0, 2, 10), (2, 3, 10)]
+
+
+def test_traverse_dfs_preorder(spark):
+    st = state_from_edges(
+        spark, [(0, 1, 1), (0, 2, 1), (1, 3, 1), (1, 4, 1)]
+    )
+    art = traverse_dfs(st, 0, 10)
+    assert art.path == [0, 1, 3, 4, 2]
+
+
+# --- strongest path ---------------------------------------------------------
+
+
+def test_strongest_path_prefers_indirect_stronger_route(spark):
+    # port of redb_graph.rs:1030
+    st = diamond(spark)
+    assert strongest_path(st, 0, 3) == [0, 2, 3]
+
+
+def test_strongest_path_same_node(spark):
+    st = linear(spark, 3)
+    assert strongest_path(st, 1, 1) == [1]
+
+
+def test_strongest_path_missing_node(spark):
+    st = linear(spark, 3)
+    assert strongest_path(st, 0, 42) is None
+
+
+def test_strongest_path_no_route(spark):
+    st = disconnected(spark)
+    assert strongest_path(st, 0, 3) is None
+
+
+def test_strongest_path_linear(spark):
+    st = linear(spark, 6)
+    assert strongest_path(st, 0, 5) == [0, 1, 2, 3, 4, 5]
+
+
+def test_strongest_path_budget_cutoff(spark):
+    # Exact reference budget semantics (graph.rs:265-272): the decrement
+    # happens BEFORE the neighbor is processed, and hitting 0 aborts.
+    st = diamond(spark)
+    # budget 2: dies on 1's neighbor (the end) before recording it → None
+    assert strongest_path(st, 0, 3, visit_budget=2) is None
+    # budget 4: records the weak route [0,1,3], dies inside the strong one
+    assert strongest_path(st, 0, 3, visit_budget=4) == [0, 1, 3]
+    # ample budget: optimal
+    assert strongest_path(st, 0, 3, visit_budget=100) == [0, 2, 3]
+
+
+def test_strongest_path_distributed_matches(spark):
+    st = diamond(spark)
+    row = strongest_path_distributed(st, 0, 3, max_depth=5).collect()
+    assert [list(r["path"]) for r in row] == [[0, 2, 3]]
+
+
+# --- intersect --------------------------------------------------------------
+
+
+def test_intersect_common_neighbor(spark):
+    st = intersect3(spark)
+    assert intersect(st, [0, 1]) == [2]
+
+
+def test_intersect_empty_input(spark):
+    st = intersect3(spark)
+    assert intersect(st, []) == []
+
+
+def test_intersect_no_common(spark):
+    st = state_from_edges(spark, [(0, 2, 1), (1, 3, 1)])
+    assert intersect(st, [0, 1]) == []
+
+
+# --- top-k ------------------------------------------------------------------
+
+
+def test_apply_top_k_tiebreak(spark):
+    from kremis_spark.operators.artifact import Artifact
+
+    art = Artifact(
+        path=[0, 1, 2, 3],
+        subgraph=[(0, 1, 5), (1, 2, 9), (2, 3, 9), (0, 3, 1)],
+    )
+    out = apply_top_k(art, 2)
+    assert out.subgraph == [(1, 2, 9), (2, 3, 9)]
+    # path keeps nodes in kept edges + start
+    assert out.path == [0, 1, 2, 3]
+
+
+# --- metrics / stage / confidence --------------------------------------------
+
+
+def test_status_counts(spark):
+    st = state_from_edges(spark, [(0, 1, 15), (1, 2, 3), (2, 0, 10)])
+    s = status_counts(st)
+    assert s["node_count"] == 3
+    assert s["edge_count"] == 3
+    assert s["stable_edge_count"] == 2
+    assert s["density_millionths"] == 1_000_000
+
+
+def test_stage_assessment():
+    assert stage_assessment(0)["current"] == "S0"
+    s = stage_assessment(50)
+    assert (s["current"], s["next"], s["percent"]) == ("S0", "S1", 50)
+    assert stage_assessment(100)["current"] == "S1"
+    assert stage_assessment(5000) == {
+        "current": "S3",
+        "next": None,
+        "percent": 100,
+        "stable_edges_current": 5000,
+        "stable_edges_needed": 5000,
+    }
+
+
+def test_confidence_exact_values():
+    from kremis_spark.operators.artifact import Artifact
+
+    # path of 3 nodes, 2 edges → 50 + 2 + 6 = 58
+    art = Artifact(path=[0, 1, 2], subgraph=[(0, 1, 1), (1, 2, 1)])
+    assert compute_confidence(art)["score"] == 58
+    assert compute_confidence(None)["score"] == 0
+
+
+def test_path_confidence_avg_weight_5_is_75():
+    # confidence.rs:337-366: avg weight 5 → score 75
+    weights = {(0, 1): 5, (1, 2): 5}
+    out = compute_path_confidence([0, 1, 2], weights)
+    assert out["score"] == 75
