@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query at sf0.001.
+``queries()`` — every implemented operator (SURVEY.md §2) as
+(spark, sf_dir) → DataFrame.
+``oracle_sql()`` — matching DuckDB SQL per query (same column names; the
+driver compares row-count + schema + order-insensitive value hash).
 """
 
 from __future__ import annotations
@@ -15,24 +15,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: filtered BFS reachability over the events-derived graph."""
+    from kremis_spark.plans.graph_queries import q_bfs_levels
+
+    return q_bfs_levels(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kremis_spark.plans.graph_queries import QUERIES as GRAPH_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(GRAPH_QUERIES)
+    try:
+        from kremis_spark.plans.analytics import QUERIES as ANALYTICS_QUERIES
+
+        out.update(ANALYTICS_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.pipeline import QUERIES as PIPELINE_QUERIES
+
+        out.update(PIPELINE_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kremis_spark.plans.graph_queries import ORACLE_SQL as GRAPH_ORACLES
+
+    out: dict[str, str] = {}
+    out.update(GRAPH_ORACLES)
+    try:
+        from kremis_spark.plans.analytics import ORACLE_SQL as ANALYTICS_ORACLES
+
+        out.update(ANALYTICS_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.pipeline import ORACLE_SQL as PIPELINE_ORACLES
+
+        out.update(PIPELINE_ORACLES)
+    except ImportError:
+        pass
+    return out

@@ -200,7 +200,9 @@ def signals_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     — exactly the reference's adjacency-linking primitive applied to an
     event log.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from kremis_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_id").cast("long").alias("seq"),
         F.col("user_id").cast("long").alias("entity_id"),

@@ -39,7 +39,9 @@ def assign_dense_ids(
     n = df.count()
     if n <= scalable_threshold:
         w = Window.orderBy(*order_cols)
-        return df.withColumn(id_col, F.row_number().over(w) + F.lit(offset - 1))
+        return df.withColumn(
+            id_col, (F.row_number().over(w) + F.lit(offset - 1)).cast("long")
+        )
     return _assign_dense_ids_distributed(df, order_cols, id_col, offset)
 
 

@@ -1,0 +1,8 @@
+"""Named query plans over the driver's testdata tables.
+
+``graph_queries`` — the reference's query surface applied to the graph
+derived from the ``events`` table (each query ships with an exact DuckDB
+oracle). ``analytics`` — TPC-H-style relational plans over the star
+schema. ``pipeline`` — the LLM-training-data operators over
+``documents`` / ``embeddings``.
+"""

@@ -1,0 +1,545 @@
+"""The kremis query surface on the events-derived graph, with SQL oracles.
+
+Derivation (see ``kremis_spark.ingest.signals_from_events``): each event is
+a Signal (seq=event_id, entity=user_id, attribute=event_type, value=props);
+the reference's adjacency-linking primitive
+(``crates/kremis-core/src/ingestor.rs:118-152``) then yields the
+user-transition graph. Everything below runs through the engine's real
+ingest + operators, and every query has a bit-exact ANSI-SQL oracle
+(DuckDB) over the same parquet — the correctness gate of this repo.
+
+Determinism rules applied throughout: integer-only outputs (LongType),
+explicit aliases matching the oracle column names, data-derived anchors
+(heaviest edge) instead of hard-coded node ids so the same query is
+meaningful at every scale factor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from kremis_spark.engine import GraphState
+from kremis_spark.ingest import ingest_batch, signals_from_events
+
+# Tunables for the oracle-checked query family (chosen so the filtered
+# graph is sparse enough that the strongest-path search is exhaustive —
+# the 50k visit budget then never cuts, and SQL enumeration agrees).
+FILTER_MIN_WEIGHT = 3
+BFS_DEPTH = 2
+FILTERED_DEPTH = 3
+PATH_DEPTH = 8
+TOP_K = 10
+LOOKUP_ENTITY = 7
+INTERSECT_ENTITIES = (0, 1, 2)
+
+_STATE_CACHE: dict[tuple[str, str], GraphState] = {}
+
+
+def graph_state(spark: SparkSession, sf_dir: str) -> GraphState:
+    """Build (and cache) the events-derived graph via the real ingest path."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _STATE_CACHE.get(key)
+    if st is None:
+        signals = signals_from_events(spark, sf_dir)
+        # enforce_limits=False: the 10k-signal cap is the reference's API
+        # bound (primitives.rs:73); the engine itself scales past it.
+        st = ingest_batch(
+            GraphState.empty(spark), signals, enforce_limits=False
+        ).cache()
+        st.edges.count()  # materialize once
+        _STATE_CACHE[key] = st
+    return st
+
+
+# --------------------------------------------------------------------------
+# Spark-side queries. Each takes (spark, sf_dir) → DataFrame and has a
+# same-named entry in ORACLE_SQL below with identical column names/types.
+# --------------------------------------------------------------------------
+
+
+def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_state(spark, sf_dir).nodes
+
+
+def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_state(spark, sf_dir).edges
+
+
+def q_properties_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_state(spark, sf_dir).properties
+
+
+def q_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity → node point read (graph.rs:556-558)."""
+    st = graph_state(spark, sf_dir)
+    return st.nodes.filter(F.col("entity_id") == LOOKUP_ENTITY).select("node_id")
+
+
+def q_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (attribute, value) of one node, attr-sorted (graph.rs:771-784)."""
+    st = graph_state(spark, sf_dir)
+    node = st.nodes.filter(F.col("entity_id") == LOOKUP_ENTITY).select("node_id")
+    return (
+        st.properties.join(F.broadcast(node), "node_id")
+        .select("attribute", "value")
+        .orderBy("attribute", "value")
+    )
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common out-neighbors of the 3 highest-out-degree nodes
+    (graph.rs:151-174): one semi-join + group-agg, no N-way join chain.
+    The inputs are data-derived (degree desc, node asc) so the result is
+    non-trivial at every scale factor."""
+    st = graph_state(spark, sf_dir)
+    srcs = (
+        st.edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), "src")
+        .limit(3)
+        .select("src")
+    )
+    n_src = srcs.count()
+    return (
+        st.edges.join(F.broadcast(srcs), "src")
+        .groupBy("dst")
+        .agg(F.count_distinct("src").alias("n"))
+        .filter(F.col("n") == n_src)
+        .select(F.col("dst").alias("node_id"))
+    )
+
+
+def q_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-K (handlers.rs:253-280) →
+    TakeOrderedAndProject physically."""
+    from kremis_spark.operators.topk import top_k_edges
+
+    return top_k_edges(graph_state(spark, sf_dir).edges, TOP_K)
+
+
+def q_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts + integer fixed-point density (system/stage.rs:128-171)."""
+    st = graph_state(spark, sf_dir)
+    from kremis_spark.operators.metrics import status_counts
+
+    s = status_counts(st)
+    schema = StructType(
+        [
+            StructField("node_count", LongType(), False),
+            StructField("edge_count", LongType(), False),
+            StructField("stable_edge_count", LongType(), False),
+            StructField("density_millionths", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                s["node_count"],
+                s["edge_count"],
+                s["stable_edge_count"],
+                s["density_millionths"],
+            )
+        ],
+        schema,
+    )
+
+
+def q_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StageAssessor::progress_to_next (system/stage.rs:267-384)."""
+    from kremis_spark.operators.metrics import stage_assessment
+
+    st = graph_state(spark, sf_dir)
+    stable = st.edges.filter(F.col("weight") >= 10).count()
+    a = stage_assessment(stable)
+    schema = "stage STRING, next_stage STRING, percent BIGINT, stable_current BIGINT, stable_needed BIGINT"
+    return spark.createDataFrame(
+        [
+            (
+                a["current"],
+                a["next"] if a["next"] is not None else "TERMINAL",
+                a["percent"],
+                a["stable_edges_current"],
+                a["stable_edges_needed"],
+            )
+        ],
+        schema,
+    )
+
+
+def _anchor_src(st: GraphState, min_weight: int | None = None) -> int | None:
+    """Data-derived start node: src of the heaviest edge under the
+    deterministic (weight desc, src, dst) order."""
+    e = st.edges
+    if min_weight is not None:
+        e = e.filter(F.col("weight") >= min_weight)
+    rows = e.orderBy(F.desc("weight"), "src", "dst").limit(1).collect()
+    return int(rows[0]["src"]) if rows else None
+
+
+def _empty_levels(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "node_id BIGINT, level BIGINT")
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability with minimum depth, from the heaviest-edge src."""
+    from kremis_spark.operators.traverse import bfs_levels
+
+    st = graph_state(spark, sf_dir)
+    start = _anchor_src(st)
+    if start is None:
+        return _empty_levels(spark)
+    return bfs_levels(st, start, BFS_DEPTH).select(
+        "node_id", F.col("level").cast("long").alias("level")
+    )
+
+
+def q_bfs_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered BFS (graph.rs:109-148): follow only weight >= 3 edges."""
+    from kremis_spark.operators.traverse import bfs_levels
+
+    st = graph_state(spark, sf_dir)
+    start = _anchor_src(st, FILTER_MIN_WEIGHT)
+    if start is None:
+        return _empty_levels(spark)
+    return bfs_levels(
+        st, start, FILTERED_DEPTH, min_weight=FILTER_MIN_WEIGHT
+    ).select("node_id", F.col("level").cast("long").alias("level"))
+
+
+def q_traverse_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges touched by the filtered BFS — out-edges (weight >= 3) of every
+    expanded node (level < depth), incl. re-touched visited neighbors
+    (graph.rs:95-102)."""
+    from kremis_spark.operators.traverse import bfs_levels
+
+    st = graph_state(spark, sf_dir)
+    start = _anchor_src(st, FILTER_MIN_WEIGHT)
+    if start is None:
+        return spark.createDataFrame([], "src BIGINT, dst BIGINT, weight BIGINT")
+    levels = bfs_levels(st, start, FILTERED_DEPTH, min_weight=FILTER_MIN_WEIGHT)
+    expanded = levels.filter(F.col("level") < FILTERED_DEPTH).select("node_id")
+    fedges = st.edges.filter(F.col("weight") >= FILTER_MIN_WEIGHT)
+    return fedges.join(
+        F.broadcast(expanded), fedges["src"] == F.col("node_id")
+    ).select("src", "dst", "weight")
+
+
+def q_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compute_confidence (confidence.rs:81-101) over the filtered-BFS
+    artifact: 50 + min(edges,30) + min(path_len,10)*2."""
+    from kremis_spark.operators.metrics import compute_confidence
+    from kremis_spark.operators.traverse import traverse_filtered
+
+    st = graph_state(spark, sf_dir)
+    start = _anchor_src(st, FILTER_MIN_WEIGHT)
+    art = (
+        traverse_filtered(st, start, FILTERED_DEPTH, FILTER_MIN_WEIGHT)
+        if start is not None
+        else None
+    )
+    c = compute_confidence(art)
+    schema = "score BIGINT, evidence_count BIGINT, path_length BIGINT"
+    return spark.createDataFrame(
+        [(c["score"], c["evidence_count"], c["path_length"])], schema
+    )
+
+
+def _sparse_threshold(st: GraphState) -> int | None:
+    """Smallest edge weight t such that |{edges with weight >= t}| <=
+    2 * |nodes| — a data-adaptive sparsification cut. The strongest-path
+    search on the resulting subgraph is exhaustive at every scale factor
+    (avg out-degree <= 2), so the reference DFS (with its 50k visit
+    budget, primitives.rs:52) and the SQL full enumeration provably agree.
+    Pure integer logic, identical in Spark and the DuckDB oracle."""
+    n_nodes = st.nodes.count()
+    wc = st.edges.groupBy("weight").count().orderBy(F.desc("weight")).collect()
+    best = None
+    cum = 0
+    for r in wc:  # descending weights; cum = |{edges with weight >= w}|
+        cum += int(r["count"])
+        if cum <= 2 * n_nodes:
+            best = int(r["weight"])
+    return best
+
+
+def q_strongest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-weight simple path on an adaptively sparsified subgraph,
+    depth-bounded to 8, so the search is exhaustive well under the 50k
+    visit budget and the SQL oracle's full enumeration agrees — tie-break
+    included (first-found in ascending-neighbor DFS == lexicographically
+    smallest path)."""
+    from kremis_spark.operators.path import strongest_path
+
+    from kremis_spark.operators.traverse import bfs_levels
+
+    st = graph_state(spark, sf_dir)
+    thr = _sparse_threshold(st)
+    if thr is None:
+        return spark.createDataFrame([], "step BIGINT, node_id BIGINT")
+    fstate = replace(st, edges=st.edges.filter(F.col("weight") >= thr))
+    start = _anchor_src(st, thr)
+    path = None
+    if start is not None:
+        # End node: the FARTHEST reachable node from start in the sparse
+        # subgraph (max BFS level, tie → smallest node id) — guarantees a
+        # non-trivial multi-hop path at every scale factor.
+        levels = bfs_levels(fstate, start, PATH_DEPTH)
+        far = (
+            levels.filter(F.col("level") >= 1)
+            .orderBy(F.desc("level"), "node_id")
+            .limit(1)
+            .collect()
+        )
+        if far:
+            end = int(far[0]["node_id"])
+            path = strongest_path(fstate, start, end, max_depth=PATH_DEPTH)
+    rows = [(i, n) for i, n in enumerate(path or [])]
+    return spark.createDataFrame(rows, "step BIGINT, node_id BIGINT")
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles. Shared graph-derivation prefix; each query's SQL matches
+# the Spark column names exactly (driver hash compares by sorted columns).
+# --------------------------------------------------------------------------
+
+GRAPH_CTE = """
+WITH signals AS (
+  SELECT event_id AS seq, user_id AS entity_id, event_type AS attribute,
+         props AS value
+  FROM events
+),
+firsts AS (
+  SELECT entity_id, MIN(seq) AS first_seq FROM signals GROUP BY entity_id
+),
+nodes AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY first_seq) - 1 AS BIGINT) AS node_id,
+         entity_id
+  FROM firsts
+),
+pairs AS (
+  SELECT LAG(entity_id) OVER (ORDER BY seq) AS prev_entity,
+         entity_id AS cur_entity
+  FROM signals
+),
+edges AS (
+  SELECT n1.node_id AS src, n2.node_id AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM pairs
+  JOIN nodes n1 ON pairs.prev_entity = n1.entity_id
+  JOIN nodes n2 ON pairs.cur_entity = n2.entity_id
+  WHERE pairs.prev_entity IS NOT NULL
+  GROUP BY 1, 2
+),
+properties AS (
+  SELECT DISTINCT n.node_id, s.attribute, s.value
+  FROM signals s JOIN nodes n ON s.entity_id = n.entity_id
+),
+fedges AS (
+  SELECT * FROM edges WHERE weight >= {minw}
+),
+anchor AS (
+  SELECT src AS a FROM edges ORDER BY weight DESC, src, dst LIMIT 1
+),
+fanchor AS (
+  SELECT src AS a FROM fedges ORDER BY weight DESC, src, dst LIMIT 1
+)
+""".replace("{minw}", str(FILTER_MIN_WEIGHT))
+
+
+ORACLE_SQL: dict[str, str] = {
+    "graph_nodes": GRAPH_CTE + "SELECT node_id, entity_id FROM nodes",
+    "graph_edges": GRAPH_CTE + "SELECT src, dst, weight FROM edges",
+    "graph_properties_table": GRAPH_CTE
+    + "SELECT node_id, attribute, value FROM properties",
+    "graph_lookup": GRAPH_CTE
+    + f"SELECT node_id FROM nodes WHERE entity_id = {LOOKUP_ENTITY}",
+    "graph_properties": GRAPH_CTE
+    + f"""
+SELECT p.attribute, p.value
+FROM properties p JOIN nodes n ON p.node_id = n.node_id
+WHERE n.entity_id = {LOOKUP_ENTITY}
+ORDER BY p.attribute, p.value
+""",
+    "graph_intersect": GRAPH_CTE
+    + """
+, top_srcs AS (
+  SELECT src FROM (
+    SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ORDER BY deg DESC, src LIMIT 3
+  )
+)
+SELECT dst AS node_id
+FROM edges
+WHERE src IN (SELECT src FROM top_srcs)
+GROUP BY dst
+HAVING COUNT(DISTINCT src) = (SELECT COUNT(*) FROM top_srcs)
+""",
+    "graph_topk_edges": GRAPH_CTE
+    + f"SELECT src, dst, weight FROM edges ORDER BY weight DESC, src, dst LIMIT {TOP_K}",
+    "graph_status": GRAPH_CTE
+    + """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS node_count,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS edge_count,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges WHERE weight >= 10) AS stable_edge_count,
+  CASE WHEN (SELECT COUNT(*) FROM nodes) > 0
+       THEN CAST(((SELECT COUNT(*) FROM edges) * 1000000)
+                 // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+       ELSE 0 END AS density_millionths
+""",
+    "graph_stage": GRAPH_CTE
+    + """
+, stable AS (SELECT COUNT(*) AS c FROM edges WHERE weight >= 10)
+SELECT
+  CASE WHEN c >= 5000 THEN 'S3' WHEN c >= 1000 THEN 'S2'
+       WHEN c >= 100 THEN 'S1' ELSE 'S0' END AS stage,
+  CASE WHEN c >= 5000 THEN 'TERMINAL' WHEN c >= 1000 THEN 'S3'
+       WHEN c >= 100 THEN 'S2' ELSE 'S1' END AS next_stage,
+  CAST(CASE
+    WHEN c >= 5000 THEN 100
+    WHEN c >= 1000 THEN LEAST((c - 1000) * 100 // 4000, 100)
+    WHEN c >= 100 THEN LEAST((c - 100) * 100 // 900, 100)
+    ELSE LEAST(c * 100 // 100, 100) END AS BIGINT) AS percent,
+  CAST(c AS BIGINT) AS stable_current,
+  CAST(CASE WHEN c >= 5000 THEN c WHEN c >= 1000 THEN 5000
+            WHEN c >= 100 THEN 1000 ELSE 100 END AS BIGINT) AS stable_needed
+FROM stable
+""",
+    "graph_bfs_levels": GRAPH_CTE
+    + f"""
+, bfs AS (
+  WITH RECURSIVE r(node_id, depth) AS (
+    SELECT a, 0 FROM anchor
+    UNION
+    SELECT e.dst, r.depth + 1
+    FROM r JOIN edges e ON e.src = r.node_id
+    WHERE r.depth < {BFS_DEPTH}
+  )
+  SELECT node_id, MIN(depth) AS lvl FROM r GROUP BY node_id
+)
+SELECT node_id, CAST(lvl AS BIGINT) AS level FROM bfs
+""",
+    "graph_bfs_filtered": GRAPH_CTE
+    + f"""
+, bfs AS (
+  WITH RECURSIVE r(node_id, depth) AS (
+    SELECT a, 0 FROM fanchor
+    UNION
+    SELECT e.dst, r.depth + 1
+    FROM r JOIN fedges e ON e.src = r.node_id
+    WHERE r.depth < {FILTERED_DEPTH}
+  )
+  SELECT node_id, MIN(depth) AS lvl FROM r GROUP BY node_id
+)
+SELECT node_id, CAST(lvl AS BIGINT) AS level FROM bfs
+""",
+    "graph_traverse_subgraph": GRAPH_CTE
+    + f"""
+, bfs AS (
+  WITH RECURSIVE r(node_id, depth) AS (
+    SELECT a, 0 FROM fanchor
+    UNION
+    SELECT e.dst, r.depth + 1
+    FROM r JOIN fedges e ON e.src = r.node_id
+    WHERE r.depth < {FILTERED_DEPTH}
+  )
+  SELECT node_id, MIN(depth) AS lvl FROM r GROUP BY node_id
+)
+SELECT e.src, e.dst, e.weight
+FROM fedges e
+JOIN bfs b ON e.src = b.node_id
+WHERE b.lvl < {FILTERED_DEPTH}
+""",
+    "graph_confidence": GRAPH_CTE
+    + f"""
+, bfs AS (
+  WITH RECURSIVE r(node_id, depth) AS (
+    SELECT a, 0 FROM fanchor
+    UNION
+    SELECT e.dst, r.depth + 1
+    FROM r JOIN fedges e ON e.src = r.node_id
+    WHERE r.depth < {FILTERED_DEPTH}
+  )
+  SELECT node_id, MIN(depth) AS lvl FROM r GROUP BY node_id
+),
+pl AS (SELECT COUNT(*) AS path_len FROM bfs),
+ev AS (
+  SELECT COUNT(*) AS evid
+  FROM fedges e JOIN bfs b ON e.src = b.node_id
+  WHERE b.lvl < {FILTERED_DEPTH}
+)
+SELECT
+  CAST(LEAST(50 + LEAST(evid, 30) + LEAST(path_len, 10) * 2, 100) AS BIGINT) AS score,
+  CAST(evid AS BIGINT) AS evidence_count,
+  CAST(path_len AS BIGINT) AS path_length
+FROM pl, ev
+""",
+    "graph_strongest_path": GRAPH_CTE
+    + f"""
+, thr AS (
+  -- smallest weight t with |edges >= t| <= 2*|nodes| (adaptive sparsify)
+  SELECT MIN(weight) AS t FROM (
+    SELECT weight,
+           SUM(cnt) OVER (ORDER BY weight DESC) AS cum
+    FROM (SELECT weight, COUNT(*) AS cnt FROM edges GROUP BY weight)
+  ) WHERE cum <= 2 * (SELECT COUNT(*) FROM nodes)
+),
+pedges AS (
+  SELECT * FROM edges WHERE weight >= (SELECT t FROM thr)
+),
+panchor AS (
+  SELECT src AS a FROM pedges ORDER BY weight DESC, src, dst LIMIT 1
+),
+pbfs AS (
+  WITH RECURSIVE r(n, d) AS (
+    SELECT a, 0 FROM panchor
+    UNION
+    SELECT e.dst, r.d + 1 FROM r JOIN pedges e ON e.src = r.n
+    WHERE r.d < {PATH_DEPTH}
+  )
+  SELECT n, MIN(d) AS lvl FROM r GROUP BY n
+),
+panchor2 AS (
+  SELECT n AS b FROM pbfs WHERE lvl >= 1 ORDER BY lvl DESC, n LIMIT 1
+),
+walks AS (
+  WITH RECURSIVE p(node_id, path, w) AS (
+    SELECT a, [a], CAST(0 AS BIGINT) FROM panchor
+    UNION ALL
+    SELECT e.dst, list_append(p.path, e.dst), p.w + GREATEST(e.weight, 0)
+    FROM p JOIN pedges e ON e.src = p.node_id
+    WHERE p.node_id <> (SELECT b FROM panchor2)
+      AND NOT list_contains(p.path, e.dst)
+      AND len(p.path) <= {PATH_DEPTH}
+  )
+  SELECT path FROM p
+  WHERE node_id = (SELECT b FROM panchor2)
+    AND (SELECT a FROM panchor) <> (SELECT b FROM panchor2)
+  ORDER BY w DESC, path ASC
+  LIMIT 1
+)
+SELECT CAST(i - 1 AS BIGINT) AS step, CAST(path[i] AS BIGINT) AS node_id
+FROM walks, LATERAL (SELECT UNNEST(generate_series(1, len(path))) AS i)
+""",
+}
+
+
+QUERIES = {
+    "graph_nodes": q_nodes,
+    "graph_edges": q_edges,
+    "graph_properties_table": q_properties_table,
+    "graph_lookup": q_lookup,
+    "graph_properties": q_properties,
+    "graph_intersect": q_intersect,
+    "graph_topk_edges": q_topk_edges,
+    "graph_status": q_status,
+    "graph_stage": q_stage,
+    "graph_bfs_levels": q_bfs_levels,
+    "graph_bfs_filtered": q_bfs_filtered,
+    "graph_traverse_subgraph": q_traverse_subgraph,
+    "graph_confidence": q_confidence,
+    "graph_strongest_path": q_strongest_path,
+}

@@ -1,0 +1,3 @@
+"""Source adapters (the reference's Facet ingest boundary,
+``crates/kremis-core/src/types/mod.rs:290-301``): testdata table readers,
+signal parsers (JSON / JSON-Lines / text), and streaming sources."""
