@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Comparison axis vs the reference (BASELINE.md): batch ingest throughput
+(reference persistent path ~10k signals/s) and per-query latency. The
+ingest figure here is end-to-end: validate → mint ids → dedup properties
+→ adjacent-pair edge merge → materialize, i.e. the same work as
+RedbGraph::ingest_batch in one Spark commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from kremis_spark.session import get_spark
+
+    spark = get_spark("kremis_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from kremis_spark.plans import graph_queries as gq
+
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- ingest: signals → committed graph state (cached for queries) ---
+    t0 = time.time()
+    state = gq.graph_state(spark, sf_dir)
+    n_signals = int(
+        state.properties.sparkSession.read.schema("event_id LONG")
+        .parquet(f"{sf_dir}/events.parquet")
+        .count()
+    )
+    times["ingest"] = time.time() - t0
+    extras["signals_per_sec"] = round(n_signals / max(times["ingest"], 1e-9), 1)
+    extras["n_signals"] = n_signals
+
+    # --- headline queries (all from the driver contract) ---
+    qs = entrymod.queries()
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.collect()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    times = {k: round(v, 3) for k, v in times.items()}
+    out = {
+        "metric": "kremis_spark_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
