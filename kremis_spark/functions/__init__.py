@@ -1,0 +1,9 @@
+"""LLM-training-data pipeline operators (beyond the reference surface).
+
+Per the build brief, these are first-class engine components: text
+analysis, deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+embedding similarity search, and multimodal column plumbing. Everything
+is expressed with built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — Python UDFs appear only in the multimodal decode
+stubs where a real deployment would call image/audio libraries.
+"""

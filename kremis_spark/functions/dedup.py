@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design (the 100 TB story):
+- Exact dedup = hash-groupBy: one shuffle on a 32-byte key, map-side
+  partial aggregation, no text movement after hashing.
+- MinHash LSH: per-doc signatures are computed map-side with built-in
+  HOFs (shingle → k min-hashes); only (band_hash → doc_id) pairs shuffle.
+  Candidate pairs come from a self-join per band bucket; hot buckets are
+  capped (standard LSH practice — a degenerate bucket means the band is
+  non-discriminative, and the pairs it would emit are quadratic noise).
+- Exact Jaccard verification only runs on candidate pairs, never all
+  pairs.
+- Hash parity note: md5 is used so results are verifiable against the
+  DuckDB oracle; swap HASH_FN to xxhash64 for production throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kremis_spark.functions.text import tokens
+
+NUM_HASHES = 16
+BANDS = 8  # 8 bands x 2 rows: candidate prob = 1-(1-j^2)^8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+HOT_BUCKET_CAP = 200
+
+
+def word_shingles(text_col: str = "text", n: int = 2) -> Column:
+    """Word n-gram shingles (empty array when fewer than n tokens)."""
+    toks = tokens(text_col)
+    size = F.size(toks)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_md5, n_docs, keep_doc_id) with the
+    lowest id as the deterministic representative."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc MinHash signature columns sig_0..sig_{k-1}: for seed k,
+    min over shingles of md5('k:' || shingle). Entirely map-side."""
+    sh = word_shingles(text_col)
+    out = df.select(F.col(id_col), sh.alias("shingles"))
+    for k in range(NUM_HASHES):
+        out = out.withColumn(
+            f"sig_{k}",
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        F.col("shingles"),
+                        lambda s, _k=k: F.md5(F.concat(F.lit(f"{_k}:"), s)),
+                    )
+                ),
+                F.lit(""),
+            ),
+        )
+    return out.drop("shingles")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", hot_cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing at least one LSH band
+    bucket. Band hash = md5 of the band's signature slice; buckets larger
+    than ``hot_cap`` are dropped (non-discriminative band)."""
+    bands = []
+    for b in range(BANDS):
+        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for other in bands[1:]:
+        all_bands = all_bands.unionByName(other)
+
+    from pyspark.sql import Window
+
+    counts = all_bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ok = all_bands.join(
+        counts.filter(F.col("n") <= hot_cap).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = ok.select("band", "bucket", F.col(id_col).alias("doc_a"))
+    b = ok.select("band", "bucket", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard (fixed-point millis) for candidate pairs only:
+    (doc_a, doc_b, jaccard_millis)."""
+    shingle_set = (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col)).alias("sh"))
+        .distinct()
+    )
+    sizes = shingle_set.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    sa = shingle_set.select(F.col(id_col).alias("doc_a"), "sh")
+    sb = shingle_set.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0)) * 1000
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("jaccard_millis"),
+        )
+    )
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over the distinct-token set: bit j of a token's
+    contribution is the parity of hex digit j of md5(token); the doc bit
+    is the sign of the summed contributions (ties → 0). Integer-only and
+    hash-portable across engines.
+
+    Shape: explode distinct tokens, 32 conditional-sum aggregates (one
+    shuffle on doc_id), recombine bits map-side."""
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.substring(F.col("h"), j + 1, 1).isin(*odd), 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(32)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(32):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return sums.select(F.col(id_col), sim.alias("simhash32"))
+
+
+def simhash_neardup_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 8-bit bands
+    (two fingerprints within hamming<=4 of a 32-bit hash share at least
+    one of the four bytes... pigeonhole holds for <=3; kept as the
+    standard blocking heuristic). Returns (doc_a, doc_b, hamming)."""
+    bands = []
+    for b in range(4):
+        bands.append(
+            sim.select(
+                F.col(id_col),
+                F.col("simhash32"),
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash32"), b * 8).bitwiseAND(F.lit(255)).alias("key"),
+            )
+        )
+    all_bands = bands[0]
+    for other in bands[1:]:
+        all_bands = all_bands.unionByName(other)
+    a = all_bands.select(
+        "band", "key", F.col(id_col).alias("doc_a"), F.col("simhash32").alias("ha")
+    )
+    b = all_bands.select(
+        "band", "key", F.col(id_col).alias("doc_b"), F.col("simhash32").alias("hb")
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

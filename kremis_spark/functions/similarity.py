@@ -1,0 +1,150 @@
+"""Embedding similarity search: brute-force cosine top-k (the exact
+baseline) and hyperplane-LSH bucketing (the scale path).
+
+Determinism strategy: embeddings are fixed-point integerized up front
+(round(x * 1e6) as int64). All dot products and norms are then exact
+integer arithmetic; the only floating-point steps are the final
+sqrt/divide, computed with an identical expression shape in Spark and the
+DuckDB oracle, so even the doubles are bit-identical. (dot and norms stay
+< 2^53, so the int64 → double casts are exact.)
+
+Scale notes: brute-force top-k is one map-side pass + TakeOrdered (no
+shuffle of the embedding column); LSH bucketing turns all-pairs search
+into per-bucket self-joins. For 100 TB you'd add an IVF coarse quantizer
+— same plan shape, k-means centroids instead of random hyperplanes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+N_PLANES = 8
+
+
+def integerize(col: Column) -> Column:
+    """array<float> → array<long> fixed-point at 1e-6 resolution."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * SCALE).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_col(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """dot / (sqrt(na) * sqrt(nb)) — keep THIS exact expression shape in
+    any oracle so the IEEE ops are identical."""
+    return dot.cast("double") / (
+        F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double"))
+    )
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplanes: component i of plane p
+    is +1 iff the first hex digit of md5('p:i') is odd. Precomputed in
+    Python (same md5 → same planes can be regenerated anywhere)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            row.append(1 if h[0] in "13579bdf" else -1)
+        planes.append(row)
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "ivec", planes: list[list[int]] | None = None
+) -> DataFrame:
+    """Add the hyperplane-LSH bucket id: bit p set iff dot(v, plane_p) > 0."""
+    if planes is None:
+        planes = hyperplanes()
+    bucket = None
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v).cast("long") for v in plane])
+        bit = F.when(
+            int_dot(F.col(vec_col), arr) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket)
+
+
+def prepared_embeddings(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Integerized vectors + norms (map-side, computed once)."""
+    return df.withColumn("ivec", integerize(F.col(emb_col))).withColumn(
+        "norm", int_dot(F.col("ivec"), F.col("ivec"))
+    )
+
+
+def cosine_topk(
+    prepared: DataFrame,
+    query_ivec: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against one query vector:
+    (vec_id, cosine), ordered (cosine desc, vec_id asc)."""
+    qarr = F.array(*[F.lit(v).cast("long") for v in query_ivec])
+    qnorm = sum(v * v for v in query_ivec)
+    out = prepared.filter(F.col("norm") > 0)
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return (
+        out.withColumn("dot", int_dot(F.col("ivec"), qarr))
+        .withColumn(
+            "cosine",
+            cosine_col(F.col("dot"), F.col("norm"), F.lit(qnorm).cast("long")),
+        )
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bucket_neardup_pairs(
+    prepared_with_bucket: DataFrame,
+    id_col: str = "vec_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """Same-bucket pair similarities: (vec_a, vec_b, cos_millis), the
+    ``top_n`` highest (cos_millis desc, vec_a, vec_b). The bucket join is
+    the ANN trick: candidate generation is linear-ish, not all-pairs."""
+    a = prepared_with_bucket.select(
+        "bucket",
+        F.col(id_col).alias("vec_a"),
+        F.col("ivec").alias("ivec_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = prepared_with_bucket.select(
+        "bucket",
+        F.col(id_col).alias("vec_b"),
+        F.col("ivec").alias("ivec_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter((F.col("norm_a") > 0) & (F.col("norm_b") > 0))
+    )
+    cos = cosine_col(
+        int_dot(F.col("ivec_a"), F.col("ivec_b")),
+        F.col("norm_a"),
+        F.col("norm_b"),
+    )
+    return (
+        pairs.withColumn("cos_millis", F.floor(cos * 1000).cast("long"))
+        .select("vec_a", "vec_b", "cos_millis")
+        .distinct()
+        .orderBy(F.desc("cos_millis"), "vec_a", "vec_b")
+        .limit(top_n)
+    )

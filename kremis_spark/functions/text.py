@@ -1,0 +1,129 @@
+"""Text analysis: tokenization, stats, quality scoring, language ID,
+document fingerprinting.
+
+Design rules:
+- Pure built-in expressions (split/filter/transform/aggregate HOFs) so
+  everything stays inside whole-stage codegen — no Python in the hot path.
+- Integer-only derived metrics (fixed-point millis) so results are
+  deterministic and oracle-checkable bit-for-bit, in the same spirit as
+  the reference's no-float rule (kremis Cargo.toml:27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small marker-stopword sets per language for the n-gram/marker heuristic
+# language ID. 'und' when no marker hits.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "los", "es"),
+    "fr": ("le", "la", "de", "et", "est", "les", "une"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization (trim first so no boundary empties)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens, sum_token_chars, mean_token_len_millis (integer)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sum_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return (
+        df.withColumn("n_tokens", n.cast("long"))
+        .withColumn("sum_token_chars", sum_chars)
+        .withColumn(
+            "mean_token_len_millis",
+            F.when(n > 0, (sum_chars * 1000) / n).otherwise(0).cast("long"),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer 0..100 quality score from length, stopword ratio, and mean
+    token length — the classic cheap pre-filter for corpus curation
+    (C4/Gopher-style rules, integerized)."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("long")
+    stops = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
+    sum_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    stop_millis = F.when(n > 0, (stops * 1000) / n).otherwise(0).cast("long")
+    mean_millis = F.when(n > 0, (sum_chars * 1000) / n).otherwise(0).cast("long")
+    score = (
+        (F.least(n, F.lit(100)) * 30) / 100
+    ).cast("long") + F.when(
+        (stop_millis >= 50) & (stop_millis <= 600), 35
+    ).otherwise(0) + F.when(
+        (mean_millis >= 3000) & (mean_millis <= 8000), 35
+    ).otherwise(0)
+    return df.withColumn("quality", score.cast("long"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-based language guess: count marker-token hits per language,
+    pick argmax (score desc, lang asc); zero hits → 'und'.
+
+    Distributed shape: explode tokens → broadcast-join the tiny marker
+    table → per-(doc, lang) counts → window top-1. The marker dim is a
+    handful of rows, so the join is a broadcast hash join with no shuffle
+    of the token stream beyond the doc-id aggregation.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    marker_rows = [
+        (lang, tok) for lang, toks in sorted(LANG_MARKERS.items()) for tok in toks
+    ]
+    markers = spark.createDataFrame(marker_rows, "lang STRING, tok STRING")
+
+    tok_stream = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    scores = (
+        tok_stream.join(F.broadcast(markers), "tok")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("lang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("lang").alias("lang_guess"))
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col, F.coalesce(F.col("lang_guess"), F.lit("und")).alias("lang_guess")
+        )
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: whole-content md5 + the minimum 5-char-gram
+    md5 (a 1-hash winnowing-style rolling fingerprint, robust to small
+    appends in a way the content hash is not)."""
+    text = F.col(text_col)
+    grams = F.when(
+        F.length(text) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - 4),
+            lambda i: text.substr(i, F.lit(5)),
+        ),
+    ).otherwise(F.array(text))
+    return df.withColumn("content_md5", F.md5(text)).withColumn(
+        "shingle_min_md5", F.array_min(F.transform(grams, F.md5))
+    )

@@ -1,0 +1,411 @@
+"""LLM-training-data pipeline queries over documents/embeddings, each
+with an exact DuckDB oracle.
+
+These are the beyond-reference operators the build brief names as
+first-class: text analysis (token stats, quality, language ID,
+fingerprints), dedup (exact, MinHash+LSH with n-gram Jaccard verify,
+SimHash), and embedding similarity (brute-force cosine top-k, hyperplane
+LSH buckets, bucketed near-dup pairs).
+
+Oracle-parity techniques used here (and worth keeping for any new query):
+- md5 as the portable hash (same hex in Spark and DuckDB).
+- fixed-point integer outputs (millis) instead of raw doubles; where a
+  double IS exposed (cosine), both engines compute it from identical
+  int64s with an identical expression shape, so the bits agree.
+- every LIMIT carries a full deterministic ORDER BY tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kremis_spark.functions import dedup as D
+from kremis_spark.functions import similarity as S
+from kremis_spark.functions import text as T
+from kremis_spark.sources.tables import read_table
+
+TOPK = 10
+PAIR_TOPN = 20
+QUERY_VEC_ID = 0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.with_token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "sum_token_chars", "mean_token_len_millis"
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.with_quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.with_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "content_md5", "shingle_min_md5"
+    )
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(docs)
+    pairs = D.lsh_candidate_pairs(sigs)
+    verified = D.jaccard_verify(docs, pairs)
+    return verified.orderBy(
+        F.desc("jaccard_millis"), "doc_a", "doc_b"
+    ).limit(PAIR_TOPN)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash32(_docs(spark, sf_dir))
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.prepared_embeddings(_emb(spark, sf_dir))
+
+
+def _query_ivec(spark: SparkSession, sf_dir: str) -> list[int]:
+    row = (
+        _prepared(spark, sf_dir)
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("ivec")
+        .collect()
+    )
+    return [int(v) for v in row[0]["ivec"]] if row else []
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_ivec(spark, sf_dir)
+    if not q:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine DOUBLE")
+    return S.cosine_topk(
+        _prepared(spark, sf_dir), q, k=TOPK, exclude_id=QUERY_VEC_ID
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: search only the query's LSH bucket, then exact cosine top-k
+    within it — the bucketed scale path vs the brute-force baseline."""
+    q = _query_ivec(spark, sf_dir)
+    if not q:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine DOUBLE")
+    planes = S.hyperplanes(dim=len(q))
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) > 0:
+            qbucket |= 1 << p
+    prepared = S.with_lsh_bucket(_prepared(spark, sf_dir), planes=planes)
+    return S.cosine_topk(
+        prepared.filter(F.col("bucket") == qbucket),
+        q,
+        k=TOPK,
+        exclude_id=QUERY_VEC_ID,
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepared = S.with_lsh_bucket(_prepared(spark, sf_dir))
+    return S.bucket_neardup_pairs(prepared, top_n=PAIR_TOPN)
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (generated — shares constants with the Spark side).
+# --------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+_DOC_SH = rf"""
+doc_sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+"""
+
+_SIG_COLS = ",\n    ".join(
+    f"COALESCE(list_aggregate(list_transform(shingles, s -> md5('{k}:' || s)),"
+    f" 'min'), '') AS sig_{k}"
+    for k in range(D.NUM_HASHES)
+)
+
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs".format(
+        b=b,
+        cols=" || '|' || ".join(
+            f"sig_{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+        ),
+    )
+    for b in range(D.BANDS)
+)
+
+_MINHASH_SQL = rf"""
+WITH {_DOC_SH.strip()},
+sigs AS (
+  SELECT doc_id,
+    {_SIG_COLS}
+  FROM doc_sh
+),
+bands AS (
+{_BAND_SELECTS}
+),
+bcount AS (SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+okb AS (SELECT band, bucket FROM bcount WHERE n <= {D.HOT_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN okb USING (band, bucket)
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+shset AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS sh FROM doc_sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shset GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN shset sa ON sa.doc_id = c.doc_a
+  JOIN shset sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(i.i, 0) * 1000
+            // (za.sz + zb.sz - COALESCE(i.i, 0)) AS BIGINT) AS jaccard_millis
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+ORDER BY jaccard_millis DESC, c.doc_a, c.doc_b
+LIMIT {PAIR_TOPN}
+"""
+
+_ODD = "('1','3','5','7','9','b','d','f')"
+
+_SIMHASH_SQL = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+),
+contrib AS (
+  SELECT doc_id, j.i AS j,
+         SUM(CASE WHEN substr(md5(tok), j.i + 1, 1) IN {_ODD}
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, 31)) AS i) j
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash32
+FROM contrib GROUP BY doc_id
+"""
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{tok}')"
+    for lang, toks in sorted(T.LANG_MARKERS.items())
+    for tok in toks
+)
+
+_LANG_SQL = rf"""
+WITH markers AS (SELECT * FROM (VALUES {_MARKER_VALUES}) m(lang, tok)),
+tokstream AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, COUNT(*) AS hits
+  FROM tokstream JOIN markers USING (tok) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lang) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_guess
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+_QUALITY_SQL = rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sumc,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS BIGINT) AS stops
+  FROM t
+)
+SELECT doc_id,
+       CAST((LEAST(n, 100) * 30) // 100
+            + CASE WHEN n > 0 AND stops * 1000 // n BETWEEN 50 AND 600
+                   THEN 35 ELSE 0 END
+            + CASE WHEN n > 0 AND sumc * 1000 // n BETWEEN 3000 AND 8000
+                   THEN 35 ELSE 0 END AS BIGINT) AS quality
+FROM m
+"""
+
+_EMB_CTE = f"""
+emb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {S.SCALE}) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, ivec,
+         CAST(list_sum(list_transform(ivec, x -> x * x)) AS BIGINT) AS norm
+  FROM emb
+),
+q AS (SELECT ivec AS qv, norm AS qnorm FROM norms WHERE vec_id = {QUERY_VEC_ID})
+"""
+
+_COSINE_TOPK_SQL = f"""
+WITH {_EMB_CTE.strip()}
+SELECT e.vec_id,
+       CAST(CAST(list_sum(list_transform(generate_series(1, len(e.ivec)),
+                 i -> e.ivec[i] * q.qv[i])) AS BIGINT) AS DOUBLE)
+       / (SQRT(CAST(e.norm AS DOUBLE)) * SQRT(CAST(q.qnorm AS DOUBLE)))
+       AS cosine
+FROM norms e, q
+WHERE e.vec_id <> {QUERY_VEC_ID} AND e.norm > 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT {TOPK}
+"""
+
+
+def _planes_sql() -> str:
+    planes = S.hyperplanes()
+    vals = ", ".join(
+        f"({p}, {plane})".replace("[", "[").replace("]", "]")
+        for p, plane in enumerate(planes)
+    )
+    return f"planes AS (SELECT * FROM (VALUES {vals}) p(pid, plane))"
+
+
+_BUCKETS_CTE = f"""
+{_planes_sql()},
+buckets AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN CAST(list_sum(list_transform(
+                    generate_series(1, len(e.ivec)),
+                    i -> e.ivec[i] * p.plane[i])) AS BIGINT) > 0
+                  THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT)
+         AS bucket
+  FROM norms e, planes p
+  GROUP BY e.vec_id
+)
+"""
+
+_LSH_TOPK_SQL = f"""
+WITH {_EMB_CTE.strip()},
+{_BUCKETS_CTE.strip()}
+SELECT e.vec_id,
+       CAST(CAST(list_sum(list_transform(generate_series(1, len(e.ivec)),
+                 i -> e.ivec[i] * q.qv[i])) AS BIGINT) AS DOUBLE)
+       / (SQRT(CAST(e.norm AS DOUBLE)) * SQRT(CAST(q.qnorm AS DOUBLE)))
+       AS cosine
+FROM norms e
+JOIN buckets be ON be.vec_id = e.vec_id
+JOIN buckets bq ON bq.vec_id = {QUERY_VEC_ID} AND be.bucket = bq.bucket, q
+WHERE e.vec_id <> {QUERY_VEC_ID} AND e.norm > 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT {TOPK}
+"""
+
+_NEARDUP_SQL = f"""
+WITH {_EMB_CTE.strip()},
+{_BUCKETS_CTE.strip()}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(FLOOR(
+         CAST(CAST(list_sum(list_transform(generate_series(1, len(a.ivec)),
+                   i -> a.ivec[i] * b.ivec[i])) AS BIGINT) AS DOUBLE)
+         / (SQRT(CAST(a.norm AS DOUBLE)) * SQRT(CAST(b.norm AS DOUBLE)))
+         * 1000) AS BIGINT) AS cos_millis
+FROM norms a
+JOIN buckets ba ON ba.vec_id = a.vec_id
+JOIN norms b ON a.vec_id < b.vec_id
+JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+WHERE a.norm > 0 AND b.norm > 0
+ORDER BY cos_millis DESC, vec_a, vec_b
+LIMIT {PAIR_TOPN}
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "pipe_token_stats": rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+         AS sum_token_chars,
+       CAST(CASE WHEN len(toks) > 0
+            THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+                 * 1000 // len(toks)
+            ELSE 0 END AS BIGINT) AS mean_token_len_millis
+FROM t
+""",
+    "pipe_quality": _QUALITY_SQL,
+    "pipe_lang_id": _LANG_SQL,
+    "pipe_fingerprint": rf"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       CASE WHEN len(text) >= 5
+            THEN list_aggregate(
+                   list_transform(generate_series(1, len(text) - 4),
+                                  i -> md5(substr(text, i, 5))), 'min')
+            ELSE md5(text) END AS shingle_min_md5
+FROM documents
+""",
+    "pipe_dedup_exact": """
+SELECT md5(text) AS text_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+""",
+    "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_simhash": _SIMHASH_SQL,
+    "pipe_ann_cosine_topk": _COSINE_TOPK_SQL,
+    "pipe_ann_lsh_topk": _LSH_TOPK_SQL,
+    "pipe_embed_neardup": _NEARDUP_SQL,
+}
+
+
+QUERIES = {
+    "pipe_token_stats": q_token_stats,
+    "pipe_quality": q_quality,
+    "pipe_lang_id": q_lang_id,
+    "pipe_fingerprint": q_fingerprint,
+    "pipe_dedup_exact": q_dedup_exact,
+    "pipe_dedup_minhash": q_dedup_minhash,
+    "pipe_simhash": q_simhash,
+    "pipe_ann_cosine_topk": q_ann_cosine_topk,
+    "pipe_ann_lsh_topk": q_ann_lsh_topk,
+    "pipe_embed_neardup": q_embed_neardup,
+}

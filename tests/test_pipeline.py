@@ -1,0 +1,110 @@
+"""Unit tests for the LLM-pipeline operators (dedup, similarity, text)."""
+
+from pyspark.sql import functions as F
+
+from kremis_spark.functions import dedup as D
+from kremis_spark.functions import similarity as S
+from kremis_spark.functions import text as T
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+
+
+def test_token_stats(spark):
+    df = T.with_token_stats(docs_df(spark, ["the cat sat", "a b"]))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["sum_token_chars"] == 9
+    assert rows[0]["mean_token_len_millis"] == 3000
+    assert rows[1]["n_tokens"] == 2
+
+
+def test_quality_range(spark):
+    df = T.with_quality_score(
+        docs_df(spark, ["the quick brown fox jumps over the lazy dog " * 5])
+    )
+    q = df.collect()[0]["quality"]
+    assert 0 <= q <= 100
+
+
+def test_lang_id_markers(spark):
+    df = T.lang_id(
+        docs_df(
+            spark,
+            [
+                "the cat is in the house",
+                "el gato es de la casa que",
+                "der hund ist nicht das problem und",
+                "xyzzy plugh",
+            ],
+        )
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in df.collect()}
+    assert out == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_exact_dedup(spark):
+    df = docs_df(spark, ["same text", "same text", "different"])
+    groups = {
+        r["keep_doc_id"]: r["n_docs"]
+        for r in D.exact_dedup_groups(df).collect()
+    }
+    assert groups == {0: 2, 2: 1}
+
+
+def test_minhash_finds_near_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base + "lambda mu"
+    other = "one two three four five six seven eight nine ten " * 3
+    df = docs_df(spark, [base, near, other])
+    sigs = D.minhash_signatures(df)
+    pairs = D.lsh_candidate_pairs(sigs)
+    verified = D.jaccard_verify(df, pairs).collect()
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard_millis"] for r in verified}
+    assert (0, 1) in jac and jac[(0, 1)] >= 500
+    assert (0, 2) not in jac or jac[(0, 2)] < 100
+
+
+def test_simhash_identical_and_distance(spark):
+    df = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "zzz qqq www"])
+    sim = {r["doc_id"]: r["simhash32"] for r in D.simhash32(df).collect()}
+    assert sim[0] == sim[1]
+    assert 0 <= sim[0] < 2**32
+    pairs = D.simhash_neardup_pairs(
+        D.simhash32(df), max_hamming=0
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_cosine_topk_identical_vector_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    prepared = S.prepared_embeddings(df)
+    q = [int(v) for v in prepared.filter("vec_id=0").collect()[0]["ivec"]]
+    top = S.cosine_topk(prepared, q, k=3, exclude_id=0).collect()
+    assert top[0]["vec_id"] == 1 and abs(top[0]["cosine"] - 1.0) < 1e-12
+    assert top[-1]["vec_id"] == 3 and abs(top[-1]["cosine"] + 1.0) < 1e-12
+
+
+def test_lsh_bucket_groups_identical_vectors(spark):
+    rows = [(0, [0.5] * 64), (1, [0.5] * 64), (2, [-0.5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = S.with_lsh_bucket(S.prepared_embeddings(df)).collect()
+    buckets = {r["vec_id"]: r["bucket"] for r in out}
+    assert buckets[0] == buckets[1]
+    assert buckets[0] != buckets[2]  # opposite vectors flip every plane
+
+
+def test_fingerprint_stability(spark):
+    df = T.with_fingerprint(docs_df(spark, ["hello world text", "hello world text"]))
+    rows = df.collect()
+    assert rows[0]["content_md5"] == rows[1]["content_md5"]
+    assert rows[0]["shingle_min_md5"] == rows[1]["shingle_min_md5"]
