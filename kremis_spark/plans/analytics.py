@@ -1,0 +1,255 @@
+"""Relational analytics plans over the TPC-H-ish star schema + events.
+
+These exercise the engine's general analytics capability (joins, aggs,
+windows, sessionization) with the scale-oriented plan shapes: broadcast
+joins for dimensions, partial aggregation before shuffles, single-shuffle
+windows, filter/column pushdown into the parquet scans.
+
+Determinism strategy for money math: TPC-H semantics are DECIMAL; doubles
+summed in different orders diverge across engines, so every monetary
+expression is fixed-point integer cents (round(x*100) as int64) end to
+end — sums are then exact and order-independent, and match DuckDB
+bit-for-bit. Quantities are integral doubles, summed as longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kremis_spark.sources.tables import read_table
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min
+
+
+def _cents(col):
+    return F.round(col.cast("double") * 100).cast("long")
+
+
+def _pct(col):
+    """0.04 → 4 (integer percent)."""
+    return F.round(col.cast("double") * 100).cast("long")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-agg with map-side partial
+    aggregation; only 4 groups shuffle."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    cents = _cents(F.col("l_extendedprice"))
+    disc = _pct(F.col("l_discount"))
+    tax = _pct(F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(cents * (100 - disc)).alias("sum_disc_cents_x100"),
+            F.sum(cents * (100 - disc) * (100 + tax)).alias(
+                "sum_charge_cents_x10k"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dimension filter → broadcast join → group-agg →
+    deterministic top-10 (TakeOrderedAndProject)."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = _cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue_cents_x100"))
+        .orderBy(F.desc("revenue_cents_x100"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join over two dimension chains; all dims
+    broadcast, single shuffle for the final group-agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    revenue = _cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).alias("revenue_cents_x100"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per group: single shuffle on the partition key."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"))
+    )
+    joined = cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("spend_cents"), "c_custkey"
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            "spend_cents",
+        )
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization: per-user lag-gap (> 30 min) session boundary
+    count — one shuffle on user_id, the standard scalable shape (at 100 TB
+    this partitions cleanly by user and never materializes sessions)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_NS), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-agg over the event stream with integerized values."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "tpch_q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT))
+            AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+                * (100 - CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT)))
+            AS BIGINT) AS sum_disc_cents_x100,
+       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+                * (100 - CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT))
+                * (100 + CAST(ROUND(CAST(l_tax AS DOUBLE) * 100) AS BIGINT)))
+            AS BIGINT) AS sum_charge_cents_x10k,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "tpch_q3_toporders": """
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+                * (100 - CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents_x100
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue_cents_x100 DESC, o.o_orderkey
+LIMIT 10
+""",
+    "tpch_q5_nation_revenue": """
+SELECT r.r_name, n.n_name,
+       CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+                * (100 - CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents_x100,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+""",
+    "win_top_customer_per_nation": """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         c.c_custkey AS custkey, s.spend_cents,
+         ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY s.spend_cents DESC, c.c_custkey) AS rn
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+)
+SELECT nationkey, custkey, spend_cents FROM ranked WHERE rn = 1
+""",
+    "events_sessionization": f"""
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+                OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM marked GROUP BY user_id
+""",
+    "events_type_summary": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+}
+
+
+QUERIES = {
+    "tpch_q1_pricing": q_pricing_summary,
+    "tpch_q3_toporders": q_top_orders,
+    "tpch_q5_nation_revenue": q_nation_revenue,
+    "win_top_customer_per_nation": q_top_customer_per_nation,
+    "events_sessionization": q_sessionization,
+    "events_type_summary": q_event_type_summary,
+}
