@@ -1,0 +1,288 @@
+"""Canonical export (KREX): bit-exact serialization of graph state.
+
+Independent reimplementation of the reference's canonical format
+(``crates/kremis-core/src/export.rs``): postcard wire encoding (unsigned
+LEB128 varints, zigzag for i64, length-prefixed strings/vecs, raw fixed
+arrays), the XOR/rotate integrity checksum (export.rs:267-298), and the
+``[header_len: u32 LE][CanonicalHeader][CanonicalGraph]`` framing
+(export.rs:317-342). Byte parity is pinned by the frozen certificate
+vectors (tests/certificate_vectors.rs:63-76 in the reference).
+
+Spark determinism contract: every table is ``orderBy``-ed before collect —
+nodes by id, edges by (from, to), properties by (node, attr, value) —
+matching the reference's BTreeMap iteration order (export.rs:201-239).
+
+Crypto hash: the reference uses BLAKE3 (export.rs:498). This container
+has no blake3 wheel, so ``state_hash`` uses ``hashlib.blake2b(digest_size
+=32)`` and records the algorithm; drop-in ``blake3`` is used when
+importable. The certificate *format* is independent of which hash fills
+the 32-byte field.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+MASK64 = (1 << 64) - 1
+
+CANONICAL_MAGIC = b"KREX"
+CANONICAL_VERSION = 2
+MAX_IMPORT_NODE_COUNT = 1_000_000
+MAX_IMPORT_EDGE_COUNT = 10_000_000
+MAX_IMPORT_BYTES = 256 * 1024 * 1024
+
+
+# --- postcard primitives ---------------------------------------------------
+
+
+def write_varint(n: int, out: bytearray) -> None:
+    """Unsigned LEB128 (postcard's integer encoding for u16..u128)."""
+    if n < 0:
+        raise ValueError("varint is unsigned")
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def write_zigzag(n: int, out: bytearray) -> None:
+    """Signed integer: zigzag then varint (postcard i64)."""
+    write_varint((n << 1) ^ (n >> 63) if n >= 0 else ((-n - 1) << 1) + 1, out)
+
+
+def write_string(s: str, out: bytearray) -> None:
+    b = s.encode("utf-8")
+    write_varint(len(b), out)
+    out.extend(b)
+
+
+class Reader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def varint(self) -> int:
+        shift, result = 0, 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return result
+            shift += 7
+
+    def zigzag(self) -> int:
+        n = self.varint()
+        return (n >> 1) ^ -(n & 1)
+
+    def string(self) -> str:
+        ln = self.varint()
+        s = self.data[self.pos : self.pos + ln].decode("utf-8")
+        self.pos += ln
+        return s
+
+    def raw(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+
+# --- canonical model -------------------------------------------------------
+
+
+def _rotl(x: int, r: int) -> int:
+    x &= MASK64
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+@dataclass
+class CanonicalGraph:
+    """Sorted, deterministic graph snapshot (export.rs:186-239)."""
+
+    nodes: list[tuple[int, int]] = field(default_factory=list)  # (id, entity)
+    edges: list[tuple[int, int, int]] = field(default_factory=list)  # (from,to,w)
+    next_node_id: int = 0
+    properties: list[tuple[int, str, str]] = field(default_factory=list)
+
+    @classmethod
+    def from_state(cls, state) -> "CanonicalGraph":
+        """Collect the three tables in canonical sort order. The orderBy is
+        load-bearing: partition order must never leak into the bytes."""
+        nodes = [
+            (int(r["node_id"]), int(r["entity_id"]))
+            for r in state.nodes.orderBy("node_id", "entity_id").collect()
+        ]
+        edges = [
+            (int(r["src"]), int(r["dst"]), int(r["weight"]))
+            for r in state.edges.orderBy("src", "dst").collect()
+        ]
+        properties = [
+            (int(r["node_id"]), r["attribute"], r["value"])
+            for r in state.properties.orderBy(
+                "node_id", "attribute", "value"
+            ).collect()
+        ]
+        return cls(nodes, edges, state.next_node_id, properties)
+
+    def checksum(self) -> int:
+        """XOR/rotate integrity hash — exact port of export.rs:267-298."""
+        h = 0
+        for nid, entity in self.nodes:
+            h ^= _rotl(nid, 13)
+            h ^= _rotl(entity, 7)
+        for frm, to, w in self.edges:
+            h ^= _rotl(frm, 17)
+            h ^= _rotl(to, 11)
+            h ^= _rotl(w & MASK64, 5)
+        for nid, attr, val in self.properties:
+            h ^= _rotl(nid, 19)
+            for byte in attr.encode("utf-8"):
+                h ^= _rotl(byte, 23)
+            for byte in val.encode("utf-8"):
+                h ^= _rotl(byte, 29)
+        h ^= _rotl(self.next_node_id, 3)
+        return h
+
+
+def write_canonical_node(node: tuple[int, int], out: bytearray) -> None:
+    write_varint(node[0], out)
+    write_varint(node[1], out)
+
+
+def write_canonical_edge(edge: tuple[int, int, int], out: bytearray) -> None:
+    write_varint(edge[0], out)
+    write_varint(edge[1], out)
+    write_zigzag(edge[2], out)
+
+
+def export_canonical_bytes(graph: CanonicalGraph) -> bytes:
+    """[header_len u32 LE][CanonicalHeader][CanonicalGraph] (export.rs:317-342)."""
+    header = bytearray()
+    header.extend(CANONICAL_MAGIC)
+    header.append(CANONICAL_VERSION)
+    write_varint(len(graph.nodes), header)
+    write_varint(len(graph.edges), header)
+    write_varint(graph.checksum(), header)
+
+    data = bytearray()
+    write_varint(len(graph.nodes), data)
+    for n in graph.nodes:
+        write_canonical_node(n, data)
+    write_varint(len(graph.edges), data)
+    for e in graph.edges:
+        write_canonical_edge(e, data)
+    write_varint(graph.next_node_id, data)
+    write_varint(len(graph.properties), data)
+    for nid, attr, val in graph.properties:
+        write_varint(nid, data)
+        write_string(attr, data)
+        write_string(val, data)
+
+    out = bytearray()
+    out.extend(len(header).to_bytes(4, "little"))
+    out.extend(header)
+    out.extend(data)
+    return bytes(out)
+
+
+@dataclass
+class LoadDiagnostics:
+    dangling_edges: int = 0
+    dangling_properties: int = 0
+
+
+def import_canonical_bytes(data: bytes) -> tuple[CanonicalGraph, LoadDiagnostics]:
+    """Parse + validate (export.rs:350-450): magic/version/counts/limits/
+    checksum; v1 back-compat (no properties section)."""
+    if len(data) < 4:
+        raise ValueError("Data too short")
+    if len(data) > MAX_IMPORT_BYTES:
+        raise ValueError("Payload too large")
+    header_len = int.from_bytes(data[0:4], "little")
+    if len(data) < 4 + header_len:
+        raise ValueError("Data too short for header")
+
+    hr = Reader(data, 4)
+    magic = hr.raw(4)
+    if magic != CANONICAL_MAGIC:
+        raise ValueError("Invalid file format")
+    version = hr.raw(1)[0]
+    if version not in (1, CANONICAL_VERSION):
+        raise ValueError("Unsupported file version")
+    node_count = hr.varint()
+    edge_count = hr.varint()
+    checksum = hr.varint()
+    if node_count > MAX_IMPORT_NODE_COUNT:
+        raise ValueError("Node count exceeds limit")
+    if edge_count > MAX_IMPORT_EDGE_COUNT:
+        raise ValueError("Edge count exceeds limit")
+
+    try:
+        r = Reader(data, 4 + header_len)
+        n = r.varint()
+        nodes = [(r.varint(), r.varint()) for _ in range(n)]
+        m = r.varint()
+        edges = [(r.varint(), r.varint(), r.zigzag()) for _ in range(m)]
+        next_node_id = r.varint()
+        properties: list[tuple[int, str, str]] = []
+        if version >= 2:
+            p = r.varint()
+            properties = [(r.varint(), r.string(), r.string()) for _ in range(p)]
+    except IndexError as e:
+        raise ValueError("Truncated or corrupt data") from e
+
+    graph = CanonicalGraph(nodes, edges, next_node_id, properties)
+    if graph.checksum() != checksum:
+        raise ValueError("Checksum mismatch")
+
+    node_ids = {nid for nid, _ in graph.nodes}
+    diags = LoadDiagnostics(
+        dangling_edges=sum(
+            1 for f, t, _ in graph.edges if f not in node_ids or t not in node_ids
+        ),
+        dangling_properties=sum(
+            1 for nid, _, _ in graph.properties if nid not in node_ids
+        ),
+    )
+    return graph, diags
+
+
+def verify_canonical(state, data: bytes) -> bool:
+    """Re-export and byte-compare (export.rs:452)."""
+    return export_canonical_bytes(CanonicalGraph.from_state(state)) == data
+
+
+def state_hash_bytes(data: bytes) -> bytes:
+    """32-byte crypto hash of the canonical export. blake3 when available
+    (reference parity, export.rs:498), else blake2b-256 (documented
+    deviation — same role, different algorithm)."""
+    try:
+        import blake3  # type: ignore
+
+        return blake3.blake3(data).digest()
+    except ImportError:
+        return hashlib.blake2b(data, digest_size=32).digest()
+
+
+def state_hash_of(state) -> bytes:
+    return state_hash_bytes(export_canonical_bytes(CanonicalGraph.from_state(state)))
+
+
+def state_to_dataframes(graph: CanonicalGraph, spark):
+    """Rebuild GraphState tables from an imported canonical graph."""
+    from kremis_spark.engine import GraphState
+    from kremis_spark.schema import EDGES_SCHEMA, NODES_SCHEMA, PROPERTIES_SCHEMA
+
+    nodes = spark.createDataFrame(
+        [(nid, e) for nid, e in graph.nodes], NODES_SCHEMA
+    )
+    edges = spark.createDataFrame(graph.edges, EDGES_SCHEMA)
+    props = spark.createDataFrame(graph.properties, PROPERTIES_SCHEMA)
+    return GraphState(spark, nodes, edges, props, graph.next_node_id)

@@ -1,0 +1,184 @@
+"""Verifiable Query Certificates (KVQC).
+
+A certificate is a pure, deterministic function of (graph state, query,
+result): minimal evidence (nodes + edges the result depends on), the
+ordered traversal trace, a grounding verdict, and a hash of the canonical
+graph export — so a third party can re-verify the answer offline,
+including proofs of absence.
+
+Wire format (reference ``crates/kremis-core/src/certificate.rs:157-229``):
+``[cert_len: u32 LE][CertHeader postcard][CertBody postcard]``, magic
+``KVQC`` v1. This implementation reproduces the reference's frozen byte
+vectors (tests/certificate_vectors.rs:63-76) exactly — see
+tests/test_certificate.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from kremis_spark.canonical import (
+    Reader,
+    write_string,
+    write_varint,
+    write_zigzag,
+    write_canonical_edge,
+    write_canonical_node,
+)
+from kremis_spark.operators.artifact import Artifact
+
+CERT_MAGIC = b"KVQC"
+CERT_VERSION = 1
+
+
+@dataclass
+class QueryCertificate:
+    state_hash: bytes  # 32 bytes
+    query: str
+    evidence_nodes: list[tuple[int, int]] = field(default_factory=list)
+    evidence_edges: list[tuple[int, int, int]] = field(default_factory=list)
+    traversal_trace: list[int] = field(default_factory=list)
+    grounding: str = "unknown"
+
+    @classmethod
+    def new(
+        cls,
+        state_hash: bytes,
+        query: str,
+        grounding: str,
+        entity_of: dict[int, int],
+        neighbors_of: dict[int, list[tuple[int, int]]],
+        artifact: Artifact,
+    ) -> "QueryCertificate":
+        """Evidence projection (certificate.rs:87-147).
+
+        ``entity_of`` / ``neighbors_of`` are the *local* projections of the
+        graph around the result — built by the engine from point lookups of
+        the ids the artifact touches, never by materializing the graph.
+        Neighbor lists must be ascending by target (BTreeMap order).
+        """
+        id_set = sorted(
+            set(artifact.path)
+            | {e[0] for e in (artifact.subgraph or [])}
+            | {e[1] for e in (artifact.subgraph or [])}
+        )
+        evidence_nodes = [
+            (i, entity_of[i]) for i in id_set if i in entity_of
+        ]
+        if artifact.subgraph is not None:
+            evidence_edges = sorted(artifact.subgraph)
+        else:
+            ids = set(id_set)
+            evidence_edges = [
+                (frm, to, w)
+                for frm in id_set
+                for to, w in neighbors_of.get(frm, [])
+                if to in ids
+            ]
+        return cls(
+            state_hash=state_hash,
+            query=query,
+            evidence_nodes=evidence_nodes,
+            evidence_edges=evidence_edges,
+            traversal_trace=list(artifact.path),
+            grounding=grounding,
+        )
+
+    @classmethod
+    def from_engine(
+        cls,
+        engine,
+        state_hash: bytes,
+        query: str,
+        grounding: str,
+        artifact: Artifact | None,
+    ) -> "QueryCertificate":
+        """Build the local projections from the engine with point reads of
+        only the ids in the artifact (broadcast-probe scale shape)."""
+        from pyspark.sql import functions as F
+
+        artifact = artifact if artifact is not None else Artifact()
+        id_set = sorted(
+            set(artifact.path)
+            | {e[0] for e in (artifact.subgraph or [])}
+            | {e[1] for e in (artifact.subgraph or [])}
+        )
+        entity_of: dict[int, int] = {}
+        neighbors_of: dict[int, list[tuple[int, int]]] = {}
+        if id_set:
+            entity_of = {
+                int(r["node_id"]): int(r["entity_id"])
+                for r in engine.state.nodes.filter(
+                    F.col("node_id").isin(id_set)
+                ).collect()
+            }
+            if artifact.subgraph is None:
+                rows = engine.state.edges.filter(
+                    F.col("src").isin(id_set) & F.col("dst").isin(id_set)
+                ).collect()
+                for r in rows:
+                    neighbors_of.setdefault(int(r["src"]), []).append(
+                        (int(r["dst"]), int(r["weight"]))
+                    )
+                for lst in neighbors_of.values():
+                    lst.sort()
+        return cls.new(state_hash, query, grounding, entity_of, neighbors_of, artifact)
+
+    def to_canonical_bytes(self) -> bytes:
+        if len(self.state_hash) != 32:
+            raise ValueError("state_hash must be 32 bytes")
+        header = bytearray()
+        header.extend(CERT_MAGIC)
+        header.append(CERT_VERSION)
+        header.extend(self.state_hash)
+
+        body = bytearray()
+        write_string(self.query, body)
+        write_varint(len(self.evidence_nodes), body)
+        for n in self.evidence_nodes:
+            write_canonical_node(n, body)
+        write_varint(len(self.evidence_edges), body)
+        for e in self.evidence_edges:
+            write_canonical_edge(e, body)
+        write_varint(len(self.traversal_trace), body)
+        for t in self.traversal_trace:
+            write_varint(t, body)
+        write_string(self.grounding, body)
+
+        out = bytearray()
+        out.extend(len(header).to_bytes(4, "little"))
+        out.extend(header)
+        out.extend(body)
+        return bytes(out)
+
+    @classmethod
+    def from_canonical_bytes(cls, data: bytes) -> "QueryCertificate":
+        if len(data) < 4:
+            raise ValueError("Certificate too short")
+        header_len = int.from_bytes(data[0:4], "little")
+        if len(data) < 4 + header_len:
+            raise ValueError("Certificate too short for header")
+        hr = Reader(data, 4)
+        if hr.raw(4) != CERT_MAGIC:
+            raise ValueError("Invalid certificate format")
+        if hr.raw(1)[0] != CERT_VERSION:
+            raise ValueError("Unsupported certificate version")
+        state_hash = hr.raw(32)
+
+        r = Reader(data, 4 + header_len)
+        query = r.string()
+        n = r.varint()
+        nodes = [(r.varint(), r.varint()) for _ in range(n)]
+        m = r.varint()
+        edges = [(r.varint(), r.varint(), r.zigzag()) for _ in range(m)]
+        t = r.varint()
+        trace = [r.varint() for _ in range(t)]
+        grounding = r.string()
+        return cls(state_hash, query, nodes, edges, trace, grounding)
+
+    def is_proof_of_absence(self) -> bool:
+        return (
+            self.grounding == "unknown"
+            and not self.evidence_nodes
+            and not self.evidence_edges
+        )

@@ -1,0 +1,145 @@
+"""Canonical export + certificate byte-parity tests.
+
+The frozen hex literals are from the reference's
+tests/certificate_vectors.rs:63-76 — the wire-format acceptance gate:
+an independent implementation reproducing those bytes reproduces the
+published certificate format exactly.
+"""
+
+from kremis_spark.canonical import (
+    CanonicalGraph,
+    export_canonical_bytes,
+    import_canonical_bytes,
+    state_hash_bytes,
+)
+from kremis_spark.certificate import QueryCertificate
+from kremis_spark.operators.artifact import Artifact
+
+FIXED_HASH = bytes([7] * 32)
+
+# fixture graph: entities {1,2,3} as nodes 0,1,2; edges 0→1 w10, 1→2 w20
+ENTITY_OF = {0: 1, 1: 2, 2: 3}
+NEIGHBORS = {0: [(1, 10)], 1: [(2, 20)], 2: []}
+EDGES = [(0, 1, 10), (1, 2, 20)]
+
+FROZEN_TRAVERSE = (
+    "250000004b56514301"
+    + "07" * 32
+    + "0c74726176657273653a313a3203000101020203020001140102280300010204"
+    + "66616374"
+)
+FROZEN_PATH = (
+    "250000004b56514301"
+    + "07" * 32
+    + "08706174683a313a3302000102030002000209696e666572656e6365"
+)
+
+
+def test_frozen_traverse_vector():
+    art = Artifact(path=[0, 1, 2], subgraph=EDGES)
+    cert = QueryCertificate.new(
+        FIXED_HASH, "traverse:1:2", "fact", ENTITY_OF, NEIGHBORS, art
+    )
+    assert cert.to_canonical_bytes().hex() == FROZEN_TRAVERSE
+
+
+def test_frozen_path_vector():
+    art = Artifact(path=[0, 2], subgraph=None)
+    cert = QueryCertificate.new(
+        FIXED_HASH, "path:1:3", "inference", ENTITY_OF, NEIGHBORS, art
+    )
+    assert cert.to_canonical_bytes().hex() == FROZEN_PATH
+
+
+def test_certificate_roundtrip_and_reproducibility():
+    art = Artifact(path=[0, 1, 2], subgraph=EDGES)
+    c1 = QueryCertificate.new(
+        FIXED_HASH, "traverse:1:2", "fact", ENTITY_OF, NEIGHBORS, art
+    )
+    c2 = QueryCertificate.new(
+        FIXED_HASH, "traverse:1:2", "fact", ENTITY_OF, NEIGHBORS, art
+    )
+    b1, b2 = c1.to_canonical_bytes(), c2.to_canonical_bytes()
+    assert b1 == b2
+    decoded = QueryCertificate.from_canonical_bytes(b1)
+    assert decoded == c1
+    assert not decoded.is_proof_of_absence()
+
+
+def test_proof_of_absence():
+    cert = QueryCertificate.new(
+        FIXED_HASH, "lookup:999", "unknown", ENTITY_OF, NEIGHBORS, Artifact()
+    )
+    bytes_ = cert.to_canonical_bytes()
+    decoded = QueryCertificate.from_canonical_bytes(bytes_)
+    assert decoded.is_proof_of_absence()
+
+
+def test_canonical_export_roundtrip():
+    g = CanonicalGraph(
+        nodes=[(0, 1), (1, 2), (2, 3)],
+        edges=EDGES,
+        next_node_id=3,
+        properties=[(0, "name", "Alice"), (1, "role", "eng\nineer")],
+    )
+    data = export_canonical_bytes(g)
+    assert data[4:8] == b"KREX"
+    g2, diags = import_canonical_bytes(data)
+    assert g2 == g
+    assert diags.dangling_edges == 0 and diags.dangling_properties == 0
+    # bit-exact: save → load → save
+    assert export_canonical_bytes(g2) == data
+
+
+def test_canonical_checksum_detects_corruption():
+    g = CanonicalGraph(nodes=[(0, 1)], edges=[], next_node_id=1)
+    data = bytearray(export_canonical_bytes(g))
+    data[-1] ^= 0xFF
+    try:
+        import_canonical_bytes(bytes(data))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
+def test_dangling_diagnostics():
+    g = CanonicalGraph(
+        nodes=[(0, 1)],
+        edges=[(0, 9, 5)],
+        next_node_id=1,
+        properties=[(7, "a", "v")],
+    )
+    _, diags = import_canonical_bytes(export_canonical_bytes(g))
+    assert diags.dangling_edges == 1
+    assert diags.dangling_properties == 1
+
+
+def test_state_hash_stable():
+    g = CanonicalGraph(nodes=[(0, 1)], edges=[], next_node_id=1)
+    data = export_canonical_bytes(g)
+    h1, h2 = state_hash_bytes(data), state_hash_bytes(data)
+    assert h1 == h2 and len(h1) == 32
+
+
+def test_spark_state_canonical_roundtrip(spark):
+    from kremis_spark.canonical import state_to_dataframes, verify_canonical
+    from kremis_spark.engine import GraphState
+    from kremis_spark.ingest import ingest_batch
+    from kremis_spark.schema import SIGNALS_SCHEMA
+
+    signals = spark.createDataFrame(
+        [
+            (0, 1, "name", "Alice"),
+            (1, 2, "name", "Bob"),
+            (2, 1, "knows", "Bob"),
+        ],
+        SIGNALS_SCHEMA,
+    )
+    st = ingest_batch(GraphState.empty(spark), signals)
+    data = export_canonical_bytes(CanonicalGraph.from_state(st))
+    assert verify_canonical(st, data)
+    g, diags = import_canonical_bytes(data)
+    st2 = state_to_dataframes(g, spark)
+    data2 = export_canonical_bytes(CanonicalGraph.from_state(st2))
+    assert data2 == data  # save → load → save bit-exact through Spark
