@@ -1,0 +1,275 @@
+"""Query dispatch + certify: the engine-level API surface.
+
+Mirrors the reference's request/response contract exactly
+(``apps/kremis/src/api/types.rs:239-299``, ``handlers.rs:220-401``):
+the 7-variant tagged-union request, grounding classification
+(fact / inference / unknown), diagnostics (entity_not_found /
+node_not_found / start_not_found / end_not_found / no_path /
+no_common_neighbors), top-k post-filtering, depth/arity validation, and
+the certify flow (Properties rejected — the KVQC format carries no
+property evidence, handlers.rs:578-592).
+"""
+
+from __future__ import annotations
+
+import base64
+
+from kremis_spark import primitives as P
+from kremis_spark.engine import GraphEngine
+from kremis_spark.operators.artifact import Artifact
+from kremis_spark.operators.topk import apply_top_k
+
+
+class ApiError(ValueError):
+    """Maps to HTTP 400 in the facade."""
+
+
+def _validate_depth(depth: int) -> None:
+    if depth > P.MAX_TRAVERSAL_DEPTH:
+        raise ApiError(
+            f"depth {depth} exceeds maximum {P.MAX_TRAVERSAL_DEPTH}"
+        )
+
+
+def _not_found(diagnostic: str | None = None) -> dict:
+    out = {
+        "success": True,
+        "found": False,
+        "path": [],
+        "edges": [],
+        "grounding": "unknown",
+        "error": None,
+    }
+    if diagnostic:
+        out["diagnostic"] = diagnostic
+    return out
+
+
+def _with_path(path: list[int], diagnostic: str | None = None) -> dict:
+    out = {
+        "success": True,
+        "found": bool(path),
+        "path": list(path),
+        "edges": [],
+        "grounding": "unknown",
+        "error": None,
+    }
+    if diagnostic:
+        out["diagnostic"] = diagnostic
+    return out
+
+
+def _with_artifact(artifact: Artifact) -> dict:
+    return {
+        "success": True,
+        "found": bool(artifact.path),
+        "path": list(artifact.path),
+        "edges": [
+            {"from": f, "to": t, "weight": w}
+            for f, t, w in (artifact.subgraph or [])
+        ],
+        "grounding": "unknown",
+        "error": None,
+    }
+
+
+def classify_grounding(query_type: str, found: bool) -> str:
+    if not found:
+        return "unknown"
+    return "fact" if query_type in ("lookup", "properties") else "inference"
+
+
+def query_descriptor(request: dict) -> str:
+    """Canonical descriptor embedded in certificates (handlers.rs:542-567)."""
+    t = request["type"]
+    if t == "lookup":
+        return f"lookup:{request['entity_id']}"
+    if t == "traverse":
+        return f"traverse:{request['node_id']}:{request['depth']}"
+    if t == "traverse_filtered":
+        return (
+            f"traverse_filtered:{request['node_id']}:{request['depth']}:"
+            f"{request['min_weight']}:{request.get('top_k') or 0}"
+        )
+    if t == "strongest_path":
+        return f"strongest_path:{request['start']}:{request['end']}"
+    if t == "intersect":
+        return "intersect:" + ",".join(str(n) for n in request["nodes"])
+    if t == "related":
+        return f"related:{request['node_id']}:{request['depth']}"
+    if t == "properties":
+        return f"properties:{request['node_id']}"
+    raise ApiError(f"unknown query type: {t}")
+
+
+def execute_query(engine: GraphEngine, request: dict) -> dict:
+    """The /query dispatch (handlers.rs:303-401) with grounding attached."""
+    t = request.get("type")
+    if t == "lookup":
+        node = engine.lookup(int(request["entity_id"]))
+        resp = (
+            _with_path([node])
+            if node is not None
+            else _not_found("entity_not_found")
+        )
+    elif t == "traverse":
+        _validate_depth(int(request["depth"]))
+        art = engine.traverse(int(request["node_id"]), int(request["depth"]))
+        resp = _with_artifact(art) if art is not None else _not_found("node_not_found")
+    elif t == "traverse_filtered":
+        _validate_depth(int(request["depth"]))
+        art = engine.traverse_filtered(
+            int(request["node_id"]),
+            int(request["depth"]),
+            int(request["min_weight"]),
+        )
+        if art is not None:
+            art = apply_top_k(art, request.get("top_k"))
+            resp = _with_artifact(art)
+        else:
+            resp = _not_found("node_not_found")
+    elif t == "strongest_path":
+        start, end = int(request["start"]), int(request["end"])
+        path = engine.strongest_path(start, end)
+        if path is not None:
+            resp = _with_path(path)
+        else:
+            if not engine.contains_node(start):
+                reason = "start_not_found"
+            elif not engine.contains_node(end):
+                reason = "end_not_found"
+            else:
+                reason = "no_path"
+            resp = _not_found(reason)
+    elif t == "intersect":
+        nodes = [int(n) for n in request["nodes"]]
+        if not (P.MIN_INTERSECT_NODES <= len(nodes) <= P.MAX_INTERSECT_NODES):
+            raise ApiError(
+                f"intersect requires {P.MIN_INTERSECT_NODES}..="
+                f"{P.MAX_INTERSECT_NODES} nodes"
+            )
+        result = engine.intersect(nodes)
+        resp = _with_path(result, "no_common_neighbors" if not result else None)
+    elif t == "related":
+        _validate_depth(int(request["depth"]))
+        art = engine.traverse(int(request["node_id"]), int(request["depth"]))
+        resp = _with_artifact(art) if art is not None else _not_found("node_not_found")
+    elif t == "properties":
+        node_id = int(request["node_id"])
+        if not engine.contains_node(node_id):
+            resp = _not_found("node_not_found")
+        else:
+            props = [
+                {"attribute": r["attribute"], "value": r["value"]}
+                for r in engine.get_properties(node_id).collect()
+            ]
+            resp = {
+                "success": True,
+                "found": True,
+                "path": [],
+                "edges": [],
+                "properties": props,
+                "grounding": "unknown",
+                "error": None,
+            }
+    else:
+        raise ApiError(f"unknown query type: {t}")
+
+    resp["grounding"] = classify_grounding(t, resp["found"])
+    return resp
+
+
+def certify(engine: GraphEngine, request: dict) -> dict:
+    """The /certify flow (handlers.rs:578-675): run the query, hash the
+    canonical state, project evidence, emit base64 KVQC bytes."""
+    from kremis_spark.canonical import state_hash_of
+    from kremis_spark.certificate import QueryCertificate
+
+    if request.get("type") == "properties":
+        return {
+            "success": False,
+            "found": False,
+            "grounding": "unknown",
+            "proof_of_absence": False,
+            "state_hash": None,
+            "certificate": None,
+            "error": "Properties queries are not certifiable: the "
+            "certificate format carries no property evidence",
+        }
+
+    response = execute_query(engine, request)
+    sh = state_hash_of(engine.state)
+
+    path = list(response["path"])
+    subgraph = [
+        (e["from"], e["to"], e["weight"]) for e in response["edges"]
+    ]
+    # Reference rebuilds the artifact from the response: empty edge list →
+    # path-only artifact (induced evidence), handlers.rs:636-641.
+    artifact = (
+        Artifact(path=path, subgraph=subgraph)
+        if subgraph
+        else Artifact(path=path, subgraph=None)
+    )
+
+    cert = QueryCertificate.from_engine(
+        engine, sh, query_descriptor(request), response["grounding"], artifact
+    )
+    data = cert.to_canonical_bytes()
+    return {
+        "success": True,
+        "found": response["found"],
+        "grounding": response["grounding"],
+        "proof_of_absence": cert.is_proof_of_absence(),
+        "state_hash": sh.hex(),
+        "certificate": base64.b64encode(data).decode("ascii"),
+        "error": None,
+    }
+
+
+def status_response(engine: GraphEngine) -> dict:
+    s = engine.status()
+    return {
+        "node_count": s["node_count"],
+        "edge_count": s["edge_count"],
+        "stable_edges": s["stable_edge_count"],
+        "density_millionths": s["density_millionths"],
+    }
+
+
+STAGE_NAMES = {
+    "S0": "Signal Segmentation",
+    "S1": "Pattern Crystallization",
+    "S2": "Causal Chaining",
+    "S3": "Recursive Optimization",
+}
+
+
+def stage_response(engine: GraphEngine) -> dict:
+    a = engine.stage()
+    return {
+        "stage": a["current"],
+        "name": STAGE_NAMES[a["current"]],
+        "progress_percent": a["percent"],
+        "stable_edges_needed": a["stable_edges_needed"],
+        "stable_edges_current": a["stable_edges_current"],
+    }
+
+
+def export_response(engine: GraphEngine) -> dict:
+    from kremis_spark.canonical import CanonicalGraph, export_canonical_bytes
+
+    g = CanonicalGraph.from_state(engine.state)
+    data = export_canonical_bytes(g)
+    return {
+        "success": True,
+        "data": base64.b64encode(data).decode("ascii"),
+        "checksum": g.checksum(),
+        "error": None,
+    }
+
+
+def hash_response(engine: GraphEngine) -> dict:
+    from kremis_spark.canonical import state_hash_of
+
+    return {"success": True, "hash": state_hash_of(engine.state).hex(), "error": None}

@@ -1,0 +1,172 @@
+"""HTTP facade (Flask) mirroring the reference's axum REST API.
+
+Routes (``apps/kremis/src/api/mod.rs:211-224``): GET /health /status
+/stage /hash /metrics, POST /signal /signal/retract /signals /query
+/certify /export. Optional bearer-key auth (constant-time compare,
+api/auth.rs) and a 2 MiB body cap (api/mod.rs:242).
+
+This facade exists so tooling written against the reference (e.g. its
+fabrication benchmark harness) can drive the Spark engine unchanged. It
+is a thin adapter: all logic lives in ``kremis_spark.api``.
+"""
+
+from __future__ import annotations
+
+import hmac
+import os
+
+from flask import Flask, jsonify, request
+
+from kremis_spark import api as A
+from kremis_spark.engine import GraphEngine
+from kremis_spark.ingest import InvalidSignalError, SequenceTooLongError
+from kremis_spark.schema import SIGNALS_SCHEMA
+
+MAX_BODY_BYTES = 2 * 1024 * 1024
+
+
+def create_app(engine: GraphEngine, api_key: str | None = None) -> Flask:
+    app = Flask("kremis_spark")
+    app.config["MAX_CONTENT_LENGTH"] = MAX_BODY_BYTES
+    metrics = {"requests": 0, "signals_ingested": 0, "queries": 0}
+
+    def authed() -> bool:
+        if api_key is None:
+            return True
+        header = request.headers.get("Authorization", "")
+        expected = f"Bearer {api_key}"
+        return hmac.compare_digest(header.encode(), expected.encode())
+
+    @app.before_request
+    def check_auth():
+        metrics["requests"] += 1
+        if request.path != "/health" and not authed():
+            return jsonify({"error": "unauthorized"}), 401
+        return None
+
+    @app.get("/health")
+    def health():
+        return jsonify({"status": "ok"})
+
+    @app.get("/status")
+    def status():
+        return jsonify(A.status_response(engine))
+
+    @app.get("/stage")
+    def stage():
+        return jsonify(A.stage_response(engine))
+
+    @app.get("/hash")
+    def hash_():
+        return jsonify(A.hash_response(engine))
+
+    @app.post("/signal")
+    def signal():
+        body = request.get_json(force=True)
+        try:
+            df = engine.spark.createDataFrame(
+                [(0, int(body["entity_id"]), body["attribute"], body["value"])],
+                SIGNALS_SCHEMA,
+            )
+            ids = engine.ingest(df)
+            metrics["signals_ingested"] += 1
+            return jsonify({"success": True, "node_id": ids[0], "error": None})
+        except (InvalidSignalError, KeyError, TypeError, ValueError) as e:
+            return (
+                jsonify({"success": False, "node_id": None, "error": str(e)}),
+                400,
+            )
+
+    @app.post("/signals")
+    def signals():
+        body = request.get_json(force=True)
+        sigs = body.get("signals", [])
+        if len(sigs) > 10_000:
+            return (
+                jsonify({"success": False, "node_ids": None, "error": "too many signals"}),
+                400,
+            )
+        try:
+            rows = [
+                (i, int(s["entity_id"]), s["attribute"], s["value"])
+                for i, s in enumerate(sigs)
+            ]
+            df = engine.spark.createDataFrame(rows, SIGNALS_SCHEMA)
+            ids = engine.ingest(df)
+            metrics["signals_ingested"] += len(rows)
+            return jsonify({"success": True, "node_ids": ids, "error": None})
+        except (InvalidSignalError, SequenceTooLongError, KeyError, TypeError, ValueError) as e:
+            return (
+                jsonify({"success": False, "node_ids": None, "error": str(e)}),
+                400,
+            )
+
+    @app.post("/signal/retract")
+    def retract():
+        body = request.get_json(force=True)
+        try:
+            ok = engine.retract(int(body["from_entity"]), int(body["to_entity"]))
+            if not ok:
+                return (
+                    jsonify({"success": False, "error": "edge not found"}),
+                    404,
+                )
+            return jsonify({"success": True, "error": None})
+        except (KeyError, TypeError, ValueError) as e:
+            return jsonify({"success": False, "error": str(e)}), 400
+
+    @app.post("/query")
+    def query():
+        metrics["queries"] += 1
+        try:
+            return jsonify(A.execute_query(engine, request.get_json(force=True)))
+        except A.ApiError as e:
+            return jsonify({"success": False, "error": str(e)}), 400
+
+    @app.post("/certify")
+    def certify():
+        try:
+            resp = A.certify(engine, request.get_json(force=True))
+            return jsonify(resp), (200 if resp["success"] else 400)
+        except A.ApiError as e:
+            return jsonify({"success": False, "error": str(e)}), 400
+
+    @app.post("/export")
+    def export():
+        return jsonify(A.export_response(engine))
+
+    @app.get("/metrics")
+    def prom_metrics():
+        s = A.status_response(engine)
+        lines = [
+            "# TYPE kremis_requests_total counter",
+            f"kremis_requests_total {metrics['requests']}",
+            "# TYPE kremis_signals_ingested_total counter",
+            f"kremis_signals_ingested_total {metrics['signals_ingested']}",
+            "# TYPE kremis_queries_total counter",
+            f"kremis_queries_total {metrics['queries']}",
+            "# TYPE kremis_nodes gauge",
+            f"kremis_nodes {s['node_count']}",
+            "# TYPE kremis_edges gauge",
+            f"kremis_edges {s['edge_count']}",
+            "# TYPE kremis_stable_edges gauge",
+            f"kremis_stable_edges {s['stable_edges']}",
+        ]
+        return "\n".join(lines) + "\n", 200, {"Content-Type": "text/plain; version=0.0.4"}
+
+    return app
+
+
+def main() -> None:  # pragma: no cover
+    from kremis_spark.session import get_spark
+
+    engine = GraphEngine(get_spark("kremis_server"))
+    app = create_app(engine, api_key=os.environ.get("KREMIS_API_KEY"))
+    app.run(
+        host=os.environ.get("KREMIS_HOST", "127.0.0.1"),
+        port=int(os.environ.get("KREMIS_PORT", "8080")),
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
