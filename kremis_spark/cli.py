@@ -1,0 +1,302 @@
+"""CLI mirroring the reference's clap surface (apps/kremis/src/cli/
+mod.rs:66-165): init, ingest (json|jsonl|text, --strict), query
+(-t lookup|traverse|path|intersect|related|properties), status, stage
+[--detailed], export (canonical|json), import, hash, server — all with
+--json-mode.
+
+Usage: python -m kremis_spark.cli --data-dir /tmp/graph <command> …
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import sys
+
+
+def _engine(args):
+    from kremis_spark.session import get_spark
+    from kremis_spark.storage import PersistentEngine
+
+    spark = get_spark("kremis_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return PersistentEngine(spark, args.data_dir)
+
+
+def _emit(args, payload: dict, text: str | None = None) -> None:
+    if args.json_mode or text is None:
+        print(json.dumps(payload))
+    else:
+        print(text)
+
+
+def cmd_init(args) -> int:
+    from kremis_spark.storage import init_store
+
+    try:
+        if args.force:
+            import os
+            import shutil
+
+            if os.path.isdir(args.data_dir):
+                shutil.rmtree(args.data_dir)
+        init_store(args.data_dir)
+        _emit(args, {"success": True}, f"initialized store at {args.data_dir}")
+        return 0
+    except FileExistsError as e:
+        _emit(args, {"success": False, "error": str(e)}, str(e))
+        return 1
+
+
+def cmd_ingest(args) -> int:
+    from kremis_spark.ingest import (
+        InvalidSignalError,
+        signals_from_json,
+        signals_from_text,
+    )
+
+    eng = _engine(args)
+    if args.format in ("json", "jsonl"):
+        df = signals_from_json(eng.spark, args.file)
+    else:
+        df = signals_from_text(eng.spark, args.file)
+    if args.strict:
+        n_raw = sum(1 for line in open(args.file) if line.strip())
+        if df.count() != n_raw:
+            _emit(
+                args,
+                {"success": False, "error": "malformed lines in strict mode"},
+                "error: malformed lines present (strict mode)",
+            )
+            return 1
+    try:
+        ids = eng.ingest(df)
+    except InvalidSignalError as e:
+        _emit(args, {"success": False, "error": str(e)}, f"error: {e}")
+        return 1
+    _emit(
+        args,
+        {"success": True, "ingested": len(ids), "node_ids": ids[:20]},
+        f"ingested {len(ids)} signals",
+    )
+    return 0
+
+
+def cmd_query(args) -> int:
+    from kremis_spark.api import ApiError, execute_query
+
+    eng = _engine(args)
+    t = args.type
+    if t == "lookup":
+        req = {"type": "lookup", "entity_id": args.entity}
+    elif t == "traverse":
+        req = {"type": "traverse", "node_id": args.node, "depth": args.depth}
+    elif t == "path":
+        req = {"type": "strongest_path", "start": args.start, "end": args.end}
+    elif t == "intersect":
+        req = {"type": "intersect", "nodes": args.nodes}
+    elif t == "related":
+        req = {"type": "related", "node_id": args.node, "depth": args.depth}
+    elif t == "properties":
+        req = {"type": "properties", "node_id": args.node}
+    else:
+        print(f"unknown query type {t}", file=sys.stderr)
+        return 2
+    try:
+        resp = execute_query(eng.engine, req)
+    except ApiError as e:
+        _emit(args, {"success": False, "error": str(e)}, f"error: {e}")
+        return 1
+    _emit(args, resp, json.dumps(resp, indent=2))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from kremis_spark.api import status_response
+
+    s = status_response(_engine(args).engine)
+    _emit(
+        args,
+        s,
+        f"nodes: {s['node_count']}  edges: {s['edge_count']}  "
+        f"stable: {s['stable_edges']}  density(ppm): {s['density_millionths']}",
+    )
+    return 0
+
+
+def cmd_stage(args) -> int:
+    from kremis_spark.api import stage_response
+    from kremis_spark.operators.metrics import graph_metrics
+
+    eng = _engine(args)
+    s = stage_response(eng.engine)
+    if args.detailed:
+        s["metrics"] = graph_metrics(eng.state, sample_depth=True)
+    _emit(
+        args,
+        s,
+        f"stage {s['stage']} ({s['name']}): {s['progress_percent']}% "
+        f"({s['stable_edges_current']}/{s['stable_edges_needed']} stable edges)",
+    )
+    return 0
+
+
+def cmd_export(args) -> int:
+    from kremis_spark.canonical import CanonicalGraph, export_canonical_bytes
+
+    eng = _engine(args)
+    g = CanonicalGraph.from_state(eng.state)
+    if args.format == "canonical":
+        data = export_canonical_bytes(g)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        _emit(
+            args,
+            {"success": True, "bytes": len(data), "checksum": g.checksum()},
+            f"wrote {len(data)} canonical bytes to {args.output}",
+        )
+    else:
+        payload = {
+            "nodes": [{"id": i, "entity": e} for i, e in g.nodes],
+            "edges": [
+                {"from": f, "to": t, "weight": w} for f, t, w in g.edges
+            ],
+            "properties": [
+                {"node_id": n, "attribute": a, "value": v}
+                for n, a, v in g.properties
+            ],
+            "next_node_id": g.next_node_id,
+        }
+        with open(args.output, "w") as f:
+            json.dump(payload, f)
+        _emit(args, {"success": True}, f"wrote JSON export to {args.output}")
+    return 0
+
+
+def cmd_import(args) -> int:
+    from kremis_spark.canonical import import_canonical_bytes, state_to_dataframes
+    from kremis_spark.storage import save_state
+
+    eng = _engine(args)
+    with open(args.file, "rb") as f:
+        data = f.read()
+    try:
+        g, diags = import_canonical_bytes(data)
+    except ValueError as e:
+        _emit(args, {"success": False, "error": str(e)}, f"error: {e}")
+        return 1
+    state = state_to_dataframes(g, eng.spark)
+    version = save_state(state, args.data_dir)
+    _emit(
+        args,
+        {
+            "success": True,
+            "version": version,
+            "nodes": len(g.nodes),
+            "edges": len(g.edges),
+            "dangling_edges": diags.dangling_edges,
+            "dangling_properties": diags.dangling_properties,
+        },
+        f"imported {len(g.nodes)} nodes / {len(g.edges)} edges as v{version}",
+    )
+    return 0
+
+
+def cmd_hash(args) -> int:
+    from kremis_spark.api import hash_response
+
+    h = hash_response(_engine(args).engine)
+    _emit(args, h, h["hash"])
+    return 0
+
+
+def cmd_certify(args) -> int:
+    from kremis_spark.api import certify
+
+    req = json.loads(args.query_json)
+    resp = certify(_engine(args).engine, req)
+    _emit(args, resp, json.dumps(resp, indent=2))
+    return 0 if resp["success"] else 1
+
+
+def cmd_server(args) -> int:  # pragma: no cover
+    import os
+
+    from kremis_spark.server import create_app
+
+    eng = _engine(args)
+    app = create_app(eng.engine, api_key=os.environ.get("KREMIS_API_KEY"))
+    app.run(host=args.host, port=args.port)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kremis-spark")
+    p.add_argument("--data-dir", default="./kremis_data")
+    p.add_argument("--json-mode", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("init")
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("ingest")
+    sp.add_argument("--file", required=True)
+    sp.add_argument("--format", choices=["json", "jsonl", "text"], default="json")
+    sp.add_argument("--strict", action="store_true")
+    sp.set_defaults(fn=cmd_ingest)
+
+    sp = sub.add_parser("query")
+    sp.add_argument(
+        "-t",
+        "--type",
+        required=True,
+        choices=["lookup", "traverse", "path", "intersect", "related", "properties"],
+    )
+    sp.add_argument("--entity", type=int)
+    sp.add_argument("--node", type=int)
+    sp.add_argument("--depth", type=int, default=3)
+    sp.add_argument("--start", type=int)
+    sp.add_argument("--end", type=int)
+    sp.add_argument("--nodes", type=int, nargs="*")
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("status")
+    sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("stage")
+    sp.add_argument("--detailed", action="store_true")
+    sp.set_defaults(fn=cmd_stage)
+
+    sp = sub.add_parser("export")
+    sp.add_argument("--format", choices=["canonical", "json"], default="canonical")
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("import")
+    sp.add_argument("--file", required=True)
+    sp.set_defaults(fn=cmd_import)
+
+    sp = sub.add_parser("hash")
+    sp.set_defaults(fn=cmd_hash)
+
+    sp = sub.add_parser("certify")
+    sp.add_argument("--query-json", required=True)
+    sp.set_defaults(fn=cmd_certify)
+
+    sp = sub.add_parser("server")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.set_defaults(fn=cmd_server)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -215,29 +215,54 @@ def signals_from_json(spark: SparkSession, path: str) -> DataFrame:
     """Read signals from a JSON/JSON-Lines file (CLI `ingest --format json`,
     reference parser apps/kremis/src/cli/commands.rs:262-497)."""
     df = spark.read.json(path)
-    if "seq" not in df.columns:
-        df = assign_dense_ids(df, [F.monotonically_increasing_id()], id_col="seq")
-    return df.select(
-        F.col("seq").cast("long"),
-        F.col("entity_id").cast("long"),
-        F.col("attribute").cast("string"),
-        F.col("value").cast("string"),
+    if "seq" in df.columns:
+        return df.select(
+            F.col("seq").cast("long"),
+            F.col("entity_id").cast("long"),
+            F.col("attribute").cast("string"),
+            F.col("value").cast("string"),
+        )
+    # No explicit seq: sequence order = file order, via zipWithIndex
+    # (deterministic for ordered input splits of a single file).
+    from kremis_spark.schema import SIGNALS_SCHEMA
+
+    rdd = df.select("entity_id", "attribute", "value").rdd.zipWithIndex().map(
+        lambda pair: (
+            pair[1],
+            int(pair[0]["entity_id"]),
+            pair[0]["attribute"],
+            pair[0]["value"],
+        )
     )
+    return spark.createDataFrame(rdd, SIGNALS_SCHEMA)
 
 
 def signals_from_text(spark: SparkSession, path: str) -> DataFrame:
     """Read ``entity_id:attribute:value`` lines (CLI text format,
-    cli/commands.rs:262-497). Malformed lines are dropped (non-strict mode);
-    strict mode = count them and abort, mirroring `--strict`."""
-    lines = spark.read.text(path)
-    parts = F.split(F.col("value"), ":", 3)
-    df = (
-        lines.filter(F.length(F.trim(F.col("value"))) > 0)
-        .select(
-            parts.getItem(0).cast("long").alias("entity_id"),
-            parts.getItem(1).alias("attribute"),
-            parts.getItem(2).alias("value"),
-        )
-        .filter(F.col("entity_id").isNotNull())
-    )
-    return assign_dense_ids(df, ["entity_id", "attribute", "value"], id_col="seq")
+    cli/commands.rs:262-497). Malformed lines are dropped (non-strict
+    mode); strict mode counts them and aborts, mirroring `--strict`.
+
+    Sequence order = file line order (adjacency linking depends on it),
+    recovered via zipWithIndex — deterministic for a single-file text
+    read because input splits are ordered by offset.
+    """
+    from kremis_spark.schema import SIGNALS_SCHEMA
+
+    lines = spark.read.text(path).rdd.zipWithIndex()
+
+    def parse(pair):
+        row, idx = pair
+        raw = row["value"]
+        if not raw.strip():
+            return None
+        parts = raw.split(":", 2)
+        if len(parts) != 3:
+            return None
+        try:
+            entity = int(parts[0])
+        except ValueError:
+            return None
+        return (idx, entity, parts[1], parts[2])
+
+    parsed = lines.map(parse).filter(lambda r: r is not None)
+    return spark.createDataFrame(parsed, SIGNALS_SCHEMA)

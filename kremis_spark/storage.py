@@ -1,0 +1,147 @@
+"""Persistent graph state: parquet tables with atomic versioned commits.
+
+The reference's persistent backend is redb with ACID transactions
+(``crates/kremis-core/src/storage/redb_graph.rs``); its durability
+contract is "one fsync per batch, crash-safe reopen"
+(redb_graph.rs:179-192). The Spark equivalent here is a Delta-style
+manifest-swap protocol over plain parquet (Delta itself isn't in this
+container; the layout is forward-compatible with it):
+
+    root/
+      _manifest.json        ← single source of truth (atomic os.replace)
+      v000001/nodes/…, edges/…, properties/…   (immutable version dirs)
+      v000002/…
+
+A writer materializes the FULL new version directory, then atomically
+replaces the manifest. Readers resolve the manifest first — they never
+see a partial write (snapshot isolation, like redb's MVCC reads). Old
+versions stay until ``vacuum`` (time travel for free).
+
+At cluster scale the same protocol works on object storage with a
+conditional-put manifest swap; edges/properties are written partitioned
+by bucketed ``src``/``node_id`` so per-node reads prune files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from kremis_spark.engine import GraphState
+
+MANIFEST = "_manifest.json"
+
+
+def init_store(root: str) -> None:
+    """CLI `init`: create an empty store (reference cli/commands.rs init)."""
+    os.makedirs(root, exist_ok=True)
+    if os.path.exists(os.path.join(root, MANIFEST)):
+        raise FileExistsError(f"store already initialized at {root}")
+    _write_manifest(root, {"version": 0, "next_node_id": 0})
+
+
+def _write_manifest(root: str, manifest: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".manifest-")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, MANIFEST))  # the commit point
+
+
+def read_manifest(root: str) -> dict:
+    with open(os.path.join(root, MANIFEST)) as f:
+        return json.load(f)
+
+
+def save_state(state: GraphState, root: str) -> int:
+    """Commit the state as a new immutable version; returns the version."""
+    os.makedirs(root, exist_ok=True)
+    manifest = (
+        read_manifest(root)
+        if os.path.exists(os.path.join(root, MANIFEST))
+        else {"version": 0, "next_node_id": 0}
+    )
+    version = manifest["version"] + 1
+    vdir = os.path.join(root, f"v{version:06d}")
+    # Full materialization BEFORE the manifest swap: a crash mid-write
+    # leaves an orphan dir, never a readable partial state.
+    state.nodes.write.mode("overwrite").parquet(os.path.join(vdir, "nodes"))
+    state.edges.write.mode("overwrite").parquet(os.path.join(vdir, "edges"))
+    state.properties.write.mode("overwrite").parquet(
+        os.path.join(vdir, "properties")
+    )
+    _write_manifest(
+        root, {"version": version, "next_node_id": state.next_node_id}
+    )
+    return version
+
+
+def load_state(
+    spark: SparkSession, root: str, version: int | None = None
+) -> GraphState:
+    """Snapshot read at the manifest's (or an explicit, time-travel)
+    version."""
+    manifest = read_manifest(root)
+    v = manifest["version"] if version is None else version
+    if v == 0:
+        return GraphState.empty(spark)
+    vdir = os.path.join(root, f"v{v:06d}")
+    next_node_id = (
+        manifest["next_node_id"] if version is None else None
+    )
+    nodes = spark.read.parquet(os.path.join(vdir, "nodes"))
+    edges = spark.read.parquet(os.path.join(vdir, "edges"))
+    props = spark.read.parquet(os.path.join(vdir, "properties"))
+    return GraphState.from_tables(nodes, edges, props, next_node_id)
+
+
+def vacuum(root: str, keep: int = 2) -> list[str]:
+    """Drop version dirs older than the newest ``keep`` (never the
+    current). Returns removed dir names."""
+    manifest = read_manifest(root)
+    current = manifest["version"]
+    removed = []
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if v <= current - keep:
+            shutil.rmtree(os.path.join(root, name))
+            removed.append(name)
+    return removed
+
+
+class PersistentEngine:
+    """GraphEngine + durable commits: every ingest/retract saves a new
+    version (one 'transaction' per batch — the redb ingest_batch
+    contract)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        from kremis_spark.engine import GraphEngine
+
+        self.root = root
+        if not os.path.exists(os.path.join(root, MANIFEST)):
+            init_store(root)
+        self.engine = GraphEngine(spark, load_state(spark, root))
+
+    def ingest(self, signals) -> list[int]:
+        ids = self.engine.ingest(signals)
+        save_state(self.engine.state, self.root)
+        return ids
+
+    def retract(self, from_entity: int, to_entity: int) -> bool:
+        ok = self.engine.retract(from_entity, to_entity)
+        if ok:
+            save_state(self.engine.state, self.root)
+        return ok
+
+    def __getattr__(self, name):
+        return getattr(self.engine, name)

@@ -1,0 +1,75 @@
+"""Persistence tests: atomic versioned commits, reopen recovery, time
+travel, vacuum — the mirror of the reference's redb storage suite
+(storage/redb_graph.rs:833-1686, e.g. recovery_persistence_after_reopen)."""
+
+import os
+
+import pytest
+
+from kremis_spark.schema import SIGNALS_SCHEMA
+from kremis_spark.storage import (
+    PersistentEngine,
+    init_store,
+    load_state,
+    read_manifest,
+    save_state,
+    vacuum,
+)
+
+
+def sig_df(spark, rows):
+    return spark.createDataFrame(rows, SIGNALS_SCHEMA)
+
+
+def test_init_and_double_init(tmp_path, spark):
+    root = str(tmp_path / "store")
+    init_store(root)
+    assert read_manifest(root)["version"] == 0
+    with pytest.raises(FileExistsError):
+        init_store(root)
+
+
+def test_reopen_recovers_state(tmp_path, spark):
+    root = str(tmp_path / "store")
+    eng = PersistentEngine(spark, root)
+    eng.ingest(sig_df(spark, [(0, 1, "a", "x"), (1, 2, "a", "y")]))
+
+    reopened = PersistentEngine(spark, root)
+    assert reopened.node_count() == 2
+    assert reopened.get_edge(0, 1) == 1
+    assert reopened.state.next_node_id == 2
+    # ids continue after reopen (the counter survives)
+    reopened.ingest(sig_df(spark, [(0, 9, "a", "z")]))
+    assert reopened.lookup(9) == 2
+
+
+def test_versioning_and_time_travel(tmp_path, spark):
+    root = str(tmp_path / "store")
+    eng = PersistentEngine(spark, root)
+    eng.ingest(sig_df(spark, [(0, 1, "a", "x")]))
+    eng.ingest(sig_df(spark, [(0, 2, "a", "y")]))
+    assert read_manifest(root)["version"] == 2
+    v1 = load_state(spark, root, version=1)
+    assert v1.nodes.count() == 1
+    v2 = load_state(spark, root)
+    assert v2.nodes.count() == 2
+
+
+def test_vacuum_keeps_current(tmp_path, spark):
+    root = str(tmp_path / "store")
+    eng = PersistentEngine(spark, root)
+    for e in (1, 2, 3):
+        eng.ingest(sig_df(spark, [(0, e, "a", "x")]))
+    removed = vacuum(root, keep=1)
+    assert removed == ["v000001", "v000002"]
+    assert os.path.isdir(os.path.join(root, "v000003"))
+    assert load_state(spark, root).nodes.count() == 3
+
+
+def test_retract_persists(tmp_path, spark):
+    root = str(tmp_path / "store")
+    eng = PersistentEngine(spark, root)
+    eng.ingest(sig_df(spark, [(0, 1, "a", "x"), (1, 2, "a", "y")]))
+    assert eng.retract(1, 2) is True
+    reopened = PersistentEngine(spark, root)
+    assert reopened.get_edge(0, 1) == 0
