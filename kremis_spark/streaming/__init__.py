@@ -1,0 +1,3 @@
+"""Structured Streaming operators: continuous signal ingest into the
+graph state, watermarked windowed aggregation over event streams, and a
+custom stateful per-key operator via applyInPandasWithState."""

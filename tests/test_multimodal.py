@@ -1,0 +1,37 @@
+"""Multimodal plumbing tests: the Spark-side schema/batch/partitioning is
+real even though the decoder is stubbed."""
+
+import pytest
+
+from kremis_spark.functions import multimodal as M
+
+
+def test_decode_features_shapes_and_determinism(spark):
+    df = M.fake_media_table(spark, n=8)
+    feats = M.decode_features(df)
+    rows = {r["item_id"]: r for r in feats.collect()}
+    assert len(rows) == 8
+    r0 = rows[0]
+    assert r0["modality"] == "image"
+    assert r0["n_bytes"] == 256
+    assert len(r0["content_sha"]) == 64
+    assert len(r0["features"]) == M.FEATURE_DIM
+    assert all(-1.0 <= v < 1.0 for v in r0["features"])
+    # deterministic across runs
+    again = {r["item_id"]: r for r in M.decode_features(df).collect()}
+    assert again[0]["features"] == r0["features"]
+    assert again[0]["content_sha"] == r0["content_sha"]
+
+
+def test_partition_for_decode(spark):
+    df = M.partition_for_decode(M.fake_media_table(spark, n=16), buckets=4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 16
+
+
+def test_gated_stubs_raise(spark):
+    df = M.fake_media_table(spark, n=1)
+    with pytest.raises(NotImplementedError):
+        M.resize_images(df, 224, 224)
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(df)

@@ -1,0 +1,122 @@
+"""Structured Streaming tests: micro-batch graph ingest, watermarked
+windows, custom stateful operator."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from kremis_spark.engine import GraphEngine
+from kremis_spark.streaming.stream import (
+    running_user_totals,
+    signals_stream,
+    start_graph_ingest,
+    windowed_event_counts,
+)
+
+
+def write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_graph_ingest(tmp_path, spark):
+    src = tmp_path / "src"
+    src.mkdir()
+    write_jsonl(
+        src / "batch1.jsonl",
+        [
+            {"seq": 0, "entity_id": 1, "attribute": "name", "value": "a"},
+            {"seq": 1, "entity_id": 2, "attribute": "name", "value": "b"},
+        ],
+    )
+    engine = GraphEngine(spark)
+    q = start_graph_ingest(
+        engine,
+        signals_stream(spark, str(src)),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert engine.node_count() == 2
+    assert engine.get_edge(0, 1) == 1
+
+    # second micro-batch: new file → ids continue, edges increment
+    write_jsonl(
+        src / "batch2.jsonl",
+        [
+            {"seq": 0, "entity_id": 1, "attribute": "x", "value": "y"},
+            {"seq": 1, "entity_id": 2, "attribute": "x", "value": "y"},
+            {"seq": 2, "entity_id": 3, "attribute": "x", "value": "y"},
+        ],
+    )
+    q2 = start_graph_ingest(
+        engine,
+        signals_stream(spark, str(src)),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert engine.node_count() == 3
+    assert engine.get_edge(0, 1) == 2
+    assert engine.lookup(3) == 2
+
+
+def test_windowed_event_counts(tmp_path, spark):
+    src = tmp_path / "ev"
+    src.mkdir()
+    write_jsonl(
+        src / "e.jsonl",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "click", "value": "1"},
+            {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 2, "event_type": "click", "value": "1"},
+            {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 1, "event_type": "view", "value": "1"},
+        ],
+    )
+    from kremis_spark.streaming.stream import EVENTS_STREAM_SCHEMA
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(str(src))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["n_users"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert rows[(0, "click")] == (2, 2)
+    assert rows[(1, "view")] == (1, 1)
+
+
+def test_running_user_totals_stateful(tmp_path, spark):
+    src = tmp_path / "ev2"
+    src.mkdir()
+    write_jsonl(
+        src / "a.jsonl",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7, "event_type": "c", "value": "1"},
+            {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 7, "event_type": "c", "value": "1"},
+            {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 8, "event_type": "c", "value": "1"},
+        ],
+    )
+    from kremis_spark.streaming.stream import EVENTS_STREAM_SCHEMA
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(str(src))
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["user_id"]: r["running_total"]
+        for r in spark.sql("SELECT * FROM running_totals").collect()
+    }
+    assert rows == {7: 2, 8: 1}
