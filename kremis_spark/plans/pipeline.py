@@ -34,6 +34,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents spread across all cores. The testdata is one small
+    parquet file → one input split → heavy per-doc hashing (minhash,
+    simhash, shingling) would run single-threaded without this. At real
+    scale the same effect comes from spark.sql.files.maxPartitionBytes
+    splitting large files; the explicit repartition makes the plan
+    correct for any file layout."""
+    return read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "embeddings")
 
@@ -42,21 +54,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.with_token_stats(_docs(spark, sf_dir)).select(
+    return T.with_token_stats(_docs_parallel(spark, sf_dir)).select(
         "doc_id", "n_tokens", "sum_token_chars", "mean_token_len_millis"
     )
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.with_quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+    return T.with_quality_score(_docs_parallel(spark, sf_dir)).select("doc_id", "quality")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.lang_id(_docs(spark, sf_dir))
+    return T.lang_id(_docs_parallel(spark, sf_dir))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.with_fingerprint(_docs(spark, sf_dir)).select(
+    return T.with_fingerprint(_docs_parallel(spark, sf_dir)).select(
         "doc_id", "content_md5", "shingle_min_md5"
     )
 
@@ -69,9 +81,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     sigs = D.minhash_signatures(docs)
-    pairs = D.lsh_candidate_pairs(sigs)
+    # Candidate pairs feed two joins in the verify stage — materialize
+    # once instead of re-running the banded self-join per consumer.
+    pairs = D.lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
     verified = D.jaccard_verify(docs, pairs)
     return verified.orderBy(
         F.desc("jaccard_millis"), "doc_a", "doc_b"
@@ -79,7 +93,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash32(_docs(spark, sf_dir))
+    return D.simhash32(_docs_parallel(spark, sf_dir))
 
 
 # --- similarity ------------------------------------------------------------
