@@ -106,18 +106,19 @@ class GraphEngine:
     # --- ingest -----------------------------------------------------------
     def ingest(self, signals: DataFrame, enforce_limits: bool = True) -> list[int]:
         """Atomic batch ingest; returns the node ids of the batch's signals
-        in sequence order (Ingestor::ingest_sequence contract)."""
+        in sequence order (Ingestor::ingest_sequence contract).
+
+        The new state is localCheckpoint-ed (eager) before the swap: this
+        is both the commit point AND the lineage cut — repeated ingests
+        would otherwise compound full-outer-join/union plans until plan
+        trees themselves blow up (each batch's plan must not embed its
+        predecessors')."""
         from kremis_spark.ingest import ingest_batch
 
-        new_state = ingest_batch(self.state, signals, enforce_limits=enforce_limits).cache()
-        # materialize before swapping in → the "commit point"
-        new_state.nodes.count(), new_state.edges.count(), new_state.properties.count()
-        old, self.state = self.state, new_state
-        for df in (old.nodes, old.edges, old.properties):
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+        new_state = ingest_batch(
+            self.state, signals, enforce_limits=enforce_limits
+        ).checkpoint()
+        self.state = new_state
         mapping = {
             r["entity_id"]: r["node_id"]
             for r in self.state.nodes.collect()
@@ -147,7 +148,9 @@ class GraphEngine:
                 F.greatest(F.col("weight") - 1, F.lit(0)),
             ).otherwise(F.col("weight")),
         )
-        self.state = replace(self.state, edges=new_edges.cache())
+        self.state = replace(
+            self.state, edges=new_edges.localCheckpoint(eager=True)
+        )
         return True
 
     # --- queries ----------------------------------------------------------
