@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) — mirror of the reference's proptest
+suite (crates/kremis-core/tests/property_tests.rs:16-129 and the
+certificate determinism proptest, certificate.rs:307-330).
+
+Pure-python properties (wire formats) run with many examples; Spark-bound
+properties use a few examples each (every example is a Spark job)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kremis_spark.canonical import (
+    CanonicalGraph,
+    export_canonical_bytes,
+    import_canonical_bytes,
+)
+from kremis_spark.certificate import QueryCertificate
+from kremis_spark.engine import GraphState
+from kremis_spark.ingest import ingest_batch
+from kremis_spark.operators.artifact import Artifact
+from kremis_spark.schema import SIGNALS_SCHEMA
+
+# --- pure wire-format properties (fast, many examples) ---------------------
+
+nodes_st = st.lists(
+    st.tuples(st.integers(0, 2**40), st.integers(0, 2**40)),
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+edges_st = st.lists(
+    st.tuples(st.integers(0, 2**20), st.integers(0, 2**20), st.integers(0, 2**31)),
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),
+)
+props_st = st.lists(
+    st.tuples(
+        st.integers(0, 2**20),
+        st.text(min_size=1, max_size=8),
+        st.text(min_size=1, max_size=16),
+    ),
+    max_size=20,
+    unique=True,
+)
+
+
+@given(nodes=nodes_st, edges=edges_st, props=props_st, nxt=st.integers(0, 2**40))
+@settings(max_examples=200, deadline=None)
+def test_canonical_roundtrip_bit_exact(nodes, edges, props, nxt):
+    g = CanonicalGraph(sorted(nodes), sorted(edges), nxt, sorted(props))
+    data = export_canonical_bytes(g)
+    g2, _ = import_canonical_bytes(data)
+    assert g2 == g
+    assert export_canonical_bytes(g2) == data
+
+
+@given(
+    path=st.lists(st.integers(0, 2**30), max_size=10),
+    query=st.text(min_size=1, max_size=20),
+    grounding=st.sampled_from(["fact", "inference", "unknown"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_certificate_bytes_deterministic_and_roundtrip(path, query, grounding):
+    entity_of = {n: n + 1 for n in path}
+    art = Artifact(path=path, subgraph=None)
+    c1 = QueryCertificate.new(bytes(32), query, grounding, entity_of, {}, art)
+    c2 = QueryCertificate.new(bytes(32), query, grounding, entity_of, {}, art)
+    b1, b2 = c1.to_canonical_bytes(), c2.to_canonical_bytes()
+    assert b1 == b2
+    assert QueryCertificate.from_canonical_bytes(b1) == c1
+
+
+# --- Spark-bound properties (few examples, each is a job) ------------------
+
+signals_st = st.lists(
+    st.tuples(
+        st.integers(1, 6),  # entity
+        st.sampled_from(["kind", "name", "dep"]),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _mk(spark, sigs):
+    rows = [(i, e, a, v) for i, (e, a, v) in enumerate(sigs)]
+    return spark.createDataFrame(rows, SIGNALS_SCHEMA)
+
+
+def _snapshot(st_):
+    return (
+        sorted(map(tuple, st_.nodes.collect())),
+        sorted(map(tuple, st_.edges.collect())),
+        sorted(map(tuple, st_.properties.collect())),
+    )
+
+
+@given(sigs=signals_st)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_identical_input_identical_state(spark, sigs):
+    s1 = ingest_batch(GraphState.empty(spark), _mk(spark, sigs))
+    s2 = ingest_batch(GraphState.empty(spark), _mk(spark, sigs))
+    assert _snapshot(s1) == _snapshot(s2)
+
+
+@given(sigs=signals_st)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_node_count_equals_unique_entities(spark, sigs):
+    st_ = ingest_batch(GraphState.empty(spark), _mk(spark, sigs))
+    assert st_.nodes.count() == len({e for e, _, _ in sigs})
+
+
+@given(sigs=signals_st)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_reingest_idempotent_for_nodes_and_properties(spark, sigs):
+    s1 = ingest_batch(GraphState.empty(spark), _mk(spark, sigs))
+    s2 = ingest_batch(s1, _mk(spark, sigs))
+    n1, e1, p1 = _snapshot(s1)
+    n2, e2, p2 = _snapshot(s2)
+    assert n1 == n2
+    assert p1 == p2
+    # edges exactly double their weights
+    assert e2 == [(s, d, 2 * w) for s, d, w in e1]

@@ -1,0 +1,90 @@
+"""Tiered validation suite — mirror of the reference's
+crates/kremis-core/tests/validation_tiers.rs: T0 signal integrity → T1
+deterministic edges → T2 single-hop → T3 multi-hop. "If ANY tier fails,
+the system is INVALID."
+"""
+
+import pytest
+
+from kremis_spark.engine import GraphEngine, GraphState
+from kremis_spark.ingest import InvalidSignalError, ingest_batch
+from kremis_spark.schema import SIGNALS_SCHEMA
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SIGNALS_SCHEMA)
+
+
+# --- T0: signal integrity --------------------------------------------------
+
+
+def test_t0_valid_signals_accepted(spark):
+    st = ingest_batch(
+        GraphState.empty(spark),
+        mk(spark, [(0, 1, "kind", "service"), (1, 2, "kind", "service")]),
+    )
+    assert st.nodes.count() == 2
+    assert st.properties.count() == 2
+
+
+def test_t0_invalid_signal_invalidates_whole_batch(spark):
+    with pytest.raises(InvalidSignalError):
+        ingest_batch(
+            GraphState.empty(spark),
+            mk(spark, [(0, 1, "ok", "fine"), (1, 2, "", "bad")]),
+        )
+
+
+# --- T1: deterministic edge formation --------------------------------------
+
+
+def test_t1_sequence_produces_exact_adjacent_edges(spark):
+    # sequence [1,2,3,2,1] → edges 1→2, 2→3, 3→2, 2→1 each weight 1
+    rows = [(i, e, "k", "v") for i, e in enumerate([1, 2, 3, 2, 1])]
+    st = ingest_batch(GraphState.empty(spark), mk(spark, rows))
+    edges = {(r["src"], r["dst"]): r["weight"] for r in st.edges.collect()}
+    assert edges == {(0, 1): 1, (1, 2): 1, (2, 1): 1, (1, 0): 1}
+
+
+def test_t1_repetition_increments_deterministically(spark):
+    rows = [(i, e, "k", "v") for i, e in enumerate([1, 2, 1, 2, 1, 2])]
+    st = ingest_batch(GraphState.empty(spark), mk(spark, rows))
+    edges = {(r["src"], r["dst"]): r["weight"] for r in st.edges.collect()}
+    assert edges == {(0, 1): 3, (1, 0): 2}
+
+
+# --- T2: single-hop queries -------------------------------------------------
+
+
+@pytest.fixture()
+def chain_engine(spark):
+    eng = GraphEngine(spark)
+    rows = [(i, e, "k", "v") for i, e in enumerate([1, 2, 3, 4])]
+    eng.ingest(mk(spark, rows))
+    return eng
+
+
+def test_t2_single_hop_traverse(chain_engine):
+    art = chain_engine.traverse(0, 1)
+    assert art.path == [0, 1]
+    assert art.subgraph == [(0, 1, 1)]
+
+
+def test_t2_lookup_and_edge(chain_engine):
+    assert chain_engine.lookup(1) == 0
+    assert chain_engine.lookup(4) == 3
+    assert chain_engine.get_edge(0, 1) == 1
+    assert chain_engine.get_edge(1, 0) is None  # direction matters
+
+
+# --- T3: multi-hop ----------------------------------------------------------
+
+
+def test_t3_multi_hop_traverse_and_path(chain_engine):
+    art = chain_engine.traverse(0, 3)
+    assert art.path == [0, 1, 2, 3]
+    assert chain_engine.strongest_path(0, 3) == [0, 1, 2, 3]
+
+
+def test_t3_no_reverse_path(chain_engine):
+    assert chain_engine.strongest_path(3, 0) is None
