@@ -37,6 +37,9 @@ def main() -> None:
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # JVM/codegen warmup so 'ingest' measures the engine, not Spark boot.
+    spark.range(10_000).selectExpr("sum(id)").collect()
+
     # --- ingest: signals → committed graph state (cached for queries) ---
     t0 = time.time()
     state = gq.graph_state(spark, sf_dir)

@@ -34,7 +34,6 @@ FILTERED_DEPTH = 3
 PATH_DEPTH = 8
 TOP_K = 10
 LOOKUP_ENTITY = 7
-INTERSECT_ENTITIES = (0, 1, 2)
 
 _STATE_CACHE: dict[tuple[str, str], GraphState] = {}
 
@@ -301,6 +300,69 @@ def q_strongest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step BIGINT, node_id BIGINT")
 
 
+def q_traverse_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-order DFS from the filtered anchor (graph.rs:796-855) on the
+    weight>=3 subgraph → (step, node_id). The pre-order itself is not
+    SQL-expressible, so this entry has no oracle (the driver records a
+    rows-only check); the DFS semantics are pinned by unit tests
+    instead (tests/test_queries.py::test_traverse_dfs_preorder)."""
+    from kremis_spark.operators.traverse import traverse_dfs
+
+    st = graph_state(spark, sf_dir)
+    start = _anchor_src(st, FILTER_MIN_WEIGHT)
+    if start is None:
+        return spark.createDataFrame([], "step BIGINT, node_id BIGINT")
+    fstate = replace(
+        st, edges=st.edges.filter(F.col("weight") >= FILTER_MIN_WEIGHT)
+    )
+    art = traverse_dfs(fstate, start, FILTERED_DEPTH)
+    rows = [(i, n) for i, n in enumerate(art.path if art else [])]
+    return spark.createDataFrame(rows, "step BIGINT, node_id BIGINT")
+
+
+def q_path_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compute_path_confidence (confidence.rs:107-140) over the
+    adaptive-sparse strongest path: avg consecutive edge weight clamped
+    0..10 → score 50 + avg*5."""
+    from kremis_spark.operators.metrics import compute_path_confidence
+    from kremis_spark.operators.path import strongest_path
+    from kremis_spark.operators.traverse import bfs_levels
+
+    st = graph_state(spark, sf_dir)
+    schema = "score BIGINT, evidence_count BIGINT, path_length BIGINT"
+    thr = _sparse_threshold(st)
+    start = _anchor_src(st, thr) if thr is not None else None
+    if thr is None or start is None:
+        return spark.createDataFrame([(0, 0, 0)], schema)
+    fstate = replace(st, edges=st.edges.filter(F.col("weight") >= thr))
+    far = (
+        bfs_levels(fstate, start, PATH_DEPTH)
+        .filter(F.col("level") >= 1)
+        .orderBy(F.desc("level"), "node_id")
+        .limit(1)
+        .collect()
+    )
+    path = None
+    if far:
+        path = strongest_path(
+            fstate, start, int(far[0]["node_id"]), max_depth=PATH_DEPTH
+        )
+    if not path:
+        return spark.createDataFrame([(0, 0, 0)], schema)
+    pairs = set(zip(path, path[1:]))
+    weights = {
+        (int(r["src"]), int(r["dst"])): int(r["weight"])
+        for r in fstate.edges.filter(
+            F.col("src").isin([p[0] for p in pairs])
+        ).collect()
+        if (int(r["src"]), int(r["dst"])) in pairs
+    }
+    c = compute_path_confidence(path, weights)
+    return spark.createDataFrame(
+        [(c["score"], c["evidence_count"], c["path_length"])], schema
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles. Shared graph-derivation prefix; each query's SQL matches
 # the Spark column names exactly (driver hash compares by sorted columns).
@@ -348,6 +410,54 @@ fanchor AS (
 )
 """.replace("{minw}", str(FILTER_MIN_WEIGHT))
 
+
+# Shared CTE chain for the strongest-path family: adaptive sparsify →
+# anchors (heaviest-edge src, farthest reachable end) → exhaustive
+# simple-path enumeration with the DFS-order tiebreak.
+_PATH_CTES = f"""
+, thr AS (
+  -- smallest weight t with |edges >= t| <= 2*|nodes| (adaptive sparsify)
+  SELECT MIN(weight) AS t FROM (
+    SELECT weight,
+           SUM(cnt) OVER (ORDER BY weight DESC) AS cum
+    FROM (SELECT weight, COUNT(*) AS cnt FROM edges GROUP BY weight)
+  ) WHERE cum <= 2 * (SELECT COUNT(*) FROM nodes)
+),
+pedges AS (
+  SELECT * FROM edges WHERE weight >= (SELECT t FROM thr)
+),
+panchor AS (
+  SELECT src AS a FROM pedges ORDER BY weight DESC, src, dst LIMIT 1
+),
+pbfs AS (
+  WITH RECURSIVE r(n, d) AS (
+    SELECT a, 0 FROM panchor
+    UNION
+    SELECT e.dst, r.d + 1 FROM r JOIN pedges e ON e.src = r.n
+    WHERE r.d < {PATH_DEPTH}
+  )
+  SELECT n, MIN(d) AS lvl FROM r GROUP BY n
+),
+panchor2 AS (
+  SELECT n AS b FROM pbfs WHERE lvl >= 1 ORDER BY lvl DESC, n LIMIT 1
+),
+walks AS (
+  WITH RECURSIVE p(node_id, path, w) AS (
+    SELECT a, [a], CAST(0 AS BIGINT) FROM panchor
+    UNION ALL
+    SELECT e.dst, list_append(p.path, e.dst), p.w + GREATEST(e.weight, 0)
+    FROM p JOIN pedges e ON e.src = p.node_id
+    WHERE p.node_id <> (SELECT b FROM panchor2)
+      AND NOT list_contains(p.path, e.dst)
+      AND len(p.path) <= {PATH_DEPTH}
+  )
+  SELECT path FROM p
+  WHERE node_id = (SELECT b FROM panchor2)
+    AND (SELECT a FROM panchor) <> (SELECT b FROM panchor2)
+  ORDER BY w DESC, path ASC
+  LIMIT 1
+)
+"""
 
 ORACLE_SQL: dict[str, str] = {
     "graph_nodes": GRAPH_CTE + "SELECT node_id, entity_id FROM nodes",
@@ -478,51 +588,32 @@ SELECT
 FROM pl, ev
 """,
     "graph_strongest_path": GRAPH_CTE
+    + _PATH_CTES
     + f"""
-, thr AS (
-  -- smallest weight t with |edges >= t| <= 2*|nodes| (adaptive sparsify)
-  SELECT MIN(weight) AS t FROM (
-    SELECT weight,
-           SUM(cnt) OVER (ORDER BY weight DESC) AS cum
-    FROM (SELECT weight, COUNT(*) AS cnt FROM edges GROUP BY weight)
-  ) WHERE cum <= 2 * (SELECT COUNT(*) FROM nodes)
-),
-pedges AS (
-  SELECT * FROM edges WHERE weight >= (SELECT t FROM thr)
-),
-panchor AS (
-  SELECT src AS a FROM pedges ORDER BY weight DESC, src, dst LIMIT 1
-),
-pbfs AS (
-  WITH RECURSIVE r(n, d) AS (
-    SELECT a, 0 FROM panchor
-    UNION
-    SELECT e.dst, r.d + 1 FROM r JOIN pedges e ON e.src = r.n
-    WHERE r.d < {PATH_DEPTH}
-  )
-  SELECT n, MIN(d) AS lvl FROM r GROUP BY n
-),
-panchor2 AS (
-  SELECT n AS b FROM pbfs WHERE lvl >= 1 ORDER BY lvl DESC, n LIMIT 1
-),
-walks AS (
-  WITH RECURSIVE p(node_id, path, w) AS (
-    SELECT a, [a], CAST(0 AS BIGINT) FROM panchor
-    UNION ALL
-    SELECT e.dst, list_append(p.path, e.dst), p.w + GREATEST(e.weight, 0)
-    FROM p JOIN pedges e ON e.src = p.node_id
-    WHERE p.node_id <> (SELECT b FROM panchor2)
-      AND NOT list_contains(p.path, e.dst)
-      AND len(p.path) <= {PATH_DEPTH}
-  )
-  SELECT path FROM p
-  WHERE node_id = (SELECT b FROM panchor2)
-    AND (SELECT a FROM panchor) <> (SELECT b FROM panchor2)
-  ORDER BY w DESC, path ASC
-  LIMIT 1
-)
 SELECT CAST(i - 1 AS BIGINT) AS step, CAST(path[i] AS BIGINT) AS node_id
 FROM walks, LATERAL (SELECT UNNEST(generate_series(1, len(path))) AS i)
+""",
+    "graph_path_confidence": GRAPH_CTE
+    + _PATH_CTES
+    + """
+, pconf AS (
+  SELECT CAST(COALESCE(SUM(e.weight), 0) AS BIGINT) AS total,
+         CAST(COUNT(e.weight) AS BIGINT) AS cnt,
+         CAST(COALESCE(MAX(len(w.path)), 0) AS BIGINT) AS plen
+  FROM walks w,
+       LATERAL (SELECT UNNEST(generate_series(1, len(w.path) - 1)) AS i) u
+  JOIN pedges e ON e.src = w.path[u.i] AND e.dst = w.path[u.i + 1]
+)
+SELECT
+  CAST(CASE WHEN plen = 0 THEN 0
+            WHEN plen = 1 THEN 50
+            ELSE LEAST(LEAST(GREATEST(
+                   CASE WHEN cnt > 0 THEN total // cnt ELSE 0 END, 0), 10)
+                 * 5 + 50, 100)
+       END AS BIGINT) AS score,
+  cnt AS evidence_count,
+  plen AS path_length
+FROM pconf
 """,
 }
 
@@ -542,4 +633,6 @@ QUERIES = {
     "graph_traverse_subgraph": q_traverse_subgraph,
     "graph_confidence": q_confidence,
     "graph_strongest_path": q_strongest_path,
+    "graph_traverse_dfs": q_traverse_dfs,  # rows-only (no SQL pre-order)
+    "graph_path_confidence": q_path_confidence,
 }
