@@ -1,0 +1,97 @@
+"""Grounded verification: verify_hypothesis dispatch.
+
+Mirror of ``crates/kremis-core/src/grounding.rs:63-122``: execute a
+query, compute the appropriate confidence score, and annotate the result
+with a ``verified`` flag (confidence >= 70, confidence.rs:16). Lookup
+hits are axiomatic facts (confidence 100); traversals score by evidence
+volume; strongest paths score by average edge weight.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from kremis_spark import primitives as P
+from kremis_spark.engine import GraphEngine
+from kremis_spark.operators.artifact import Artifact
+from kremis_spark.operators.metrics import (
+    compute_confidence,
+    compute_path_confidence,
+)
+
+
+@dataclass
+class GroundedResult:
+    artifact: Artifact | None = None
+    confidence: dict = field(
+        default_factory=lambda: {"score": 0, "evidence_count": 0, "path_length": 0}
+    )
+    verified: bool = False
+    evidence_path: list[int] = field(default_factory=list)
+
+    @classmethod
+    def unverified(cls) -> "GroundedResult":
+        return cls()
+
+    @classmethod
+    def with_artifact(cls, artifact: Artifact, confidence: dict) -> "GroundedResult":
+        return cls(
+            artifact=artifact,
+            confidence=confidence,
+            verified=confidence["score"] >= P.CONFIDENCE_VERIFIED_THRESHOLD,
+            evidence_path=list(artifact.path),
+        )
+
+
+def verify_hypothesis(engine: GraphEngine, query: dict) -> GroundedResult:
+    """Execute + ground a query (grounding.rs:63-122). ``query`` uses the
+    same tagged-dict form as the API dispatch."""
+    t = query.get("type")
+    if t == "lookup":
+        node = engine.lookup(int(query["entity_id"]))
+        if node is None:
+            return GroundedResult.unverified()
+        artifact = Artifact(path=[node], subgraph=None)
+        return GroundedResult.with_artifact(
+            artifact, {"score": 100, "evidence_count": 0, "path_length": 1}
+        )
+    if t in ("traverse", "related"):
+        art = engine.traverse(int(query["node_id"]), int(query["depth"]))
+        if art is None:
+            return GroundedResult.unverified()
+        return GroundedResult.with_artifact(art, compute_confidence(art))
+    if t == "traverse_filtered":
+        art = engine.traverse_filtered(
+            int(query["node_id"]), int(query["depth"]), int(query["min_weight"])
+        )
+        if art is None:
+            return GroundedResult.unverified()
+        return GroundedResult.with_artifact(art, compute_confidence(art))
+    if t == "traverse_dfs":
+        art = engine.traverse_dfs(int(query["node_id"]), int(query["depth"]))
+        if art is None:
+            return GroundedResult.unverified()
+        return GroundedResult.with_artifact(art, compute_confidence(art))
+    if t == "strongest_path":
+        path = engine.strongest_path(int(query["start"]), int(query["end"]))
+        if path is None:
+            return GroundedResult.unverified()
+        weights = {}
+        if len(path) > 1:
+            from pyspark.sql import functions as F
+
+            rows = engine.state.edges.filter(
+                F.col("src").isin(path) & F.col("dst").isin(path)
+            ).collect()
+            weights = {
+                (int(r["src"]), int(r["dst"])): int(r["weight"]) for r in rows
+            }
+        conf = compute_path_confidence(path, weights)
+        return GroundedResult.with_artifact(Artifact(path=path, subgraph=None), conf)
+    if t == "intersect":
+        common = engine.intersect([int(n) for n in query["nodes"]])
+        if not common:
+            return GroundedResult.unverified()
+        artifact = Artifact(path=common, subgraph=None)
+        return GroundedResult.with_artifact(artifact, compute_confidence(artifact))
+    raise ValueError(f"unknown query type: {t}")

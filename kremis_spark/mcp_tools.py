@@ -1,0 +1,126 @@
+"""MCP-style tool surface: the reference's 10 tools as plain callables.
+
+Mirror of ``apps/kremis-mcp/src/server.rs:117-313`` — kremis_ingest,
+kremis_lookup, kremis_traverse, kremis_path, kremis_intersect,
+kremis_status, kremis_properties, kremis_retract, kremis_hash,
+kremis_certify — each a thin wrapper over the engine API returning
+human-readable text (the reference formats text the same way,
+server.rs:343-483). An MCP server framework can register these directly:
+``TOOLS[name] = (description, callable(engine, **kwargs))``.
+"""
+
+from __future__ import annotations
+
+from kremis_spark import api as A
+from kremis_spark.engine import GraphEngine
+from kremis_spark.ingest import InvalidSignalError
+from kremis_spark.schema import SIGNALS_SCHEMA
+
+
+def kremis_ingest(engine: GraphEngine, entity_id: int, attribute: str, value: str) -> str:
+    try:
+        ids = engine.ingest(
+            engine.spark.createDataFrame(
+                [(0, int(entity_id), attribute, value)], SIGNALS_SCHEMA
+            )
+        )
+    except (InvalidSignalError, ValueError) as e:
+        return f"Ingest failed: {e}"
+    return f"Ingested signal for entity {entity_id} as node {ids[0]}"
+
+
+def kremis_lookup(engine: GraphEngine, entity_id: int) -> str:
+    r = A.execute_query(engine, {"type": "lookup", "entity_id": entity_id})
+    if not r["found"]:
+        return f"Entity {entity_id} not found in the graph"
+    return f"Entity {entity_id} is node {r['path'][0]} (grounding: {r['grounding']})"
+
+
+def kremis_traverse(
+    engine: GraphEngine, node_id: int, depth: int = 2, top_k: int | None = None
+) -> str:
+    req = {
+        "type": "traverse_filtered" if top_k else "traverse",
+        "node_id": node_id,
+        "depth": depth,
+    }
+    if top_k:
+        req.update({"min_weight": 0, "top_k": top_k})
+    r = A.execute_query(engine, req)
+    if not r["found"]:
+        return f"Node {node_id} not found"
+    edges = "\n".join(
+        f"  {e['from']} -> {e['to']} (weight {e['weight']})" for e in r["edges"]
+    )
+    return (
+        f"Visited {len(r['path'])} nodes from {node_id} (depth {depth}): "
+        f"{r['path']}\nEdges:\n{edges or '  (none)'}"
+    )
+
+
+def kremis_path(engine: GraphEngine, start: int, end: int) -> str:
+    r = A.execute_query(engine, {"type": "strongest_path", "start": start, "end": end})
+    if not r["found"]:
+        return f"No path from {start} to {end} ({r.get('diagnostic')})"
+    return f"Strongest path {start} -> {end}: {' -> '.join(map(str, r['path']))}"
+
+
+def kremis_intersect(engine: GraphEngine, nodes: list[int]) -> str:
+    r = A.execute_query(engine, {"type": "intersect", "nodes": nodes})
+    if not r["found"]:
+        return f"No common connections among {nodes}"
+    return f"Common connections of {nodes}: {r['path']}"
+
+
+def kremis_status(engine: GraphEngine) -> str:
+    s = A.status_response(engine)
+    return (
+        f"Graph: {s['node_count']} nodes, {s['edge_count']} edges, "
+        f"{s['stable_edges']} stable, density {s['density_millionths']} ppm"
+    )
+
+
+def kremis_properties(engine: GraphEngine, node_id: int) -> str:
+    r = A.execute_query(engine, {"type": "properties", "node_id": node_id})
+    if not r["found"]:
+        return f"Node {node_id} not found"
+    lines = [f"  {p['attribute']} = {p['value']}" for p in r.get("properties", [])]
+    return f"Properties of node {node_id}:\n" + ("\n".join(lines) or "  (none)")
+
+
+def kremis_retract(engine: GraphEngine, from_entity: int, to_entity: int) -> str:
+    ok = engine.retract(int(from_entity), int(to_entity))
+    if not ok:
+        return f"No edge to retract between entities {from_entity} and {to_entity}"
+    return f"Retracted one weight unit from edge {from_entity} -> {to_entity}"
+
+
+def kremis_hash(engine: GraphEngine) -> str:
+    return f"Canonical state hash: {A.hash_response(engine)['hash']}"
+
+
+def kremis_certify(engine: GraphEngine, entity_id: int) -> str:
+    r = A.certify(engine, {"type": "lookup", "entity_id": entity_id})
+    if r["proof_of_absence"]:
+        return (
+            f"Entity {entity_id} is ABSENT — certified proof of absence "
+            f"at state {r['state_hash'][:16]}…"
+        )
+    return (
+        f"Entity {entity_id} certified ({r['grounding']}) "
+        f"at state {r['state_hash'][:16]}…; certificate {len(r['certificate'])}b base64"
+    )
+
+
+TOOLS: dict[str, tuple[str, object]] = {
+    "kremis_ingest": ("Add an entity or relation to the knowledge graph", kremis_ingest),
+    "kremis_lookup": ("Look up an entity by its entity ID", kremis_lookup),
+    "kremis_traverse": ("Traverse the graph from a node", kremis_traverse),
+    "kremis_path": ("Find the strongest weighted path between two nodes", kremis_path),
+    "kremis_intersect": ("Find common connections between nodes", kremis_intersect),
+    "kremis_status": ("Get current graph statistics", kremis_status),
+    "kremis_properties": ("Get all properties of a node", kremis_properties),
+    "kremis_retract": ("Decrement an edge weight (signal retraction)", kremis_retract),
+    "kremis_hash": ("Get the canonical hash of the graph state", kremis_hash),
+    "kremis_certify": ("Produce a Verifiable Query Certificate for a lookup", kremis_certify),
+}

@@ -1,0 +1,57 @@
+"""verify_hypothesis + MCP tool surface tests (grounding.rs:63-122,
+apps/kremis-mcp/src/server.rs:117-313)."""
+
+import pytest
+
+from kremis_spark import mcp_tools as M
+from kremis_spark.engine import GraphEngine
+from kremis_spark.grounding import verify_hypothesis
+from kremis_spark.schema import SIGNALS_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = GraphEngine(spark)
+    rows = [(i, ent, "kind", "svc") for i, ent in enumerate([1, 2, 3, 4])]
+    e.ingest(spark.createDataFrame(rows, SIGNALS_SCHEMA))
+    return e
+
+
+def test_lookup_hit_is_confidence_100_verified(eng):
+    r = verify_hypothesis(eng, {"type": "lookup", "entity_id": 1})
+    assert r.verified and r.confidence["score"] == 100
+    assert r.evidence_path == [0]
+
+
+def test_lookup_miss_unverified(eng):
+    r = verify_hypothesis(eng, {"type": "lookup", "entity_id": 99})
+    assert not r.verified and r.confidence["score"] == 0
+    assert r.artifact is None
+
+
+def test_traverse_confidence(eng):
+    # chain 0→1→2→3 depth 3: path 4 nodes, 3 edges → 50+3+8 = 61 < 70
+    r = verify_hypothesis(eng, {"type": "traverse", "node_id": 0, "depth": 3})
+    assert r.confidence["score"] == 61
+    assert not r.verified
+
+
+def test_strongest_path_confidence(eng):
+    # edge weights all 1 → avg 1 → score 55, speculative
+    r = verify_hypothesis(eng, {"type": "strongest_path", "start": 0, "end": 3})
+    assert r.confidence["score"] == 55
+    assert not r.verified
+    assert r.evidence_path == [0, 1, 2, 3]
+
+
+def test_mcp_tools_text_surface(eng):
+    assert "is node 0" in M.kremis_lookup(eng, 1)
+    assert "not found" in M.kremis_lookup(eng, 99)
+    assert "Strongest path" in M.kremis_path(eng, 0, 3)
+    assert "No path" in M.kremis_path(eng, 3, 0)
+    assert "4 nodes" in M.kremis_status(eng)
+    assert "kind = svc" in M.kremis_properties(eng, 0)
+    assert "Canonical state hash" in M.kremis_hash(eng)
+    assert "certified" in M.kremis_certify(eng, 1)
+    assert "ABSENT" in M.kremis_certify(eng, 99)
+    assert len(M.TOOLS) == 10
