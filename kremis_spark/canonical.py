@@ -162,16 +162,10 @@ def write_canonical_edge(edge: tuple[int, int, int], out: bytearray) -> None:
     write_zigzag(edge[2], out)
 
 
-def export_canonical_bytes(graph: CanonicalGraph) -> bytes:
-    """[header_len u32 LE][CanonicalHeader][CanonicalGraph] (export.rs:317-342)."""
-    header = bytearray()
-    header.extend(CANONICAL_MAGIC)
-    header.append(CANONICAL_VERSION)
-    write_varint(len(graph.nodes), header)
-    write_varint(len(graph.edges), header)
-    write_varint(graph.checksum(), header)
-
-    data = bytearray()
+def _write_graph_body(graph: CanonicalGraph, data: bytearray) -> None:
+    """postcard body shared by KREX (CanonicalGraph, export.rs:186-199)
+    and KREM (SerializableGraph, graph.rs:936-942 — identical field
+    order: nodes, edges, next_node_id, properties)."""
     write_varint(len(graph.nodes), data)
     for n in graph.nodes:
         write_canonical_node(n, data)
@@ -184,6 +178,32 @@ def export_canonical_bytes(graph: CanonicalGraph) -> bytes:
         write_varint(nid, data)
         write_string(attr, data)
         write_string(val, data)
+
+
+def _read_graph_body(r: Reader, with_properties: bool = True) -> CanonicalGraph:
+    n = r.varint()
+    nodes = [(r.varint(), r.varint()) for _ in range(n)]
+    m = r.varint()
+    edges = [(r.varint(), r.varint(), r.zigzag()) for _ in range(m)]
+    next_node_id = r.varint()
+    properties: list[tuple[int, str, str]] = []
+    if with_properties:
+        p = r.varint()
+        properties = [(r.varint(), r.string(), r.string()) for _ in range(p)]
+    return CanonicalGraph(nodes, edges, next_node_id, properties)
+
+
+def export_canonical_bytes(graph: CanonicalGraph) -> bytes:
+    """[header_len u32 LE][CanonicalHeader][CanonicalGraph] (export.rs:317-342)."""
+    header = bytearray()
+    header.extend(CANONICAL_MAGIC)
+    header.append(CANONICAL_VERSION)
+    write_varint(len(graph.nodes), header)
+    write_varint(len(graph.edges), header)
+    write_varint(graph.checksum(), header)
+
+    data = bytearray()
+    _write_graph_body(graph, data)
 
     out = bytearray()
     out.extend(len(header).to_bytes(4, "little"))
@@ -225,23 +245,61 @@ def import_canonical_bytes(data: bytes) -> tuple[CanonicalGraph, LoadDiagnostics
         raise ValueError("Edge count exceeds limit")
 
     try:
-        r = Reader(data, 4 + header_len)
-        n = r.varint()
-        nodes = [(r.varint(), r.varint()) for _ in range(n)]
-        m = r.varint()
-        edges = [(r.varint(), r.varint(), r.zigzag()) for _ in range(m)]
-        next_node_id = r.varint()
-        properties: list[tuple[int, str, str]] = []
-        if version >= 2:
-            p = r.varint()
-            properties = [(r.varint(), r.string(), r.string()) for _ in range(p)]
+        graph = _read_graph_body(
+            Reader(data, 4 + header_len), with_properties=version >= 2
+        )
     except IndexError as e:
         raise ValueError("Truncated or corrupt data") from e
 
-    graph = CanonicalGraph(nodes, edges, next_node_id, properties)
     if graph.checksum() != checksum:
         raise ValueError("Checksum mismatch")
 
+    node_ids = {nid for nid, _ in graph.nodes}
+    diags = LoadDiagnostics(
+        dangling_edges=sum(
+            1 for f, t, _ in graph.edges if f not in node_ids or t not in node_ids
+        ),
+        dangling_properties=sum(
+            1 for nid, _, _ in graph.properties if nid not in node_ids
+        ),
+    )
+    return graph, diags
+
+
+# --- KREM persistence format (formats/persistence.rs:113-167) -------------
+
+KREM_MAGIC = b"KREM"
+KREM_VERSION = 1
+MAX_PERSISTENCE_BYTES = 500 * 1024 * 1024  # persistence.rs:33
+_KREM_MIN_FILE_SIZE = 5
+
+
+def graph_to_bytes(graph: CanonicalGraph) -> bytes:
+    """KREM container: 5-byte raw header (magic+version) + postcard
+    SerializableGraph payload. Bit-exact save→load→save (the reference's
+    roundtrip contract, persistence.rs:189-209)."""
+    out = bytearray()
+    out.extend(KREM_MAGIC)
+    out.append(KREM_VERSION)
+    _write_graph_body(graph, out)
+    if len(out) > MAX_PERSISTENCE_BYTES:
+        raise ValueError("Payload exceeds persistence size cap")
+    return bytes(out)
+
+
+def graph_from_bytes(data: bytes) -> tuple[CanonicalGraph, LoadDiagnostics]:
+    if len(data) < _KREM_MIN_FILE_SIZE:
+        raise ValueError("Data too short: minimum 5 bytes required")
+    if len(data) > MAX_PERSISTENCE_BYTES:
+        raise ValueError("Data exceeds persistence size cap")
+    if data[0:4] != KREM_MAGIC:
+        raise ValueError("Invalid persistence format")
+    if data[4] != KREM_VERSION:
+        raise ValueError("Unsupported persistence version")
+    try:
+        graph = _read_graph_body(Reader(data, 5))
+    except IndexError as e:
+        raise ValueError("Truncated or corrupt data") from e
     node_ids = {nid for nid, _ in graph.nodes}
     diags = LoadDiagnostics(
         dangling_edges=sum(

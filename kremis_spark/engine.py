@@ -189,6 +189,29 @@ class GraphEngine:
 
         return strongest_path(self.state, start, end)
 
+    def extract_path(self, start: int, end: int):
+        """strongest_path + the weights of its consecutive edges as the
+        artifact subgraph (compositor.rs:49-70)."""
+        from kremis_spark.operators.artifact import Artifact
+
+        path = self.strongest_path(start, end)
+        if path is None:
+            return None
+        subgraph = []
+        if len(path) > 1:
+            rows = self.state.edges.filter(
+                F.col("src").isin(path) & F.col("dst").isin(path)
+            ).collect()
+            weights = {
+                (int(r["src"]), int(r["dst"])): int(r["weight"]) for r in rows
+            }
+            subgraph = [
+                (a, b, weights[(a, b)])
+                for a, b in zip(path, path[1:])
+                if (a, b) in weights
+            ]
+        return Artifact(path=path, subgraph=subgraph)
+
     def intersect(self, node_ids: list[int]) -> list[int]:
         from kremis_spark.operators.intersect import intersect
 

@@ -130,18 +130,7 @@ def ingest_batch(
             )
 
     # --- edges: adjacent-pair increments (ASSOCIATION_WINDOW=1) ---
-    # The lag window is global over the batch's seq order; batches are
-    # bounded (<=10k by reference contract), so the single-partition sort is
-    # a non-issue. Unbounded ingest goes through sources/streaming which
-    # chunk into bounded sequences first.
-    w = Window.orderBy("seq")
-    pairs = (
-        signals.select(
-            F.lag("entity_id").over(w).alias("prev_entity"),
-            F.col("entity_id").alias("cur_entity"),
-        )
-        .filter(F.col("prev_entity").isNotNull())
-    )
+    pairs = _adjacent_pairs(signals)
     delta = (
         pairs.groupBy("prev_entity", "cur_entity")
         .agg(F.count(F.lit(1)).alias("delta"))
@@ -180,6 +169,38 @@ def ingest_batch(
         properties=properties,
         next_node_id=next_node_id,
     )
+
+
+def _adjacent_pairs(
+    signals: DataFrame, scalable_threshold: int = 1_000_000
+) -> DataFrame:
+    """(prev_entity, cur_entity) for strictly adjacent signals in seq
+    order — the linking primitive (ingestor.rs:138-149).
+
+    Adaptive physical strategy: bounded batches (the reference caps
+    sequences at 10k) use a lag window — one sort, no join. Large batches
+    switch to dense-rank + equi-join on rank+1, which is fully
+    shuffle-parallel (rank assignment itself is the range-partition
+    dense-id path), so the single-partition global window never touches
+    an unbounded ingest."""
+    n = signals.count()
+    if n <= scalable_threshold:
+        w = Window.orderBy("seq")
+        return (
+            signals.select(
+                F.lag("entity_id").over(w).alias("prev_entity"),
+                F.col("entity_id").alias("cur_entity"),
+            )
+            .filter(F.col("prev_entity").isNotNull())
+        )
+    ranked = assign_dense_ids(
+        signals.select("seq", "entity_id"), ["seq"], id_col="rank"
+    )
+    left = ranked.select(
+        (F.col("rank") + 1).alias("rank"), F.col("entity_id").alias("prev_entity")
+    )
+    right = ranked.select("rank", F.col("entity_id").alias("cur_entity"))
+    return left.join(right, "rank").select("prev_entity", "cur_entity")
 
 
 def _saturating_add(a, b):

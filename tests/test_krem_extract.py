@@ -1,0 +1,55 @@
+"""KREM persistence format + extract_path tests."""
+
+import pytest
+
+from kremis_spark.canonical import (
+    CanonicalGraph,
+    graph_from_bytes,
+    graph_to_bytes,
+)
+from kremis_spark.engine import GraphEngine
+from kremis_spark.schema import SIGNALS_SCHEMA
+
+
+def test_krem_roundtrip_bit_exact():
+    g = CanonicalGraph(
+        nodes=[(0, 1), (1, 2)],
+        edges=[(0, 1, 7)],
+        next_node_id=2,
+        properties=[(0, "name", "x")],
+    )
+    data = graph_to_bytes(g)
+    assert data[:4] == b"KREM" and data[4] == 1
+    g2, diags = graph_from_bytes(data)
+    assert g2 == g and diags.dangling_edges == 0
+    assert graph_to_bytes(g2) == data
+
+
+def test_krem_validation():
+    with pytest.raises(ValueError):
+        graph_from_bytes(b"KRE")
+    with pytest.raises(ValueError):
+        graph_from_bytes(b"XXXX\x01")
+    with pytest.raises(ValueError):
+        graph_from_bytes(b"KREM\x02\x00\x00\x00\x00")
+
+
+def test_extract_path(spark):
+    eng = GraphEngine(spark)
+    rows = [(i, e, "k", "v") for i, e in enumerate([1, 2, 3, 2, 3])]
+    eng.ingest(spark.createDataFrame(rows, SIGNALS_SCHEMA))
+    art = eng.extract_path(0, 2)
+    assert art.path == [0, 1, 2]
+    # consecutive edge weights: 1→2 once, 2→3 twice
+    assert art.subgraph == [(0, 1, 1), (1, 2, 2)]
+    assert eng.extract_path(2, 0) is None
+
+
+def test_scalable_pairs_matches_window(spark):
+    from kremis_spark.ingest import _adjacent_pairs
+
+    rows = [(i, e, "k", "v") for i, e in enumerate([5, 3, 5, 9, 3])]
+    df = spark.createDataFrame(rows, SIGNALS_SCHEMA)
+    small = sorted(map(tuple, _adjacent_pairs(df).collect()))
+    large = sorted(map(tuple, _adjacent_pairs(df, scalable_threshold=0).collect()))
+    assert small == large == [(3, 5), (5, 3), (5, 9), (9, 3)]
