@@ -4,14 +4,15 @@ Scale design (the 100 TB story):
 - Exact dedup = hash-groupBy: one shuffle on a 32-byte key, map-side
   partial aggregation, no text movement after hashing.
 - MinHash LSH: per-doc signatures are computed map-side with built-in
-  HOFs (shingle → k min-hashes); only (band_hash → doc_id) pairs shuffle.
-  Candidate pairs come from a self-join per band bucket; hot buckets are
-  capped (standard LSH practice — a degenerate bucket means the band is
-  non-discriminative, and the pairs it would emit are quadratic noise).
+  HOFs (shingle → ONE md5 → k Kirsch–Mitzenmacher derived hashes); only
+  (band_key → doc_id) pairs shuffle. Candidate pairs come from a
+  self-join per band bucket; hot buckets are capped (standard LSH
+  practice — a degenerate bucket means the band is non-discriminative,
+  and the pairs it would emit are quadratic noise).
 - Exact Jaccard verification only runs on candidate pairs, never all
   pairs.
 - Hash parity note: md5 is used so results are verifiable against the
-  DuckDB oracle; swap HASH_FN to xxhash64 for production throughput.
+  DuckDB oracle; swap the digest to xxhash64 for production throughput.
 """
 
 from __future__ import annotations
@@ -58,30 +59,50 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+EMPTY_SIG = 1 << 32  # sentinel above any real 32-bit hash (no shingles)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-doc MinHash signature columns sig_0..sig_{k-1}: for seed k,
-    min over shingles of md5('k:' || shingle).
+    """Per-doc MinHash signature columns sig_0..sig_{k-1} (BIGINT).
 
-    Shape: explode shingles → k min-aggregates. The k mins are partial
-    (map-side combine), so only (doc_id × k-column) rows shuffle — and the
-    shingle array is built exactly once per document. (The tempting
-    array_min(transform(...)) × k formulation gets project-collapsed by
-    Catalyst into k copies of the shingle construction.)"""
+    One md5 per shingle; the k hash family is Kirsch–Mitzenmacher double
+    hashing h_k = (h1 + k*h2) mod 2^32 where h1/h2 are the two 32-bit
+    halves of the digest — 16× less hashing than k independent md5s, and
+    the linear combination stays expressible (and bit-identical) in the
+    DuckDB oracle via ('0x'||substr(md5(s),..))::BIGINT.
+
+    Shape: explode shingles → hash once → k integer min-aggregates. The k
+    mins are partial (map-side combine), so only (doc_id × k-column) rows
+    shuffle — and the shingle array is built exactly once per document.
+    (The tempting array_min(transform(...)) × k formulation gets
+    project-collapsed by Catalyst into k copies of the shingle
+    construction.)"""
     ex = df.select(
         F.col(id_col), F.explode(word_shingles(text_col)).alias("sh")
     )
+    h = F.md5(F.col("sh"))  # CSE'd by codegen across the two substrings
+    hashed = ex.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"sig_{k}")
+        F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(EMPTY_SIG)).alias(
+            f"sig_{k}"
+        )
         for k in range(NUM_HASHES)
     ]
-    sigs = ex.groupBy(id_col).agg(*aggs)
-    # docs with <2 tokens have no shingles → empty-string signature
+    sigs = hashed.groupBy(id_col).agg(*aggs)
+    # docs with <2 tokens have no shingles → sentinel signature
     out = df.select(id_col).join(sigs, id_col, "left")
     return out.select(
         F.col(id_col),
-        *[F.coalesce(F.col(f"sig_{k}"), F.lit("")).alias(f"sig_{k}") for k in range(NUM_HASHES)],
+        *[
+            F.coalesce(F.col(f"sig_{k}"), F.lit(EMPTY_SIG)).alias(f"sig_{k}")
+            for k in range(NUM_HASHES)
+        ],
     )
 
 
@@ -89,8 +110,9 @@ def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", hot_cap: int = HOT_BUCKET_CAP
 ) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) sharing at least one LSH band
-    bucket. Band hash = md5 of the band's signature slice; buckets larger
-    than ``hot_cap`` are dropped (non-discriminative band).
+    bucket. A band's bucket key is its signature slice itself (two BIGINT
+    join keys — no re-hash needed); buckets larger than ``hot_cap`` are
+    dropped (non-discriminative band).
 
     Plan shape (stage-count matters more than row-count at this scale):
     the 8 band buckets come from ONE explode projection (not 8 unions of
@@ -100,35 +122,31 @@ def lsh_candidate_pairs(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"sig_{b * ROWS_PER_BAND + r}")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
-            ).alias("bucket"),
+            *[
+                F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"k{r}")
+                for r in range(ROWS_PER_BAND)
+            ],
         )
         for b in range(BANDS)
     ]
+    key_cols = ["band"] + [f"k{r}" for r in range(ROWS_PER_BAND)]
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(F.col(id_col), *[F.col(f"bb.{c}").alias(c) for c in key_cols])
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band", "bucket")
+    w = Window.partitionBy(*key_cols)
     ok = (
         buckets.withColumn("n", F.count(F.lit(1)).over(w))
         .filter(F.col("n") <= hot_cap)
         .drop("n")
         .localCheckpoint(eager=True)  # feeds both self-join sides
     )
-    a = ok.select("band", "bucket", F.col(id_col).alias("doc_a"))
-    b = ok.select("band", "bucket", F.col(id_col).alias("doc_b"))
+    a = ok.select(*key_cols, F.col(id_col).alias("doc_a"))
+    b = ok.select(*key_cols, F.col(id_col).alias("doc_b"))
     return (
-        a.join(F.broadcast(b), ["band", "bucket"])
+        a.join(F.broadcast(b), key_cols)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

@@ -89,20 +89,34 @@ def ingest_batch(
     derive the three state tables in one declarative plan. The caller (or
     ``GraphEngine``) commits the result atomically.
     """
+    spark = signals.sparkSession
+    # Materialize the batch once: it feeds four consumers (validation,
+    # node minting, properties, adjacent pairs) that would otherwise each
+    # re-run the source scan + projection. This is the Spark analogue of
+    # the reference buffering the batch in memory before its single write
+    # txn (redb_graph.rs:192-372). On a cluster, swap localCheckpoint for
+    # a reliable checkpoint dir; the plan shape is identical.
+    signals = signals.select(
+        "seq", "entity_id", "attribute", "value"
+    ).localCheckpoint(eager=True)
+
     if enforce_limits:
         validate_signals(signals)
-
-    spark = signals.sparkSession
-    signals = signals.select("seq", "entity_id", "attribute", "value")
 
     # --- node minting: first-seen order, ids continue from next_node_id ---
     first_seen = signals.groupBy("entity_id").agg(F.min("seq").alias("first_seq"))
     new_entities = first_seen.join(
         F.broadcast(state.nodes.select("entity_id")), "entity_id", "left_anti"
     )
-    new_nodes = assign_dense_ids(
-        new_entities, ["first_seq"], id_col="node_id", offset=state.next_node_id
-    ).select("node_id", "entity_id")
+    # Checkpoint the minted ids: three joins + the counter read consume
+    # them, and the mint itself (anti-join + rank) must not re-run per use.
+    new_nodes = (
+        assign_dense_ids(
+            new_entities, ["first_seq"], id_col="node_id", offset=state.next_node_id
+        )
+        .select("node_id", "entity_id")
+        .localCheckpoint(eager=True)
+    )
     nodes = state.nodes.unionByName(new_nodes)
 
     # --- properties: set semantics at (node, attribute, value) ---

@@ -164,40 +164,59 @@ doc_sh AS (
 )
 """
 
-_SIG_COLS = ",\n    ".join(
-    f"COALESCE(list_aggregate(list_transform(shingles, s -> md5('{k}:' || s)),"
-    f" 'min'), '') AS sig_{k}"
+_SIG_AGGS = ",\n    ".join(
+    f"MIN((h1 + {k} * h2) % {D.EMPTY_SIG}) AS sig_{k}"
     for k in range(D.NUM_HASHES)
 )
 
+_SIG_COALESCE = ",\n    ".join(
+    f"COALESCE(sig_{k}, {D.EMPTY_SIG}) AS sig_{k}" for k in range(D.NUM_HASHES)
+)
+
 _BAND_SELECTS = "\n  UNION ALL\n".join(
-    "  SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs".format(
+    "  SELECT doc_id, {b} AS band, {cols} FROM sigs".format(
         b=b,
-        cols=" || '|' || ".join(
-            f"sig_{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+        cols=", ".join(
+            f"sig_{b * D.ROWS_PER_BAND + r} AS k{r}"
+            for r in range(D.ROWS_PER_BAND)
         ),
     )
     for b in range(D.BANDS)
 )
 
+_BAND_KEYS = ", ".join(["band"] + [f"k{r}" for r in range(D.ROWS_PER_BAND)])
+_BAND_EQ = " AND ".join(
+    f"a.{c} = b.{c}" for c in ["band"] + [f"k{r}" for r in range(D.ROWS_PER_BAND)]
+)
+
 _MINHASH_SQL = rf"""
 WITH {_DOC_SH.strip()},
-sigs AS (
+shh AS (
   SELECT doc_id,
-    {_SIG_COLS}
-  FROM doc_sh
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+  FROM (SELECT doc_id, UNNEST(shingles) AS s FROM doc_sh)
+),
+sigagg AS (
+  SELECT doc_id,
+    {_SIG_AGGS}
+  FROM shh GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id,
+    {_SIG_COALESCE}
+  FROM documents d LEFT JOIN sigagg USING (doc_id)
 ),
 bands AS (
 {_BAND_SELECTS}
 ),
-bcount AS (SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY 1, 2),
-okb AS (SELECT band, bucket FROM bcount WHERE n <= {D.HOT_BUCKET_CAP}),
+bcount AS (SELECT {_BAND_KEYS}, COUNT(*) AS n FROM bands GROUP BY ALL),
+okb AS (SELECT {_BAND_KEYS} FROM bcount WHERE n <= {D.HOT_BUCKET_CAP}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
-  JOIN okb USING (band, bucket)
-  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-              AND a.doc_id < b.doc_id
+  JOIN okb USING ({_BAND_KEYS})
+  JOIN bands b ON {_BAND_EQ} AND a.doc_id < b.doc_id
 ),
 shset AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS sh FROM doc_sh),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shset GROUP BY 1),
