@@ -1,0 +1,66 @@
+"""As-of (temporal) join — a core training-data / event-pipeline operator
+Spark lacks as a built-in.
+
+Semantics: for each left row, attach the payload of the single right row
+with the same key and the greatest timestamp <= the left row's timestamp
+(ties broken deterministically). This is DuckDB's ASOF JOIN / kdb's aj /
+Flink's temporal join, re-expressed Spark-first.
+
+Physical strategy (the 100 TB story): the naive formulation is a range
+join (key equality + ts inequality), which Catalyst executes as an
+equi-join followed by a per-key *quadratic* filter — hopeless when a key
+has millions of rows. The union-sort formulation here is the scalable
+shape: tag both sides, union them (map-side, no join), and run ONE window
+over (key) ordered by (ts, tag, tiebreak) taking the last non-null
+payload. Cost = one shuffle on the key + a per-partition sort — the same
+cost as any windowed aggregation, linear in rows, skew-bounded by the
+hottest key (salt the window's partition key if one entity dominates).
+
+Determinism: ordering is (ts, tag, tiebreak) with nulls first, so equal
+timestamps resolve identically everywhere; at ts ties the right row sorts
+before the left row (tag 0 < 1), giving at-or-before semantics, and among
+equal right rows the max tiebreak wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach ``payload_cols`` of the latest right row
+    with the same ``key_cols`` and right.``ts_col`` <= left.``ts_col``.
+
+    ``right`` must contain only key/ts/payload columns, and payload names
+    must not collide with left's columns (rename before calling). Rows
+    with no match get null payloads. Appends ``suffix`` to attached
+    payload column names.
+    """
+    l_tagged = left.withColumn("__tag", F.lit(1))
+    r_tagged = right.select(*key_cols, ts_col, *payload_cols).withColumn(
+        "__tag", F.lit(0)
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    order = [F.col(ts_col).asc(), F.col("__tag").asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc_nulls_first())
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # All payloads are non-null exactly on right rows, so each last() picks
+    # from the SAME (latest) right row — the attached values are consistent.
+    for c in payload_cols:
+        u = u.withColumn(c + suffix, F.last(F.col(c), ignorenulls=True).over(w))
+    return u.filter(F.col("__tag") == 1).drop("__tag", *payload_cols)

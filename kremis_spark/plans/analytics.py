@@ -156,6 +156,173 @@ def q_event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's most recent
+    at-or-before click, then aggregate per user. Exercises the temporal
+    join operator (operators/asof.py) end to end.
+
+    Timestamps are floor-divided to µs on BOTH engines (events.parquet is
+    TIMESTAMP(NANOS); DuckDB truncates to µs on read, and its epoch_us
+    equals floor(ns/1000) — verified — so µs is the shared resolution)."""
+    from kremis_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.expr("ts div 1000")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t_us", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "t_us",
+        F.col("event_id").alias("click_id"),
+        F.col("t_us").alias("click_t"),
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        ts_col="t_us",
+        payload_cols=["click_id", "click_t"],
+        tiebreak_col="click_id",
+    )
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_id_asof").alias("n_attributed"),
+        F.coalesce(F.sum(F.col("t_us") - F.col("click_t_asof")), F.lit(0))
+        .cast("long")
+        .alias("total_lag_us"),
+        F.coalesce(F.max("click_id_asof"), F.lit(-1))
+        .cast("long")
+        .alias("last_click_id"),
+    )
+
+
+def q_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per purchase, how many same-user views/clicks happened
+    in the hour before it (inclusive). Equi-key + time-band join — the
+    equi key (user_id) drives partitioning so the band predicate never
+    goes quadratic across users; within a hot user, bucketing ts to
+    hour-grains would bound it (not needed at these key cardinalities)."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.expr("ts div 1000")
+    )
+    hour_us = 3_600_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t_us").alias("pt"), F.col("event_id").alias("purchase_id")
+    )
+    prior = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("t_us").alias("et"), "event_type"
+    )
+    joined = purchases.join(
+        prior,
+        (purchases["user_id"] == prior["user_id"])
+        & (prior["et"] >= purchases["pt"] - hour_us)
+        & (prior["et"] <= purchases["pt"]),
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_views_1h"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks_1h"),
+        )
+    )
+
+
+def q_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + scalar agg; every predicate
+    pushes down to the parquet scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc = _pct(F.col("l_discount"))
+    revenue = _cents(F.col("l_extendedprice")) * disc
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & disc.between(3, 6)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.coalesce(F.sum(revenue), F.lit(0)).cast("long").alias("revenue_cents_x100"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join, count by
+    priority. (The reference schema has no commit/receipt dates, so the
+    exists-predicate is 'order has a returned line'.)"""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    returned = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING subquery on the fact table, then join back
+    to dims; the big-orders set is tiny so the join-back broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast dim join;
+    the share is integer-division on both engines (no float ratio)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    revenue = _cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "ECONOMY", revenue).otherwise(0))
+        .cast("long")
+        .alias("promo_cents_x100"),
+        F.sum(revenue).cast("long").alias("total_cents_x100"),
+    ).select(
+        "promo_cents_x100",
+        "total_cents_x100",
+        F.expr("promo_cents_x100 * 1000 div total_cents_x100").alias(
+            "promo_share_millis"
+        ),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "tpch_q1_pricing": """
 SELECT l_returnflag, l_linestatus,
@@ -242,6 +409,108 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """,
+    # Same union-sort as-of algorithm in ANSI SQL (not DuckDB ASOF JOIN,
+    # whose tie handling is unspecified): epoch_us(ts) == floor(ns/1000)
+    # == Spark's `ts div 1000`, so both engines order and subtract the
+    # same integers.
+    "events_asof_attribution": """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS t_us, 1 AS tag, event_id,
+         CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS click_t
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), 0, NULL, event_id, epoch_us(ts)
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT user_id, tag, t_us,
+         LAST_VALUE(click_id IGNORE NULLS) OVER w AS a_click,
+         LAST_VALUE(click_t IGNORE NULLS) OVER w AS a_t
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY t_us ASC, tag ASC, click_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(a_click) AS BIGINT) AS n_attributed,
+       CAST(COALESCE(SUM(t_us - a_t), 0) AS BIGINT) AS total_lag_us,
+       CAST(COALESCE(MAX(a_click), -1) AS BIGINT) AS last_click_id
+FROM m WHERE tag = 1 GROUP BY user_id
+""",
+    "events_purchase_window": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS pt, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, epoch_us(ts) AS et, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT p.purchase_id,
+       CAST(COALESCE(SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_views_1h,
+       CAST(COALESCE(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_clicks_1h
+FROM p LEFT JOIN e
+  ON p.user_id = e.user_id
+ AND e.et >= p.pt - 3600000000 AND e.et <= p.pt
+GROUP BY p.purchase_id
+""",
+    "tpch_q6_forecast": """
+SELECT CAST(COALESCE(SUM(
+         CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+         * CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT)), 0)
+       AS BIGINT) AS revenue_cents_x100,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) BETWEEN 3 AND 6
+  AND l_quantity < 24
+""",
+    "tpch_q4_priority": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "tpch_q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_date, b.sum_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.sum_qty DESC, o.o_orderkey
+LIMIT 20
+""",
+    "tpch_q14_promo": """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+         THEN CAST(ROUND(CAST(l.l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+              * (100 - CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 100) AS BIGINT))
+         ELSE 0 END) AS BIGINT) AS promo_cents_x100,
+    CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+             * (100 - CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 100) AS BIGINT)))
+         AS BIGINT) AS total_cents_x100
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT promo_cents_x100, total_cents_x100,
+       CAST(promo_cents_x100 * 1000 // total_cents_x100 AS BIGINT)
+         AS promo_share_millis
+FROM agg
+""",
 }
 
 
@@ -249,7 +518,13 @@ QUERIES = {
     "tpch_q1_pricing": q_pricing_summary,
     "tpch_q3_toporders": q_top_orders,
     "tpch_q5_nation_revenue": q_nation_revenue,
+    "tpch_q6_forecast": q_q6_forecast,
+    "tpch_q4_priority": q_q4_priority,
+    "tpch_q18_large_orders": q_q18_large_orders,
+    "tpch_q14_promo": q_q14_promo,
     "win_top_customer_per_nation": q_top_customer_per_nation,
     "events_sessionization": q_sessionization,
     "events_type_summary": q_event_type_summary,
+    "events_asof_attribution": q_asof_attribution,
+    "events_purchase_window": q_purchase_window,
 }

@@ -1,0 +1,64 @@
+"""As-of join operator semantics (operators/asof.py): latest
+at-or-before match per key, deterministic tie handling, null on no match.
+"""
+
+from pyspark.sql import functions as F
+
+from kremis_spark.operators.asof import asof_join
+
+
+def _run(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "k LONG, t LONG, lid LONG")
+    right = spark.createDataFrame(right_rows, "k LONG, t LONG, rid LONG")
+    out = asof_join(
+        left,
+        right,
+        key_cols=["k"],
+        ts_col="t",
+        payload_cols=["rid"],
+        tiebreak_col="rid",
+    )
+    return {
+        r["lid"]: r["rid_asof"]
+        for r in out.select("lid", "rid_asof").collect()
+    }
+
+
+def test_latest_at_or_before(spark):
+    m = _run(
+        spark,
+        [(1, 10, 100), (1, 25, 101)],
+        [(1, 5, 500), (1, 10, 501), (1, 20, 502), (1, 30, 503)],
+    )
+    # t=10 matches the right row AT t=10 (at-or-before); t=25 matches t=20
+    assert m == {100: 501, 101: 502}
+
+
+def test_no_match_is_null_and_keys_isolate(spark):
+    m = _run(
+        spark,
+        [(1, 3, 100), (2, 50, 200)],
+        [(1, 5, 500), (2, 7, 501)],
+    )
+    assert m == {100: None, 200: 501}  # before any right row → null
+
+
+def test_equal_ts_right_rows_max_tiebreak_wins(spark):
+    m = _run(
+        spark,
+        [(1, 10, 100)],
+        [(1, 10, 500), (1, 10, 507), (1, 10, 503)],
+    )
+    assert m == {100: 507}
+
+
+def test_multiple_payloads_come_from_same_row(spark):
+    left = spark.createDataFrame([(1, 20, 9)], "k LONG, t LONG, lid LONG")
+    right = spark.createDataFrame(
+        [(1, 5, 500, 5000), (1, 15, 501, 5010)], "k LONG, t LONG, rid LONG, rv LONG"
+    )
+    out = asof_join(
+        left, right, ["k"], "t", ["rid", "rv"], tiebreak_col="rid"
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["rid_asof"], out[0]["rv_asof"]) == (501, 5010)
