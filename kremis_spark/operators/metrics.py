@@ -50,16 +50,13 @@ def graph_metrics(state: GraphState, sample_depth: bool = True) -> dict:
     out = status_counts(state)
     max_depth = 0
     if sample_depth and out["node_count"] > 0:
-        from kremis_spark.operators.traverse import bfs_levels
+        from kremis_spark.operators.traverse import sampled_max_depth
 
         sample = [
             int(r["node_id"])
             for r in state.nodes.orderBy("node_id").limit(10).collect()
         ]
-        for node in sample:
-            levels = bfs_levels(state, node, depth=100)
-            local_max = levels.agg(F.max("level").alias("m")).collect()[0]["m"]
-            max_depth = max(max_depth, int(local_max or 0))
+        max_depth = sampled_max_depth(state, sample, depth=100)
     out["max_depth"] = max_depth
     return out
 

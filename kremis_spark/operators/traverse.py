@@ -111,6 +111,66 @@ def _bfs_levels_local(spark, edges: DataFrame, start: int, depth: int) -> DataFr
     )
 
 
+def sampled_max_depth(
+    state: GraphState,
+    roots: list[int],
+    depth: int = P.MAX_TRAVERSAL_DEPTH,
+    local_threshold: int = LOCAL_BFS_EDGE_THRESHOLD,
+) -> int:
+    """Max BFS level reached from any of ``roots`` (compute_max_depth,
+    stage.rs:224-261). Collects the adjacency ONCE for all roots when the
+    edge set is small; otherwise runs one multi-source frontier loop with
+    a ``root`` column — per-root sequential BFS would cost |roots| × depth
+    Spark jobs, this costs depth jobs total."""
+    if not roots:
+        return 0
+    depth = min(depth, P.MAX_TRAVERSAL_DEPTH)
+    spark = state.spark
+    edges = state.edges.select("src", "dst")
+
+    if local_threshold and edges.count() <= local_threshold:
+        adj: dict[int, list[int]] = {}
+        for r in edges.collect():
+            adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+        best = 0
+        for root in roots:
+            levels = {root: 0}
+            queue = deque([root])
+            while queue:
+                cur = queue.popleft()
+                d = levels[cur]
+                if d >= depth:
+                    continue
+                for nxt in adj.get(cur, ()):
+                    if nxt not in levels:
+                        levels[nxt] = d + 1
+                        queue.append(nxt)
+            best = max(best, max(levels.values()))
+        return best
+
+    frontier = spark.createDataFrame(
+        [(r, r) for r in roots], "root long, node_id long"
+    )
+    visited = frontier
+    best = 0
+    for d in range(1, depth + 1):
+        nxt = (
+            edges.join(F.broadcast(frontier), edges["src"] == frontier["node_id"])
+            .select("root", F.col("dst").alias("node_id"))
+            .distinct()
+            .join(visited, ["root", "node_id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        best = d
+        visited = visited.unionByName(nxt)
+        if d % 5 == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    return best
+
+
 def traverse(state: GraphState, start: int, depth: int) -> Artifact | None:
     """Reference-parity BFS artifact (graph.rs:74-106)."""
     return _traverse_impl(state, start, depth, min_weight=None)

@@ -265,39 +265,93 @@ def _sparse_threshold(st: GraphState) -> int | None:
     return best
 
 
+def _sparse_strongest_path(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int] | None, GraphState | None]:
+    """Shared core of the strongest-path family: adaptive sparsify →
+    anchors (heaviest-edge src, farthest reachable end) → exact DFS.
+    Returns (path, sparsified_state)."""
+    from kremis_spark.operators.path import strongest_path
+    from kremis_spark.operators.traverse import bfs_levels
+
+    st = graph_state(spark, sf_dir)
+    thr = _sparse_threshold(st)
+    if thr is None:
+        return None, None
+    fstate = replace(st, edges=st.edges.filter(F.col("weight") >= thr))
+    start = _anchor_src(st, thr)
+    if start is None:
+        return None, fstate
+    # End node: the FARTHEST reachable node from start in the sparse
+    # subgraph (max BFS level, tie → smallest node id) — guarantees a
+    # non-trivial multi-hop path at every scale factor.
+    levels = bfs_levels(fstate, start, PATH_DEPTH)
+    far = (
+        levels.filter(F.col("level") >= 1)
+        .orderBy(F.desc("level"), "node_id")
+        .limit(1)
+        .collect()
+    )
+    if not far:
+        return None, fstate
+    end = int(far[0]["node_id"])
+    return strongest_path(fstate, start, end, max_depth=PATH_DEPTH), fstate
+
+
 def q_strongest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-weight simple path on an adaptively sparsified subgraph,
     depth-bounded to 8, so the search is exhaustive well under the 50k
     visit budget and the SQL oracle's full enumeration agrees — tie-break
     included (first-found in ascending-neighbor DFS == lexicographically
     smallest path)."""
-    from kremis_spark.operators.path import strongest_path
-
-    from kremis_spark.operators.traverse import bfs_levels
-
-    st = graph_state(spark, sf_dir)
-    thr = _sparse_threshold(st)
-    if thr is None:
-        return spark.createDataFrame([], "step BIGINT, node_id BIGINT")
-    fstate = replace(st, edges=st.edges.filter(F.col("weight") >= thr))
-    start = _anchor_src(st, thr)
-    path = None
-    if start is not None:
-        # End node: the FARTHEST reachable node from start in the sparse
-        # subgraph (max BFS level, tie → smallest node id) — guarantees a
-        # non-trivial multi-hop path at every scale factor.
-        levels = bfs_levels(fstate, start, PATH_DEPTH)
-        far = (
-            levels.filter(F.col("level") >= 1)
-            .orderBy(F.desc("level"), "node_id")
-            .limit(1)
-            .collect()
-        )
-        if far:
-            end = int(far[0]["node_id"])
-            path = strongest_path(fstate, start, end, max_depth=PATH_DEPTH)
+    path, _ = _sparse_strongest_path(spark, sf_dir)
     rows = [(i, n) for i, n in enumerate(path or [])]
     return spark.createDataFrame(rows, "step BIGINT, node_id BIGINT")
+
+
+def q_extract_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_path (compositor.rs:49-70, session.rs:276-300): the
+    strongest path plus the weights of its consecutive edges — the
+    artifact subgraph that feeds certificates. One row per hop."""
+    schema = "step BIGINT, src BIGINT, dst BIGINT, weight BIGINT"
+    path, fstate = _sparse_strongest_path(spark, sf_dir)
+    if not path or len(path) < 2 or fstate is None:
+        return spark.createDataFrame([], schema)
+    hops = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(zip(path, path[1:]))],
+        "step BIGINT, src BIGINT, dst BIGINT",
+    )
+    return (
+        F.broadcast(hops)
+        .join(fstate.edges, ["src", "dst"])
+        .select("step", "src", "dst", "weight")
+        .orderBy("step")
+    )
+
+
+def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full GraphMetrics (system/stage.rs:128-261): counts + integer
+    density + sampled max BFS depth from the 10 lowest node ids."""
+    from kremis_spark.operators.metrics import graph_metrics
+
+    st = graph_state(spark, sf_dir)
+    m = graph_metrics(st)
+    schema = (
+        "node_count BIGINT, edge_count BIGINT, stable_edge_count BIGINT, "
+        "density_millionths BIGINT, max_depth BIGINT"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["node_count"],
+                m["edge_count"],
+                m["stable_edge_count"],
+                m["density_millionths"],
+                m["max_depth"],
+            )
+        ],
+        schema,
+    )
 
 
 def q_traverse_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,28 +379,9 @@ def q_path_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive-sparse strongest path: avg consecutive edge weight clamped
     0..10 → score 50 + avg*5."""
     from kremis_spark.operators.metrics import compute_path_confidence
-    from kremis_spark.operators.path import strongest_path
-    from kremis_spark.operators.traverse import bfs_levels
 
-    st = graph_state(spark, sf_dir)
     schema = "score BIGINT, evidence_count BIGINT, path_length BIGINT"
-    thr = _sparse_threshold(st)
-    start = _anchor_src(st, thr) if thr is not None else None
-    if thr is None or start is None:
-        return spark.createDataFrame([(0, 0, 0)], schema)
-    fstate = replace(st, edges=st.edges.filter(F.col("weight") >= thr))
-    far = (
-        bfs_levels(fstate, start, PATH_DEPTH)
-        .filter(F.col("level") >= 1)
-        .orderBy(F.desc("level"), "node_id")
-        .limit(1)
-        .collect()
-    )
-    path = None
-    if far:
-        path = strongest_path(
-            fstate, start, int(far[0]["node_id"]), max_depth=PATH_DEPTH
-        )
+    path, fstate = _sparse_strongest_path(spark, sf_dir)
     if not path:
         return spark.createDataFrame([(0, 0, 0)], schema)
     pairs = set(zip(path, path[1:]))
@@ -593,6 +628,41 @@ FROM pl, ev
 SELECT CAST(i - 1 AS BIGINT) AS step, CAST(path[i] AS BIGINT) AS node_id
 FROM walks, LATERAL (SELECT UNNEST(generate_series(1, len(path))) AS i)
 """,
+    "graph_extract_path": GRAPH_CTE
+    + _PATH_CTES
+    + """
+SELECT CAST(u.i - 1 AS BIGINT) AS step,
+       CAST(w.path[u.i] AS BIGINT) AS src,
+       CAST(w.path[u.i + 1] AS BIGINT) AS dst,
+       e.weight
+FROM walks w,
+     LATERAL (SELECT UNNEST(generate_series(1, len(w.path) - 1)) AS i) u
+JOIN pedges e ON e.src = w.path[u.i] AND e.dst = w.path[u.i + 1]
+""",
+    "graph_metrics": GRAPH_CTE
+    + """
+, roots AS (SELECT node_id AS root FROM nodes ORDER BY node_id LIMIT 10),
+walk AS (
+  WITH RECURSIVE r(root, n, d) AS (
+    SELECT root, root, 0 FROM roots
+    UNION
+    SELECT r.root, e.dst, r.d + 1
+    FROM r JOIN edges e ON e.src = r.n
+    WHERE r.d < 100
+  )
+  SELECT root, n, MIN(d) AS lvl FROM r GROUP BY 1, 2
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS node_count,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS edge_count,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges WHERE weight >= 10)
+    AS stable_edge_count,
+  CASE WHEN (SELECT COUNT(*) FROM nodes) > 0
+       THEN CAST(((SELECT COUNT(*) FROM edges) * 1000000)
+                 // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+       ELSE 0 END AS density_millionths,
+  (SELECT CAST(COALESCE(MAX(lvl), 0) AS BIGINT) FROM walk) AS max_depth
+""",
     "graph_path_confidence": GRAPH_CTE
     + _PATH_CTES
     + """
@@ -633,6 +703,8 @@ QUERIES = {
     "graph_traverse_subgraph": q_traverse_subgraph,
     "graph_confidence": q_confidence,
     "graph_strongest_path": q_strongest_path,
+    "graph_extract_path": q_extract_path,
+    "graph_metrics": q_graph_metrics,
     "graph_traverse_dfs": q_traverse_dfs,  # rows-only (no SQL pre-order)
     "graph_path_confidence": q_path_confidence,
 }
