@@ -203,21 +203,37 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     is the sign of the summed contributions (ties → 0). Integer-only and
     hash-portable across engines.
 
-    Shape: explode distinct tokens, 32 conditional-sum aggregates (one
-    shuffle on doc_id), recombine bits map-side."""
-    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
-    tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .distinct()
-        .withColumn("h", F.md5(F.col("tok")))
+    Shape: explode distinct tokens, convert the digest to four 32-bit
+    ints ONCE, then 32 bit-test conditional sums (one shuffle on doc_id;
+    the bit tests are integer shifts, far cheaper than 32 per-character
+    substring compares), recombine bits map-side. A hex digit is odd iff
+    its low bit is set, so this matches the digit-parity definition."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).distinct()
+    h = F.md5(F.col("tok"))  # CSE'd across the four substrings
+    hashed = tok.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(h, 8 * c + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"b{c}")
+            for c in range(4)
+        ],
     )
     aggs = [
         F.sum(
-            F.when(F.substring(F.col("h"), j + 1, 1).isin(*odd), 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"b{j // 8}"), 4 * (7 - j % 8)).bitwiseAND(
+                    F.lit(1)
+                )
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"s_{j}")
         for j in range(32)
     ]
-    sums = tok.groupBy(id_col).agg(*aggs)
+    sums = hashed.groupBy(id_col).agg(*aggs)
     sim = None
     for j in range(32):
         bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(

@@ -238,23 +238,37 @@ ORDER BY jaccard_millis DESC, c.doc_a, c.doc_b
 LIMIT {PAIR_TOPN}
 """
 
-_ODD = "('1','3','5','7','9','b','d','f')"
+_SIMHASH_AGGS = ",\n    ".join(
+    f"SUM(CASE WHEN (b{j // 8} >> {4 * (7 - j % 8)}) & 1 = 1"
+    f" THEN 1 ELSE -1 END) AS s_{j}"
+    for j in range(32)
+)
+
+_SIMHASH_BITS = "\n     + ".join(
+    f"CASE WHEN s_{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+    for j in range(32)
+)
 
 _SIMHASH_SQL = rf"""
 WITH toks AS (
   SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS tok FROM documents
 ),
-contrib AS (
-  SELECT doc_id, j.i AS j,
-         SUM(CASE WHEN substr(md5(tok), j.i + 1, 1) IN {_ODD}
-                  THEN 1 ELSE -1 END) AS s
-  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, 31)) AS i) j
-  GROUP BY 1, 2
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS b0,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS b1,
+         ('0x' || substr(md5(tok), 17, 8))::BIGINT AS b2,
+         ('0x' || substr(md5(tok), 25, 8))::BIGINT AS b3
+  FROM toks
+),
+sums AS (
+  SELECT doc_id,
+    {_SIMHASH_AGGS}
+  FROM h GROUP BY doc_id
 )
 SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-            AS BIGINT) AS simhash32
-FROM contrib GROUP BY doc_id
+       CAST({_SIMHASH_BITS} AS BIGINT) AS simhash32
+FROM sums
 """
 
 _MARKER_VALUES = ", ".join(
