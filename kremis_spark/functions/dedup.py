@@ -62,8 +62,31 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 EMPTY_SIG = 1 << 32  # sentinel above any real 32-bit hash (no shingles)
 
 
-def minhash_signatures(
+def hashed_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct hashed shingle set (id, h1, h2): one md5 per shingle,
+    split into its two 32-bit halves. This is the SHARED input of
+    signatures, set sizes, and intersection counts — callers should
+    materialize it once (localCheckpoint) instead of re-exploding the
+    text per consumer. Identity is the 64-bit (h1, h2) pair; integer
+    join keys beat re-joining on the shingle strings."""
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col)).alias("sh")
+    )
+    h = F.md5(F.col("sh"))  # CSE'd by codegen across the two substrings
+    return ex.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+    ).distinct()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature columns sig_0..sig_{k-1} (BIGINT).
 
@@ -79,15 +102,8 @@ def minhash_signatures(
     (The tempting array_min(transform(...)) × k formulation gets
     project-collapsed by Catalyst into k copies of the shingle
     construction.)"""
-    ex = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col)).alias("sh")
-    )
-    h = F.md5(F.col("sh"))  # CSE'd by codegen across the two substrings
-    hashed = ex.select(
-        F.col(id_col),
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
-    )
+    if hashed is None:
+        hashed = hashed_shingles(df, id_col, text_col)
     aggs = [
         F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(EMPTY_SIG)).alias(
             f"sig_{k}"
@@ -158,23 +174,24 @@ def jaccard_verify(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard (fixed-point millis) for candidate pairs only:
-    (doc_a, doc_b, jaccard_millis)."""
-    # Materialized once: feeds the two join sides and the size table.
-    shingle_set = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col)).alias("sh"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    sizes = shingle_set.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    (doc_a, doc_b, jaccard_millis). Set identity is the 64-bit hashed
+    shingle (h1, h2) — pass the materialized ``hashed_shingles`` output to
+    share the explode/hash work with signature computation."""
+    if hashed is None:
+        hashed = hashed_shingles(df, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
-    sa = shingle_set.select(F.col(id_col).alias("doc_a"), "sh")
-    sb = shingle_set.select(F.col(id_col).alias("doc_b"), "sh")
+    sa = hashed.select(F.col(id_col).alias("doc_a"), "h1", "h2")
+    sb = hashed.select(F.col(id_col).alias("doc_b"), "h1", "h2")
     # candidate pairs are small relative to the shingle fact → broadcast
     inter = (
         sa.join(F.broadcast(pairs), "doc_a")
-        .join(sb, ["doc_b", "sh"])
+        .join(sb, ["doc_b", "h1", "h2"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -82,11 +82,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
-    sigs = D.minhash_signatures(docs)
+    # The hashed shingle set feeds BOTH the signature aggregation and the
+    # Jaccard verify joins — materialize it once (the explode + md5 pass
+    # over the corpus is the dominant cost of the whole pipeline).
+    hashed = D.hashed_shingles(docs).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures(docs, hashed=hashed)
     # Candidate pairs feed two joins in the verify stage — materialize
     # once instead of re-running the banded self-join per consumer.
     pairs = D.lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
-    verified = D.jaccard_verify(docs, pairs)
+    verified = D.jaccard_verify(docs, pairs, hashed=hashed)
     return verified.orderBy(
         F.desc("jaccard_millis"), "doc_a", "doc_b"
     ).limit(PAIR_TOPN)
@@ -192,7 +196,7 @@ _BAND_EQ = " AND ".join(
 _MINHASH_SQL = rf"""
 WITH {_DOC_SH.strip()},
 shh AS (
-  SELECT doc_id,
+  SELECT DISTINCT doc_id,
          ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
          ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
   FROM (SELECT doc_id, UNNEST(shingles) AS s FROM doc_sh)
@@ -218,13 +222,12 @@ cand AS (
   JOIN okb USING ({_BAND_KEYS})
   JOIN bands b ON {_BAND_EQ} AND a.doc_id < b.doc_id
 ),
-shset AS (SELECT DISTINCT doc_id, UNNEST(shingles) AS sh FROM doc_sh),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shset GROUP BY 1),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS i
   FROM cand c
-  JOIN shset sa ON sa.doc_id = c.doc_a
-  JOIN shset sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  JOIN shh sa ON sa.doc_id = c.doc_a
+  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
