@@ -111,6 +111,63 @@ def cosine_topk(
     )
 
 
+IVF_K = 16
+IVF_NPROBE = 2
+
+
+def ivf_centroids(
+    prepared: DataFrame, k: int = IVF_K, id_col: str = "vec_id"
+) -> list[tuple[int, list[int]]]:
+    """Deterministic coarse-quantizer centroids: the k vectors with the
+    lowest ids (a reproducible stand-in for trained k-means centroids —
+    production would train centroids offline; the query plan shape is
+    identical either way). Returns [(cell_id, ivec), ...]."""
+    rows = (
+        prepared.orderBy(id_col).limit(k).select(id_col, "ivec").collect()
+    )
+    return [(i, [int(v) for v in r["ivec"]]) for i, r in enumerate(rows)]
+
+
+def with_ivf_cell(
+    prepared: DataFrame, centroids: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Assign each vector to its max-dot-product centroid (tie → lowest
+    cell id). Map-side only — the IVF index build is one pass over the
+    data, no shuffle.
+
+    Implementation note: argmax is array_max over (dot, -cid) structs
+    (lexicographic struct compare), NOT a when/otherwise fold — a fold
+    references the accumulator twice per step, doubling the expression
+    tree per centroid (2^k nodes by centroid k: a planner hang)."""
+    entries = [
+        F.struct(
+            int_dot(
+                F.col("ivec"), F.array(*[F.lit(v).cast("long") for v in cvec])
+            ).alias("dot"),
+            F.lit(-cid).cast("long").alias("negcid"),
+        )
+        for cid, cvec in centroids
+    ]
+    best = F.array_max(F.array(*entries))
+    return prepared.withColumn("cell", (-best["negcid"]).cast("long"))
+
+
+def ivf_probe_cells(
+    query_ivec: list[int],
+    centroids: list[tuple[int, list[int]]],
+    nprobe: int = IVF_NPROBE,
+) -> list[int]:
+    """The nprobe centroid cells nearest the query (dot desc, cid asc) —
+    driver-side scalar math over the tiny centroid list."""
+    scored = sorted(
+        (
+            (-sum(a * b for a, b in zip(query_ivec, cvec)), cid)
+            for cid, cvec in centroids
+        ),
+    )
+    return [cid for _, cid in scored[:nprobe]]
+
+
 def bucket_neardup_pairs(
     prepared_with_bucket: DataFrame,
     id_col: str = "vec_id",

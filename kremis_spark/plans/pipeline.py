@@ -146,6 +146,28 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with an IVF coarse quantizer: assign every vector to its
+    nearest centroid cell (map-side), probe the query's nprobe nearest
+    cells, exact cosine top-k within them. The scale path complementing
+    the hyperplane-LSH variant: at 100 TB the assignment is a single
+    map pass and the probe prunes the scan to nprobe/k of the data
+    (partition the table by cell for real partition pruning)."""
+    q = _query_ivec(spark, sf_dir)
+    if not q:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine DOUBLE")
+    prepared = _prepared(spark, sf_dir)
+    cents = S.ivf_centroids(prepared)
+    probe = S.ivf_probe_cells(q, cents)
+    assigned = S.with_ivf_cell(prepared, cents)
+    return S.cosine_topk(
+        assigned.filter(F.col("cell").isin(probe)),
+        q,
+        k=TOPK,
+        exclude_id=QUERY_VEC_ID,
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = S.with_lsh_bucket(_prepared(spark, sf_dir))
     return S.bucket_neardup_pairs(prepared, top_n=PAIR_TOPN)
@@ -389,6 +411,43 @@ ORDER BY cosine DESC, e.vec_id
 LIMIT {TOPK}
 """
 
+_IVF_TOPK_SQL = f"""
+WITH {_EMB_CTE.strip()},
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ivec AS cvec
+  FROM (SELECT vec_id, ivec FROM norms ORDER BY vec_id LIMIT {S.IVF_K})
+),
+dots AS (
+  SELECT e.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(e.ivec)),
+              i -> e.ivec[i] * c.cvec[i])) AS BIGINT) AS dot
+  FROM norms e, cents c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cid) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM dots WHERE vec_id = {QUERY_VEC_ID}
+  ORDER BY dot DESC, cid LIMIT {S.IVF_NPROBE}
+)
+SELECT e.vec_id,
+       CAST(CAST(list_sum(list_transform(generate_series(1, len(e.ivec)),
+                 i -> e.ivec[i] * q.qv[i])) AS BIGINT) AS DOUBLE)
+       / (SQRT(CAST(e.norm AS DOUBLE)) * SQRT(CAST(q.qnorm AS DOUBLE)))
+       AS cosine
+FROM norms e
+JOIN assign a ON a.vec_id = e.vec_id
+             AND a.cid IN (SELECT cid FROM qprobe), q
+WHERE e.vec_id <> {QUERY_VEC_ID} AND e.norm > 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT {TOPK}
+"""
+
 _NEARDUP_SQL = f"""
 WITH {_EMB_CTE.strip()},
 {_BUCKETS_CTE.strip()}
@@ -443,6 +502,7 @@ FROM documents GROUP BY 1
     "pipe_simhash": _SIMHASH_SQL,
     "pipe_ann_cosine_topk": _COSINE_TOPK_SQL,
     "pipe_ann_lsh_topk": _LSH_TOPK_SQL,
+    "pipe_ann_ivf_topk": _IVF_TOPK_SQL,
     "pipe_embed_neardup": _NEARDUP_SQL,
 }
 
@@ -457,5 +517,6 @@ QUERIES = {
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
     "pipe_ann_lsh_topk": q_ann_lsh_topk,
+    "pipe_ann_ivf_topk": q_ann_ivf_topk,
     "pipe_embed_neardup": q_embed_neardup,
 }

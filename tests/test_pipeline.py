@@ -108,3 +108,25 @@ def test_fingerprint_stability(spark):
     rows = df.collect()
     assert rows[0]["content_md5"] == rows[1]["content_md5"]
     assert rows[0]["shingle_min_md5"] == rows[1]["shingle_min_md5"]
+
+
+def test_ivf_assignment_and_probe(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),   # nearest centroid 0
+        (3, [0.1, 0.9]),   # nearest centroid 1
+        (4, [1.0, 1.0]),   # equal dot with both centroids → tie → cell 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    prepared = S.prepared_embeddings(df)
+    cents = S.ivf_centroids(prepared, k=2)
+    assert [c for c, _ in cents] == [0, 1]
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in S.with_ivf_cell(prepared, cents).collect()
+    }
+    assert cells[2] == 0 and cells[3] == 1
+    assert cells[4] == 0  # tie resolves to the lowest cell id
+    q = [int(v) for v in prepared.filter("vec_id=2").collect()[0]["ivec"]]
+    assert S.ivf_probe_cells(q, cents, nprobe=1) == [0]
