@@ -65,17 +65,30 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
 def with_lsh_bucket(
     df: DataFrame, vec_col: str = "ivec", planes: list[list[int]] | None = None
 ) -> DataFrame:
-    """Add the hyperplane-LSH bucket id: bit p set iff dot(v, plane_p) > 0."""
+    """Add the hyperplane-LSH bucket id: bit p set iff dot(v, plane_p) > 0.
+
+    Arrow-batched pandas UDF doing one integer matmul per batch — exact
+    (int64 arithmetic, values bounded far below overflow) and ~an order
+    of magnitude faster than 8 interpreted aggregate/zip_with dots per
+    row. The bucket definition (and the DuckDB oracle) is unchanged."""
     if planes is None:
         planes = hyperplanes()
-    bucket = None
-    for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(v).cast("long") for v in plane])
-        bit = F.when(
-            int_dot(F.col(vec_col), arr) > 0, F.lit(1 << p).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    pl = np.array(planes, dtype=np.int64)  # (n_planes, dim)
+    powers = 1 << np.arange(pl.shape[0], dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.array(v.tolist(), dtype=np.int64)  # (batch, dim)
+        bits = (m @ pl.T > 0).astype(np.int64)
+        return pd.Series((bits * powers).sum(axis=1))
+
+    return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 
 
 def prepared_embeddings(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
@@ -135,21 +148,28 @@ def with_ivf_cell(
     cell id). Map-side only — the IVF index build is one pass over the
     data, no shuffle.
 
-    Implementation note: argmax is array_max over (dot, -cid) structs
-    (lexicographic struct compare), NOT a when/otherwise fold — a fold
-    references the accumulator twice per step, doubling the expression
-    tree per centroid (2^k nodes by centroid k: a planner hang)."""
-    entries = [
-        F.struct(
-            int_dot(
-                F.col("ivec"), F.array(*[F.lit(v).cast("long") for v in cvec])
-            ).alias("dot"),
-            F.lit(-cid).cast("long").alias("negcid"),
-        )
-        for cid, cvec in centroids
-    ]
-    best = F.array_max(F.array(*entries))
-    return prepared.withColumn("cell", (-best["negcid"]).cast("long"))
+    Arrow-batched pandas UDF: one (batch × dim) @ (dim × k) integer
+    matmul + argmax per batch. np.argmax returns the FIRST maximum, and
+    cell ids are ascending, so ties resolve to the lowest cell id —
+    matching the oracle's ROW_NUMBER(ORDER BY dot DESC, cid) exactly.
+    (A when/otherwise fold is the wrong shape here twice over: it
+    references its accumulator twice per step, doubling the expression
+    tree per centroid — a planner hang at k=16.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    cmat = np.array([cvec for _, cvec in centroids], dtype=np.int64)  # (k, dim)
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def cell_udf(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.array(v.tolist(), dtype=np.int64)  # (batch, dim)
+        return pd.Series(cids[np.argmax(m @ cmat.T, axis=1)])
+
+    return prepared.withColumn("cell", cell_udf(F.col("ivec")))
 
 
 def ivf_probe_cells(
