@@ -29,11 +29,34 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kremis_spark.engine import GraphState
+from kremis_spark.schema import EDGES_SCHEMA, NODES_SCHEMA, PROPERTIES_SCHEMA
 
 MANIFEST = "_manifest.json"
+# Hash-bucket count for the fact tables. At 100 TB this is a tunable in
+# the manifest (hundreds/thousands of buckets); per-node reads then scan
+# 1/N of the files via partition pruning.
+BUCKETS = 16
+
+
+def _write_bucketed(df: DataFrame, path: str, key: str, n: int = BUCKETS) -> None:
+    """Write partitioned by pmod(key, n) — the on-disk co-location that
+    makes per-node point reads prune to one bucket directory."""
+    df.withColumn("bucket", F.pmod(F.col(key), F.lit(n))).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def _read_bucketed(spark: SparkSession, path: str, schema) -> DataFrame:
+    cols = [f.name for f in schema.fields]
+    try:
+        return spark.read.parquet(path).select(*cols)
+    except Exception:
+        # empty partitioned write leaves no files → empty state table
+        return spark.createDataFrame([], schema)
 
 
 def init_store(root: str) -> None:
@@ -69,11 +92,13 @@ def save_state(state: GraphState, root: str) -> int:
     version = manifest["version"] + 1
     vdir = os.path.join(root, f"v{version:06d}")
     # Full materialization BEFORE the manifest swap: a crash mid-write
-    # leaves an orphan dir, never a readable partial state.
+    # leaves an orphan dir, never a readable partial state. The fact
+    # tables are hash-bucketed by their read key (nodes is the small dim
+    # — one file, broadcast on load).
     state.nodes.write.mode("overwrite").parquet(os.path.join(vdir, "nodes"))
-    state.edges.write.mode("overwrite").parquet(os.path.join(vdir, "edges"))
-    state.properties.write.mode("overwrite").parquet(
-        os.path.join(vdir, "properties")
+    _write_bucketed(state.edges, os.path.join(vdir, "edges"), "src")
+    _write_bucketed(
+        state.properties, os.path.join(vdir, "properties"), "node_id"
     )
     _write_manifest(
         root, {"version": version, "next_node_id": state.next_node_id}
@@ -94,10 +119,39 @@ def load_state(
     next_node_id = (
         manifest["next_node_id"] if version is None else None
     )
-    nodes = spark.read.parquet(os.path.join(vdir, "nodes"))
-    edges = spark.read.parquet(os.path.join(vdir, "edges"))
-    props = spark.read.parquet(os.path.join(vdir, "properties"))
+    nodes = spark.read.parquet(os.path.join(vdir, "nodes")).select(
+        *[f.name for f in NODES_SCHEMA.fields]
+    )
+    edges = _read_bucketed(spark, os.path.join(vdir, "edges"), EDGES_SCHEMA)
+    props = _read_bucketed(
+        spark, os.path.join(vdir, "properties"), PROPERTIES_SCHEMA
+    )
     return GraphState.from_tables(nodes, edges, props, next_node_id)
+
+
+def read_src_edges(
+    spark: SparkSession, root: str, src: int, version: int | None = None
+) -> DataFrame:
+    """Point read of one node's out-edges straight from storage, WITHOUT
+    loading the table: the bucket predicate is a partition filter (only
+    bucket=pmod(src) directories are listed/scanned) and the src
+    predicate pushes into those parquet files. This is the layout payoff:
+    at N buckets a point read touches 1/N of the files."""
+    manifest = read_manifest(root)
+    v = manifest["version"] if version is None else version
+    if v == 0:
+        return spark.createDataFrame([], EDGES_SCHEMA)
+    path = os.path.join(root, f"v{v:06d}", "edges")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], EDGES_SCHEMA)
+    return (
+        df.filter(
+            (F.col("bucket") == src % BUCKETS) & (F.col("src") == src)
+        )
+        .select("src", "dst", "weight")
+    )
 
 
 def vacuum(root: str, keep: int = 2) -> list[str]:
