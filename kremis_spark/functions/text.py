@@ -127,3 +127,52 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content_md5", F.md5(text)).withColumn(
         "shingle_min_md5", F.array_min(F.transform(grams, F.md5))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k distinctive terms by a linearized tf-idf weight:
+    score_millionths = tf * 1_000_000 // df. The log damping of classic
+    idf is omitted deliberately — the ranking stays integer-exact (and
+    therefore bit-identical across engines/partitionings), and for top-k
+    per doc the linear 1/df rarity weight picks the same "rare and
+    frequent here" terms. Tiebreak: score desc, term asc.
+
+    Plan shape: one explode → two group-aggs (tf on (doc, term); df on
+    term) → broadcast the term-df dim back → per-doc window top-k. At
+    100 TB the df table is the only global aggregate and it's
+    vocabulary-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score_millionths",
+        F.expr("tf * 1000000 div df").cast("long"),  # integer div, no float
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_millionths"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score_millionths",
+        )
+    )

@@ -265,12 +265,28 @@ def _sparse_threshold(st: GraphState) -> int | None:
     return best
 
 
+_PATH_CACHE: dict[tuple[str, str], tuple[list[int] | None, GraphState | None]] = {}
+
+
 def _sparse_strongest_path(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[int] | None, GraphState | None]:
     """Shared core of the strongest-path family: adaptive sparsify →
     anchors (heaviest-edge src, farthest reachable end) → exact DFS.
-    Returns (path, sparsified_state)."""
+    Returns (path, sparsified_state). Memoized per (app, sf) alongside
+    graph_state — strongest_path / extract_path / path_confidence are a
+    family over one intermediate, like consumers of a CTE."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PATH_CACHE:
+        return _PATH_CACHE[key]
+    result = _sparse_strongest_path_uncached(spark, sf_dir)
+    _PATH_CACHE[key] = result
+    return result
+
+
+def _sparse_strongest_path_uncached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int] | None, GraphState | None]:
     from kremis_spark.operators.path import strongest_path
     from kremis_spark.operators.traverse import bfs_levels
 

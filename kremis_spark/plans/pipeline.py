@@ -73,6 +73,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_top_terms(_docs_parallel(spark, sf_dir), k=3)
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -482,6 +486,31 @@ FROM t
 """,
     "pipe_quality": _QUALITY_SQL,
     "pipe_lang_id": _LANG_SQL,
+    "pipe_tfidf_top_terms": rf"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         CAST(tf.tf * 1000000 // d.df AS BIGINT) AS score_millionths
+  FROM tf JOIN dfreq d USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score_millionths,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_millionths DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score_millionths
+FROM ranked WHERE rank <= 3
+""",
     "pipe_fingerprint": rf"""
 SELECT doc_id,
        md5(text) AS content_md5,
@@ -512,6 +541,7 @@ QUERIES = {
     "pipe_quality": q_quality,
     "pipe_lang_id": q_lang_id,
     "pipe_fingerprint": q_fingerprint,
+    "pipe_tfidf_top_terms": q_tfidf_top_terms,
     "pipe_dedup_exact": q_dedup_exact,
     "pipe_dedup_minhash": q_dedup_minhash,
     "pipe_simhash": q_simhash,
