@@ -323,6 +323,28 @@ def q_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP(lang, source) doc counts + char sums — the
+    one-shuffle multi-level aggregate (Spark expands the rollup into
+    grouping sets inside a single exchange). Null grouping markers are
+    mapped to 'ALL' (both columns are non-null in the data, so the
+    sentinel is unambiguous)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "tpch_q1_pricing": """
 SELECT l_returnflag, l_linestatus,
@@ -492,6 +514,14 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY b.sum_qty DESC, o.o_orderkey
 LIMIT 20
 """,
+    "docs_rollup_stats": """
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+""",
     "tpch_q14_promo": """
 WITH agg AS (
   SELECT
@@ -527,4 +557,5 @@ QUERIES = {
     "events_type_summary": q_event_type_summary,
     "events_asof_attribution": q_asof_attribution,
     "events_purchase_window": q_purchase_window,
+    "docs_rollup_stats": q_docs_rollup,
 }

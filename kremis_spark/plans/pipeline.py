@@ -107,8 +107,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity ------------------------------------------------------------
 
 
+_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.prepared_embeddings(_emb(spark, sf_dir))
+    """Integerized embeddings + norms, materialized once per session —
+    the shared 'vector index base' of the four ANN queries (cosine, LSH,
+    IVF, near-dup), mirroring the cached graph state."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EMB_CACHE.get(key)
+    if df is None:
+        df = S.prepared_embeddings(_emb(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
+        _EMB_CACHE[key] = df
+    return df
 
 
 def _query_ivec(spark: SparkSession, sf_dir: str) -> list[int]:
