@@ -129,6 +129,82 @@ class GraphEngine:
         ]
         return [mapping[e] for e in seq_entities]
 
+    def insert_node(self, entity_id: int) -> int:
+        """Idempotent entity→node upsert; new ids from the monotone
+        counter (graph.rs:502-517). Returns the node id either way."""
+        existing = self.lookup(entity_id)
+        if existing is not None:
+            return existing
+        nid = self.state.next_node_id
+        new_row = self.spark.createDataFrame(
+            [(nid, entity_id)], self.state.nodes.schema
+        )
+        self.state = replace(
+            self.state,
+            nodes=self.state.nodes.unionByName(new_row).localCheckpoint(
+                eager=True
+            ),
+            next_node_id=nid + 1,
+        )
+        return nid
+
+    def insert_edge(self, src: int, dst: int, weight: int) -> bool:
+        """Set an edge weight (overwrite). SILENT NO-OP if either node is
+        missing (graph.rs:519-530, documented at graph.rs:29-34); negative
+        weights are clamped to 0 (types/mod.rs:43-76 forbids them).
+        Returns whether the edge was written."""
+        if not self.contains_node(src) or not self.contains_node(dst):
+            return False
+        weight = max(int(weight), 0)
+        others = self.state.edges.filter(
+            ~((F.col("src") == src) & (F.col("dst") == dst))
+        )
+        new_row = self.spark.createDataFrame(
+            [(src, dst, weight)], self.state.edges.schema
+        )
+        self.state = replace(
+            self.state,
+            edges=others.unionByName(new_row).localCheckpoint(eager=True),
+        )
+        return True
+
+    def increment_edge(self, src: int, dst: int) -> bool:
+        """weight += 1 saturating; creates the edge at 1; no-op if either
+        node is missing (graph.rs:532-541)."""
+        if not self.contains_node(src) or not self.contains_node(dst):
+            return False
+        current = self.get_edge(src, dst) or 0
+        i64_max = 9223372036854775807
+        return self.insert_edge(
+            src, dst, current + 1 if current < i64_max else i64_max
+        )
+
+    def store_property(self, node_id: int, attribute: str, value: str) -> None:
+        """Set-semantics property append: dedup at (node, attr, value),
+        4096/node cap, error on missing node (graph.rs:726-769)."""
+        if not self.contains_node(node_id):
+            raise KeyError(f"node {node_id} not found")
+        props = self.state.properties
+        exists = props.filter(
+            (F.col("node_id") == node_id)
+            & (F.col("attribute") == attribute)
+            & (F.col("value") == value)
+        ).take(1)
+        if exists:
+            return  # idempotent re-insert (set semantics)
+        n = props.filter(F.col("node_id") == node_id).count()
+        if n >= P.MAX_PROPERTIES_PER_NODE:
+            raise ValueError(
+                f"node {node_id} at property cap {P.MAX_PROPERTIES_PER_NODE}"
+            )
+        new_row = self.spark.createDataFrame(
+            [(node_id, attribute, value)], props.schema
+        )
+        self.state = replace(
+            self.state,
+            properties=props.unionByName(new_row).localCheckpoint(eager=True),
+        )
+
     def retract(self, from_entity: int, to_entity: int) -> bool:
         """Decrement an edge weight, floored at 0 (graph.rs:543-550,
         handlers.rs:169-213). Returns False if the edge is absent."""

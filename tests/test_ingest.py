@@ -127,3 +127,69 @@ def test_engine_retract_floors_at_zero(spark):
     assert eng.retract(1, 2) is True  # floors at 0
     assert eng.get_edge(0, 1) == 0
     assert eng.retract(2, 1) is False  # absent edge
+
+
+# --- point-mutation primitives (graph.rs:502-541, 726-769) ----------------
+
+
+def test_insert_node_idempotent(spark):
+    from kremis_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    a = eng.insert_node(42)
+    b = eng.insert_node(42)
+    c = eng.insert_node(43)
+    assert a == b == 0 and c == 1
+    assert eng.state.next_node_id == 2
+
+
+def test_insert_edge_missing_node_is_silent_noop(spark):
+    from kremis_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    eng.insert_node(1)
+    assert eng.insert_edge(0, 99, 5) is False  # dst missing
+    assert eng.edge_count() == 0
+
+
+def test_insert_edge_overwrites_and_clamps(spark):
+    from kremis_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    a, b = eng.insert_node(1), eng.insert_node(2)
+    assert eng.insert_edge(a, b, 7) is True
+    assert eng.insert_edge(a, b, 3) is True  # overwrite, not add
+    assert eng.get_edge(a, b) == 3
+    eng.insert_edge(a, b, -5)
+    assert eng.get_edge(a, b) == 0  # negative clamped
+
+
+def test_increment_edge_creates_at_one(spark):
+    from kremis_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    a, b = eng.insert_node(1), eng.insert_node(2)
+    assert eng.increment_edge(a, b) is True
+    assert eng.get_edge(a, b) == 1
+    eng.increment_edge(a, b)
+    assert eng.get_edge(a, b) == 2
+    assert eng.increment_edge(a, 99) is False
+
+
+def test_store_property_set_semantics_and_missing_node(spark):
+    import pytest as _pytest
+
+    from kremis_spark.engine import GraphEngine
+
+    eng = GraphEngine(spark)
+    n = eng.insert_node(1)
+    eng.store_property(n, "color", "red")
+    eng.store_property(n, "color", "red")  # set semantics: no dup
+    eng.store_property(n, "color", "blue")  # same attr, second value ok
+    rows = eng.get_properties(n).collect()
+    assert [(r["attribute"], r["value"]) for r in rows] == [
+        ("color", "blue"),
+        ("color", "red"),
+    ]
+    with _pytest.raises(KeyError):
+        eng.store_property(99, "a", "b")
