@@ -214,6 +214,65 @@ def jaccard_verify(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: each node's label converges to the smallest
+    node id in its component. Returns (n, label).
+
+    This is the canonical distributed dedup-clustering step ("keep one
+    doc per near-dup cluster"). Each iteration is one join + group-min —
+    a single shuffle — and the loop exits at the exact fixpoint (checked
+    cheaply on the label table, which holds only nodes that appear in
+    pairs, not the corpus). Iterations needed = component diameter;
+    near-dup clusters are dense, so convergence is fast. The exact
+    fixpoint makes the result identical to the SQL transitive-closure
+    oracle regardless of iteration count."""
+    und = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("n"))
+        .distinct()
+        .withColumn("label", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und["a"] == labels["n"])
+            .select(F.col("b").alias("n"), "label")
+            .groupBy("n")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("n", "n2"),
+                        labels["n"] == F.col("n2"), "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "n")
+            .filter(F.col("new_label") != F.col("label"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash over the distinct-token set: bit j of a token's
     contribution is the parity of hex digit j of md5(token); the doc bit

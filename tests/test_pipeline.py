@@ -130,3 +130,24 @@ def test_ivf_assignment_and_probe(spark):
     assert cells[4] == 0  # tie resolves to the lowest cell id
     q = [int(v) for v in prepared.filter("vec_id=2").collect()[0]["ivec"]]
     assert S.ivf_probe_cells(q, cents, nprobe=1) == [0]
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 5-3-8 (component min 3) and island 10-12; singleton 99 absent
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 8), (10, 12)], "doc_a LONG, doc_b LONG"
+    )
+    labels = {
+        r["n"]: r["label"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert labels == {3: 3, 5: 3, 8: 3, 10: 10, 12: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # label must propagate the full diameter (9 hops), not just one step
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a LONG, doc_b LONG"
+    )
+    labels = D.connected_components(pairs).collect()
+    assert all(r["label"] == 0 for r in labels)
