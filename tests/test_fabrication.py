@@ -174,3 +174,64 @@ def test_unanswerable_questions_zero_fabrications(world):
         assert cert["proof_of_absence"] is True, (category, source, target)
         assert cert["certificate"]
     assert fabrications == [], f"fabricated chains: {fabrications}"
+
+
+# --- long-horizon world (benchmark/world_lh.py shape, scaled) -------------
+
+
+def test_long_horizon_composition(spark):
+    """Long-horizon behavioral baseline (BASELINE.md: 420 services /
+    330 deps, horizons 2..10): scaled to 40 chains x 10 services. Each
+    chain is ingested twice in one batch, so real dependency edges carry
+    weight 2 while the chain-junction noise edges carry weight 1; the
+    horizon questions then run on the weight>=2 subgraph — exercising
+    filtered traversal + strongest path at depth, with 100% accuracy on
+    answerable chains and 0 fabrications on cross-chain pairs."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from kremis_spark.operators.path import strongest_path
+    from kremis_spark.schema import SIGNALS_SCHEMA
+
+    n_chains, chain_len = 40, 10
+    ent = lambda c, p: c * 100 + p  # noqa: E731
+
+    rows = []
+    seq = 0
+    for c in range(n_chains):
+        for _rep in range(2):  # twice: real edges get weight 2
+            for p in range(chain_len):
+                rows.append((seq, ent(c, p), "name", f"svc-{c}-{p}"))
+                seq += 1
+    eng = GraphEngine(spark)
+    eng.ingest(
+        spark.createDataFrame(rows, SIGNALS_SCHEMA), enforce_limits=False
+    )
+
+    node = {
+        int(r["entity_id"]): int(r["node_id"])
+        for r in eng.state.nodes.collect()
+    }
+    fstate = replace(
+        eng.state,
+        edges=eng.state.edges.filter(F.col("weight") >= 2).localCheckpoint(
+            eager=True
+        ),
+    )
+
+    # answerable: horizon-N composition along a chain
+    for horizon in (2, 4, 6, 8):
+        for c in (0, 7, 19, 33):
+            path = strongest_path(
+                fstate, node[ent(c, 0)], node[ent(c, horizon)]
+            )
+            assert path == [node[ent(c, p)] for p in range(horizon + 1)], (
+                f"chain {c} horizon {horizon}"
+            )
+
+    # unanswerable: cross-chain pairs must be certified absent (no path)
+    for a, b in [(0, 1), (5, 6), (12, 13), (20, 39)]:
+        assert (
+            strongest_path(fstate, node[ent(a, 0)], node[ent(b, 5)]) is None
+        ), f"fabricated cross-chain path {a}->{b}"
