@@ -38,6 +38,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(PIPELINE_QUERIES)
     except ImportError:
         pass
+    try:
+        from kremis_spark.plans.analytics_ext import QUERIES as EXT_QUERIES
+
+        out.update(EXT_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -56,6 +62,12 @@ def oracle_sql() -> dict[str, str]:
         from kremis_spark.plans.pipeline import ORACLE_SQL as PIPELINE_ORACLES
 
         out.update(PIPELINE_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.analytics_ext import ORACLE_SQL as EXT_ORACLES
+
+        out.update(EXT_ORACLES)
     except ImportError:
         pass
     return out

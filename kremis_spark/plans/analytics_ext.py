@@ -1,0 +1,563 @@
+"""Extended TPC-H-shaped analytics: the rest of the join/agg/subquery
+zoo adapted to the testdata star schema (no partsupp/shipmode/phone
+columns, so Q2/Q11/Q20 have no faithful adaptation; the others keep
+their canonical plan shape).
+
+Plan-shape notes (the 100 TB story, mirrored from analytics.py):
+- dimensions (region/nation/supplier/part/customer at TPC-H ratios)
+  broadcast; only fact-fact joins shuffle, always on the join key;
+- scalar subqueries (Q15 max, Q22 avg) evaluate once and broadcast;
+- anti/semi joins (Q21/Q22) stay key-partitioned — no cross products;
+- all money is integer cents end to end (see analytics.py docstring),
+  so sums are order-independent and hash-match DuckDB exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kremis_spark.plans.analytics import _cents, _pct
+from kremis_spark.sources.tables import read_table
+
+
+def _revenue():
+    return _cents(F.col("l_extendedprice")) * (100 - _pct(F.col("l_discount")))
+
+
+def q_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair shipping volume. Both nation dims
+    broadcast twice under different aliases; one shuffle each for the
+    li⋈orders fact join and the final group-agg."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue()).alias("revenue_cents_x100"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share inside one region — the
+    two-level conditional aggregation; share in integer millis."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    cnat = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    snat = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0))
+            .cast("long")
+            .alias("nation_cents_x100"),
+            F.sum(rev).cast("long").alias("total_cents_x100"),
+        )
+        .select(
+            "o_year",
+            "nation_cents_x100",
+            "total_cents_x100",
+            F.expr("nation_cents_x100 * 1000 div total_cents_x100").alias(
+                "share_millis"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (sans supplycost): revenue by supplier nation ×
+    order year for a part-name pattern; broadcast dims, one agg shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.sum(_revenue()).alias("amount_cents_x100"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, one quarter;
+    top 20 (TakeOrderedAndProject after a single agg shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        )
+        .agg(F.sum(_revenue()).alias("revenue_cents_x100"))
+        .orderBy(F.desc("revenue_cents_x100"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus): per line status, orders
+    split into high- vs low-priority counts after the fact-fact join."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join order counts per customer, then a
+    histogram of the counts — two agg shuffles, the second tiny."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over a quarter, keep the
+    max — the scalar-subquery-on-aggregate pattern. The per-supplier
+    aggregate is computed once and self-compared via a broadcast max."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("total_revenue_cents_x100"))
+    )
+    top = rev.agg(F.max("total_revenue_cents_x100").alias("mx"))
+    return (
+        rev.join(F.broadcast(top), rev["total_revenue_cents_x100"] == top["mx"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            "total_revenue_cents_x100",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    supplier count per part (brand, type, size) with exclusion filters.
+    countDistinct inside one shuffle on the grouping key."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(40)
+    )
+
+
+def q_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below 20% of their part's average quantity.
+    The correlated scalar subquery becomes a per-part aggregate joined
+    back to the fact; `5*qty*cnt < sum` keeps the comparison integral."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(avg_qty), li["l_partkey"] == avg_qty["ap_key"])
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("cnt_qty")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.coalesce(F.sum(_cents(F.col("l_extendedprice"))), F.lit(0))
+            .cast("long")
+            .alias("below_avg_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity bands — the
+    OR-of-ANDs predicate join Catalyst turns into a single join with a
+    residual filter (no union of three scans)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 20)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#5") & (F.col("p_size") <= 30)
+           & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.coalesce(F.sum(_revenue()), F.lit(0))
+            .cast("long")
+            .alias("revenue_cents_x100"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers that returned lines on multi-supplier
+    orders where NO other supplier returned — EXISTS as a key-partitioned
+    semi join, NOT EXISTS as an anti join, then a count per supplier."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).dropDuplicates()
+    other = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    ).dropDuplicates()
+    other_returned = l1.select(
+        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
+    )
+    exists_other = l1.join(
+        other,
+        (l1["l_orderkey"] == other["o_key"]) & (l1["l_suppkey"] != other["o_supp"]),
+        "left_semi",
+    )
+    no_other_returned = exists_other.join(
+        other_returned,
+        (exists_other["l_orderkey"] == other_returned["r_key"])
+        & (exists_other["l_suppkey"] != other_returned["r_supp"]),
+        "left_anti",
+    )
+    return (
+        no_other_returned.join(
+            F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"]
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the average
+    positive balance with no orders — broadcast scalar aggregate +
+    anti join; the avg comparison stays integral (bal*cnt > sum)."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6)
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg_ = pos.agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("sum_bal"),
+        F.count(F.lit(1)).alias("cnt_bal"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_))
+        .filter(_cents(F.col("c_acctbal")) * F.col("cnt_bal") > F.col("sum_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("totacctbal_cents"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_CENTS = "CAST(ROUND(CAST({c} AS DOUBLE) * 100) AS BIGINT)"
+_REV = (
+    "CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT))"
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "tpch_q7_volume": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_REV.replace('l_', 'l.l_')}) AS BIGINT) AS revenue_cents_x100
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+    "tpch_q8_market_share": f"""
+WITH base AS (
+  SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+         {_REV.replace('l_', 'l.l_')} AS rev,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT)
+         AS nation_cents_x100,
+       CAST(SUM(rev) AS BIGINT) AS total_cents_x100,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+            * 1000 // SUM(rev) AS BIGINT) AS share_millis
+FROM base GROUP BY o_year ORDER BY o_year
+""",
+    "tpch_q9_product_profit": f"""
+SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV.replace('l_', 'l.l_')}) AS BIGINT) AS amount_cents_x100
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""",
+    "tpch_q10_returns": f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       {_CENTS.format(c='c.c_acctbal')} AS acctbal_cents,
+       CAST(SUM({_REV.replace('l_', 'l.l_')}) AS BIGINT) AS revenue_cents_x100
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_cents_x100 DESC, c.c_custkey
+LIMIT 20
+""",
+    "tpch_q12_priority_class": """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+""",
+    "tpch_q13_custdist": """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "tpch_q15_top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_REV}) AS BIGINT) AS total_revenue_cents_x100
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents_x100
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue_cents_x100 = (SELECT MAX(total_revenue_cents_x100) FROM rev)
+ORDER BY s.s_suppkey
+""",
+    "tpch_q16_supplier_cnt": """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+LIMIT 40
+""",
+    "tpch_q17_small_qty": """
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_key,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COALESCE(SUM(
+         CAST(ROUND(CAST(l.l_extendedprice AS DOUBLE) * 100) AS BIGINT)), 0)
+       AS BIGINT) AS below_avg_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN avg_qty a ON l.l_partkey = a.ap_key
+WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+  AND CAST(l.l_quantity AS BIGINT) * 5 * a.cnt_qty < a.sum_qty
+""",
+    "tpch_q19_or_predicates": f"""
+SELECT CAST(COALESCE(SUM({_REV.replace('l_', 'l.l_')}), 0) AS BIGINT)
+         AS revenue_cents_x100,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size <= 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size <= 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#5' AND p.p_size <= 30
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    "tpch_q21_waiting_supplier": """
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 20
+""",
+    "tpch_q22_idle_customers": f"""
+WITH pool AS (
+  SELECT * FROM customer WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+),
+avg_ AS (
+  SELECT CAST(SUM({_CENTS.format(c='c_acctbal')}) AS BIGINT) AS sum_bal,
+         CAST(COUNT(*) AS BIGINT) AS cnt_bal
+  FROM pool WHERE c_acctbal > 0
+)
+SELECT CAST(p.c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM({_CENTS.format(c='p.c_acctbal')}) AS BIGINT) AS totacctbal_cents
+FROM pool p, avg_ a
+WHERE {_CENTS.format(c='p.c_acctbal')} * a.cnt_bal > a.sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY nationkey
+""",
+}
+
+QUERIES = {
+    "tpch_q7_volume": q_q7_volume,
+    "tpch_q8_market_share": q_q8_market_share,
+    "tpch_q9_product_profit": q_q9_product_profit,
+    "tpch_q10_returns": q_q10_returns,
+    "tpch_q12_priority_class": q_q12_priority_class,
+    "tpch_q13_custdist": q_q13_custdist,
+    "tpch_q15_top_supplier": q_q15_top_supplier,
+    "tpch_q16_supplier_cnt": q_q16_supplier_cnt,
+    "tpch_q17_small_qty": q_q17_small_qty,
+    "tpch_q19_or_predicates": q_q19_or_predicates,
+    "tpch_q21_waiting_supplier": q_q21_waiting_supplier,
+    "tpch_q22_idle_customers": q_q22_idle_customers,
+}

@@ -1,0 +1,53 @@
+"""DuckDB oracle cross-check for every oracle-bearing queries() entry at
+sf0.001 — the in-suite mirror of the driver's correctness gate (row
+count + column names + order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_oracle import TABLES, value_hash  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _contract():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    return qs, oracles
+
+
+_QS, _ORACLES = _contract()
+_NAMES = sorted(n for n in _QS if n in _ORACLES)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_oracle_match(spark, duck, name):
+    sdf = _QS[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(_ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert value_hash(scols, srows) == value_hash(ocols, orows)
