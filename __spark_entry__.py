@@ -44,6 +44,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(EXT_QUERIES)
     except ImportError:
         pass
+    try:
+        from kremis_spark.plans.beyond import QUERIES as BEYOND_QUERIES
+
+        out.update(BEYOND_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -68,6 +74,12 @@ def oracle_sql() -> dict[str, str]:
         from kremis_spark.plans.analytics_ext import ORACLE_SQL as EXT_ORACLES
 
         out.update(EXT_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.beyond import ORACLE_SQL as BEYOND_ORACLES
+
+        out.update(BEYOND_ORACLES)
     except ImportError:
         pass
     return out

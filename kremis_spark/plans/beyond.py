@@ -1,0 +1,178 @@
+"""Gate queries for the multimodal and streaming surfaces.
+
+These promote the already-tested plumbing (functions/multimodal.py,
+streaming/stream.py) into the driver's oracle-checked correctness gate:
+
+- ``pipe_multimodal_decode`` — documents as opaque binary payloads →
+  Arrow-batched ``mapInPandas`` feature extraction. The decode step is the
+  documented deterministic stub (sha256-seeded features), so the whole
+  path — binary column, partitioning, batch schema, fixed-point feature
+  readback — is exactly reproducible in SQL.
+- ``stream_window_counts`` — Structured Streaming tumbling-window
+  aggregation (watermark + window) run to completion with availableNow;
+  the streamed result must equal the batch SQL over the same file.
+- ``stream_running_totals`` — custom stateful operator
+  (``applyInPandasWithState``) whose post-stream state equals a batch
+  group-count (single micro-batch here; multi-batch behavior is covered
+  in tests/test_streaming.py).
+
+Scale notes: the streaming queries are the bounded-state shapes (watermark
+bounds window state; per-key state is one counter). The multimodal path
+keeps bytes opaque JVM-side and moves them to Python once, in Arrow
+batches, after an explicit modality/bucket repartition.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kremis_spark.functions.multimodal import decode_features, partition_for_decode
+from kremis_spark.sources.tables import read_table
+from kremis_spark.streaming.stream import running_user_totals, windowed_event_counts
+
+_qid = itertools.count()
+
+EVENTS_LONG_TS_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat each document's UTF-8 bytes as an opaque media payload with a
+    deterministic modality tag, decode features via mapInPandas, and read
+    back byte count, content hash, and the first feature in fixed point
+    (features are float32 with power-of-two scaling, so the round-trip
+    through float is exact)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    buckets = spark.sparkContext.defaultParallelism
+    feats = decode_features(partition_for_decode(media, buckets=buckets))
+    return feats.select(
+        "item_id",
+        "modality",
+        "n_bytes",
+        "content_sha",
+        F.round(F.element_at("features", 1).cast("double") * 32768)
+        .cast("long")
+        .alias("feat0_q"),
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory; glob-filter to one table
+    stream = (
+        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn(
+        "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts, streamed to completion. Output
+    windows as epoch-µs longs; value sums in integer cents (exact and
+    order-independent, same as the batch analytics)."""
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value").cast("double") * 100).cast("long")
+    )
+    agg = (
+        ev.withWatermark("ts_utc", "2 hours")
+        .groupBy(F.window("ts_utc", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+    name = f"gate_win_counts_{next(_qid)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-user counter (applyInPandasWithState) run over
+    the event stream with availableNow. The file source delivers one
+    micro-batch here, so the final state equals the batch group-count —
+    which is what the oracle checks; cross-batch accumulation is covered
+    by the streaming unit tests."""
+    ev = _events_stream(spark, sf_dir)
+    name = f"gate_running_totals_{next(_qid)}"
+    q = (
+        running_user_totals(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# windowed_event_counts is imported for parity with tests but the gate
+# variant above inlines the agg to keep integer-cents output; reference
+# the canonical operator so linters see the intentional surface.
+_ = windowed_event_counts
+
+
+ORACLE_SQL: dict[str, str] = {
+    "pipe_multimodal_decode": """
+SELECT doc_id AS item_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha,
+       CAST(('0x' || substr(sha256(text), 1, 4))::INT - 32768 AS BIGINT)
+         AS feat0_q
+FROM documents
+""",
+    "stream_window_counts": """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY 1, 2
+""",
+    "stream_running_totals": """
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS events_in_batch,
+       CAST(COUNT(*) AS BIGINT) AS running_total
+FROM events
+GROUP BY user_id
+""",
+}
+
+QUERIES = {
+    "pipe_multimodal_decode": q_multimodal_decode,
+    "stream_window_counts": q_stream_window_counts,
+    "stream_running_totals": q_stream_running_totals,
+}
