@@ -1,0 +1,62 @@
+"""Skew-mitigation aggregation shapes.
+
+AQE's skew-join splitting (enabled in session.py) handles skewed JOINs at
+runtime; these operators handle the aggregation-side skew cases AQE does
+not touch:
+
+- ``two_phase_distinct_count``: COUNT(DISTINCT x) per key without the
+  single giant per-key distinct state — dedup on (key, x) first (that
+  shuffle spreads a hot key across ``hash(x)`` space), then a plain
+  count. This is THE way to count 100 TB of distinct users per key.
+- ``salted_sum``: two-phase SUM for keys so hot that even map-side
+  partial aggregation leaves one reducer with the bulk of the partials
+  (e.g. millions of map partitions × few keys): phase 1 groups by
+  (key, salt) where salt is a deterministic hash bucket of a row-unique
+  column (never rand() — determinism invariant), phase 2 re-groups by
+  key. Integer sums are associative, so the result is exactly the
+  direct aggregate.
+
+Both are semantically transparent: results equal the naive aggregate,
+verified by the DuckDB oracle on the gate query that uses them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+
+
+def two_phase_distinct_count(
+    df: DataFrame, keys: list[str], distinct_col: str, out_col: str = "n_distinct"
+) -> DataFrame:
+    """Exact per-key distinct count as dedup-then-count (two ordinary
+    hash aggregations, each with map-side combine; no per-key distinct
+    state concentrated on one reducer)."""
+    return (
+        df.select(*keys, distinct_col)
+        .dropDuplicates([*keys, distinct_col])
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str | Column,
+    salt_from: str,
+    out_col: str = "sum_value",
+    buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Two-phase sum with a deterministic salt derived from a row-unique
+    column (``salt_from``): phase 1 shrinks a hot key's rows to at most
+    ``buckets`` partials spread across reducers; phase 2 combines the
+    partials. Exact for associative integer sums."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(F.sum(value).alias("_part"))
+    return partial.groupBy(*keys).agg(F.sum("_part").alias(out_col))

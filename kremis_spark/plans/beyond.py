@@ -142,6 +142,26 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ = windowed_event_counts
 
 
+def q_skew_safe_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type user reach + value total computed with the
+    skew-safe aggregation shapes (operators/skew.py): exact distinct via
+    dedup-then-count, sum via deterministic salting. Semantically equal
+    to the naive aggregate — which is exactly what the oracle asserts."""
+    from kremis_spark.operators.skew import salted_sum, two_phase_distinct_count
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value").cast("double") * 100).cast("long")
+    )
+    reach = two_phase_distinct_count(
+        ev, ["event_type"], "user_id", out_col="n_users"
+    )
+    totals = salted_sum(
+        ev, ["event_type"], "value_cents", salt_from="event_id",
+        out_col="value_cents",
+    )
+    return reach.join(totals, "event_type").orderBy("event_type")
+
+
 ORACLE_SQL: dict[str, str] = {
     "pipe_multimodal_decode": """
 SELECT doc_id AS item_id,
@@ -169,10 +189,20 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """,
+    "events_skew_safe_reach": """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
 }
 
 QUERIES = {
     "pipe_multimodal_decode": q_multimodal_decode,
     "stream_window_counts": q_stream_window_counts,
     "stream_running_totals": q_stream_running_totals,
+    "events_skew_safe_reach": q_skew_safe_reach,
 }

@@ -1,0 +1,55 @@
+"""Skew-safe aggregation operators: semantic transparency vs the naive
+aggregate, including a degenerate hot-key distribution."""
+
+from pyspark.sql import functions as F
+
+from kremis_spark.operators.skew import salted_sum, two_phase_distinct_count
+
+
+def _hot_df(spark):
+    # one hot key (90% of rows) + long tail, duplicated members
+    rows = [(i, "hot" if i % 10 != 0 else f"cold_{i % 7}", i % 13, i % 5)
+            for i in range(1000)]
+    return spark.createDataFrame(rows, "row_id LONG, key STRING, member LONG, v LONG")
+
+
+def test_two_phase_distinct_count_matches_naive(spark):
+    df = _hot_df(spark)
+    got = {
+        (r["key"],): r["n_distinct"]
+        for r in two_phase_distinct_count(df, ["key"], "member").collect()
+    }
+    want = {
+        (r["key"],): r["n"]
+        for r in df.groupBy("key")
+        .agg(F.count_distinct("member").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_sum_matches_naive(spark):
+    df = _hot_df(spark)
+    got = {
+        r["key"]: r["sum_value"]
+        for r in salted_sum(df, ["key"], "v", salt_from="row_id").collect()
+    }
+    want = {
+        r["key"]: r["s"]
+        for r in df.groupBy("key").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_salted_sum_spreads_hot_key(spark):
+    df = _hot_df(spark)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(16))
+    )
+    n_buckets = (
+        salted.filter(F.col("key") == "hot")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 8  # the hot key's rows really fan out
