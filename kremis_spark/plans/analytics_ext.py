@@ -360,6 +360,27 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per order, the customer's trailing-30-day
+    order total (inclusive). One shuffle on the partition key; the frame
+    is an integer day range so both engines slide identical windows."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "day_num", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("cents_30d"),
+    )
+
+
 _CENTS = "CAST(ROUND(CAST({c} AS DOUBLE) * 100) AS BIGINT)"
 _REV = (
     "CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)"
@@ -367,6 +388,15 @@ _REV = (
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "win_rolling_revenue": """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY
+                  datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cents_30d
+FROM orders
+""",
     "tpch_q7_volume": f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
@@ -548,6 +578,7 @@ GROUP BY 1 ORDER BY nationkey
 }
 
 QUERIES = {
+    "win_rolling_revenue": q_rolling_revenue,
     "tpch_q7_volume": q_q7_volume,
     "tpch_q8_market_share": q_q8_market_share,
     "tpch_q9_product_profit": q_q9_product_profit,
