@@ -3,7 +3,10 @@
 Routes (``apps/kremis/src/api/mod.rs:211-224``): GET /health /status
 /stage /hash /metrics, POST /signal /signal/retract /signals /query
 /certify /export. Optional bearer-key auth (constant-time compare,
-api/auth.rs) and a 2 MiB body cap (api/mod.rs:242).
+api/auth.rs), a 2 MiB body cap (api/mod.rs:242), and a global
+token-bucket rate limit (default 100 req/s — the reference's governor
+default, docs/api/overview.mdx:49; /health is exempt so liveness
+probes never starve).
 
 This facade exists so tooling written against the reference (e.g. its
 fabrication benchmark harness) can drive the Spark engine unchanged. It
@@ -14,6 +17,8 @@ from __future__ import annotations
 
 import hmac
 import os
+import threading
+import time
 
 from flask import Flask, jsonify, request
 
@@ -23,12 +28,41 @@ from kremis_spark.ingest import InvalidSignalError, SequenceTooLongError
 from kremis_spark.schema import SIGNALS_SCHEMA
 
 MAX_BODY_BYTES = 2 * 1024 * 1024
+DEFAULT_RATE_PER_SEC = 100
 
 
-def create_app(engine: GraphEngine, api_key: str | None = None) -> Flask:
+class TokenBucket:
+    """Global token-bucket limiter: ``rate`` tokens/s, burst = ``rate``.
+    Wall-clock use is confined to this API middleware — the engine core
+    stays clock-free (the reference draws the same line: governor lives
+    in api/middleware.rs, never in kremis-core)."""
+
+    def __init__(self, rate: float):
+        self.rate = rate
+        self.tokens = rate
+        self.last = time.monotonic()
+        self._lock = threading.Lock()
+
+    def allow(self) -> bool:
+        with self._lock:
+            now = time.monotonic()
+            self.tokens = min(self.rate, self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= 1.0:
+                self.tokens -= 1.0
+                return True
+            return False
+
+
+def create_app(
+    engine: GraphEngine,
+    api_key: str | None = None,
+    rate_per_sec: float | None = DEFAULT_RATE_PER_SEC,
+) -> Flask:
     app = Flask("kremis_spark")
     app.config["MAX_CONTENT_LENGTH"] = MAX_BODY_BYTES
     metrics = {"requests": 0, "signals_ingested": 0, "queries": 0}
+    bucket = TokenBucket(rate_per_sec) if rate_per_sec else None
 
     def authed() -> bool:
         if api_key is None:
@@ -40,8 +74,12 @@ def create_app(engine: GraphEngine, api_key: str | None = None) -> Flask:
     @app.before_request
     def check_auth():
         metrics["requests"] += 1
-        if request.path != "/health" and not authed():
+        if request.path == "/health":
+            return None
+        if not authed():
             return jsonify({"error": "unauthorized"}), 401
+        if bucket is not None and not bucket.allow():
+            return jsonify({"error": "rate limit exceeded"}), 429
         return None
 
     @app.get("/health")
@@ -161,7 +199,11 @@ def main() -> None:  # pragma: no cover
     from kremis_spark.session import get_spark
 
     engine = GraphEngine(get_spark("kremis_server"))
-    app = create_app(engine, api_key=os.environ.get("KREMIS_API_KEY"))
+    app = create_app(
+        engine,
+        api_key=os.environ.get("KREMIS_API_KEY"),
+        rate_per_sec=float(os.environ.get("KREMIS_RATE_LIMIT", DEFAULT_RATE_PER_SEC)),
+    )
     app.run(
         host=os.environ.get("KREMIS_HOST", "127.0.0.1"),
         port=int(os.environ.get("KREMIS_PORT", "8080")),

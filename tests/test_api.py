@@ -185,3 +185,23 @@ def test_auth(spark):
     assert c.get("/status").status_code == 401
     ok = c.get("/status", headers={"Authorization": "Bearer sekrit"})
     assert ok.status_code == 200
+
+
+# --- rate limiting (governor parity, docs/api/overview.mdx:49) ------------
+
+
+def test_token_bucket_burst_then_block():
+    from kremis_spark.server import TokenBucket
+
+    b = TokenBucket(2)
+    assert b.allow() and b.allow()
+    assert not b.allow()  # burst of 2 exhausted; refill needs wall time
+
+
+def test_rate_limit_429_and_health_exempt(spark):
+    engine = GraphEngine(spark)
+    app = create_app(engine, rate_per_sec=0.001)
+    app.testing = True
+    c = app.test_client()
+    assert c.get("/status").status_code == 429
+    assert c.get("/health").status_code == 200  # liveness never limited
