@@ -1,0 +1,42 @@
+"""Bucketed-table write/read: co-located joins without a shuffle.
+
+At 100 TB the same big-big join key (e.g. ``edges.src`` ⋈ ``nodes.node_id``
+or repeated fact-fact joins on ``l_orderkey``) should not re-shuffle per
+query. Spark's native bucketing (``bucketBy`` + ``saveAsTable``) hashes
+rows into a fixed bucket count at write time; a join of two tables
+bucketed on the same key with the same count reads bucket-aligned splits
+and skips both Exchanges entirely (verified on the physical plan in
+tests/test_bucketed.py).
+
+This complements the versioned store's hash-bucketed *directory* layout
+(storage.py), which targets partition-pruned point reads; catalog
+bucketing targets shuffle elimination. Sort-by within buckets additionally
+enables sort-merge joins without a per-query sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_BUCKETS = 16
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a catalog table bucketed (and optionally sorted)
+    on ``bucket_col``. Overwrites an existing table of the same name."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed catalog table (bucket metadata comes from the
+    catalog, so joins on the bucket key skip their Exchange)."""
+    return spark.table(table)

@@ -1,0 +1,67 @@
+"""Bucketed co-located joins: same-key/same-count bucketed tables must
+join with ZERO Exchange in the physical plan, and results must match the
+plain shuffle join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kremis_spark.sources.bucketed import read_bucketed, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    db_dir = tmp_path_factory.mktemp("bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{db_dir}'")
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+    )
+    right = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("b")
+    )
+    write_bucketed(left, "bucketdb.left_t", "k", n_buckets=8)
+    write_bucketed(right, "bucketdb.right_t", "k", n_buckets=8)
+    yield "bucketdb.left_t", "bucketdb.right_t"
+    spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    lt, rt = bucketed_pair
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, lt).join(read_bucketed(spark, rt), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_pair):
+    lt, rt = bucketed_pair
+    got = (
+        read_bucketed(spark, lt)
+        .join(read_bucketed(spark, rt), "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a") * F.col("b")).alias("s"),
+        )
+        .collect()[0]
+    )
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+    )
+    right = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("b")
+    )
+    want = (
+        left.join(right, "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a") * F.col("b")).alias("s"),
+        )
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
