@@ -390,6 +390,31 @@ def q_traverse_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step BIGINT, node_id BIGINT")
 
 
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the co-occurrence graph via
+    distributed min-label propagation (functions/dedup.connected_components
+    — the same operator that powers near-dup clustering). Isolated nodes
+    are their own component. Output: (component, n_nodes), where the
+    component id is the minimum node_id in the component."""
+    from kremis_spark.functions.dedup import connected_components
+
+    st = graph_state(spark, sf_dir)
+    und = st.edges.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    labels = connected_components(und)
+    lab = (
+        st.nodes.select(F.col("node_id").alias("n"))
+        .join(labels, "n", "left")
+        .select("n", F.coalesce(F.col("label"), F.col("n")).alias("label"))
+    )
+    return (
+        lab.groupBy(F.col("label").alias("component"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("component")
+    )
+
+
 def q_path_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compute_path_confidence (confidence.rs:107-140) over the
     adaptive-sparse strongest path: avg consecutive edge weight clamped
@@ -701,6 +726,24 @@ SELECT
   plen AS path_length
 FROM pconf
 """,
+    "graph_components": GRAPH_CTE
+    + """
+, und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+reach AS (
+  WITH RECURSIVE r(n, m) AS (
+    SELECT node_id, node_id FROM nodes
+    UNION
+    SELECT r.n, u.b FROM r JOIN und u ON r.m = u.a
+  )
+  SELECT n, MIN(m) AS label FROM r GROUP BY n
+)
+SELECT label AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM reach GROUP BY label ORDER BY component
+""",
 }
 
 
@@ -723,4 +766,5 @@ QUERIES = {
     "graph_metrics": q_graph_metrics,
     "graph_traverse_dfs": q_traverse_dfs,  # rows-only (no SQL pre-order)
     "graph_path_confidence": q_path_confidence,
+    "graph_components": q_components,
 }
