@@ -85,18 +85,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_HASHED_CACHE: dict[tuple[str, str], DataFrame] = {}
 CLUSTER_JACCARD_MIN = 500  # 0.5 in millis
+
+
+def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct hashed word-bigram shingle set, materialized once per
+    session — the shared base of MinHash signatures, n-gram Jaccard
+    blocking, and exact-Jaccard verification (the explode + md5 pass
+    over the corpus is the dominant dedup cost)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _HASHED_CACHE.get(key)
+    if df is None:
+        df = D.hashed_shingles(_docs_parallel(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
+        _HASHED_CACHE[key] = df
+    return df
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs with exact Jaccard, materialized once per session
-    — shared by the top-pairs query and duplicate clustering (the
-    explode + md5 pass over the corpus is the dominant cost)."""
+    — shared by the top-pairs query and duplicate clustering."""
     key = (spark.sparkContext.applicationId, sf_dir)
     out = _VERIFIED_CACHE.get(key)
     if out is None:
         docs = _docs_parallel(spark, sf_dir)
-        hashed = D.hashed_shingles(docs).localCheckpoint(eager=True)
+        hashed = _hashed(spark, sf_dir)
         sigs = D.minhash_signatures(docs, hashed=hashed)
         pairs = D.lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
         out = D.jaccard_verify(docs, pairs, hashed=hashed).localCheckpoint(
@@ -132,6 +147,87 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(_docs_parallel(spark, sf_dir))
+
+
+NGRAM_BLOCK_CAP = 64
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone n-gram Jaccard near-dup: single-key min-shingle
+    blocking (docs sharing their minimum 32-bit hashed word-bigram form a
+    block), exact Jaccard inside blocks, top pairs. Complements MinHash
+    LSH: one blocking key instead of banded signatures — cheaper (no
+    signature pass) with lower recall, the classic first-cut dedup.
+
+    Scale shape: block assignment is one group-agg over the shared hashed
+    shingle set; blocks above NGRAM_BLOCK_CAP are dropped (they are
+    non-discriminative and would emit quadratic pairs); the pair join is
+    per-block and bounded by the cap."""
+    docs = _docs_parallel(spark, sf_dir)
+    hashed = _hashed(spark, sf_dir)
+    blocks = hashed.groupBy("doc_id").agg(F.min("h1").alias("blk"))
+    ok = (
+        blocks.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= NGRAM_BLOCK_CAP))
+        .select("blk")
+    )
+    members = blocks.join(F.broadcast(ok), "blk")
+    pairs = (
+        members.select("blk", F.col("doc_id").alias("doc_a"))
+        .join(members.select("blk", F.col("doc_id").alias("doc_b")), "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        D.jaccard_verify(docs, pairs, hashed=hashed)
+        .orderBy(F.desc("jaccard_millis"), "doc_a", "doc_b")
+        .limit(PAIR_TOPN)
+    )
+
+
+SAMPLE_MOD = 10
+SAMPLE_KEEP = 3
+QUALITY_MIN = 50
+
+
+def q_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in one plan — the composition a
+    training-data pipeline actually runs: exact-dedup to representatives,
+    quality-filter (score >= QUALITY_MIN), deterministic md5-bucket
+    sampling (SAMPLE_KEEP/SAMPLE_MOD of docs), then per-source stats.
+
+    Scale shape: the dedup group-agg and the final per-source agg are the
+    only shuffles; quality/sampling are map-side expressions that Catalyst
+    fuses into one codegen stage, and the representative semi-join keys on
+    doc_id. The hash sample is reproducible across runs and engines —
+    never rand()-based."""
+    docs = _docs_parallel(spark, sf_dir)
+    scored = T.with_token_stats(T.with_quality_score(docs))
+    keep = D.exact_dedup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SAMPLE_MOD
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.join(keep, "doc_id", "semi")
+        .filter(F.col("quality") >= QUALITY_MIN)
+        .filter(bucket < SAMPLE_KEEP)
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            ((F.sum("quality") * 1000) / n).cast("long").alias(
+                "mean_quality_millis"
+            ),
+        )
+        .orderBy("source")
+    )
 
 
 # --- similarity ------------------------------------------------------------
@@ -319,6 +415,46 @@ LIMIT {PAIR_TOPN}
 """
 )
 
+_NGRAM_SQL = rf"""
+WITH {_DOC_SH.strip()},
+shh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+  FROM (SELECT doc_id, UNNEST(shingles) AS s FROM doc_sh)
+),
+blk AS (SELECT doc_id, MIN(h1) AS blk FROM shh GROUP BY 1),
+ok AS (
+  SELECT blk FROM (SELECT blk, COUNT(*) AS n FROM blk GROUP BY 1)
+  WHERE n BETWEEN 2 AND {NGRAM_BLOCK_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blk a JOIN ok USING (blk)
+  JOIN blk b ON b.blk = a.blk AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN shh sa ON sa.doc_id = c.doc_a
+  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COALESCE(i.i, 0) * 1000
+              // (za.sz + zb.sz - COALESCE(i.i, 0)) AS BIGINT) AS jaccard_millis
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard_millis FROM jpairs
+ORDER BY jaccard_millis DESC, doc_a, doc_b
+LIMIT {PAIR_TOPN}
+"""
+
 # Connected components as transitive min-label closure: label lbl reaches
 # every larger-id node in its component (the component minimum reaches
 # everyone), so MIN(lbl) per node is the component min — identical to the
@@ -426,6 +562,38 @@ SELECT doc_id,
             + CASE WHEN n > 0 AND sumc * 1000 // n BETWEEN 3000 AND 8000
                    THEN 35 ELSE 0 END AS BIGINT) AS quality
 FROM m
+"""
+
+_CLEAN_SQL = rf"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sumc,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS BIGINT)
+           AS stops
+  FROM t
+),
+q AS (
+  SELECT doc_id, source, n AS n_tokens,
+         CAST((LEAST(n, 100) * 30) // 100
+              + CASE WHEN n > 0 AND stops * 1000 // n BETWEEN 50 AND 600
+                     THEN 35 ELSE 0 END
+              + CASE WHEN n > 0 AND sumc * 1000 // n BETWEEN 3000 AND 8000
+                     THEN 35 ELSE 0 END AS BIGINT) AS quality
+  FROM m
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(quality) * 1000 // COUNT(*) AS BIGINT) AS mean_quality_millis
+FROM q JOIN keep USING (doc_id)
+WHERE quality >= {QUALITY_MIN}
+  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % {SAMPLE_MOD} < {SAMPLE_KEEP}
+GROUP BY source
+ORDER BY source
 """
 
 _EMB_CTE = f"""
@@ -609,6 +777,8 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_ngram_jaccard": _NGRAM_SQL,
+    "pipe_clean_sample": _CLEAN_SQL,
     "pipe_dup_clusters": _CLUSTERS_SQL,
     "pipe_simhash": _SIMHASH_SQL,
     "pipe_ann_cosine_topk": _COSINE_TOPK_SQL,
@@ -626,6 +796,8 @@ QUERIES = {
     "pipe_tfidf_top_terms": q_tfidf_top_terms,
     "pipe_dedup_exact": q_dedup_exact,
     "pipe_dedup_minhash": q_dedup_minhash,
+    "pipe_ngram_jaccard": q_ngram_jaccard,
+    "pipe_clean_sample": q_clean_sample,
     "pipe_dup_clusters": q_dup_clusters,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
