@@ -136,6 +136,48 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window`` — the
+    merging-session stateful operator (distinct from the batch lag-gap
+    query, which counts sessions per user; this emits one row per
+    session). Sessions close after 30 idle minutes; run to completion
+    with availableNow. Over a finite stream, session_window's merge
+    semantics equal the classic gap rule (new session iff the gap since
+    the previous event is >= the gap duration), which is what the batch
+    SQL oracle computes.
+
+    Scale shape: state is one (start, end, count) triple per open
+    session per user, bounded by the watermark; the shuffle keys on
+    (user_id) — the same single-shuffle shape as batch sessionization."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_utc", "2 hours")
+        .groupBy(F.session_window("ts_utc", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    name = f"gate_session_windows_{next(_qid)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # windowed_event_counts is imported for parity with tests but the gate
 # variant above inlines the agg to keep integer-cents output; reference
 # the canonical operator so linters see the intentional surface.
@@ -189,6 +231,30 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """,
+    "stream_session_windows": f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+),
+g AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {SESSION_GAP_US} AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
     "events_skew_safe_reach": """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -204,5 +270,6 @@ QUERIES = {
     "pipe_multimodal_decode": q_multimodal_decode,
     "stream_window_counts": q_stream_window_counts,
     "stream_running_totals": q_stream_running_totals,
+    "stream_session_windows": q_stream_session_windows,
     "events_skew_safe_reach": q_skew_safe_reach,
 }
