@@ -381,13 +381,114 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOUR_EXPR_NS = 3_600_000_000_000  # ns per hour
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events").withColumn(
+        "hour_of_day",
+        (F.expr(f"ts div {_HOUR_EXPR_NS}") % 24).cast("long"),
+    )
+
+
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, hour-of-day): all four
+    aggregation granularities (detail, per-type, per-hour, grand total)
+    in ONE shuffle — Spark expands the grouping sets map-side, so the
+    pass over the fact table is single and partial-aggregated, the shape
+    that matters when the fact is 100 TB."""
+    return _events_hourly(spark, sf_dir).cube("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+    )
+
+
+def q_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: hour-of-day rows × event-type columns of value cents. The
+    pivot vocabulary is passed explicitly (EVENT_TYPES) so the plan is a
+    single-pass conditional aggregation — no extra distinct-values job
+    and a schema that is stable no matter what partition arrives first."""
+    return (
+        _events_hourly(spark, sf_dir)
+        .groupBy("hour_of_day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(_cents(F.col("value"))))
+        .orderBy("hour_of_day")
+    )
+
+
+def q_docs_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (p50/p90/p99) via rank
+    windows — the distributed-exact alternative to approx_percentile
+    (whose sketch output would never hash-match an oracle). One shuffle
+    on lang; rank targets use pure integer ceil math so both engines
+    agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+                F.col("n_chars"),
+            )
+        ).alias(f"p{p}")
+        for p in (50, 90, 99)
+    ]
+    return ranked.groupBy("lang").agg(*picks).orderBy("lang")
+
+
 _CENTS = "CAST(ROUND(CAST({c} AS DOUBLE) * 100) AS BIGINT)"
 _REV = (
     "CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)"
     " * (100 - CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT))"
 )
 
+_HOUR_SQL = "CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT)"
+_EV_CENTS = "CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)"
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN {_EV_CENTS} END) AS BIGINT)"
+    f" AS {t}"
+    for t in EVENT_TYPES
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "events_cube_summary": f"""
+SELECT event_type,
+       {_HOUR_SQL} AS hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM({_EV_CENTS}) AS BIGINT) AS value_cents
+FROM events
+GROUP BY CUBE (event_type, (epoch_ns(ts) // 3600000000000) % 24)
+""",
+    "events_pivot_hourly": f"""
+SELECT {_HOUR_SQL} AS hour_of_day,
+       {_PIVOT_COLS}
+FROM events
+GROUP BY 1
+""",
+    "docs_length_percentiles": """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+       MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS p90,
+       MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
+FROM ranked GROUP BY lang
+""",
     "win_rolling_revenue": """
 SELECT o_orderkey, o_custkey,
        CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
@@ -578,6 +679,9 @@ GROUP BY 1 ORDER BY nationkey
 }
 
 QUERIES = {
+    "events_cube_summary": q_cube_summary,
+    "events_pivot_hourly": q_pivot_hourly,
+    "docs_length_percentiles": q_docs_percentiles,
     "win_rolling_revenue": q_rolling_revenue,
     "tpch_q7_volume": q_q7_volume,
     "tpch_q8_market_share": q_q8_market_share,
