@@ -415,6 +415,81 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the undirected co-occurrence graph. Edges are
+    canonically oriented low→high (the standard degree/ID orientation
+    trick), so each triangle a<b<c is enumerated exactly once and the
+    join fan-out stays bounded — the shape that survives scale-up,
+    unlike naive 3-cycle enumeration which counts each triangle 6×.
+    Two key-partitioned self-joins; no cross product."""
+    st = graph_state(spark, sf_dir)
+    und = (
+        st.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+PR_ITERS = 10
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (damping 0.85, PR_ITERS synchronous
+    iterations, ranks in parts-per-million). All arithmetic is integer
+    division in a fixed order, so the result is bit-exact across engines
+    and partitionings — the determinism rule the reference enforces
+    graph-wide (no-float lint, SURVEY §1.2).
+
+    Scale shape: each iteration is one key-partitioned join (edges ⋈
+    ranks on src) + one group-agg on dst — the classic Pregel step as
+    DataFrames; lineage is cut every 3 iterations with localCheckpoint
+    so the plan doesn't grow superlinearly with iteration count.
+    Dangling-node mass is dropped (simplified PR), identically on both
+    engines."""
+    st = graph_state(spark, sf_dir)
+    nodes = st.nodes.select("node_id")
+    edges = st.edges.select("src", "dst")
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("r", F.lit(1_000_000 // n).cast("long"))
+    for i in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node_id"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("r div outdeg").alias("c"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node_id", "left").select(
+            "node_id",
+            (
+                F.lit(150_000 // n)
+                + F.expr("850 * coalesce(contrib, 0L) div 1000")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+        if i % 3 == 2:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node_id", F.col("r").alias("rank_ppm")).orderBy(
+        "node_id"
+    )
+
+
 def q_path_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compute_path_confidence (confidence.rs:107-140) over the
     adaptive-sparse strongest path: avg consecutive edge weight clamped
@@ -535,7 +610,46 @@ walks AS (
 )
 """
 
+# Unrolled synchronous PageRank iterations (fixed PR_ITERS, so plain
+# CTE chaining — no recursive aggregation, which recursive CTEs forbid).
+_PR_N = "(SELECT COUNT(*) FROM nodes)"
+_PR_CTES = [
+    f"r0 AS (SELECT node_id, 1000000 // {_PR_N} AS r FROM nodes)"
+]
+for _k in range(10):
+    _PR_CTES.append(
+        f"""r{_k + 1} AS (
+  SELECT n.node_id,
+         150000 // {_PR_N} + 850 * COALESCE(c.contrib, 0) // 1000 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node_id, SUM(r{_k}.r // d.outdeg) AS contrib
+    FROM r{_k} JOIN outdeg d USING (node_id) JOIN edges e ON e.src = r{_k}.node_id
+    GROUP BY e.dst
+  ) c ON c.node_id = n.node_id
+)"""
+    )
+
+_PAGERANK_SQL = (
+    GRAPH_CTE
+    + ", outdeg AS (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS outdeg"
+    " FROM edges GROUP BY src),\n"
+    + ",\n".join(_PR_CTES)
+    + "\nSELECT node_id, CAST(r AS BIGINT) AS rank_ppm FROM r10"
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "graph_triangles": GRAPH_CTE
+    + """
+, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+    "graph_pagerank": _PAGERANK_SQL,
     "graph_nodes": GRAPH_CTE + "SELECT node_id, entity_id FROM nodes",
     "graph_edges": GRAPH_CTE + "SELECT src, dst, weight FROM edges",
     "graph_properties_table": GRAPH_CTE
@@ -767,4 +881,6 @@ QUERIES = {
     "graph_traverse_dfs": q_traverse_dfs,  # rows-only (no SQL pre-order)
     "graph_path_confidence": q_path_confidence,
     "graph_components": q_components,
+    "graph_triangles": q_triangles,
+    "graph_pagerank": q_pagerank,
 }
