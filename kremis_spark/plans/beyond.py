@@ -83,6 +83,36 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def _run_stream(agg: DataFrame, name: str, mode: str) -> DataFrame:
+    """Run a streaming aggregation to completion into a memory sink.
+
+    Stateful operators open + commit one state store per shuffle
+    partition per micro-batch; with the gate's small keyspaces that
+    fixed cost dominates (measured 7.5s → 2.1s at sf0.1 going 32 → 8
+    partitions). At cluster scale this knob is sized to
+    keys/executors instead — the plan shape is unchanged."""
+    spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts, streamed to completion. Output
     windows as epoch-µs longs; value sums in integer cents (exact and
@@ -104,16 +134,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
-    name = f"gate_win_counts_{next(_qid)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_stream(agg, f"gate_win_counts_{next(_qid)}", "complete")
 
 
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,17 +144,9 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what the oracle checks; cross-batch accumulation is covered
     by the streaming unit tests."""
     ev = _events_stream(spark, sf_dir)
-    name = f"gate_running_totals_{next(_qid)}"
-    q = (
-        running_user_totals(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream(
+        running_user_totals(ev), f"gate_running_totals_{next(_qid)}", "update"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -166,16 +179,9 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    name = f"gate_session_windows_{next(_qid)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _run_stream(
+        agg, f"gate_session_windows_{next(_qid)}", "complete"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 # windowed_event_counts is imported for parity with tests but the gate
