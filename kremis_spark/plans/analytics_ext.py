@@ -418,6 +418,43 @@ def q_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users whose
+    first click follows their first view, and first purchase follows
+    that click. Three stage-filtered per-user min-aggregations chained
+    by key-partitioned joins — each stage's output is a per-user dim
+    that shrinks monotonically, so at scale the later joins are
+    broadcast-able and the events fact is scanned once per stage with
+    the event_type filter pushed to the parquet scan."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").alias("t")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
 def q_docs_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length percentiles (p50/p90/p99) via rank
     windows — the distributed-exact alternative to approx_percentile
@@ -475,6 +512,27 @@ SELECT {_HOUR_SQL} AS hour_of_day,
        {_PIVOT_COLS}
 FROM events
 GROUP BY 1
+""",
+    "events_funnel": """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
 """,
     "docs_length_percentiles": """
 WITH ranked AS (
@@ -681,6 +739,7 @@ GROUP BY 1 ORDER BY nationkey
 QUERIES = {
     "events_cube_summary": q_cube_summary,
     "events_pivot_hourly": q_pivot_hourly,
+    "events_funnel": q_funnel,
     "docs_length_percentiles": q_docs_percentiles,
     "win_rolling_revenue": q_rolling_revenue,
     "tpch_q7_volume": q_q7_volume,

@@ -423,12 +423,16 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike naive 3-cycle enumeration which counts each triangle 6×.
     Two key-partitioned self-joins; no cross product."""
     st = graph_state(spark, sf_dir)
+    # Materialize the canonical edge set once: it feeds three self-join
+    # aliases, and without this the whole ingest lineage is replanned
+    # per alias (3× the scan/shuffle work).
     und = (
         st.edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     return (

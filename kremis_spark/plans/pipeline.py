@@ -59,6 +59,27 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBWORD_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts: split into letter runs, digit
+    runs, and single symbols (the classic byte-pair pre-tokenizer rule),
+    then count per category. Complements the whitespace token stats —
+    this is the unit a subword tokenizer would train on. All map-side
+    JVM regex work, no shuffle until the (absent) aggregation."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_SUBWORD_PAT), 0)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    n_digit = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    return _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_subtokens"),
+        n_alpha.cast("long").alias("n_alpha_runs"),
+        n_digit.cast("long").alias("n_digit_runs"),
+        (F.size(toks) - n_alpha - n_digit).cast("long").alias("n_symbols"),
+    )
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.with_quality_score(_docs_parallel(spark, sf_dir)).select("doc_id", "quality")
 
@@ -733,6 +754,24 @@ SELECT doc_id,
             ELSE 0 END AS BIGINT) AS mean_token_len_millis
 FROM t
 """,
+    "pipe_subword_tokens": r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_subtokens,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$')))
+            AS BIGINT) AS n_alpha_runs,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+            AS BIGINT) AS n_digit_runs,
+       CAST(len(toks)
+            - len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$')))
+            - len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+            AS BIGINT) AS n_symbols
+FROM t
+""",
     "pipe_quality": _QUALITY_SQL,
     "pipe_lang_id": _LANG_SQL,
     "pipe_tfidf_top_terms": rf"""
@@ -790,6 +829,7 @@ FROM documents GROUP BY 1
 
 QUERIES = {
     "pipe_token_stats": q_token_stats,
+    "pipe_subword_tokens": q_subword_tokens,
     "pipe_quality": q_quality,
     "pipe_lang_id": q_lang_id,
     "pipe_fingerprint": q_fingerprint,
