@@ -445,6 +445,26 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram — the first thing to look at before choosing
+    a partitioning/skew strategy for any graph workload (a heavy tail
+    here is what motivates salting and AQE skew splitting). One group-agg
+    for degrees, one for the histogram; isolated nodes count at degree
+    0 via the left join against the nodes dim."""
+    st = graph_state(spark, sf_dir)
+    deg = st.edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+    od = (
+        st.nodes.select("node_id")
+        .join(deg, st.nodes["node_id"] == deg["src"], "left")
+        .select(F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("outdeg"))
+    )
+    return (
+        od.groupBy("outdeg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("outdeg")
+    )
+
+
 PR_ITERS = 10
 
 
@@ -654,6 +674,17 @@ JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
     "graph_pagerank": _PAGERANK_SQL,
+    "graph_degree_hist": GRAPH_CTE
+    + """
+, od AS (
+  SELECT n.node_id, CAST(COALESCE(e.c, 0) AS BIGINT) AS outdeg
+  FROM nodes n LEFT JOIN (
+    SELECT src, COUNT(*) AS c FROM edges GROUP BY src
+  ) e ON e.src = n.node_id
+)
+SELECT outdeg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM od GROUP BY outdeg
+""",
     "graph_nodes": GRAPH_CTE + "SELECT node_id, entity_id FROM nodes",
     "graph_edges": GRAPH_CTE + "SELECT src, dst, weight FROM edges",
     "graph_properties_table": GRAPH_CTE
@@ -887,4 +918,5 @@ QUERIES = {
     "graph_components": q_components,
     "graph_triangles": q_triangles,
     "graph_pagerank": q_pagerank,
+    "graph_degree_hist": q_degree_hist,
 }

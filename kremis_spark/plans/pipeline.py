@@ -332,6 +332,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF scale path against exact brute-force cosine —
+    the quality metric an ANN index is judged by, computed exactly (both
+    rankings are deterministic, so recall is a constant of the data, not
+    a sampled estimate). One semi-join of two k-row results; at scale
+    this audits an index without materializing anything but two top-k
+    lists."""
+    exact = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(ivf, "vec_id", "semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.expr(f"hits * 1000 div {TOPK}").alias("recall_millis"))
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = S.with_lsh_bucket(_prepared(spark, sf_dir))
     return S.bucket_neardup_pairs(prepared, top_n=PAIR_TOPN)
@@ -823,6 +839,11 @@ FROM documents GROUP BY 1
     "pipe_ann_cosine_topk": _COSINE_TOPK_SQL,
     "pipe_ann_lsh_topk": _LSH_TOPK_SQL,
     "pipe_ann_ivf_topk": _IVF_TOPK_SQL,
+    "pipe_ann_recall": f"""
+SELECT CAST(COUNT(*) * 1000 // {TOPK} AS BIGINT) AS recall_millis
+FROM ({_COSINE_TOPK_SQL}) e
+JOIN ({_IVF_TOPK_SQL}) i USING (vec_id)
+""",
     "pipe_embed_neardup": _NEARDUP_SQL,
 }
 
@@ -843,5 +864,6 @@ QUERIES = {
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
     "pipe_ann_lsh_topk": q_ann_lsh_topk,
     "pipe_ann_ivf_topk": q_ann_ivf_topk,
+    "pipe_ann_recall": q_ann_recall,
     "pipe_embed_neardup": q_embed_neardup,
 }
