@@ -220,6 +220,33 @@ def cmd_certify(args) -> int:
     return 0 if resp["success"] else 1
 
 
+def cmd_run_query(args) -> int:
+    """Run any gate query from the analytics catalog against a parquet
+    scale-factor directory; print JSON lines (or write parquet)."""
+    import __spark_entry__ as entrymod
+
+    from kremis_spark.session import get_spark
+
+    qs = entrymod.queries()
+    if args.list:
+        for name in sorted(qs):
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    spark = get_spark("kremis_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = qs[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        _emit(args, {"written": args.out})
+        return 0
+    for row in df.toJSON().toLocalIterator():
+        print(row)
+    return 0
+
+
 def cmd_server(args) -> int:  # pragma: no cover
     import os
 
@@ -284,6 +311,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("certify")
     sp.add_argument("--query-json", required=True)
     sp.set_defaults(fn=cmd_certify)
+
+    sp = sub.add_parser("run-query")
+    sp.add_argument("--name", default="")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--list", action="store_true")
+    sp.set_defaults(fn=cmd_run_query)
 
     sp = sub.add_parser("server")
     sp.add_argument("--host", default="127.0.0.1")

@@ -1,0 +1,38 @@
+"""CLI `run-query` subcommand: the analytics catalog as a user-facing
+entry point (list + execute + JSON-lines output)."""
+
+import json
+
+from kremis_spark.cli import main
+
+
+def test_run_query_list(capsys):
+    rc = main(["--data-dir", "/tmp/cli_rq", "run-query", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "graph_lookup" in names
+    assert "tpch_q1_pricing" in names
+    assert len(names) >= 70
+
+
+def test_run_query_executes(spark, capsys):
+    rc = main(
+        [
+            "--data-dir",
+            "/tmp/cli_rq",
+            "run-query",
+            "--name",
+            "docs_length_percentiles",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 5
+    assert {"lang", "p50", "p90", "p99"} == set(rows[0])
+
+
+def test_run_query_unknown_name(capsys):
+    rc = main(["--data-dir", "/tmp/cli_rq", "run-query", "--name", "nope"])
+    assert rc == 2
