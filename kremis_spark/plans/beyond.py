@@ -149,6 +149,49 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with a static
+    per-user cohort dim (each user's first-seen hour, derived once from
+    the batch table), then aggregated per (cohort_hour, event_type).
+    The static side is planned per micro-batch and broadcast — the
+    canonical cheap enrichment shape; only the streamed aggregation
+    keeps state."""
+    static_cohort = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            # integer div: ts ns exceed double's 2^53 exact range
+            F.expr("min(ts) div 3600000000000").alias("cohort_hour")
+        )
+    )
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.join(F.broadcast(static_cohort), "user_id")
+        .withWatermark("ts_utc", "2 hours")
+        .groupBy("cohort_hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _run_stream(
+        agg, f"gate_static_enrich_{next(_qid)}", "complete"
+    )
+
+
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-backed streaming deduplication: dropDuplicates on the
+    event-id key (exactly-once semantics under at-least-once delivery —
+    the first streaming operator any ingest pipeline needs), composed
+    with a downstream per-type aggregation in the same query. Dedup
+    state is bounded by the watermark."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts_utc", "2 hours").dropDuplicates(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return _run_stream(agg, f"gate_stream_dedup_{next(_qid)}", "complete")
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
@@ -237,6 +280,21 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """,
+    "stream_static_enrich": """
+WITH cohort AS (
+  SELECT user_id, epoch_ns(MIN(ts)) // 3600000000000 AS cohort_hour
+  FROM events GROUP BY user_id
+)
+SELECT c.cohort_hour, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY 1, 2
+""",
+    "stream_dedup_counts": """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+      ORDER BY event_id)
+GROUP BY event_type
+""",
     "stream_session_windows": f"""
 WITH e AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
@@ -277,5 +335,7 @@ QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_running_totals": q_stream_running_totals,
     "stream_session_windows": q_stream_session_windows,
+    "stream_static_enrich": q_stream_static_enrich,
+    "stream_dedup_counts": q_stream_dedup_counts,
     "events_skew_safe_reach": q_skew_safe_reach,
 }
