@@ -1,0 +1,74 @@
+"""Count-min sketch as DataFrame aggregations — the mergeable frequency
+sketch a 100 TB pipeline uses when exact per-key counts don't fit.
+
+Unlike library sketches (whose serialized state is opaque), this one is
+built from a fixed md5-derived hash family, so the sketch table itself is
+deterministic and bit-exact reproducible in ANSI SQL — the correctness
+gate verifies the ESTIMATES, not just the plumbing. Estimates carry the
+classic one-sided guarantee: est >= exact, with overcount bounded by
+(rows-hashed / WIDTH) per hash row, minimized over DEPTH rows.
+
+Scale shape: the build is a map-side ×DEPTH expansion followed by ONE
+group-agg onto at most DEPTH×WIDTH cells — constant-size state no matter
+the input, and two sketches merge by adding cells (the property that
+makes this work across partitions, days, or clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEPTH = 4
+WIDTH = 256
+
+
+def _bucket(value: Column, j: int) -> Column:
+    """Hash row j's bucket for a value: first 8 md5 hex chars of
+    'j:value' mod WIDTH — portable to any engine with md5."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), value.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % WIDTH
+
+
+def cms_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Build the sketch table (j, b, c): DEPTH hash rows × WIDTH buckets."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _bucket(F.col(value_col), j).alias("b"),
+                )
+                for j in range(DEPTH)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .select("cell.j", "cell.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
+    """Point-query the sketch for each probe value: min over the DEPTH
+    cells the value hashes to. The sketch is at most DEPTH×WIDTH rows →
+    broadcast side of the join."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _bucket(F.col(value_col), j).alias("b"),
+                )
+                for j in range(DEPTH)
+            ]
+        )
+    ).alias("cell")
+    pb = probes.select(value_col, cells).select(value_col, "cell.j", "cell.b")
+    return (
+        pb.join(F.broadcast(cms), ["j", "b"])
+        .groupBy(value_col)
+        .agg(F.min("c").alias("est_count"))
+    )

@@ -60,3 +60,39 @@ def salted_sum(
     )
     partial = salted.groupBy(*keys, "_salt").agg(F.sum(value).alias("_part"))
     return partial.groupBy(*keys).agg(F.sum("_part").alias(out_col))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side into ``buckets`` synthetic
+    sub-keys (deterministic hash of ``salt_from``, or a round-robin of
+    the key itself via pmod of xxhash64 over all columns if omitted) and
+    replicate the dim side once per bucket, so one hot key's rows land on
+    ``buckets`` reducers instead of one.
+
+    This is the manual form of what AQE's skew-join split does at
+    runtime; use it when the skew is known ahead of time (a power-law
+    entity) or when AQE is unavailable (streaming micro-batches,
+    stateful joins). Result equals the plain inner join exactly — row
+    multiplicity is preserved because each fact row joins exactly one
+    replica of its dim row."""
+    salt_col = (
+        F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets))
+        if salt_from is not None
+        else F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(buckets))
+    ).cast("int")
+    salted_fact = fact.withColumn("_salt", salt_col)
+    replicas = dim.crossJoin(
+        F.broadcast(
+            dim.sparkSession.range(buckets).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    out = salted_fact.join(replicas, [key, "_salt"]).drop("_salt")
+    return out

@@ -233,6 +233,29 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ = windowed_event_counts
 
 
+CMS_PROBES = 5
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts for the
+    lowest probe user ids (functions/sketch.py). The md5-derived hash
+    family makes the whole sketch — not just its shape — reproducible in
+    SQL, so the oracle verifies the estimates bit-for-bit, including the
+    one-sided est >= exact property."""
+    from kremis_spark.functions.sketch import cms_build, cms_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id")
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(CMS_PROBES)
+    est = cms_estimate(cms, probes, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "est_count", "exact_count")
+        .orderBy("user_id")
+    )
+
+
 def q_skew_safe_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type user reach + value total computed with the
     skew-safe aggregation shapes (operators/skew.py): exact distinct via
@@ -319,6 +342,33 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, sid
 """,
+    "events_cms_user_counts": """
+WITH js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+cms AS (
+  SELECT js.j,
+         ('0x' || substr(md5(js.j || ':' || CAST(e.user_id AS VARCHAR)),
+                         1, 8))::BIGINT % 256 AS b,
+         COUNT(*) AS c
+  FROM events e, js
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5),
+pb AS (
+  SELECT p.user_id, js.j,
+         ('0x' || substr(md5(js.j || ':' || CAST(p.user_id AS VARCHAR)),
+                         1, 8))::BIGINT % 256 AS b
+  FROM probes p, js
+),
+est AS (
+  SELECT pb.user_id, MIN(c.c) AS est_count
+  FROM pb JOIN cms c ON c.j = pb.j AND c.b = pb.b
+  GROUP BY 1
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1)
+SELECT est.user_id, CAST(est.est_count AS BIGINT) AS est_count,
+       CAST(exact.exact_count AS BIGINT) AS exact_count
+FROM est JOIN exact USING (user_id)
+""",
     "events_skew_safe_reach": """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -337,5 +387,6 @@ QUERIES = {
     "stream_session_windows": q_stream_session_windows,
     "stream_static_enrich": q_stream_static_enrich,
     "stream_dedup_counts": q_stream_dedup_counts,
+    "events_cms_user_counts": q_cms_user_counts,
     "events_skew_safe_reach": q_skew_safe_reach,
 }

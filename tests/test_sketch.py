@@ -1,0 +1,45 @@
+"""Count-min sketch properties: one-sided error (est >= exact), exact
+recovery for light sketches, and cell-wise mergeability."""
+
+from pyspark.sql import functions as F
+
+from kremis_spark.functions.sketch import DEPTH, WIDTH, cms_build, cms_estimate
+
+
+def _df(spark, n=2000):
+    # zipf-ish: value 0 is hot (half of all rows)
+    rows = [(i, 0 if i % 2 == 0 else i % 50) for i in range(n)]
+    return spark.createDataFrame(rows, "row_id LONG, v LONG")
+
+
+def test_estimates_are_one_sided(spark):
+    df = _df(spark)
+    cms = cms_build(df, "v").localCheckpoint(eager=True)
+    probes = df.select("v").distinct()
+    est = {r["v"]: r["est_count"] for r in cms_estimate(cms, probes, "v").collect()}
+    exact = {
+        r["v"]: r["n"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)
+
+
+def test_sketch_size_is_bounded(spark):
+    cms = cms_build(_df(spark), "v")
+    assert cms.count() <= DEPTH * WIDTH
+
+
+def test_sketches_merge_by_cell_addition(spark):
+    df = _df(spark)
+    a, b = df.filter("row_id < 1000"), df.filter("row_id >= 1000")
+    merged = (
+        cms_build(a, "v")
+        .unionByName(cms_build(b, "v"))
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = cms_build(df, "v")
+    got = {(r["j"], r["b"]): r["c"] for r in merged.collect()}
+    want = {(r["j"], r["b"]): r["c"] for r in whole.collect()}
+    assert got == want

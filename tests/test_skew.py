@@ -53,3 +53,33 @@ def test_salted_sum_spreads_hot_key(spark):
         .count()
     )
     assert n_buckets > 8  # the hot key's rows really fan out
+
+
+def test_salted_join_matches_plain_join(spark):
+    from kremis_spark.operators.skew import salted_join
+
+    fact = _hot_df(spark)
+    dim = spark.createDataFrame(
+        [("hot", 100)] + [(f"cold_{i}", i) for i in range(7)],
+        "key STRING, attr LONG",
+    )
+    got = sorted(
+        (r["row_id"], r["attr"])
+        for r in salted_join(fact, dim, "key", salt_from="row_id").collect()
+    )
+    want = sorted(
+        (r["row_id"], r["attr"]) for r in fact.join(dim, "key").collect()
+    )
+    assert got == want
+
+
+def test_salted_join_preserves_multiplicity_on_dup_dim(spark):
+    from kremis_spark.operators.skew import salted_join
+
+    fact = _hot_df(spark)
+    dim = spark.createDataFrame(
+        [("hot", 1), ("hot", 2)], "key STRING, attr LONG"
+    )
+    got = salted_join(fact, dim, "key").count()
+    want = fact.join(dim, "key").count()
+    assert got == want
