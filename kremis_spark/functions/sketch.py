@@ -51,6 +51,118 @@ def cms_build(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 2048
+BLOOM_K = 4
+
+
+def _bloom_pos(value: Column, j: int) -> Column:
+    h = F.md5(F.concat(F.lit(f"b{j}:"), value.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_BITS
+
+
+def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Bloom filter as a set-bit table (pos): BLOOM_K md5-derived
+    positions per value, deduplicated. At most BLOOM_BITS rows — the
+    sketch state is constant-size and two filters merge by UNION
+    DISTINCT. One map-side expansion + one dedup shuffle."""
+    cells = F.explode(
+        F.array(*[_bloom_pos(F.col(value_col), j) for j in range(BLOOM_K)])
+    ).alias("pos")
+    return df.select(cells).distinct()
+
+
+def bloom_might_contain(
+    bloom: DataFrame, probes: DataFrame, value_col: str
+) -> DataFrame:
+    """Membership test: a probe might be present iff ALL of its K bit
+    positions are set. No false negatives by construction; false
+    positives at the classic (1-e^{-kn/m})^k rate. The bit table is
+    broadcast — membership tests never shuffle the probe side."""
+    pb = probes.select(
+        value_col,
+        F.explode(
+            F.array(*[_bloom_pos(F.col(value_col), j) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        pb.join(F.broadcast(bloom), "pos")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        probes.select(value_col)
+        .join(hits, value_col, "left")
+        .select(
+            value_col,
+            F.when(F.coalesce(F.col("_hits"), F.lit(0)) == BLOOM_K, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("might_contain"),
+        )
+    )
+
+
+HLL_BUCKETS = 256
+HLL_MAXR = 33  # 32-bit hash words → rho in 1..33
+# alpha_256 * m^2 in millis: round(0.7213/(1+1.079/256) * 256^2 * 1000).
+# Fixed integer constant so both engines evaluate the same formula.
+_HLL_A_MILLIS = 47072713
+_HLL_EST_NUM = _HLL_A_MILLIS << HLL_MAXR  # fits int64 (4.04e17)
+
+
+def hll_registers(df: DataFrame, value_col: str) -> DataFrame:
+    """HyperLogLog register table (bucket, r): md5-derived bucket (8
+    bits) + leading-zero rank of a 32-bit hash word, max per bucket,
+    all HLL_BUCKETS rows present (empty buckets at 0).
+
+    Like the count-min build this is ONE map pass + one group-agg onto
+    constant-size state; registers merge across partitions/datasets by
+    cell-wise MAX. 32-bit words keep every later arithmetic step inside
+    int64 — no floats anywhere, so the estimate is bit-exact
+    reproducible (the usual HLL harmonic mean is float-summed and
+    order-dependent)."""
+    h = F.md5(F.concat(F.lit("h:"), F.col(value_col).cast("string")))
+    parsed = df.select(
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring(h, 3, 8), 16, 10).cast("long").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(HLL_MAXR))
+        .otherwise(F.lit(HLL_MAXR) - F.length(F.bin(F.col("w"))))
+        .cast("long")
+    )
+    regs = (
+        parsed.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    allb = df.sparkSession.range(HLL_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    return allb.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("r"), F.lit(0)).cast("long").alias("r")
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Raw HLL cardinality estimate from a register table — pure integer
+    arithmetic: est = (alpha·m² · 2^MAXR) // (Σ 2^(MAXR−r) · 1000). No
+    small/large-range corrections (documented: this is the raw
+    harmonic-mean estimator, identical on every engine)."""
+    agg = registers.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_MAXR} - r)")
+        ).alias("s"),
+        F.sum(F.when(F.col("r") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("empty_buckets"),
+    )
+    return agg.select(
+        F.expr(f"{_HLL_EST_NUM} div (s * 1000)").alias("est_distinct"),
+        "empty_buckets",
+    )
+
+
 def cms_estimate(cms: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
     """Point-query the sketch for each probe value: min over the DEPTH
     cells the value hashes to. The sketch is at most DEPTH×WIDTH rows →

@@ -256,6 +256,54 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate next to the exact count
+    (functions/sketch.py). Integer-only registers and estimator make the
+    sketch bit-exact reproducible in SQL — unlike approx_count_distinct,
+    whose binary sketch state can't be oracle-checked."""
+    from kremis_spark.functions.sketch import hll_estimate, hll_registers
+
+    ev = read_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_registers(ev, "user_id"))
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        "est_distinct", "exact_distinct", "empty_buckets"
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership over the distinct user set: three known
+    users and three ids past the max (guaranteed absent). No false
+    negatives by construction — the oracle checks the exact bit table's
+    answers, including any false positives, bit-for-bit."""
+    from kremis_spark.functions.sketch import bloom_build, bloom_might_contain
+
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    bloom = bloom_build(users, "user_id")
+    present = users.orderBy("user_id").limit(3)
+    absent = (
+        users.agg(F.max("user_id").alias("mx"))
+        .crossJoin(spark.range(1, 4))
+        .select((F.col("mx") + F.col("id")).alias("user_id"))
+    )
+    probes = present.unionByName(absent)
+    mc = bloom_might_contain(bloom, probes, "user_id")
+    flags = probes.join(
+        users.withColumn("actually_present", F.lit(1).cast("long")),
+        "user_id",
+        "left",
+    ).select(
+        "user_id",
+        F.coalesce("actually_present", F.lit(0)).cast("long").alias(
+            "actually_present"
+        ),
+    )
+    return mc.join(flags, "user_id").orderBy("user_id")
+
+
 def q_skew_safe_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type user reach + value total computed with the
     skew-safe aggregation shapes (operators/skew.py): exact distinct via
@@ -369,6 +417,70 @@ SELECT est.user_id, CAST(est.est_count AS BIGINT) AS est_count,
        CAST(exact.exact_count AS BIGINT) AS exact_count
 FROM est JOIN exact USING (user_id)
 """,
+    "events_hll_distinct": """
+WITH vals AS (
+  SELECT ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+           AS bucket,
+         ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 3, 8))::BIGINT
+           AS w
+  FROM events
+),
+rhos AS (
+  SELECT bucket,
+         CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END AS rho
+  FROM vals
+),
+regs0 AS (SELECT bucket, MAX(rho) AS r FROM rhos GROUP BY bucket),
+regs AS (
+  SELECT gs.bucket, COALESCE(r.r, 0) AS r
+  FROM (SELECT UNNEST(generate_series(0, 255)) AS bucket) gs
+  LEFT JOIN regs0 r ON r.bucket = gs.bucket
+),
+agg AS (
+  SELECT SUM(1::BIGINT << (33 - r)) AS s,
+         SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS empty_buckets
+  FROM regs
+)
+SELECT CAST(404351525737988096 // (s * 1000) AS BIGINT) AS est_distinct,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+         AS exact_distinct,
+       CAST(empty_buckets AS BIGINT) AS empty_buckets
+FROM agg
+""",
+    "events_bloom_membership": """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+bloom AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('b' || js.j || ':'
+                             || CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT
+         % 2048 AS pos
+  FROM users u, js
+),
+present AS (SELECT user_id FROM users ORDER BY user_id LIMIT 3),
+absent AS (
+  SELECT (SELECT MAX(user_id) FROM users) + x AS user_id
+  FROM (VALUES (1), (2), (3)) t(x)
+),
+probes AS (SELECT user_id FROM present UNION ALL SELECT user_id FROM absent),
+pb AS (
+  SELECT p.user_id,
+         ('0x' || substr(md5('b' || js.j || ':'
+                             || CAST(p.user_id AS VARCHAR)), 1, 8))::BIGINT
+         % 2048 AS pos
+  FROM probes p, js
+),
+hits AS (SELECT pb.user_id, COUNT(*) AS h FROM pb JOIN bloom USING (pos)
+         GROUP BY 1)
+SELECT p.user_id,
+       CAST(CASE WHEN COALESCE(h.h, 0) = 4 THEN 1 ELSE 0 END AS BIGINT)
+         AS might_contain,
+       CAST(CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS actually_present
+FROM probes p
+LEFT JOIN hits h ON h.user_id = p.user_id
+LEFT JOIN users u ON u.user_id = p.user_id
+""",
     "events_skew_safe_reach": """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -388,5 +500,7 @@ QUERIES = {
     "stream_static_enrich": q_stream_static_enrich,
     "stream_dedup_counts": q_stream_dedup_counts,
     "events_cms_user_counts": q_cms_user_counts,
+    "events_bloom_membership": q_bloom_membership,
+    "events_hll_distinct": q_hll_distinct,
     "events_skew_safe_reach": q_skew_safe_reach,
 }

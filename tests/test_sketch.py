@@ -43,3 +43,58 @@ def test_sketches_merge_by_cell_addition(spark):
     got = {(r["j"], r["b"]): r["c"] for r in merged.collect()}
     want = {(r["j"], r["b"]): r["c"] for r in whole.collect()}
     assert got == want
+
+
+def test_bloom_no_false_negatives(spark):
+    from kremis_spark.functions.sketch import bloom_build, bloom_might_contain
+
+    df = _df(spark)
+    vals = df.select("v").distinct()
+    bloom = bloom_build(vals, "v").localCheckpoint(eager=True)
+    got = {
+        r["v"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, vals, "v").collect()
+    }
+    assert all(v == 1 for v in got.values())
+
+
+def test_bloom_rejects_most_absent(spark):
+    from kremis_spark.functions.sketch import bloom_build, bloom_might_contain
+
+    df = _df(spark)
+    bloom = bloom_build(df.select("v").distinct(), "v").localCheckpoint(
+        eager=True
+    )
+    absent = spark.range(10_000, 10_100).select(F.col("id").alias("v"))
+    got = [
+        r["might_contain"]
+        for r in bloom_might_contain(bloom, absent, "v").collect()
+    ]
+    # 50 distinct values * 4 bits in 2048 → fp rate well under 10%
+    assert sum(got) <= 10
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from kremis_spark.functions.sketch import hll_estimate, hll_registers
+
+    df = spark.range(5000).select(F.col("id").alias("v"))
+    row = hll_estimate(hll_registers(df, "v")).collect()[0]
+    # raw estimator, m=256 → relative error ~1.04/sqrt(256) = 6.5%; 3σ bound
+    assert abs(row["est_distinct"] - 5000) < 5000 * 0.2
+
+
+def test_hll_registers_merge_by_max(spark):
+    from kremis_spark.functions.sketch import hll_registers
+
+    df = spark.range(2000).select(F.col("id").alias("v"))
+    a, b = df.filter("v < 1000"), df.filter("v >= 1000")
+    merged = (
+        hll_registers(a, "v")
+        .unionByName(hll_registers(b, "v"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    whole = hll_registers(df, "v")
+    got = {(r["bucket"]): r["r"] for r in merged.collect()}
+    want = {(r["bucket"]): r["r"] for r in whole.collect()}
+    assert got == want
