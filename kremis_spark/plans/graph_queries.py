@@ -465,6 +465,49 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RA_TOPN = 10
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by resource-allocation index: every pair sharing
+    at least one common neighbor scores RA(u,v) = Σ_z 1e6 div deg(z)
+    over the common undirected neighbors z — the integer-exact cousin of
+    Adamic-Adar (whose 1/log(deg) needs floats). Top pairs with full
+    deterministic tiebreak.
+
+    Scale shape: the two-hop enumeration joins the undirected edge list
+    with itself on the shared endpoint — the same wedge join as triangle
+    counting, bounded by Σ deg(z)²; at real scale cap the hub degree
+    (drop z above a threshold) exactly like LSH hot-bucket capping. The
+    degree dim is one row per node → broadcast."""
+    st = graph_state(spark, sf_dir)
+    und = (
+        st.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # undirected incidence (node, neighbor)
+    inc = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = inc.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        inc.select(F.col("z"), F.col("n").alias("u"))
+        .join(inc.select(F.col("z"), F.col("n").alias("v")), "z")
+        .filter(F.col("u") < F.col("v"))
+    )
+    return (
+        wedges.join(F.broadcast(deg), "z")
+        .groupBy("u", "v")
+        .agg(F.sum(F.expr("1000000 div deg")).alias("ra_millionths"))
+        .orderBy(F.desc("ra_millionths"), "u", "v")
+        .limit(RA_TOPN)
+    )
+
+
 PR_ITERS = 10
 
 
@@ -674,6 +717,29 @@ JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
     "graph_pagerank": _PAGERANK_SQL,
+    "graph_link_prediction": GRAPH_CTE
+    + f"""
+, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+inc AS (
+  SELECT a AS z, b AS n FROM und
+  UNION ALL
+  SELECT b AS z, a AS n FROM und
+),
+deg AS (SELECT z, COUNT(*) AS deg FROM inc GROUP BY z),
+wedges AS (
+  SELECT i1.z, i1.n AS u, i2.n AS v
+  FROM inc i1 JOIN inc i2 ON i2.z = i1.z AND i1.n < i2.n
+)
+SELECT w.u, w.v,
+       CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_millionths
+FROM wedges w JOIN deg d ON d.z = w.z
+GROUP BY w.u, w.v
+ORDER BY ra_millionths DESC, u, v
+LIMIT {RA_TOPN}
+""",
     "graph_degree_hist": GRAPH_CTE
     + """
 , od AS (
@@ -919,4 +985,5 @@ QUERIES = {
     "graph_triangles": q_triangles,
     "graph_pagerank": q_pagerank,
     "graph_degree_hist": q_degree_hist,
+    "graph_link_prediction": q_link_prediction,
 }
