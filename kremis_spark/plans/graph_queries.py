@@ -284,20 +284,21 @@ def _sparse_strongest_path(
     return result
 
 
-def _sparse_strongest_path_uncached(
+def _sparse_anchors(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[int] | None, GraphState | None]:
-    from kremis_spark.operators.path import strongest_path
+) -> tuple[int | None, int | None, GraphState | None]:
+    """(start, end, sparsified_state) shared by the exact and the
+    distributed strongest-path gate queries."""
     from kremis_spark.operators.traverse import bfs_levels
 
     st = graph_state(spark, sf_dir)
     thr = _sparse_threshold(st)
     if thr is None:
-        return None, None
+        return None, None, None
     fstate = replace(st, edges=st.edges.filter(F.col("weight") >= thr))
     start = _anchor_src(st, thr)
     if start is None:
-        return None, fstate
+        return None, None, fstate
     # End node: the FARTHEST reachable node from start in the sparse
     # subgraph (max BFS level, tie → smallest node id) — guarantees a
     # non-trivial multi-hop path at every scale factor.
@@ -309,8 +310,18 @@ def _sparse_strongest_path_uncached(
         .collect()
     )
     if not far:
+        return None, None, fstate
+    return start, int(far[0]["node_id"]), fstate
+
+
+def _sparse_strongest_path_uncached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int] | None, GraphState | None]:
+    from kremis_spark.operators.path import strongest_path
+
+    start, end, fstate = _sparse_anchors(spark, sf_dir)
+    if start is None or end is None:
         return None, fstate
-    end = int(far[0]["node_id"])
     return strongest_path(fstate, start, end, max_depth=PATH_DEPTH), fstate
 
 
@@ -323,6 +334,28 @@ def q_strongest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, _ = _sparse_strongest_path(spark, sf_dir)
     rows = [(i, n) for i, n in enumerate(path or [])]
     return spark.createDataFrame(rows, "step BIGINT, node_id BIGINT")
+
+
+def q_strongest_path_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB strongest-path variant through the same gate: fully
+    distributed path-array enumeration (operators/path.py:
+    strongest_path_distributed, beam=None → exact) over the same
+    sparsified subgraph and anchors as the driver-exact query — so both
+    implementations are held to the same SQL enumeration oracle,
+    tie-break included."""
+    from kremis_spark.operators.path import strongest_path_distributed
+
+    schema = "step BIGINT, node_id BIGINT"
+    start, end, fstate = _sparse_anchors(spark, sf_dir)
+    if start is None or end is None or fstate is None:
+        return spark.createDataFrame([], schema)
+    row = strongest_path_distributed(
+        fstate, start, end, max_depth=PATH_DEPTH
+    ).collect()
+    path = [int(n) for n in row[0]["path"]] if row else []
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(path)], schema
+    )
 
 
 def q_extract_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,6 +917,13 @@ FROM pl, ev
 SELECT CAST(i - 1 AS BIGINT) AS step, CAST(path[i] AS BIGINT) AS node_id
 FROM walks, LATERAL (SELECT UNNEST(generate_series(1, len(path))) AS i)
 """,
+    # the distributed variant answers the SAME question → same oracle
+    "graph_strongest_path_dist": GRAPH_CTE
+    + _PATH_CTES
+    + f"""
+SELECT CAST(i - 1 AS BIGINT) AS step, CAST(path[i] AS BIGINT) AS node_id
+FROM walks, LATERAL (SELECT UNNEST(generate_series(1, len(path))) AS i)
+""",
     "graph_extract_path": GRAPH_CTE
     + _PATH_CTES
     + """
@@ -977,6 +1017,7 @@ QUERIES = {
     "graph_traverse_subgraph": q_traverse_subgraph,
     "graph_confidence": q_confidence,
     "graph_strongest_path": q_strongest_path,
+    "graph_strongest_path_dist": q_strongest_path_dist,
     "graph_extract_path": q_extract_path,
     "graph_metrics": q_graph_metrics,
     "graph_traverse_dfs": q_traverse_dfs,  # rows-only (no SQL pre-order)
