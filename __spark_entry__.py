@@ -50,6 +50,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(BEYOND_QUERIES)
     except ImportError:
         pass
+    try:
+        from kremis_spark.plans.curation import QUERIES as CURATION_QUERIES
+
+        out.update(CURATION_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -80,6 +86,12 @@ def oracle_sql() -> dict[str, str]:
         from kremis_spark.plans.beyond import ORACLE_SQL as BEYOND_ORACLES
 
         out.update(BEYOND_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.curation import ORACLE_SQL as CURATION_ORACLES
+
+        out.update(CURATION_ORACLES)
     except ImportError:
         pass
     return out

@@ -1,0 +1,293 @@
+"""Training-corpus curation operators: chunking, mixture sampling,
+decontamination, repetition scoring.
+
+These complete the LLM-data-pipeline family (see plans/pipeline.py for
+dedup/quality/tokens): the operators a pretraining data pipeline runs
+between raw-corpus and tokenizer — fixed-window chunking with overlap,
+deterministic mixture-weight sampling, eval-set decontamination by n-gram
+overlap (the standard 8-gram rule), and intra-document repetition scoring
+(Gopher-style repetitive-content filter).
+
+Design rules (same as the rest of the gate):
+- built-in HOF expressions only (split/slice/transform/aggregate) — the
+  per-document work is map-side inside whole-stage codegen, no Python;
+- md5 as the portable hash so every derived value is bit-reproducible in
+  the DuckDB oracle;
+- integer fixed-point ratios (millis) — exact, order-independent.
+
+Scale notes:
+- chunking and repetition are pure map-side projections: zero shuffles,
+  linear in corpus bytes, embarrassingly parallel at 100 TB;
+- mixture sampling is one map-side hash filter + one partial-agg shuffle
+  of (lang) group rows — the sample decision never moves the text;
+- decontamination shuffles only 32-byte shingle hashes, and the benchmark
+  side (eval sets are small by nature) broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kremis_spark.functions.dedup import word_shingles
+from kremis_spark.functions.text import tokens
+from kremis_spark.sources.tables import read_table
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+# Mixture weights (permille kept per language) — the "data mixing" knob a
+# pretraining pipeline turns to rebalance sources/languages.
+MIXTURE_PERMILLE: dict[str, int] = {
+    "en": 900,
+    "de": 600,
+    "es": 600,
+    "fr": 600,
+    "zh": 300,
+}
+
+DECON_NGRAM = 8  # the classic 8-gram eval-contamination rule
+BENCH_MOD = 17  # doc_id % 17 == 0 plays the held-out benchmark set
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed 32-token windows with stride 24
+    (8-token overlap). Emits (doc_id, chunk_idx, n_chunk_tokens,
+    chunk_md5) — the unit of work a tokenizer/packer consumes.
+
+    Plan shape: explode over a generated start-offset sequence, then
+    map-side `slice` — no shuffle anywhere; chunk identity is the md5 of
+    the space-joined window so downstream chunk-level dedup needs only
+    the 32-byte hash, never the text."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", tokens().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "start",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest("n", F.lit(1)), F.lit(CHUNK_STRIDE)
+                )
+            ),
+        )
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    return d.select(
+        "doc_id",
+        F.expr(f"(start - 1) div {CHUNK_STRIDE}").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-weight sampling: keep each document iff its
+    md5 bucket (of 1000) falls under its language's mixture permille.
+    Returns per-language totals: docs in/out and the kept token budget.
+
+    The keep/drop decision is a map-side hash test (reproducible across
+    runs, engines, and partitionings — same guarantee as the clean_sample
+    pipeline); only (lang) group rows cross the one shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    rate_map = F.create_map(
+        *[
+            F.lit(x)
+            for kv in sorted(MIXTURE_PERMILLE.items())
+            for x in kv
+        ]
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    kept = (bucket < F.coalesce(rate_map[F.col("lang")], F.lit(0))).cast("long")
+    n_toks = F.size(tokens()).cast("long")
+    return (
+        docs.select(
+            "lang", kept.alias("kept"), n_toks.alias("n_toks")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_toks")).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    8-gram with the benchmark slice (doc_id % 17 == 0), with overlap
+    counts and a fixed-point contamination ratio.
+
+    Plan shape: one shingle-hash projection feeds both sides; the
+    benchmark hash set is small (eval sets always are) and broadcasts
+    into the overlap join, so only train-side 32-byte hashes shuffle —
+    once, for the per-doc counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.explode(word_shingles(n=DECON_NGRAM)).alias("sh")
+        )
+        .select("doc_id", F.md5("sh").alias("h"))
+        .distinct()
+        # three consumers (bench set, per-doc totals, overlap join) —
+        # materialize the explode+hash once instead of replanning it 3×
+        .localCheckpoint(eager=True)
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    overlap = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.expr("(n_overlap * 1000) div n_shingles")
+            .cast("long")
+            .alias("contam_millis"),
+        )
+        .orderBy(F.desc("contam_millis"), "doc_id")
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score: the fraction (millis) of word
+    3-grams that are duplicates within the same document — the cheap
+    repetitive-content filter from the Gopher rules.
+
+    Entirely map-side (array_distinct on a per-row gram array): zero
+    shuffles, no state — the ideal 100 TB shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = word_shingles(n=3)
+    g = docs.select("doc_id", grams.alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    n_grams = F.size("grams").cast("long")
+    n_distinct = F.size(F.array_distinct("grams")).cast("long")
+    return g.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.expr(
+            "((size(grams) - size(array_distinct(grams))) * 1000)"
+            " div size(grams)"
+        )
+        .cast("long")
+        .alias("dup_millis"),
+    )
+
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+ORACLE_SQL: dict[str, str] = {
+    "pipe_chunk_overlap": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), {CHUNK_STRIDE}))
+           AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, start, start + {CHUNK_TOKENS - 1})) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, start, start + {CHUNK_TOKENS - 1}),
+                           ' ')) AS chunk_md5
+FROM s
+""",
+    "pipe_mixture_sample": f"""
+WITH rates AS (
+  SELECT * FROM (VALUES
+    ('de', 600), ('en', 900), ('es', 600), ('fr', 600), ('zh', 300)
+  ) t(lang, permille)
+),
+d AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 1000
+                   < COALESCE(r.permille, 0)
+              THEN 1 ELSE 0 END AS kept,
+         len({_TOKS}) AS n_toks
+  FROM documents LEFT JOIN rates r USING (lang)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * n_toks) AS BIGINT) AS kept_tokens
+FROM d GROUP BY lang ORDER BY lang
+""",
+    "pipe_decontaminate": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {DECON_NGRAM - 1}, 0)))
+           AS i
+  FROM t
+),
+gd AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + {DECON_NGRAM - 1}), ' '))
+           AS h
+  FROM s
+),
+bench AS (SELECT DISTINCT h FROM gd WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT * FROM gd WHERE doc_id % {BENCH_MOD} <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+ov AS (
+  SELECT tr.doc_id, COUNT(*) AS n_overlap
+  FROM train tr JOIN bench b USING (h) GROUP BY 1
+)
+SELECT ov.doc_id,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST((n_overlap * 1000) // n_shingles AS BIGINT) AS contam_millis
+FROM ov JOIN tot USING (doc_id)
+ORDER BY contam_millis DESC, ov.doc_id
+""",
+    "pipe_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ) AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CAST((len(grams) - len(list_distinct(grams))) * 1000 // len(grams)
+            AS BIGINT) AS dup_millis
+FROM g WHERE len(grams) > 0
+""",
+}
+
+QUERIES = {
+    "pipe_chunk_overlap": q_chunk_overlap,
+    "pipe_mixture_sample": q_mixture_sample,
+    "pipe_decontaminate": q_decontaminate,
+    "pipe_repetition": q_repetition,
+}
