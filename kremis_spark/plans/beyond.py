@@ -192,6 +192,61 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(agg, f"gate_stream_dedup_{next(_qid)}", "complete")
 
 
+JOIN_BAND_MIN = 30  # purchase attributed to views in the preceding 30 min
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase event joined to the
+    same user's view events in the preceding 30 minutes — streaming
+    attribution, the dual of the batch range-join query
+    (events_purchase_window).
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so the state store retains only a 30-minute band
+    per side — the canonical bounded-state stream-stream join. Inner
+    join, so matches emit eagerly (append mode); the watermark only
+    governs state eviction."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts_utc").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_utc").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"""
+            user_id = v_user AND
+            view_ts BETWEEN purchase_ts - INTERVAL {JOIN_BAND_MIN} MINUTES
+                        AND purchase_ts
+            """
+        ),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        F.unix_micros(F.col("view_ts")).alias("view_us"),
+    )
+    return _run_stream(
+        joined, f"gate_stream_stream_join_{next(_qid)}", "append"
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
@@ -366,6 +421,19 @@ FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events
       ORDER BY event_id)
 GROUP BY event_type
 """,
+    "stream_stream_join": f"""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       epoch_ns(p.ts) // 1000 AS purchase_us,
+       epoch_ns(v.ts) // 1000 AS view_us
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND v.event_type = 'view'
+ AND v.ts BETWEEN p.ts - INTERVAL {JOIN_BAND_MIN} MINUTE AND p.ts
+""",
     "stream_session_windows": f"""
 WITH e AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
@@ -497,6 +565,7 @@ QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_running_totals": q_stream_running_totals,
     "stream_session_windows": q_stream_session_windows,
+    "stream_stream_join": q_stream_stream_join,
     "stream_static_enrich": q_stream_static_enrich,
     "stream_dedup_counts": q_stream_dedup_counts,
     "events_cms_user_counts": q_cms_user_counts,
