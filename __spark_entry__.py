@@ -56,6 +56,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(CURATION_QUERIES)
     except ImportError:
         pass
+    try:
+        from kremis_spark.plans.embed import QUERIES as EMBED_QUERIES
+
+        out.update(EMBED_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -92,6 +98,12 @@ def oracle_sql() -> dict[str, str]:
         from kremis_spark.plans.curation import ORACLE_SQL as CURATION_ORACLES
 
         out.update(CURATION_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.embed import ORACLE_SQL as EMBED_ORACLES
+
+        out.update(EMBED_ORACLES)
     except ImportError:
         pass
     return out

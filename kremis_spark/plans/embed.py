@@ -1,0 +1,295 @@
+"""Embedding-pipeline extensions: int8 scalar quantization (compressed
+ANN) and a deterministic k-means step (the IVF/semantic-cluster trainer).
+
+Completes the similarity family in plans/pipeline.py (brute-force /
+LSH-bucketed / IVF-probed ANN + recall audit) with the two missing
+pieces a 100 TB embedding store needs:
+
+- ``pipe_ann_sq8`` — 8-bit scalar quantization: 4 bytes/dim float32 →
+  1 byte/dim codes (4× less I/O, the reason quantized search wins at
+  scale), searched by integer code dot products, with the exact top-k
+  membership audited in the same result.
+- ``pipe_kmeans_step`` — one Lloyd iteration (assign to nearest centroid
+  by squared L2, recompute integer-mean centroids + inertia) from
+  deterministic seeds. This is the operator that trains real IVF
+  centroids (plans/pipeline.py uses seed vectors as a stand-in) and the
+  classic semantic-clustering pass for corpus balancing.
+
+Determinism: everything derives from the 1e-6 fixed-point integerization
+in functions/similarity.py; quantization uses integer floor division and
+assignment/means are exact int64 arithmetic, so the DuckDB oracle
+reproduces every value bit-for-bit.
+
+Scale notes: quantization is map-side (two global scalars broadcast into
+the projection); code search is one pass + TakeOrdered, no shuffle of
+the codes. The k-means step shuffles (cell, dim) partial sums only —
+the update is a partial-agg tree, never a per-cluster collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kremis_spark.functions.similarity import (
+    cosine_col,
+    int_dot,
+    prepared_embeddings,
+)
+from kremis_spark.sources.tables import read_table
+
+SQ_LEVELS = 255
+ANN_K = 10
+KMEANS_K = 8
+
+
+def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prepared_embeddings(read_table(spark, sf_dir, "embeddings"))
+
+
+def _quantize(vec_col: str, lo: int, hi: int) -> F.Column:
+    """int64 fixed-point component → int8 code 0..255 by integer division
+    over the global [lo, hi] range (components − lo are nonnegative, so
+    `div` == floor). Pure integer math — exact in any engine."""
+    span = hi - lo + 1
+    return F.expr(
+        f"transform({vec_col}, x -> ((x - {lo}) * {SQ_LEVELS}) div {span})"
+    )
+
+
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: quantize every vector (and the query — the
+    lowest vec_id) to 8-bit codes over the global component range, rank
+    by integer code dot product, and audit each hit against the exact
+    full-precision cosine top-k in the same row.
+
+    Plan: two scalar aggs (global min/max) collected once, then a fully
+    map-side quantize+dot projection and a TakeOrdered — codes never
+    shuffle. The audit joins two k-row lists."""
+    prep = _prepared(spark, sf_dir).localCheckpoint(eager=True)
+    lo, hi = prep.agg(
+        F.min(F.array_min("ivec")), F.max(F.array_max("ivec"))
+    ).first()
+    qrow = prep.orderBy("vec_id").first()
+    qid, qivec = qrow["vec_id"], [int(v) for v in qrow["ivec"]]
+    span = hi - lo + 1
+    qcodes = [((v - lo) * SQ_LEVELS) // span for v in qivec]
+    qarr = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
+
+    base = prep.filter(F.col("vec_id") != qid)
+    quant = base.withColumn("codes", _quantize("ivec", lo, hi))
+    topq = (
+        quant.withColumn("qdot", int_dot(F.col("codes"), qarr))
+        .select("vec_id", "qdot")
+        .orderBy(F.desc("qdot"), "vec_id")
+        .limit(ANN_K)
+    )
+    qnorm = sum(v * v for v in qivec)
+    exact = (
+        base.withColumn(
+            "cosine",
+            cosine_col(
+                int_dot(F.col("ivec"), F.array(*[F.lit(v).cast("long") for v in qivec])),
+                F.col("norm"),
+                F.lit(qnorm).cast("long"),
+            ),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(ANN_K)
+        .select("vec_id", F.lit(1).cast("long").alias("in_exact_topk"))
+    )
+    return (
+        topq.join(exact, "vec_id", "left")
+        .select(
+            "vec_id",
+            "qdot",
+            F.coalesce("in_exact_topk", F.lit(0)).cast("long").alias(
+                "in_exact_topk"
+            ),
+        )
+        .orderBy(F.desc("qdot"), "vec_id")
+    )
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration over the integerized embeddings:
+    centroids seeded from the KMEANS_K lowest vec_ids, each vector
+    assigned to the nearest centroid by squared L2 (tie → lowest cell),
+    then per-cluster size, inertia, and the updated integer-mean
+    centroid (as an md5 digest of the dim-ordered means).
+
+    Distributed shape: the tiny centroid matrix is a broadcast literal;
+    assignment is map-side argmin via ``array_min`` over (dist, cell)
+    structs (linear expression growth — never a when/otherwise fold);
+    the update shuffles only (cell, dim) partial sums."""
+    prep = _prepared(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = prep.orderBy("vec_id").limit(KMEANS_K).select("vec_id", "ivec").collect()
+    centroids = [[int(v) for v in r["ivec"]] for r in seeds]
+
+    # dist²(v, c) = |v|² − 2·v·c + |c|²; |v|² is constant per row so the
+    # argmin needs only (−2·v·c + |c|²) — fewer terms, same winner.
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(sum(x * x for x in c)).cast("long")
+                    - 2 * int_dot(F.col("ivec"), F.array(*[F.lit(x).cast("long") for x in c]))
+                ).alias("rel"),
+                F.lit(cid).cast("long").alias("cell"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(scored)
+    assigned = prep.select(
+        "vec_id",
+        "ivec",
+        "norm",
+        best["cell"].alias("cell"),
+        (best["rel"] + F.col("norm")).alias("dist2"),
+    ).localCheckpoint(eager=True)
+
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist2").alias("inertia"),
+    )
+    dims = (
+        assigned.select("cell", F.posexplode("ivec").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    means = dims.join(stats.select("cell", "n_members"), "cell").select(
+        "cell", "pos", F.expr("s div n_members").alias("m")
+    )
+    digest = means.groupBy("cell").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"].cast("string"),
+                ),
+            )
+        ).alias("centroid_md5")
+    )
+    return (
+        stats.join(digest, "cell")
+        .select(
+            "cell",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("inertia").cast("long").alias("inertia"),
+            "centroid_md5",
+        )
+        .orderBy("cell")
+    )
+
+
+_IVEC = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000)"
+    " AS BIGINT))"
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "pipe_ann_sq8": f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+bounds AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi
+  FROM (SELECT unnest(ivec) AS v FROM prep)
+),
+q AS (SELECT vec_id AS qid, ivec AS qvec FROM prep ORDER BY vec_id LIMIT 1),
+qd AS (
+  SELECT i, qvec[i] AS qv,
+         (qvec[i] - lo) * {SQ_LEVELS} // (hi - lo + 1) AS qc
+  FROM q, bounds, unnest(generate_series(1, len(qvec))) AS t(i)
+),
+flat AS (
+  SELECT p.vec_id, t.i, p.ivec[t.i] AS v,
+         (p.ivec[t.i] - b.lo) * {SQ_LEVELS} // (b.hi - b.lo + 1) AS c
+  FROM prep p, bounds b, unnest(generate_series(1, len(p.ivec))) AS t(i)
+  WHERE p.vec_id <> (SELECT qid FROM q)
+),
+dots AS (
+  SELECT f.vec_id,
+         SUM(f.c * qd.qc) AS qdot,
+         SUM(f.v * qd.qv) AS dot,
+         SUM(f.v * f.v) AS norm
+  FROM flat f JOIN qd ON qd.i = f.i
+  GROUP BY f.vec_id
+),
+qn AS (SELECT SUM(qv * qv) AS qnorm FROM qd),
+topq AS (
+  SELECT vec_id, qdot FROM dots ORDER BY qdot DESC, vec_id LIMIT {ANN_K}
+),
+exact AS (
+  SELECT vec_id
+  FROM dots, qn
+  ORDER BY CAST(dot AS DOUBLE)
+           / (sqrt(CAST(norm AS DOUBLE)) * sqrt(CAST(qnorm AS DOUBLE))) DESC,
+           vec_id
+  LIMIT {ANN_K}
+)
+SELECT t.vec_id, CAST(t.qdot AS BIGINT) AS qdot,
+       CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_exact_topk
+FROM topq t LEFT JOIN exact e ON e.vec_id = t.vec_id
+ORDER BY t.qdot DESC, t.vec_id
+""",
+    "pipe_kmeans_step": f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, ivec AS cvec
+  FROM prep ORDER BY vec_id LIMIT {KMEANS_K}
+),
+cnorm AS (
+  SELECT cell, cvec,
+         (SELECT SUM(x * x) FROM unnest(cvec) AS t(x)) AS c2
+  FROM seeds
+),
+scored AS (
+  SELECT p.vec_id, c.cell,
+         c.c2 - 2 * (SELECT SUM(p.ivec[i] * c.cvec[i])
+                     FROM unnest(generate_series(1, len(p.ivec))) AS t(i))
+           AS rel,
+         (SELECT SUM(x * x) FROM unnest(p.ivec) AS t(x)) AS norm
+  FROM prep p CROSS JOIN cnorm c
+),
+assigned AS (
+  SELECT vec_id, cell, rel + norm AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rel, cell) AS rn
+  FROM scored
+),
+a AS (SELECT * FROM assigned WHERE rn = 1),
+stats AS (
+  SELECT cell, COUNT(*) AS n_members, SUM(dist2) AS inertia
+  FROM a GROUP BY cell
+),
+dims AS (
+  SELECT a.cell, t.i AS pos, SUM(p.ivec[t.i]) AS s
+  FROM a JOIN prep p USING (vec_id),
+       unnest(generate_series(1, len(p.ivec))) AS t(i)
+  GROUP BY a.cell, t.i
+),
+means AS (
+  SELECT d.cell, d.pos, d.s // st.n_members AS m
+  FROM dims d JOIN stats st USING (cell)
+),
+digest AS (
+  SELECT cell, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY pos))
+           AS centroid_md5
+  FROM means GROUP BY cell
+)
+SELECT s.cell, CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(s.inertia AS BIGINT) AS inertia, d.centroid_md5
+FROM stats s JOIN digest d USING (cell)
+ORDER BY s.cell
+""",
+}
+
+QUERIES = {
+    "pipe_ann_sq8": q_ann_sq8,
+    "pipe_kmeans_step": q_kmeans_step,
+}
