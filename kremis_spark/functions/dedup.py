@@ -32,18 +32,26 @@ HOT_BUCKET_CAP = 32
 
 
 def word_shingles(text_col: str = "text", n: int = 2) -> Column:
-    """Word n-gram shingles (empty array when fewer than n tokens)."""
-    toks = tokens(text_col)
-    size = F.size(toks)
-    return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(n)]
+    """Word n-gram shingles (empty array when fewer than n tokens).
+
+    The token array is bound ONCE via a single-element-array transform:
+    interpreted higher-order lambdas don't share subexpressions, so
+    inlining the regex split into the per-gram lambda re-runs it for
+    every element (measured 2.5× slower at sf0.1). Binding through the
+    lambda argument keeps the one-expression API with one tokenization
+    per row."""
+
+    def grams(t: Column) -> Column:
+        size = F.size(t)
+        return F.when(
+            size >= n,
+            F.transform(
+                F.sequence(F.lit(1), size - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(text_col)), grams), 1)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

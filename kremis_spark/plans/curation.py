@@ -134,7 +134,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark hash set is small (eval sets always are) and broadcasts
     into the overlap join, so only train-side 32-byte hashes shuffle —
     once, for the per-doc counts."""
-    docs = read_table(spark, sf_dir, "documents")
+    # round-robin repartition: locally the corpus is one parquet row
+    # group (one task); the shingle stage is CPU-bound, so decouple its
+    # parallelism from the file layout. On a real cluster the thousands
+    # of input files provide this for free and the exchange is a no-op
+    # cost next to the hash work.
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = (
         docs.select(
             "doc_id", F.explode(word_shingles(n=DECON_NGRAM)).alias("sh")
@@ -178,7 +185,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entirely map-side (array_distinct on a per-row gram array): zero
     shuffles, no state — the ideal 100 TB shape."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = word_shingles(n=3)
     g = docs.select("doc_id", grams.alias("grams")).filter(
         F.size("grams") > 0
