@@ -258,24 +258,22 @@ def connected_components(
             .groupBy("n")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # keep the old label in the checkpointed frame so convergence is
+        # a scan of materialized data, not another join per iteration
+        step = (
             labels.join(neigh.withColumnRenamed("n", "n2"),
                         labels["n"] == F.col("n2"), "left")
             .select(
                 "n",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "n")
-            .filter(F.col("new_label") != F.col("label"))
-            .take(1)
-        )
-        labels = new_labels
+        changed = step.filter(F.col("label") != F.col("old_label")).take(1)
+        labels = step.select("n", "label")
         if not changed:
             break
     return labels

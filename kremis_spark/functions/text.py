@@ -73,42 +73,33 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-based language guess: count marker-token hits per language,
-    pick argmax (score desc, lang asc); zero hits → 'und'.
+    """Marker-based language guess: count marker-token occurrences per
+    language, pick argmax (score desc, lang asc); zero hits → 'und'.
 
-    Distributed shape: explode tokens → broadcast-join the tiny marker
-    table → per-(doc, lang) counts → window top-1. The marker dim is a
-    handful of rows, so the join is a broadcast hash join with no shuffle
-    of the token stream beyond the doc-id aggregation.
+    Distributed shape: entirely map-side. The marker sets are a small
+    static vocabulary, so per-language hit counts are array filters over
+    the row's tokens and the argmax is a `greatest` over (hits, -rank)
+    structs — one narrow projection inside whole-stage codegen, zero
+    shuffles and zero joins. (A previous version exploded the token
+    stream through a broadcast marker join + window top-1: three wide
+    shuffles of corpus-sized intermediates; at 100 TB that shape
+    shuffles the whole corpus for a 4-entry dictionary lookup.)
     """
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    marker_rows = [
-        (lang, tok) for lang, toks in sorted(LANG_MARKERS.items()) for tok in toks
-    ]
-    markers = spark.createDataFrame(marker_rows, "lang STRING, tok STRING")
-
-    tok_stream = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    )
-    scores = (
-        tok_stream.join(F.broadcast(markers), "tok")
-        .groupBy(id_col, "lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("lang"))
-    best = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("lang").alias("lang_guess"))
-    )
-    return (
-        df.select(id_col)
-        .join(best, id_col, "left")
-        .select(
-            id_col, F.coalesce(F.col("lang_guess"), F.lit("und")).alias("lang_guess")
+    toks = tokens(text_col)
+    cands = []
+    # ascending lang order + descending rank encodes the "hits desc,
+    # lang asc" tiebreak into the natural struct ordering of greatest()
+    for rank, (lang, marks) in enumerate(sorted(LANG_MARKERS.items())):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*marks)))
+        cands.append(
+            F.struct(
+                hits.alias("h"), F.lit(-rank).alias("r"), F.lit(lang).alias("lang")
+            )
         )
+    best = F.greatest(*cands)
+    return df.select(
+        id_col,
+        F.when(best["h"] > 0, best["lang"]).otherwise("und").alias("lang_guess"),
     )
 
 
