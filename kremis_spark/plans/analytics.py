@@ -345,6 +345,71 @@ def q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` payload and aggregate per event type.
+
+    Scale shape: the JSON path evaluates map-side inside codegen
+    (``get_json_object`` is a JVM expression, no UDF), so the only
+    shuffle is the final small group-agg keyed on event_type — at 100 TB
+    the parse cost is embarrassingly parallel and the shuffle is
+    cardinality(event_type) rows per partition after partial agg."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity trend: exact integer least-squares slope of
+    daily event counts over epoch-day index, reported as the rational
+    (num, den) pair so no engine ever divides (slope = num/den;
+    den > 0 ⇔ the user is active on ≥2 distinct days).
+
+    Scale shape: two key-partitioned aggregates — (user, day) then
+    (user) — both with map-side partial aggregation; the regression
+    moments (Σx, Σy, Σxy, Σx²) are plain long sums, so the whole thing
+    is the canonical two-level rollup with no window, no join, and
+    bounded output (one row per user)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.expr("ts div 86400000000000").alias("d"))
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    per = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("d").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+    )
+    return (
+        per.filter(F.col("n_days") >= 2)
+        .select(
+            "user_id",
+            "n_days",
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "slope_num"
+            ),
+            (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+                "slope_den"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "tpch_q1_pricing": """
 SELECT l_returnflag, l_linestatus,
@@ -541,6 +606,35 @@ SELECT promo_cents_x100, total_cents_x100,
          AS promo_share_millis
 FROM agg
 """,
+    "events_json_props": """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "events_user_trend": """
+WITH daily AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT user_id,
+         COUNT(*) AS n_days,
+         SUM(d) AS sx, SUM(y) AS sy,
+         SUM(d * y) AS sxy, SUM(d * d) AS sxx
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den
+FROM per WHERE n_days >= 2
+ORDER BY user_id
+""",
 }
 
 
@@ -558,4 +652,6 @@ QUERIES = {
     "events_asof_attribution": q_asof_attribution,
     "events_purchase_window": q_purchase_window,
     "docs_rollup_stats": q_docs_rollup,
+    "events_json_props": q_json_props,
+    "events_user_trend": q_user_trend,
 }

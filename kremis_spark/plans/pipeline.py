@@ -98,6 +98,38 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_top_terms(_docs_parallel(spark, sf_dir), k=3)
 
 
+POSTING_CAP = 10
+INDEX_TOPN = 20
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index head: the INDEX_TOPN highest-df terms with their
+    document frequency and a capped, sorted posting list (the
+    POSTING_CAP smallest doc ids — deterministic, bounded per term).
+
+    Scale shape: one explode of per-row DISTINCT tokens (map-side
+    array_distinct bounds the explode at vocabulary-per-doc, not token
+    occurrences) → a single group-agg on term with partial aggregation →
+    global top-N. Posting lists are capped so no group's state grows
+    with corpus size; a full index build would instead sink the same
+    aggregate partitioned by term prefix."""
+    docs = _docs_parallel(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("term")
+    )
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(
+                F.sort_array(F.collect_set("doc_id")), 1, POSTING_CAP
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(INDEX_TOPN)
+    )
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -845,6 +877,18 @@ FROM ({_COSINE_TOPK_SQL}) e
 JOIN ({_IVF_TOPK_SQL}) i USING (vec_id)
 """,
     "pipe_embed_neardup": _NEARDUP_SQL,
+    "pipe_inverted_index": rf"""
+WITH t AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+  )
+)
+SELECT term,
+       COUNT(*) AS df,
+       (list_sort(list(doc_id)))[1:{POSTING_CAP}] AS postings
+FROM t GROUP BY term
+ORDER BY df DESC, term LIMIT {INDEX_TOPN}
+""",
 }
 
 
@@ -866,4 +910,5 @@ QUERIES = {
     "pipe_ann_ivf_topk": q_ann_ivf_topk,
     "pipe_ann_recall": q_ann_recall,
     "pipe_embed_neardup": q_embed_neardup,
+    "pipe_inverted_index": q_inverted_index,
 }
