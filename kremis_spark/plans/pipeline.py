@@ -130,6 +130,132 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_N = 13  # the standard 13-gram decontamination window
+EVAL_MOD = 10  # docs with doc_id % EVAL_MOD == 0 form the held-out split
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word 13-gram with the held-out eval split (here the deterministic
+    split ``doc_id % EVAL_MOD == 0``), with per-doc contamination ppm.
+
+    Scale shape: distinct 13-grams are computed map-side per row
+    (array_distinct before the explode bounds fan-out at unique-grams
+    per doc); the eval-gram side is deduped before the join so the
+    shuffle key set is eval-vocabulary-sized, not corpus-sized; the
+    contamination join is a plain hash join on the gram string (swap the
+    key for an 8-byte xxhash64 of the gram at production scale to shrink
+    shuffle bytes ~10×). Output is bounded: one row per contaminated
+    training doc."""
+    sh = _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(D.word_shingles("text", DECONTAM_N))
+        ).alias("g"),
+    )
+    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    totals = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr.join(ev, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated",
+            "n_shingles",
+            F.expr("n_contaminated * 1000000 div n_shingles").alias(
+                "contamination_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing audit over the events payloads: per event
+    type, how many rows carry email-shaped or digit-run tokens and how
+    many characters a masking pass removes. (The synthetic payloads
+    contain digit runs but no emails — the email column exercises the
+    multi-pattern plumbing and reports 0.)
+
+    Scale shape: both regexes evaluate map-side inside codegen (JVM
+    ``regexp_replace``/``rlike``, no UDF); the only shuffle is the final
+    event_type group-agg after map-side partials. Masking 100 TB of
+    payloads is embarrassingly parallel; the audit output is
+    cardinality(event_type) rows."""
+    ev = read_table(spark, sf_dir, "events")
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    stripped = F.regexp_replace(F.col("props"), "[0-9]", "")
+    return (
+        ev.select(
+            "event_type",
+            F.col("props").rlike("[0-9]").cast("long").alias("has_digits"),
+            F.col("props").rlike(email_pat).cast("long").alias("has_email"),
+            (F.length("props") - F.length(stripped)).alias("digit_chars"),
+            F.size(
+                F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0)
+            ).cast("long").alias("digit_runs"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("has_digits").alias("n_digit_rows"),
+            F.sum("has_email").alias("n_email_rows"),
+            F.sum("digit_chars").alias("chars_masked"),
+            F.sum("digit_runs").alias("runs_masked"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    unigram fraction and most-frequent-bigram fraction, both in exact
+    integer ppm. Docs with fewer than 2 tokens have no bigrams and are
+    excluded (inner join), matching the rule's domain.
+
+    Scale shape: unigram stats are pure map-side array expressions; the
+    bigram mode needs a real (doc_id, bigram) count — explode → two
+    key-partitioned aggregates with map-side partials (the per-row
+    ``array_max(transform(...))`` alternative is O(distinct·n) per doc
+    and blows up on long documents) — then one doc_id-keyed join of two
+    already-aggregated, doc-cardinality sides."""
+    base = _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(T.tokens("text"))).cast("long").alias(
+            "n_distinct"
+        ),
+        D.word_shingles("text", 2).alias("bg"),
+    )
+    per_doc = (
+        base.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_cnt"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        base.select("doc_id", "n_tokens", "n_distinct")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "(n_tokens - n_distinct) * 1000000 div n_tokens"
+            ).alias("dup_unigram_ppm"),
+            F.expr("top_bigram_cnt * 1000000 div n_bigrams").alias(
+                "top_bigram_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -889,6 +1015,68 @@ SELECT term,
 FROM t GROUP BY term
 ORDER BY df DESC, term LIMIT {INDEX_TOPN}
 """,
+    "pipe_decontam": rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(w[i:i+{DECONTAM_N - 1}], 'string_agg', ' ') AS g
+  FROM t, UNNEST(range(1, len(w) - {DECONTAM_N - 2})) AS u(i)
+),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, g FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM tr JOIN ev USING (g) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_contaminated * 1000000 // n_shingles AS BIGINT)
+         AS contamination_ppm
+FROM hits JOIN tot USING (doc_id)
+ORDER BY doc_id
+""",
+    "pipe_pii_scrub": r"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN regexp_matches(props, '[0-9]') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_digit_rows,
+       CAST(SUM(CASE WHEN regexp_matches(props,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_email_rows,
+       CAST(SUM(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
+            AS BIGINT) AS chars_masked,
+       CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+         AS runs_masked
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "pipe_repetition": rf"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+base AS (
+  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct
+  FROM t
+),
+bg AS (
+  SELECT doc_id, list_aggregate(w[i:i+1], 'string_agg', ' ') AS g
+  FROM t, UNNEST(range(1, len(w))) AS u(i)
+),
+per AS (
+  SELECT doc_id, MAX(c) AS top_bigram_cnt, SUM(c) AS n_bigrams
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((n_tokens - n_distinct) * 1000000 // n_tokens AS BIGINT)
+         AS dup_unigram_ppm,
+       CAST(top_bigram_cnt * 1000000 // n_bigrams AS BIGINT)
+         AS top_bigram_ppm
+FROM base JOIN per USING (doc_id)
+ORDER BY doc_id
+""",
 }
 
 
@@ -911,4 +1099,7 @@ QUERIES = {
     "pipe_ann_recall": q_ann_recall,
     "pipe_embed_neardup": q_embed_neardup,
     "pipe_inverted_index": q_inverted_index,
+    "pipe_decontam": q_decontam,
+    "pipe_pii_scrub": q_pii_scrub,
+    "pipe_repetition": q_repetition,
 }
