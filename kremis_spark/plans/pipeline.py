@@ -130,51 +130,6 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECONTAM_N = 13  # the standard 13-gram decontamination window
-EVAL_MOD = 10  # docs with doc_id % EVAL_MOD == 0 form the held-out split
-
-
-def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag training documents that share any
-    word 13-gram with the held-out eval split (here the deterministic
-    split ``doc_id % EVAL_MOD == 0``), with per-doc contamination ppm.
-
-    Scale shape: distinct 13-grams are computed map-side per row
-    (array_distinct before the explode bounds fan-out at unique-grams
-    per doc); the eval-gram side is deduped before the join so the
-    shuffle key set is eval-vocabulary-sized, not corpus-sized; the
-    contamination join is a plain hash join on the gram string (swap the
-    key for an 8-byte xxhash64 of the gram at production scale to shrink
-    shuffle bytes ~10×). Output is bounded: one row per contaminated
-    training doc."""
-    sh = _docs_parallel(spark, sf_dir).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(D.word_shingles("text", DECONTAM_N))
-        ).alias("g"),
-    )
-    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
-    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
-    totals = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        tr.join(ev, "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    return (
-        hits.join(totals, "doc_id")
-        .select(
-            "doc_id",
-            "n_contaminated",
-            "n_shingles",
-            F.expr("n_contaminated * 1000000 div n_shingles").alias(
-                "contamination_ppm"
-            ),
-        )
-        .orderBy("doc_id")
-    )
-
-
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style scrubbing audit over the events payloads: per event
     type, how many rows carry email-shaped or digit-run tokens and how
@@ -212,9 +167,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals per document: duplicate
-    unigram fraction and most-frequent-bigram fraction, both in exact
+def q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals complementary to ``pipe_repetition``
+    (which covers the duplicate-3-gram fraction): duplicate UNIGRAM
+    fraction and most-frequent-bigram (mode) fraction, both in exact
     integer ppm. Docs with fewer than 2 tokens have no bigrams and are
     excluded (inner join), matching the rule's domain.
 
@@ -1015,28 +971,6 @@ SELECT term,
 FROM t GROUP BY term
 ORDER BY df DESC, term LIMIT {INDEX_TOPN}
 """,
-    "pipe_decontam": rf"""
-WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-         list_aggregate(w[i:i+{DECONTAM_N - 1}], 'string_agg', ' ') AS g
-  FROM t, UNNEST(range(1, len(w) - {DECONTAM_N - 2})) AS u(i)
-),
-ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
-tr AS (SELECT doc_id, g FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
-tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
-hits AS (
-  SELECT doc_id, COUNT(*) AS n_contaminated
-  FROM tr JOIN ev USING (g) GROUP BY doc_id
-)
-SELECT doc_id,
-       CAST(n_contaminated AS BIGINT) AS n_contaminated,
-       CAST(n_shingles AS BIGINT) AS n_shingles,
-       CAST(n_contaminated * 1000000 // n_shingles AS BIGINT)
-         AS contamination_ppm
-FROM hits JOIN tot USING (doc_id)
-ORDER BY doc_id
-""",
     "pipe_pii_scrub": r"""
 SELECT event_type,
        COUNT(*) AS n_rows,
@@ -1053,7 +987,7 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """,
-    "pipe_repetition": rf"""
+    "pipe_top_ngram": rf"""
 WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 base AS (
   SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct
@@ -1099,7 +1033,6 @@ QUERIES = {
     "pipe_ann_recall": q_ann_recall,
     "pipe_embed_neardup": q_embed_neardup,
     "pipe_inverted_index": q_inverted_index,
-    "pipe_decontam": q_decontam,
     "pipe_pii_scrub": q_pii_scrub,
-    "pipe_repetition": q_repetition,
+    "pipe_top_ngram": q_top_ngram,
 }

@@ -51,3 +51,30 @@ def test_oracle_match(spark, duck, name):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
     assert value_hash(scols, srows) == value_hash(ocols, orows)
+
+
+def test_no_duplicate_query_keys_across_plan_modules():
+    """queries() merges per-module QUERIES dicts with dict.update — a
+    duplicate key silently shadows an earlier module's query (and its
+    oracle can pair with the wrong implementation). Keep keys unique."""
+    import importlib
+
+    from collections import Counter
+
+    seen: Counter[str] = Counter()
+    for mod in (
+        "graph_queries",
+        "analytics",
+        "pipeline",
+        "analytics_ext",
+        "beyond",
+        "curation",
+        "embed",
+    ):
+        try:
+            m = importlib.import_module(f"kremis_spark.plans.{mod}")
+        except ImportError:
+            continue
+        seen.update(m.QUERIES.keys())
+    dupes = sorted(k for k, v in seen.items() if v > 1)
+    assert not dupes, f"duplicate queries() keys across modules: {dupes}"
