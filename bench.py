@@ -39,6 +39,12 @@ def main() -> None:
 
     # JVM/codegen warmup so 'ingest' measures the engine, not Spark boot.
     spark.range(10_000).selectExpr("sum(id)").collect()
+    # Python-worker warmup: the first Arrow query otherwise pays ~14 s of
+    # per-core python+pandas interpreter boot (32 workers), which would be
+    # billed to whichever query happens to run first.
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").collect()
 
     # --- ingest: signals → committed graph state (cached for queries) ---
     t0 = time.time()
