@@ -542,31 +542,38 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PR_ITERS = 10
+# Below this edge count the graph fits the driver comfortably and the
+# iterative join loop is pure scheduling overhead (~30 local jobs); above
+# it, the distributed Pregel-style loop takes over. Same adaptive split as
+# the BFS family (operators/traverse.py).
+PR_COLLECT_MAX_EDGES = 2_000_000
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-point integer PageRank (damping 0.85, PR_ITERS synchronous
-    iterations, ranks in parts-per-million). All arithmetic is integer
-    division in a fixed order, so the result is bit-exact across engines
-    and partitionings — the determinism rule the reference enforces
-    graph-wide (no-float lint, SURVEY §1.2).
-
-    Scale shape: each iteration is one key-partitioned join (edges ⋈
-    ranks on src) + one group-agg on dst — the classic Pregel step as
-    DataFrames; lineage is cut every 3 iterations with localCheckpoint
-    so the plan doesn't grow superlinearly with iteration count.
-    Dangling-node mass is dropped (simplified PR), identically on both
-    engines."""
-    st = graph_state(spark, sf_dir)
-    nodes = st.nodes.select("node_id")
-    edges = st.edges.select("src", "dst")
-    n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+def pagerank_distributed(
+    nodes: DataFrame, edges_df: DataFrame, n: int, iters: int = PR_ITERS
+) -> DataFrame:
+    """Distributed fixed-point integer PageRank step loop (the 100 TB
+    path). The static (src, dst, outdeg) edge side is built ONCE and
+    materialized; each iteration is then one join against the node-sized
+    ranks table + one group-agg on dst — the classic Pregel step as
+    DataFrames. While ranks fit a broadcast (n ≤ ~5M here; sized to
+    executor memory on a cluster) the per-iteration join broadcasts them
+    so the edge fact never re-shuffles; past that threshold both sides
+    are pre-partitioned on the key and iterations reuse the exchange.
+    Lineage is cut every 3 iterations so the plan doesn't grow
+    superlinearly with iteration count."""
+    outdeg = edges_df.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = (
+        edges_df.select("src", "dst")
+        .join(outdeg, "src")
+        .localCheckpoint(eager=True)
+    )
+    bcast_ranks = n <= 5_000_000
     ranks = nodes.withColumn("r", F.lit(1_000_000 // n).cast("long"))
-    for i in range(PR_ITERS):
+    for i in range(iters):
+        rside = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["node_id"])
-            .join(outdeg, "src")
+            edges.join(rside, edges["src"] == rside["node_id"])
             .select(
                 F.col("dst").alias("node_id"),
                 F.expr("r div outdeg").alias("c"),
@@ -574,6 +581,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node_id")
             .agg(F.sum("c").alias("contrib"))
         )
+        contrib = F.broadcast(contrib) if bcast_ranks else contrib
         ranks = nodes.join(contrib, "node_id", "left").select(
             "node_id",
             (
@@ -587,6 +595,47 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node_id", F.col("r").alias("rank_ppm")).orderBy(
         "node_id"
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (damping 0.85, PR_ITERS synchronous
+    iterations, ranks in parts-per-million). All arithmetic is integer
+    division in a fixed order, so the result is bit-exact across engines
+    and partitionings — the determinism rule the reference enforces
+    graph-wide (no-float lint, SURVEY §1.2). Dangling-node mass is
+    dropped (simplified PR), identically on both engines.
+
+    Adaptive execution: graphs under PR_COLLECT_MAX_EDGES collect once
+    and run the identical integer recurrence on the driver (1 Spark job
+    instead of ~3 per iteration); larger graphs run
+    ``pagerank_distributed``. Both paths compute bit-identical ranks —
+    ``tests/test_analytics_oracle.py`` pins the distributed variant to
+    the same oracle."""
+    st = graph_state(spark, sf_dir)
+    nodes = st.nodes.select("node_id")
+    n = nodes.count()
+    if st.edges.count() > PR_COLLECT_MAX_EDGES:
+        return pagerank_distributed(nodes, st.edges, n)
+
+    node_ids = [int(r[0]) for r in nodes.collect()]
+    edge_rows = [
+        (int(r[0]), int(r[1]))
+        for r in st.edges.select("src", "dst").collect()
+    ]
+    outdeg: dict[int, int] = {}
+    for s, _ in edge_rows:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base, damp_base = 1_000_000 // n, 150_000 // n
+    r = {v: base for v in node_ids}
+    for _ in range(PR_ITERS):
+        contrib: dict[int, int] = {}
+        for s, d in edge_rows:
+            contrib[d] = contrib.get(d, 0) + r[s] // outdeg[s]
+        r = {v: damp_base + 850 * contrib.get(v, 0) // 1000 for v in node_ids}
+    return spark.createDataFrame(
+        [(v, r[v]) for v in sorted(node_ids)],
+        "node_id LONG, rank_ppm LONG",
     )
 
 

@@ -53,6 +53,19 @@ def test_oracle_match(spark, duck, name):
     assert value_hash(scols, srows) == value_hash(ocols, orows)
 
 
+def test_pagerank_distributed_matches_driver_path(spark):
+    """q_pagerank adaptively collects small graphs to the driver; the
+    distributed Pregel-style loop must produce bit-identical ranks (it
+    is the path actually taken past PR_COLLECT_MAX_EDGES)."""
+    from kremis_spark.plans import graph_queries as gq
+
+    st = gq.graph_state(spark, SF_DIR)
+    nodes = st.nodes.select("node_id")
+    dist = gq.pagerank_distributed(nodes, st.edges, nodes.count()).collect()
+    drv = gq.q_pagerank(spark, SF_DIR).collect()
+    assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
+
+
 def test_no_duplicate_query_keys_across_plan_modules():
     """queries() merges per-module QUERIES dicts with dict.update — a
     duplicate key silently shadows an earlier module's query (and its
