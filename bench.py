@@ -23,6 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # The driver parses stdout as ONE JSON line, but Spark writes its
+    # log-level banner to stdout. Park the real stdout on a spare fd and
+    # point fd 1 at stderr for the whole run; only the final JSON goes to
+    # the real stdout.
+    real_stdout = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
@@ -76,7 +84,8 @@ def main() -> None:
         "sf": float(sf),
         **extras,
     }
-    print(json.dumps(out))
+    real_stdout.write(json.dumps(out) + "\n")
+    real_stdout.flush()
 
 
 if __name__ == "__main__":

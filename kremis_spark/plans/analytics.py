@@ -606,13 +606,20 @@ SELECT promo_cents_x100, total_cents_x100,
          AS promo_share_millis
 FROM agg
 """,
+    # Every aggregate is cast to BIGINT: DuckDB's SUM(BIGINT) returns
+    # HUGEINT, which the driver's value-normalizer renders differently
+    # from Spark's int64 even when the values are equal.
     "events_json_props": """
 SELECT event_type,
-       COUNT(*) AS n_events,
-       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_with_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -71,6 +71,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kremis_spark.sources.tables import events_ts_unit
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source wants a directory; glob-filter to one table
     stream = (
@@ -78,6 +80,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if events_ts_unit(sf_dir) == "us":
+        stream = stream.withColumn("ts", F.col("ts") * F.lit(1000))
     return stream.withColumn(
         "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
     )

@@ -2,15 +2,35 @@
 
 Explicit schema-on-read matters twice at scale: it skips the footer
 schema-merge job (a full file listing at 100 TB), and it sidesteps
-nanosecond-timestamp parquet types that Spark's inference rejects
-(events.parquet stores TIMESTAMP(NANOS); we read it as LongType nanos and
-convert to a proper timestamp column ourselves).
+timestamp-resolution drift: ``events.ts`` has shipped as both
+TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata generations, so we
+sniff the physical unit from one parquet footer and always hand callers
+``ts`` as LongType epoch NANOSECONDS (the engine-wide contract) plus a
+derived ``ts_ts`` TimestampType column (µs).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Physical unit of events.ts in this dataset: 'ns' or 'us'.
+
+    One footer read per dataset (cached); at cluster scale this is a
+    driver-side metadata fetch, not a data scan."""
+    path = f"{sf_dir}/events.parquet"
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        unit = getattr(t, "unit", "ns")  # plain int64 ⇒ ns by contract
+        _TS_UNIT_CACHE[path] = unit
+    return unit
 
 _SCHEMAS = {
     "region": "r_regionkey INT, r_name STRING",
@@ -35,13 +55,16 @@ _SCHEMAS = {
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. ``events.ts`` comes back as LongType
-    nanoseconds plus a derived ``ts_ts`` TimestampType column (µs)."""
+    nanoseconds plus a derived ``ts_ts`` TimestampType column (µs),
+    regardless of the parquet file's physical timestamp resolution."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
+        if events_ts_unit(sf_dir) == "us":
+            df = df.withColumn("ts", F.col("ts") * F.lit(1000))
         df = df.withColumn(
-            "ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 
