@@ -542,33 +542,42 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PR_ITERS = 10
-# Below this edge count the graph fits the driver comfortably and the
+# Below these bounds the graph fits the driver comfortably and the
 # iterative join loop is pure scheduling overhead (~30 local jobs); above
-# it, the distributed Pregel-style loop takes over. Same adaptive split as
-# the BFS family (operators/traverse.py).
+# either, the distributed Pregel-style loop takes over. Same adaptive
+# split as the BFS family (operators/traverse.py).
 PR_COLLECT_MAX_EDGES = 2_000_000
+PR_COLLECT_MAX_NODES = 2_000_000
+# Past this node count the per-iteration ranks table stops being
+# broadcast-able (sized to executor memory on a cluster).
+PR_BCAST_MAX_NODES = 5_000_000
 
 
 def pagerank_distributed(
-    nodes: DataFrame, edges_df: DataFrame, n: int, iters: int = PR_ITERS
+    nodes: DataFrame,
+    edges_df: DataFrame,
+    n: int,
+    iters: int = PR_ITERS,
+    bcast_max_nodes: int = PR_BCAST_MAX_NODES,
 ) -> DataFrame:
     """Distributed fixed-point integer PageRank step loop (the 100 TB
     path). The static (src, dst, outdeg) edge side is built ONCE and
     materialized; each iteration is then one join against the node-sized
     ranks table + one group-agg on dst — the classic Pregel step as
-    DataFrames. While ranks fit a broadcast (n ≤ ~5M here; sized to
-    executor memory on a cluster) the per-iteration join broadcasts them
-    so the edge fact never re-shuffles; past that threshold both sides
-    are pre-partitioned on the key and iterations reuse the exchange.
-    Lineage is cut every 3 iterations so the plan doesn't grow
-    superlinearly with iteration count."""
+    DataFrames. While ranks fit a broadcast (n ≤ bcast_max_nodes) the
+    per-iteration join broadcasts them so the edge fact never
+    re-shuffles; past that threshold the edge fact and the node table
+    are hash-partitioned on the join key once, before the checkpoint,
+    so each iteration only exchanges the node-sized ranks/contrib
+    tables, never the edges. Lineage is cut every 3 iterations so the
+    plan doesn't grow superlinearly with iteration count."""
+    bcast_ranks = n <= bcast_max_nodes
     outdeg = edges_df.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = (
-        edges_df.select("src", "dst")
-        .join(outdeg, "src")
-        .localCheckpoint(eager=True)
-    )
-    bcast_ranks = n <= 5_000_000
+    edges = edges_df.select("src", "dst").join(outdeg, "src")
+    if not bcast_ranks:
+        edges = edges.repartition("src")
+        nodes = nodes.repartition("node_id").localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     ranks = nodes.withColumn("r", F.lit(1_000_000 // n).cast("long"))
     for i in range(iters):
         rside = F.broadcast(ranks) if bcast_ranks else ranks
@@ -606,23 +615,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-wide (no-float lint, SURVEY §1.2). Dangling-node mass is
     dropped (simplified PR), identically on both engines.
 
-    Adaptive execution: graphs under PR_COLLECT_MAX_EDGES collect once
-    and run the identical integer recurrence on the driver (1 Spark job
-    instead of ~3 per iteration); larger graphs run
-    ``pagerank_distributed``. Both paths compute bit-identical ranks —
-    ``tests/test_analytics_oracle.py`` pins the distributed variant to
+    Adaptive execution: graphs under PR_COLLECT_MAX_NODES /
+    PR_COLLECT_MAX_EDGES collect once (3 small jobs total) and run the
+    identical integer recurrence on the driver instead of ~3 jobs per
+    iteration; larger graphs run ``pagerank_distributed``. Both paths
+    compute bit-identical ranks — ``tests/test_analytics_oracle.py``
+    pins both distributed branches (broadcast and pre-partitioned) to
     the same oracle."""
     st = graph_state(spark, sf_dir)
     nodes = st.nodes.select("node_id")
     n = nodes.count()
-    if st.edges.count() > PR_COLLECT_MAX_EDGES:
+    if n > PR_COLLECT_MAX_NODES:
+        return pagerank_distributed(nodes, st.edges, n)
+    # Probe-collect the edges with a limit one past the bound: small
+    # graphs pay a single collect (no separate count job), big ones
+    # spill over the limit and fall back to the distributed loop.
+    edge_rows = [
+        (int(r[0]), int(r[1]))
+        for r in st.edges.select("src", "dst")
+        .limit(PR_COLLECT_MAX_EDGES + 1)
+        .collect()
+    ]
+    if len(edge_rows) > PR_COLLECT_MAX_EDGES:
         return pagerank_distributed(nodes, st.edges, n)
 
     node_ids = [int(r[0]) for r in nodes.collect()]
-    edge_rows = [
-        (int(r[0]), int(r[1]))
-        for r in st.edges.select("src", "dst").collect()
-    ]
     outdeg: dict[int, int] = {}
     for s, _ in edge_rows:
         outdeg[s] = outdeg.get(s, 0) + 1
@@ -631,7 +648,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PR_ITERS):
         contrib: dict[int, int] = {}
         for s, d in edge_rows:
-            contrib[d] = contrib.get(d, 0) + r[s] // outdeg[s]
+            # r.get: an edge whose src is absent from the node table
+            # contributes nothing — the same semantics as the inner
+            # join in the distributed loop.
+            rs = r.get(s)
+            if rs is not None:
+                contrib[d] = contrib.get(d, 0) + rs // outdeg[s]
         r = {v: damp_base + 850 * contrib.get(v, 0) // 1000 for v in node_ids}
     return spark.createDataFrame(
         [(v, r[v]) for v in sorted(node_ids)],

@@ -53,15 +53,20 @@ def test_oracle_match(spark, duck, name):
     assert value_hash(scols, srows) == value_hash(ocols, orows)
 
 
-def test_pagerank_distributed_matches_driver_path(spark):
+@pytest.mark.parametrize("bcast_max_nodes", [5_000_000, 0])
+def test_pagerank_distributed_matches_driver_path(spark, bcast_max_nodes):
     """q_pagerank adaptively collects small graphs to the driver; the
     distributed Pregel-style loop must produce bit-identical ranks (it
-    is the path actually taken past PR_COLLECT_MAX_EDGES)."""
+    is the path actually taken past the collect bounds) in BOTH its
+    branches: broadcast ranks (n <= bcast_max_nodes) and the
+    pre-partitioned shuffle loop (bcast_max_nodes=0 forces it)."""
     from kremis_spark.plans import graph_queries as gq
 
     st = gq.graph_state(spark, SF_DIR)
     nodes = st.nodes.select("node_id")
-    dist = gq.pagerank_distributed(nodes, st.edges, nodes.count()).collect()
+    dist = gq.pagerank_distributed(
+        nodes, st.edges, nodes.count(), bcast_max_nodes=bcast_max_nodes
+    ).collect()
     drv = gq.q_pagerank(spark, SF_DIR).collect()
     assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
 
