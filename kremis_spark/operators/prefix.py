@@ -1,0 +1,78 @@
+"""Distributed exclusive prefix sum (the parallel scan).
+
+A global running total ordered by a key is the backbone of
+sequence packing (concat-and-chunk for LLM training batches), global
+positions/offsets, and cumulative quotas. The naive Spark expression —
+``sum().over(Window.orderBy(key))`` with no partition key — serializes
+the whole dataset through ONE task, which is exactly the shape that dies
+at 100 TB.
+
+This operator is the classic two-phase scan instead:
+
+1. range-partition by the key (sampled boundaries, every partition a
+   contiguous key range) and compute the per-partition local exclusive
+   prefix via a window PARTITIONED by the physical partition id — all
+   parallel;
+2. per-partition totals (one tiny row per partition) come to the driver,
+   their running sum is each partition's global offset, and a broadcast
+   map-literal join adds it back — no second shuffle of the data.
+
+The result is invariant to where the sampled boundaries fall: each
+partition holds a contiguous key range, so (earlier partitions' total +
+local prefix) IS the global prefix. Mirrors the dense-id assigner
+(operators/ids.py) which does the same for ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__scan_pid"
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``value_col`` over all rows strictly
+    before this one in ``order_cols`` order. Rows must be unique on
+    ``order_cols``."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 1)
+
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # Materialize once: the partition totals and the local-prefix pass
+    # must observe the SAME physical partitioning (and it feeds two
+    # consumers).
+    ranged = ranged.localCheckpoint(eager=True)
+
+    totals = {
+        int(r[0]): int(r[1])
+        for r in ranged.groupBy(_PID)
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    offsets: list[Column] = []
+    acc = 0
+    for pid in range(num_partitions):
+        offsets.append(F.lit(pid))
+        offsets.append(F.lit(acc).cast("long"))
+        acc += totals.get(pid, 0)
+    offset_map = F.create_map(*offsets)
+
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0).cast("long"))
+    return ranged.withColumn(
+        out_col, (local + offset_map[F.col(_PID)]).cast("long")
+    ).drop(_PID)

@@ -49,6 +49,8 @@ MIXTURE_PERMILLE: dict[str, int] = {
 DECON_NGRAM = 8  # the classic 8-gram eval-contamination rule
 BENCH_MOD = 17  # doc_id % 17 == 0 plays the held-out benchmark set
 
+SEQ_LEN = 512  # packed training-sequence length in tokens
+
 
 def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split every document into fixed 32-token windows with stride 24
@@ -207,9 +209,70 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end to end
+    in doc_id order and cut into fixed SEQ_LEN-token training sequences
+    (the standard GPT-style packing). Emits one row per (document ×
+    sequence) span: which sequence, the offset inside the document, and
+    how many tokens the document contributes there.
+
+    Scale shape: the global token offset comes from the two-phase
+    distributed scan (operators/prefix.py) — range partition, local
+    window prefix, driver-side per-partition offsets — NOT a
+    single-partition global window; the span explode is then pure
+    map-side `sequence`/`explode` arithmetic. At 100 TB the scan
+    shuffles each row once and the offsets table is one row per
+    partition."""
+    from kremis_spark.operators.prefix import exclusive_prefix_sum
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_toks")
+    )
+    pref = exclusive_prefix_sum(docs, ["doc_id"], "n_toks", "tok_start")
+    first = F.expr(f"tok_start div {SEQ_LEN}")
+    last = F.expr(f"(tok_start + n_toks - 1) div {SEQ_LEN}")
+    spans = pref.filter(F.col("n_toks") > 0).select(
+        "doc_id",
+        "n_toks",
+        "tok_start",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    span_start = F.greatest(F.col("tok_start"), F.col("seq_id") * SEQ_LEN)
+    span_end = F.least(
+        F.col("tok_start") + F.col("n_toks"), (F.col("seq_id") + 1) * SEQ_LEN
+    )
+    return spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (span_start - F.col("tok_start")).cast("long").alias("off_in_doc"),
+        (span_end - span_start).cast("long").alias("span_len"),
+    ).orderBy("doc_id", "seq_id")
+
+
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
 ORACLE_SQL: dict[str, str] = {
+    "pipe_seq_pack": f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS st
+  FROM t
+),
+s AS (
+  SELECT doc_id, n, st,
+         unnest(generate_series(st // {SEQ_LEN}, (st + n - 1) // {SEQ_LEN}))
+           AS seq_id
+  FROM c WHERE n > 0
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(GREATEST(st, seq_id * {SEQ_LEN}) - st AS BIGINT) AS off_in_doc,
+       CAST(LEAST(st + n, (seq_id + 1) * {SEQ_LEN})
+            - GREATEST(st, seq_id * {SEQ_LEN}) AS BIGINT) AS span_len
+FROM s ORDER BY doc_id, seq_id
+""",
     "pipe_chunk_overlap": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (
@@ -295,6 +358,7 @@ FROM g WHERE len(grams) > 0
 }
 
 QUERIES = {
+    "pipe_seq_pack": q_seq_pack,
     "pipe_chunk_overlap": q_chunk_overlap,
     "pipe_mixture_sample": q_mixture_sample,
     "pipe_decontaminate": q_decontaminate,

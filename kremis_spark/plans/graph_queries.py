@@ -527,17 +527,83 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("b").alias("z"), F.col("a").alias("n"))
     )
     deg = inc.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    # Attach the per-z weight to the node-sized incidence list BEFORE the
+    # wedge self-join: the Σdeg²-sized wedge relation then never takes
+    # another join pass — it flows straight into the partial-aggregating
+    # groupBy.
+    incw = inc.join(F.broadcast(deg), "z").select(
+        "z", "n", F.expr("1000000 div deg").alias("w")
+    )
     wedges = (
-        inc.select(F.col("z"), F.col("n").alias("u"))
-        .join(inc.select(F.col("z"), F.col("n").alias("v")), "z")
+        incw.select("z", F.col("n").alias("u"), "w")
+        .join(incw.select("z", F.col("n").alias("v")), "z")
         .filter(F.col("u") < F.col("v"))
     )
     return (
-        wedges.join(F.broadcast(deg), "z")
-        .groupBy("u", "v")
-        .agg(F.sum(F.expr("1000000 div deg")).alias("ra_millionths"))
+        wedges.groupBy("u", "v")
+        .agg(F.sum("w").alias("ra_millionths"))
         .orderBy(F.desc("ra_millionths"), "u", "v")
         .limit(RA_TOPN)
+    )
+
+
+HC_ANCHORS = 8
+HC_DEPTH = 3
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (depth-bounded, directed): from the HC_ANCHORS
+    lowest node_ids (the same deterministic sampling rule as
+    GraphMetrics' max-depth probe, system/stage.rs:224-261), multi-source
+    BFS out to HC_DEPTH hops; each anchor scores Σ floor(1e6 / dist)
+    over the nodes it reaches (min-dist semantics), plus the raw reach
+    count. Integer-exact — no float harmonic terms.
+
+    Scale shape: ONE BFS loop for all anchors at once — the frontier
+    carries (anchor, node) pairs so the per-hop work is a single
+    broadcast join of the (small) frontier against the edge fact, a
+    distinct, and an anti-join against the visited set; HC_DEPTH
+    iterations total, independent of anchor count. The edge fact never
+    re-shuffles."""
+    import functools
+
+    st = graph_state(spark, sf_dir)
+    edges = st.edges.select("src", "dst")
+    anchors = (
+        st.nodes.select(F.col("node_id").alias("anchor"))
+        .orderBy("anchor")
+        .limit(HC_ANCHORS)
+        .localCheckpoint(eager=True)
+    )
+    visited = anchors.select("anchor", F.col("anchor").alias("node"))
+    frontier = visited
+    levels = []
+    for dist in range(1, HC_DEPTH + 1):
+        nxt = (
+            edges.join(F.broadcast(frontier), frontier["node"] == edges["src"])
+            .select("anchor", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["anchor", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt.withColumn("dist", F.lit(dist)))
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    reached = functools.reduce(lambda a, b: a.unionByName(b), levels)
+    scores = reached.groupBy("anchor").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum(F.expr("1000000 div dist")).alias("harmonic_millionths"),
+    )
+    return (
+        anchors.join(scores, "anchor", "left")
+        .select(
+            "anchor",
+            F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+            F.coalesce("harmonic_millionths", F.lit(0))
+            .cast("long")
+            .alias("harmonic_millionths"),
+        )
+        .orderBy("anchor")
     )
 
 
@@ -844,6 +910,53 @@ GROUP BY w.u, w.v
 ORDER BY ra_millionths DESC, u, v
 LIMIT {RA_TOPN}
 """,
+    "graph_harmonic_centrality": GRAPH_CTE
+    + f"""
+, anchors AS (
+  SELECT node_id AS anchor FROM nodes ORDER BY node_id LIMIT {HC_ANCHORS}
+),
+d1 AS (
+  SELECT DISTINCT a.anchor, e.dst AS node
+  FROM anchors a JOIN edges e ON e.src = a.anchor
+  WHERE e.dst <> a.anchor
+),
+d2 AS (
+  SELECT x.anchor, x.node FROM (
+    SELECT DISTINCT d1.anchor, e.dst AS node
+    FROM d1 JOIN edges e ON e.src = d1.node
+  ) x
+  WHERE x.node <> x.anchor
+    AND NOT EXISTS (SELECT 1 FROM d1
+                    WHERE d1.anchor = x.anchor AND d1.node = x.node)
+),
+d3 AS (
+  SELECT x.anchor, x.node FROM (
+    SELECT DISTINCT d2.anchor, e.dst AS node
+    FROM d2 JOIN edges e ON e.src = d2.node
+  ) x
+  WHERE x.node <> x.anchor
+    AND NOT EXISTS (SELECT 1 FROM d1
+                    WHERE d1.anchor = x.anchor AND d1.node = x.node)
+    AND NOT EXISTS (SELECT 1 FROM d2
+                    WHERE d2.anchor = x.anchor AND d2.node = x.node)
+),
+all_d AS (
+  SELECT anchor, node, 1 AS dist FROM d1
+  UNION ALL SELECT anchor, node, 2 FROM d2
+  UNION ALL SELECT anchor, node, 3 FROM d3
+),
+sc AS (
+  SELECT anchor, COUNT(*) AS n_reached,
+         SUM(1000000 // dist) AS harmonic_millionths
+  FROM all_d GROUP BY anchor
+)
+SELECT a.anchor,
+       CAST(COALESCE(sc.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(COALESCE(sc.harmonic_millionths, 0) AS BIGINT)
+         AS harmonic_millionths
+FROM anchors a LEFT JOIN sc ON sc.anchor = a.anchor
+ORDER BY a.anchor
+""",
     "graph_degree_hist": GRAPH_CTE
     + """
 , od AS (
@@ -1098,4 +1211,5 @@ QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_degree_hist": q_degree_hist,
     "graph_link_prediction": q_link_prediction,
+    "graph_harmonic_centrality": q_harmonic_centrality,
 }
