@@ -410,7 +410,45 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first active
+    epoch-day (cohort), counted on each subsequent day they return —
+    the (cohort_day × day_offset → n_users) triangle every growth
+    dashboard is built on.
+
+    Scale shape: distinct (user, day) shuffles once on the composite
+    key; the per-user min-day is a window on the user key; the final
+    matrix is a partial-aggregated group-agg with bounded output
+    (days² cells). No joins — the cohort never leaves the user's
+    partition."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts div 86400000000000").alias("d")
+    ).distinct()
+    c = ud.withColumn("cohort_d", F.min("d").over(Window.partitionBy("user_id")))
+    return (
+        c.groupBy(
+            F.col("cohort_d").cast("long").alias("cohort_d"),
+            (F.col("d") - F.col("cohort_d")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_d", "day_offset")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_retention": """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events
+),
+c AS (
+  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d FROM ud
+)
+SELECT CAST(cohort_d AS BIGINT) AS cohort_d,
+       CAST(d - cohort_d AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "tpch_q1_pricing": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -661,4 +699,5 @@ QUERIES = {
     "docs_rollup_stats": q_docs_rollup,
     "events_json_props": q_json_props,
     "events_user_trend": q_user_trend,
+    "events_retention": q_retention,
 }

@@ -41,6 +41,8 @@ from kremis_spark.sources.tables import read_table
 SQ_LEVELS = 255
 ANN_K = 10
 KMEANS_K = 8
+PQ_M = 4  # product-quantization subspaces (dim 64 → 16 dims each)
+PQ_K = 16  # codebook entries per subspace
 
 
 def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,12 +186,133 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: vectors are split into PQ_M subspaces,
+    each encoded as the id of its nearest codebook subvector (codebooks
+    seeded from the PQ_K lowest vec_ids, the same deterministic seeding
+    as IVF/k-means), and the query is answered by asymmetric distance —
+    per-subspace lookup tables of exact ⟨query-subvector, codeword⟩
+    squared distances, summed over subspaces. The classic 64:1
+    compression of a billion-scale vector index, integer-exact.
+
+    Plan: codebooks and LUTs are PQ_M·PQ_K tiny driver-side literals;
+    encoding + ADC scoring is one map-side projection over the vectors
+    (argmin via `array_min` over (rel, code) structs, LUT via
+    `element_at`) into a TakeOrdered top-k. Nothing shuffles — at 100 TB
+    the scan is embarrassingly parallel and codes (8 bytes/vector here)
+    could be materialized once and rescanned for every query."""
+    prep = _prepared(spark, sf_dir).localCheckpoint(eager=True)
+    rows = prep.orderBy("vec_id").limit(PQ_K).select("vec_id", "ivec").collect()
+    qid = rows[0]["vec_id"]
+    qvec = [int(v) for v in rows[0]["ivec"]]
+    dim = len(qvec)
+    sub = dim // PQ_M
+    books = [
+        [[int(v) for v in r["ivec"][m * sub : (m + 1) * sub]] for r in rows]
+        for m in range(PQ_M)
+    ]
+    luts = [
+        [
+            sum((qvec[m * sub + i] - cw[i]) ** 2 for i in range(sub))
+            for cw in books[m]
+        ]
+        for m in range(PQ_M)
+    ]
+
+    adist = F.lit(0).cast("long")
+    pq_code = F.lit(0).cast("long")
+    for m in range(PQ_M):
+        sl = F.slice(F.col("ivec"), m * sub + 1, sub)
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(sum(x * x for x in cw)).cast("long")
+                        - 2
+                        * int_dot(
+                            sl, F.array(*[F.lit(x).cast("long") for x in cw])
+                        )
+                    ).alias("rel"),
+                    F.lit(c).cast("long").alias("code"),
+                )
+                for c, cw in enumerate(books[m])
+            ]
+        )
+        best = F.array_min(scored)
+        lut_arr = F.array(*[F.lit(v).cast("long") for v in luts[m]])
+        adist = adist + F.element_at(lut_arr, (best["code"] + 1).cast("int"))
+        pq_code = pq_code + best["code"] * F.lit(PQ_K**m).cast("long")
+
+    return (
+        prep.filter(F.col("vec_id") != qid)
+        .select(
+            "vec_id",
+            pq_code.alias("pq_code"),
+            adist.alias("adist2"),
+        )
+        .orderBy("adist2", "vec_id")
+        .limit(ANN_K)
+    )
+
+
 _IVEC = (
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000)"
     " AS BIGINT))"
 )
 
 ORACLE_SQL: dict[str, str] = {
+    # Subspace m covers 1-based components m*16+1 .. (m+1)*16 (dim 64,
+    # PQ_M=4 — fixed across every testdata SF).
+    "pipe_ann_pq": f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ivec AS cvec
+  FROM prep ORDER BY vec_id LIMIT {PQ_K}
+),
+q AS (SELECT vec_id AS qid, ivec AS qvec FROM prep ORDER BY vec_id LIMIT 1),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+rels AS (
+  SELECT p.vec_id, ms.m, c.code,
+         SUM(c.cvec[t.i] * c.cvec[t.i] - 2 * p.ivec[t.i] * c.cvec[t.i])
+           AS rel
+  FROM prep p
+  CROSS JOIN ms
+  CROSS JOIN cb c,
+       LATERAL unnest(generate_series(ms.m * 16 + 1, (ms.m + 1) * 16))
+         AS t(i)
+  WHERE p.vec_id <> (SELECT qid FROM q)
+  GROUP BY p.vec_id, ms.m, c.code
+),
+enc AS (
+  SELECT vec_id, m, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY rel, code) AS rn
+  FROM rels
+),
+e AS (SELECT vec_id, m, code FROM enc WHERE rn = 1),
+qlut AS (
+  SELECT ms.m, c.code,
+         SUM((q.qvec[t.i] - c.cvec[t.i]) * (q.qvec[t.i] - c.cvec[t.i]))
+           AS l
+  FROM q CROSS JOIN ms CROSS JOIN cb c,
+       LATERAL unnest(generate_series(ms.m * 16 + 1, (ms.m + 1) * 16))
+         AS t(i)
+  GROUP BY ms.m, c.code
+),
+scored AS (
+  SELECT e.vec_id,
+         SUM(e.code * (CASE e.m WHEN 0 THEN 1 WHEN 1 THEN {PQ_K}
+                       WHEN 2 THEN {PQ_K * PQ_K}
+                       ELSE {PQ_K * PQ_K * PQ_K} END)) AS pq_code,
+         SUM(ql.l) AS adist2
+  FROM e JOIN qlut ql ON ql.m = e.m AND ql.code = e.code
+  GROUP BY e.vec_id
+)
+SELECT vec_id, CAST(pq_code AS BIGINT) AS pq_code,
+       CAST(adist2 AS BIGINT) AS adist2
+FROM scored ORDER BY adist2, vec_id LIMIT {ANN_K}
+""",
     "pipe_ann_sq8": f"""
 WITH prep AS (
   SELECT vec_id, {_IVEC} AS ivec FROM embeddings
@@ -291,5 +414,6 @@ ORDER BY s.cell
 
 QUERIES = {
     "pipe_ann_sq8": q_ann_sq8,
+    "pipe_ann_pq": q_ann_pq,
     "pipe_kmeans_step": q_kmeans_step,
 }

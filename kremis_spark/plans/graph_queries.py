@@ -547,6 +547,87 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LP_ITERS = 5
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation communities (undirected, LP_ITERS
+    synchronous rounds): every node starts labeled with its own id and
+    each round adopts the minimum of its own and its neighbors' labels.
+    Deterministic (min is order-free), integer-only, and after k rounds
+    each label has flooded its k-hop neighborhood — the bounded-round
+    community detector (full convergence is q_components' job).
+
+    Scale shape: per round, one join of the static adjacency fact
+    against the node-sized label table + one min-agg — the same Pregel
+    step as PageRank; adjacency is built once and checkpointed, labels
+    are checkpointed every other round to keep lineage flat."""
+    st = graph_state(spark, sf_dir)
+    und = (
+        st.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    labels = st.nodes.select(
+        F.col("node_id").alias("v"), F.col("node_id").alias("label")
+    )
+    for i in range(LP_ITERS):
+        nbr = (
+            adj.join(
+                labels.select(F.col("v").alias("u"), "label"), "u"
+            )
+            .groupBy("v")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = labels.join(nbr, "v", "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        if i % 2 == 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("v").alias("node_id"), F.col("label").cast("long").alias("label")
+    ).orderBy("node_id")
+
+
+def _lp_oracle_sql() -> str:
+    parts = [
+        """
+, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+adj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT node_id AS v, node_id AS label FROM nodes)"""
+    ]
+    for i in range(LP_ITERS):
+        parts.append(
+            f""",
+l{i + 1} AS (
+  SELECT l.v, LEAST(l.label, COALESCE(m.nl, l.label)) AS label
+  FROM l{i} l LEFT JOIN (
+    SELECT a.v, MIN(x.label) AS nl
+    FROM adj a JOIN l{i} x ON x.v = a.u GROUP BY a.v
+  ) m ON m.v = l.v
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS node_id, CAST(label AS BIGINT) AS label
+FROM l{LP_ITERS} ORDER BY node_id"""
+    )
+    return "".join(parts)
+
+
 HC_ANCHORS = 8
 HC_DEPTH = 3
 
@@ -910,6 +991,7 @@ GROUP BY w.u, w.v
 ORDER BY ra_millionths DESC, u, v
 LIMIT {RA_TOPN}
 """,
+    "graph_label_propagation": GRAPH_CTE + _lp_oracle_sql(),
     "graph_harmonic_centrality": GRAPH_CTE
     + f"""
 , anchors AS (
@@ -1212,4 +1294,5 @@ QUERIES = {
     "graph_degree_hist": q_degree_hist,
     "graph_link_prediction": q_link_prediction,
     "graph_harmonic_centrality": q_harmonic_centrality,
+    "graph_label_propagation": q_label_propagation,
 }
