@@ -130,19 +130,20 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # dist²(v, c) = |v|² − 2·v·c + |c|²; |v|² is constant per row so the
     # argmin needs only (−2·v·c + |c|²) — fewer terms, same winner.
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(sum(x * x for x in c)).cast("long")
-                    - 2 * int_dot(F.col("ivec"), F.array(*[F.lit(x).cast("long") for x in c]))
-                ).alias("rel"),
-                F.lit(cid).cast("long").alias("cell"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
+    # Composed as SQL text (one F.expr), not py4j-built literal Columns:
+    # K×dim literals through py4j cost ~seconds of driver time.
+    entries = ",".join(
+        f"named_struct('cell',{cid}L,'c2',{sum(x * x for x in c)}L,"
+        f"'cvec',array({','.join(str(int(x)) + 'L' for x in c)}))"
+        for cid, c in enumerate(centroids)
     )
-    best = F.array_min(scored)
+    scored = (
+        f"transform(array({entries}), cw -> named_struct("
+        f"'rel', cw.c2 - 2L * aggregate(zip_with(ivec, cw.cvec,"
+        f" (x, y) -> x * y), 0L, (acc, v) -> acc + v),"
+        f"'cell', cw.cell))"
+    )
+    best = F.expr(f"array_min({scored})")
     assigned = prep.select(
         "vec_id",
         "ivec",
@@ -219,36 +220,41 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(PQ_M)
     ]
 
-    adist = F.lit(0).cast("long")
-    pq_code = F.lit(0).cast("long")
+    # The whole scorer is composed as SQL text — one F.expr per
+    # subspace — because building ~10³ literal Columns through py4j
+    # costs seconds of driver time; the codebook folds to a single
+    # Literal either way. Per subspace: a foldable array<struct> of
+    # codewords, one `transform` computing rel = |c|² − 2⟨v_m, c⟩, and
+    # an `array_min` argmin with the (rel, code) tiebreak.
+    best_exprs = []
     for m in range(PQ_M):
-        sl = F.slice(F.col("ivec"), m * sub + 1, sub)
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(sum(x * x for x in cw)).cast("long")
-                        - 2
-                        * int_dot(
-                            sl, F.array(*[F.lit(x).cast("long") for x in cw])
-                        )
-                    ).alias("rel"),
-                    F.lit(c).cast("long").alias("code"),
-                )
-                for c, cw in enumerate(books[m])
-            ]
+        entries = ",".join(
+            f"named_struct('code',{c}L,"
+            f"'c2',{sum(x * x for x in cw)}L,"
+            f"'cvec',array({','.join(str(int(x)) + 'L' for x in cw)}))"
+            for c, cw in enumerate(books[m])
         )
-        best = F.array_min(scored)
-        lut_arr = F.array(*[F.lit(v).cast("long") for v in luts[m]])
-        adist = adist + F.element_at(lut_arr, (best["code"] + 1).cast("int"))
-        pq_code = pq_code + best["code"] * F.lit(PQ_K**m).cast("long")
+        sl = f"slice(ivec, {m * sub + 1}, {sub})"
+        scored = (
+            f"transform(array({entries}), cw -> named_struct("
+            f"'rel', cw.c2 - 2L * aggregate(zip_with({sl}, cw.cvec,"
+            f" (x, y) -> x * y), 0L, (acc, v) -> acc + v),"
+            f"'code', cw.code))"
+        )
+        best_exprs.append(F.expr(f"array_min({scored})").alias(f"b{m}"))
 
+    flat = prep.filter(F.col("vec_id") != qid).select("vec_id", *best_exprs)
+    pq_code = " + ".join(f"b{m}.code * {PQ_K**m}L" for m in range(PQ_M))
+    adist = " + ".join(
+        f"element_at(array({','.join(str(v) + 'L' for v in luts[m])}),"
+        f" cast(b{m}.code + 1 as int))"
+        for m in range(PQ_M)
+    )
     return (
-        prep.filter(F.col("vec_id") != qid)
-        .select(
+        flat.select(
             "vec_id",
-            pq_code.alias("pq_code"),
-            adist.alias("adist2"),
+            F.expr(pq_code).cast("long").alias("pq_code"),
+            F.expr(adist).cast("long").alias("adist2"),
         )
         .orderBy("adist2", "vec_id")
         .limit(ANN_K)
