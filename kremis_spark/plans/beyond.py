@@ -90,18 +90,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
-def _run_stream(agg: DataFrame, name: str, mode: str) -> DataFrame:
+def _run_stream(
+    agg: DataFrame, name: str, mode: str, partitions: int | None = None
+) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink.
 
     Stateful operators open + commit one state store per shuffle
     partition per micro-batch; with the gate's small keyspaces that
     fixed cost dominates (measured 7.5s → 2.1s at sf0.1 going 32 → 8
-    partitions). At cluster scale this knob is sized to
+    partitions; the stream-stream join opens FOUR stores per partition,
+    so it runs narrower still). At cluster scale this knob is sized to
     keys/executors instead — the plan shape is unchanged."""
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions",
+        str(partitions or STREAM_SHUFFLE_PARTITIONS),
     )
     try:
         q = (
@@ -247,7 +251,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("view_ts")).alias("view_us"),
     )
     return _run_stream(
-        joined, f"gate_stream_stream_join_{next(_qid)}", "append"
+        joined, f"gate_stream_stream_join_{next(_qid)}", "append", partitions=4
     )
 
 
