@@ -167,6 +167,44 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_MERGES = 20
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer iteration: corpus-wide adjacent character-pair
+    frequencies, emitted as the top merge candidates — the step a
+    subword-vocabulary trainer repeats to convergence (the companion
+    trainer step to ``pipe_kmeans_step`` on the embedding side).
+
+    Scale shape: the classic BPE trick — aggregate the corpus to the
+    (distinct word, frequency) vocabulary FIRST (one shuffle of words),
+    then explode character pairs over distinct words only, weighted by
+    frequency. At 100 TB the pair explode runs over the vocabulary
+    (millions of rows), not the corpus (trillions of tokens), and the
+    final agg shuffles 2-char keys with map-side partial sums."""
+    from kremis_spark.functions.text import tokens
+
+    words = (
+        _docs_parallel(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "f",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(BPE_TOP_MERGES)
+    )
+
+
 def q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals complementary to ``pipe_repetition``
     (which covers the duplicate-3-gram fraction): duplicate UNIGRAM
@@ -872,6 +910,20 @@ LIMIT {PAIR_TOPN}
 
 
 ORACLE_SQL: dict[str, str] = {
+    "pipe_bpe_merge_step": rf"""
+WITH words AS (
+  SELECT w, COUNT(*) AS f
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w HAVING len(w) >= 2
+),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair, f
+  FROM words, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+)
+SELECT pair, CAST(SUM(f) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOP_MERGES}
+""",
     "pipe_token_stats": rf"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
@@ -1035,4 +1087,5 @@ QUERIES = {
     "pipe_inverted_index": q_inverted_index,
     "pipe_pii_scrub": q_pii_scrub,
     "pipe_top_ngram": q_top_ngram,
+    "pipe_bpe_merge_step": q_bpe_merge_step,
 }
