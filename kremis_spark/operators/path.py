@@ -138,7 +138,10 @@ def strongest_path_distributed(
     frontier = spark.createDataFrame(
         [(start, [start], 0)], "node LONG, path ARRAY<LONG>, total_weight LONG"
     )
-    done = spark.createDataFrame([], "path ARRAY<LONG>, total_weight LONG")
+    # Per-level end-hit slices are views over the (already checkpointed)
+    # frontier — accumulate lazily and union once at the end instead of
+    # forcing a materialization job per level.
+    done = [spark.createDataFrame([], "path ARRAY<LONG>, total_weight LONG")]
 
     for _ in range(max_depth):
         ext = (
@@ -163,9 +166,12 @@ def strongest_path_distributed(
         ext = ext.localCheckpoint(eager=True)
         if not ext.take(1):
             break
-        done = done.unionByName(
+        done.append(
             ext.filter(F.col("node") == end).select("path", "total_weight")
-        ).localCheckpoint(eager=True)
+        )
         frontier = ext.filter(F.col("node") != end)
 
-    return done.orderBy(F.desc("total_weight"), F.asc("path")).limit(1)
+    import functools
+
+    all_done = functools.reduce(lambda a, b: a.unionByName(b), done)
+    return all_done.orderBy(F.desc("total_weight"), F.asc("path")).limit(1)

@@ -336,6 +336,53 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_NBINS = 32
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram sketch over event value (integer cents) with
+    histogram-derived approximate quantiles — the mergeable constant-size
+    quantile sketch (each partition's 32 counters merge by addition; the
+    quantile readout touches 32 rows, never the data).
+
+    Quantile rule is integer-exact on both engines: p_q bin = first bin
+    whose cumulative count satisfies q·total without division
+    (2·cum ≥ t, 10·cum ≥ 9·t, 100·cum ≥ 99·t)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("c")
+    )
+    lo, hi = ev.agg(F.min("c"), F.max("c")).first()
+    span = int(hi) - int(lo) + 1
+    b = F.least(
+        F.lit(HIST_NBINS - 1), F.expr(f"(c - {int(lo)}) * {HIST_NBINS} div {span}")
+    )
+    hist = ev.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+    # 32-row windows: single-partition is the POINT of a sketch readout
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "t", F.sum("n").over(wall)
+    )
+    return cum.agg(
+        F.max("t").cast("long").alias("n_total"),
+        F.lit(int(lo)).cast("long").alias("lo_cents"),
+        F.lit(int(hi)).cast("long").alias("hi_cents"),
+        F.min(F.when(2 * F.col("cum") >= F.col("t"), F.col("bin")))
+        .cast("long")
+        .alias("p50_bin"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("t"), F.col("bin")))
+        .cast("long")
+        .alias("p90_bin"),
+        F.min(F.when(100 * F.col("cum") >= 99 * F.col("t"), F.col("bin")))
+        .cast("long")
+        .alias("p99_bin"),
+    )
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership over the distinct user set: three known
     users and three ids past the max (guaranteed absent). No false
@@ -388,6 +435,34 @@ def q_skew_safe_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "events_value_histogram": f"""
+WITH v AS (
+  SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT) AS c FROM events
+),
+b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM v),
+h AS (
+  SELECT LEAST({HIST_NBINS - 1},
+               (c - lo) * {HIST_NBINS} // (hi - lo + 1)) AS bin,
+         COUNT(*) AS n
+  FROM v, b GROUP BY 1
+),
+c2 AS (
+  SELECT bin, n,
+         SUM(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS t
+  FROM h
+)
+SELECT CAST(MAX(t) AS BIGINT) AS n_total,
+       CAST((SELECT lo FROM b) AS BIGINT) AS lo_cents,
+       CAST((SELECT hi FROM b) AS BIGINT) AS hi_cents,
+       CAST(MIN(CASE WHEN 2 * cum >= t THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(MIN(CASE WHEN 10 * cum >= 9 * t THEN bin END) AS BIGINT)
+         AS p90_bin,
+       CAST(MIN(CASE WHEN 100 * cum >= 99 * t THEN bin END) AS BIGINT)
+         AS p99_bin
+FROM c2
+""",
     "pipe_multimodal_decode": """
 SELECT doc_id AS item_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -579,5 +654,6 @@ QUERIES = {
     "events_cms_user_counts": q_cms_user_counts,
     "events_bloom_membership": q_bloom_membership,
     "events_hll_distinct": q_hll_distinct,
+    "events_value_histogram": q_value_histogram,
     "events_skew_safe_reach": q_skew_safe_reach,
 }

@@ -257,6 +257,42 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(_docs(spark, sf_dir))
 
 
+# Encodes (source_rank, doc_id) into one orderable int64 so the
+# canonical pick is a single MIN agg; doc ids stay far below this.
+_CANON_ENC = 1_000_000_000_000
+
+
+def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection across sources: for every exact-
+    duplicate cluster (same md5(text)), keep the copy from the most
+    trusted source — rank = the numeric suffix of the source name,
+    doc_id breaking ties. The cross-source 'which copy survives' rule
+    every multi-crawl corpus merge needs (dedup_exact only answers
+    'is it a duplicate'). Singleton clusters are kept — sparse SFs have
+    few exact dups and the pick must still name a canonical row.
+
+    Scale shape: one groupBy on the 32-byte content hash with a MIN of
+    the (rank, doc_id) pair packed into a single int64 — map-side
+    partial agg, text never moves after hashing."""
+    docs = _docs(spark, sf_dir)
+    prio = F.substring("source", 4, 10).cast("long")
+    packed = prio * F.lit(_CANON_ENC) + F.col("doc_id")
+    return (
+        docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(packed).alias("k"),
+        )
+        .select(
+            "content_md5",
+            (F.col("k") % _CANON_ENC).cast("long").alias("canonical_doc_id"),
+            F.expr(f"k div {_CANON_ENC}").cast("long").alias("canonical_src_rank"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+        .orderBy("content_md5")
+    )
+
+
 _VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _HASHED_CACHE: dict[tuple[str, str], DataFrame] = {}
 CLUSTER_JACCARD_MIN = 500  # 0.5 in millis
@@ -910,6 +946,23 @@ LIMIT {PAIR_TOPN}
 
 
 ORACLE_SQL: dict[str, str] = {
+    "pipe_canonical_pick": f"""
+WITH g AS (
+  SELECT md5(text) AS content_md5, doc_id,
+         CAST(substr(source, 4) AS BIGINT) AS prio
+  FROM documents
+),
+c AS (
+  SELECT content_md5, COUNT(*) AS n_copies,
+         MIN(prio * {_CANON_ENC} + doc_id) AS k
+  FROM g GROUP BY content_md5
+)
+SELECT content_md5,
+       CAST(k % {_CANON_ENC} AS BIGINT) AS canonical_doc_id,
+       CAST(k // {_CANON_ENC} AS BIGINT) AS canonical_src_rank,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM c ORDER BY content_md5
+""",
     "pipe_bpe_merge_step": rf"""
 WITH words AS (
   SELECT w, COUNT(*) AS f
@@ -1088,4 +1141,5 @@ QUERIES = {
     "pipe_pii_scrub": q_pii_scrub,
     "pipe_top_ngram": q_top_ngram,
     "pipe_bpe_merge_step": q_bpe_merge_step,
+    "pipe_canonical_pick": q_canonical_pick,
 }
