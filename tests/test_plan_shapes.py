@@ -85,6 +85,32 @@ def test_intersect_is_semi_join_plus_agg_not_nway_join(spark):
     assert "BroadcastHashJoin" in own, txt
 
 
+def test_pagerank_shuffle_branch_never_reexchanges_edges(spark):
+    """In the non-broadcast PageRank branch the checkpointed edge fact is
+    pre-partitioned on src: with broadcast disabled, each iteration may
+    exchange only the node-sized contrib table — one hash exchange per
+    iteration, none above the edge scans."""
+    from kremis_spark.plans import graph_queries as gq
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        st = gq.graph_state(spark, SF_DIR)
+        nodes = st.nodes.select("node_id")
+        iters = 2
+        df = gq.pagerank_distributed(
+            nodes, st.edges, nodes.count(), iters=iters, bcast_max_nodes=0
+        )
+        txt = plan_text(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    n_hash = txt.count("Exchange hashpartitioning")
+    assert n_hash == iters, f"expected {iters} node-sized exchanges:\n{txt}"
+
+
 def test_exclusive_prefix_sum_matches_serial(spark):
     """The distributed scan equals the serial prefix sum for every
     partition count, including ones that leave empty partitions."""
