@@ -547,6 +547,100 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SSSP_ROUNDS = 4
+# Edge traversal cost: cheap to cross a strong edge, expensive to cross a
+# weak one — integer, positive, and defined for every weight ≥ 0.
+_SSSP_COST = "1000000 div (weight + 1) + 1"
+
+
+def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source cheapest-path distances by synchronous Bellman-Ford
+    relaxation (SSSP_ROUNDS rounds, directed edges, integer edge cost
+    1e6/(weight+1)+1 so stronger association = cheaper hop). After k
+    rounds dist(v) is exact over paths of ≤ k hops — the bounded-round
+    contract, same as label propagation. Source = the heaviest edge's
+    src (the same data-derived anchor as the traversal family).
+
+    Scale shape: THE canonical Pregel algorithm as DataFrames — per
+    round, one join of the static costed edge fact (built and
+    checkpointed once) against the node-sized distance table + one
+    min-agg; rounds exchange only node-sized tables."""
+    st = graph_state(spark, sf_dir)
+    edges = (
+        st.edges.select("src", "dst", F.expr(_SSSP_COST).alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    anchor = (
+        st.edges.orderBy(F.desc("weight"), "src", "dst").limit(1).collect()
+    )[0]["src"]
+    INF = (1 << 62)
+    dist = st.nodes.select(
+        "node_id",
+        F.when(F.col("node_id") == int(anchor), F.lit(0))
+        .otherwise(F.lit(INF))
+        .cast("long")
+        .alias("dist"),
+    )
+    for r in range(SSSP_ROUNDS):
+        relaxed = (
+            edges.join(
+                dist.select(F.col("node_id").alias("src"), "dist"), "src"
+            )
+            .filter(F.col("dist") < INF)
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.min(F.col("dist") + F.col("cost")).alias("nd"))
+        )
+        dist = dist.join(relaxed, "node_id", "left").select(
+            "node_id",
+            F.least(F.col("dist"), F.coalesce("nd", F.col("dist"))).alias(
+                "dist"
+            ),
+        )
+        if r % 2 == 1:
+            dist = dist.localCheckpoint(eager=True)
+    return (
+        dist.filter(F.col("dist") < INF)
+        .select("node_id", F.col("dist").cast("long").alias("dist"))
+        .orderBy("node_id")
+    )
+
+
+def _sssp_oracle_sql() -> str:
+    inf = 1 << 62
+    parts = [
+        f"""
+, anchor_s AS (
+  SELECT src AS a FROM edges ORDER BY weight DESC, src, dst LIMIT 1
+),
+ce AS (SELECT src, dst, {_SSSP_COST.replace("div", "//")} AS cost FROM edges),
+d0 AS (
+  SELECT node_id,
+         CASE WHEN node_id = (SELECT a FROM anchor_s) THEN 0
+              ELSE {inf} END AS dist
+  FROM nodes
+)"""
+    ]
+    for r in range(SSSP_ROUNDS):
+        parts.append(
+            f""",
+d{r + 1} AS (
+  SELECT d.node_id, LEAST(d.dist, COALESCE(m.nd, d.dist)) AS dist
+  FROM d{r} d LEFT JOIN (
+    SELECT ce.dst AS node_id, MIN(x.dist + ce.cost) AS nd
+    FROM ce JOIN d{r} x ON x.node_id = ce.src
+    WHERE x.dist < {inf}
+    GROUP BY ce.dst
+  ) m ON m.node_id = d.node_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node_id, CAST(dist AS BIGINT) AS dist
+FROM d{SSSP_ROUNDS} WHERE dist < {inf} ORDER BY node_id"""
+    )
+    return "".join(parts)
+
+
 LP_ITERS = 5
 
 
@@ -992,6 +1086,7 @@ ORDER BY ra_millionths DESC, u, v
 LIMIT {RA_TOPN}
 """,
     "graph_label_propagation": GRAPH_CTE + _lp_oracle_sql(),
+    "graph_sssp": GRAPH_CTE + _sssp_oracle_sql(),
     "graph_harmonic_centrality": GRAPH_CTE
     + f"""
 , anchors AS (
@@ -1295,4 +1390,5 @@ QUERIES = {
     "graph_link_prediction": q_link_prediction,
     "graph_harmonic_centrality": q_harmonic_centrality,
     "graph_label_propagation": q_label_propagation,
+    "graph_sssp": q_sssp_bellman_ford,
 }
