@@ -570,9 +570,10 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.edges.select("src", "dst", F.expr(_SSSP_COST).alias("cost"))
         .localCheckpoint(eager=True)
     )
-    anchor = (
-        st.edges.orderBy(F.desc("weight"), "src", "dst").limit(1).collect()
-    )[0]["src"]
+    heaviest = st.edges.orderBy(F.desc("weight"), "src", "dst").limit(1).collect()
+    if not heaviest:  # edgeless graph: no source, no finite distances
+        return spark.createDataFrame([], "node_id LONG, dist LONG")
+    anchor = heaviest[0]["src"]
     INF = (1 << 62)
     dist = st.nodes.select(
         "node_id",

@@ -144,3 +144,45 @@ def test_prefix_sum_empty_input(spark):
 
     df = spark.createDataFrame([], "k LONG, v LONG")
     assert exclusive_prefix_sum(df, ["k"], "v").collect() == []
+
+
+def test_seq_pack_invariants(spark):
+    """Packing must partition the concatenated token stream exactly:
+    per-document spans sum to the document's token count, every sequence
+    except the last is exactly SEQ_LEN full, and offsets tile each
+    document without gaps."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from kremis_spark.functions.text import tokens
+    from kremis_spark.plans.curation import SEQ_LEN, q_seq_pack
+
+    from kremis_spark.sources.tables import read_table
+
+    spans = q_seq_pack(spark, SF_DIR).collect()
+    ntoks = {
+        r["doc_id"]: r["n"]
+        for r in read_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    }
+
+    per_doc = defaultdict(int)
+    per_seq = defaultdict(int)
+    doc_spans = defaultdict(list)
+    for r in spans:
+        per_doc[r["doc_id"]] += r["span_len"]
+        per_seq[r["seq_id"]] += r["span_len"]
+        doc_spans[r["doc_id"]].append((r["off_in_doc"], r["span_len"]))
+
+    assert per_doc == {d: n for d, n in ntoks.items() if n > 0}
+    last_seq = max(per_seq)
+    for s, tot in per_seq.items():
+        assert tot == SEQ_LEN or s == last_seq, (s, tot)
+    for d, sp in doc_spans.items():
+        sp.sort()
+        pos = 0
+        for off, ln in sp:
+            assert off == pos, (d, sp)
+            pos += ln
