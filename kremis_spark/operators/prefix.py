@@ -56,7 +56,7 @@ def exclusive_prefix_sum(
     totals = {
         int(r[0]): int(r[1])
         for r in ranged.groupBy(_PID)
-        .agg(F.sum(value_col).alias("t"))
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("t"))
         .collect()
     }
     offsets: list[Column] = []

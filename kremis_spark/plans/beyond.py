@@ -71,7 +71,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kremis_spark.sources.tables import events_ts_unit
+    from kremis_spark.sources.tables import normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source wants a directory; glob-filter to one table
@@ -80,9 +80,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if events_ts_unit(sf_dir) == "us":
-        stream = stream.withColumn("ts", F.col("ts") * F.lit(1000))
-    return stream.withColumn(
+    return normalize_events_ts(stream, sf_dir).withColumn(
         "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
@@ -354,6 +352,12 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value").cast("double") * 100).cast("long").alias("c")
     )
     lo, hi = ev.agg(F.min("c"), F.max("c")).first()
+    if lo is None:  # empty stream: no range, no histogram
+        return spark.createDataFrame(
+            [],
+            "n_total LONG, lo_cents LONG, hi_cents LONG, "
+            "p50_bin LONG, p90_bin LONG, p99_bin LONG",
+        )
     span = int(hi) - int(lo) + 1
     b = F.least(
         F.lit(HIST_NBINS - 1), F.expr(f"(c - {int(lo)}) * {HIST_NBINS} div {span}")

@@ -566,14 +566,14 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed once) against the node-sized distance table + one
     min-agg; rounds exchange only node-sized tables."""
     st = graph_state(spark, sf_dir)
-    edges = (
-        st.edges.select("src", "dst", F.expr(_SSSP_COST).alias("cost"))
-        .localCheckpoint(eager=True)
-    )
     heaviest = st.edges.orderBy(F.desc("weight"), "src", "dst").limit(1).collect()
     if not heaviest:  # edgeless graph: no source, no finite distances
         return spark.createDataFrame([], "node_id LONG, dist LONG")
     anchor = heaviest[0]["src"]
+    edges = (
+        st.edges.select("src", "dst", F.expr(_SSSP_COST).alias("cost"))
+        .localCheckpoint(eager=True)
+    )
     INF = (1 << 62)
     dist = st.nodes.select(
         "node_id",
@@ -858,7 +858,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped (simplified PR), identically on both engines.
 
     Adaptive execution: graphs under PR_COLLECT_MAX_NODES /
-    PR_COLLECT_MAX_EDGES collect once (3 small jobs total) and run the
+    PR_COLLECT_MAX_EDGES collect once (4 small jobs total) and run the
     identical integer recurrence on the driver instead of ~3 jobs per
     iteration; larger graphs run ``pagerank_distributed``. Both paths
     compute bit-identical ranks — ``tests/test_analytics_oracle.py``
@@ -869,17 +869,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()
     if n > PR_COLLECT_MAX_NODES:
         return pagerank_distributed(nodes, st.edges, n)
-    # Probe-collect the edges with a limit one past the bound: small
-    # graphs pay a single collect (no separate count job), big ones
-    # spill over the limit and fall back to the distributed loop.
+    # Limit-bounded count probe: one cheap job that never ships row
+    # data to the driver; only a graph that passes the bound pays the
+    # actual edge collect.
+    probe = (
+        st.edges.select(F.lit(1).alias("one"))
+        .limit(PR_COLLECT_MAX_EDGES + 1)
+        .count()
+    )
+    if probe > PR_COLLECT_MAX_EDGES:
+        return pagerank_distributed(nodes, st.edges, n)
     edge_rows = [
         (int(r[0]), int(r[1]))
-        for r in st.edges.select("src", "dst")
-        .limit(PR_COLLECT_MAX_EDGES + 1)
-        .collect()
+        for r in st.edges.select("src", "dst").collect()
     ]
-    if len(edge_rows) > PR_COLLECT_MAX_EDGES:
-        return pagerank_distributed(nodes, st.edges, n)
 
     node_ids = [int(r[0]) for r in nodes.collect()]
     outdeg: dict[int, int] = {}

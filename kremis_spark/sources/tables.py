@@ -16,21 +16,50 @@ from pyspark.sql import functions as F
 
 _TS_UNIT_CACHE: dict[str, str] = {}
 
+# Raw-int64-to-nanoseconds factor per physical timestamp unit. The read
+# path always takes the stored int64 verbatim (no engine tz conversion —
+# the value DuckDB's epoch_* functions also see) and scales it here.
+_TS_NS_FACTOR = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
 
-def events_ts_unit(sf_dir: str) -> str:
-    """Physical unit of events.ts in this dataset: 'ns' or 'us'.
+
+def events_ts_unit(sf_dir: str, spark: SparkSession | None = None) -> str:
+    """Physical unit of events.ts in this dataset ('ns', 'us', ...).
 
     One footer read per dataset (cached); at cluster scale this is a
-    driver-side metadata fetch, not a data scan."""
+    driver-side metadata fetch, not a data scan. ``pyarrow.dataset``
+    handles both single files and directory-style datasets; for paths
+    pyarrow cannot open (remote URIs without a local fs), fall back to a
+    Spark schema probe: a timestamp-typed column is 'us' (the parquet
+    default written by Spark/pandas), a plain int64 is 'ns' by this
+    repo's contract. An unrecognized unit raises rather than guessing."""
     path = f"{sf_dir}/events.parquet"
     unit = _TS_UNIT_CACHE.get(path)
     if unit is None:
-        import pyarrow.parquet as pq
+        try:
+            import pyarrow.dataset as pa_ds
 
-        t = pq.read_schema(path).field("ts").type
-        unit = getattr(t, "unit", "ns")  # plain int64 ⇒ ns by contract
+            t = pa_ds.dataset(path).schema.field("ts").type
+            unit = getattr(t, "unit", "ns")  # plain int64 ⇒ ns by contract
+        except Exception:
+            if spark is None:
+                raise
+            probed = spark.read.parquet(path).schema["ts"].dataType.typeName()
+            unit = "us" if probed.startswith("timestamp") else "ns"
+        if unit not in _TS_NS_FACTOR:
+            raise ValueError(f"unsupported events.ts physical unit: {unit}")
         _TS_UNIT_CACHE[path] = unit
     return unit
+
+
+def normalize_events_ts(df: DataFrame, sf_dir: str) -> DataFrame:
+    """THE single place the events timestamp contract is enforced:
+    whatever physical unit the parquet stores, ``ts`` comes out as
+    LongType epoch nanoseconds. Both the batch reader and the streaming
+    source go through here — unit drift gets fixed once."""
+    factor = _TS_NS_FACTOR[events_ts_unit(sf_dir, df.sparkSession)]
+    if factor != 1:
+        df = df.withColumn("ts", F.col("ts") * F.lit(factor))
+    return df
 
 _SCHEMAS = {
     "region": "r_regionkey INT, r_name STRING",
@@ -61,9 +90,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        if events_ts_unit(sf_dir) == "us":
-            df = df.withColumn("ts", F.col("ts") * F.lit(1000))
-        df = df.withColumn(
+        df = normalize_events_ts(df, sf_dir).withColumn(
             "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
