@@ -436,7 +436,56 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event-type
+    sequence: for consecutive events of the same user (ordered by ts,
+    event_id), count (prev_type → next_type) pairs and report the
+    transition share in millis of each prev_type's outgoing total —
+    the behavioral sequence model every funnel/anomaly layer sits on.
+
+    Scale shape: one lag window on the user key, then a bounded
+    (type × type) group-agg with map-side partials; the share is a
+    broadcast-sized self-join on prev_type. Integer millis only."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outs = pairs.groupBy("prev_type").agg(F.sum("n").alias("out_total"))
+    return (
+        pairs.join(F.broadcast(outs), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000 div out_total").cast("long").alias("share_millis"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_type_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ns(ts), event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+outs AS (SELECT prev_type, SUM(n) AS out_total FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.next_type,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(p.n * 1000 // o.out_total AS BIGINT) AS share_millis
+FROM pairs p JOIN outs o USING (prev_type)
+ORDER BY p.prev_type, p.next_type
+""",
     "events_retention": """
 WITH ud AS (
   SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events
@@ -700,4 +749,5 @@ QUERIES = {
     "events_json_props": q_json_props,
     "events_user_trend": q_user_trend,
     "events_retention": q_retention,
+    "events_type_transitions": q_type_transitions,
 }
