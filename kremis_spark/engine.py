@@ -94,6 +94,21 @@ class GraphState:
             [("next_node_id", self.next_node_id)], METADATA_SCHEMA
         )
 
+    def edge_count(self) -> int:
+        """Count of the edges table, memoized per state object.
+
+        Every mutation path builds a NEW GraphState via dataclasses.replace
+        (which re-runs __init__), so the memo attribute never leaks onto a
+        mutated state — invalidation is automatic. This exists because the
+        adaptive branch probes (bfs_levels / sampled_max_depth / pagerank)
+        would otherwise run one count() job per query call on an edge
+        table that is invariant between commits."""
+        memo = getattr(self, "_edge_count_memo", None)
+        if memo is None:
+            memo = self.edges.count()
+            self._edge_count_memo = memo
+        return memo
+
 
 class GraphEngine:
     """Session-equivalent facade: ingest + the 7-variant query surface
@@ -119,14 +134,26 @@ class GraphEngine:
             self.state, signals, enforce_limits=enforce_limits
         ).checkpoint()
         self.state = new_state
-        mapping = {
-            r["entity_id"]: r["node_id"]
-            for r in self.state.nodes.collect()
-        }
         seq_entities = [
             r["entity_id"]
             for r in signals.select("seq", "entity_id").orderBy("seq").collect()
         ]
+        # Resolve ONLY the batch's entities to node ids: broadcast the
+        # (≤10k) distinct entity ids and semi-join nodes against them, so
+        # driver transfer is O(batch), never O(|V|) — the reference's
+        # ingest_sequence likewise returns just the batch's node ids
+        # (ingestor.rs:118-152). A full nodes.collect() here would be the
+        # scale-killer at 10^9 nodes.
+        batch_ids = self.spark.createDataFrame(
+            [(int(e),) for e in sorted(set(seq_entities))],
+            "entity_id LONG",
+        )
+        mapping = {
+            r["entity_id"]: r["node_id"]
+            for r in self.state.nodes.join(
+                F.broadcast(batch_ids), "entity_id"
+            ).collect()
+        }
         return [mapping[e] for e in seq_entities]
 
     def insert_node(self, entity_id: int) -> int:

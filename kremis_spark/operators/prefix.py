@@ -59,13 +59,20 @@ def exclusive_prefix_sum(
         .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("t"))
         .collect()
     }
-    offsets: list[Column] = []
+    # Offsets ride back as a broadcast-joined tiny (pid, offset) table —
+    # one row per partition — NOT as a create_map of 2*num_partitions
+    # py4j-built literal Columns, which on a many-thousand-partition
+    # cluster would pay driver-side literal construction proportional to
+    # partition count (the same anti-pattern the PQ/k-means scorers
+    # avoid with SQL-text codebooks).
     acc = 0
+    offset_rows = []
     for pid in range(num_partitions):
-        offsets.append(F.lit(pid))
-        offsets.append(F.lit(acc).cast("long"))
+        offset_rows.append((pid, acc))
         acc += totals.get(pid, 0)
-    offset_map = F.create_map(*offsets)
+    offsets = spark.createDataFrame(
+        offset_rows, f"{_PID} INT, __scan_off LONG"
+    )
 
     w = (
         Window.partitionBy(_PID)
@@ -73,6 +80,8 @@ def exclusive_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = F.coalesce(F.sum(value_col).over(w), F.lit(0).cast("long"))
-    return ranged.withColumn(
-        out_col, (local + offset_map[F.col(_PID)]).cast("long")
-    ).drop(_PID)
+    return (
+        ranged.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (local + F.col("__scan_off")).cast("long"))
+        .drop(_PID, "__scan_off")
+    )

@@ -62,8 +62,16 @@ def bfs_levels(
         # parquet scan of the edge table (one filtered scan, reused).
         edges = state.edges.filter(F.col("weight") >= min_weight).select("src", "dst")
 
-    if local_threshold and edges.count() <= local_threshold:
-        return _bfs_levels_local(spark, edges, start, depth)
+    # Branch probe: the memoized TOTAL edge count decides first (no job
+    # after the first call per state). Only when the total exceeds the
+    # threshold AND a weight filter might shrink it below do we pay a
+    # count() on the filtered set.
+    if local_threshold:
+        total = state.edge_count()
+        if total <= local_threshold or (
+            min_weight is not None and edges.count() <= local_threshold
+        ):
+            return _bfs_levels_local(spark, edges, start, depth)
 
     frontier = spark.createDataFrame([(start, 0)], "node_id long, level int")
     visited = frontier
@@ -128,7 +136,7 @@ def sampled_max_depth(
     spark = state.spark
     edges = state.edges.select("src", "dst")
 
-    if local_threshold and edges.count() <= local_threshold:
+    if local_threshold and state.edge_count() <= local_threshold:
         adj: dict[int, list[int]] = {}
         for r in edges.collect():
             adj.setdefault(int(r["src"]), []).append(int(r["dst"]))

@@ -466,6 +466,7 @@ SELECT CAST(MAX(t) AS BIGINT) AS n_total,
        CAST(MIN(CASE WHEN 100 * cum >= 99 * t THEN bin END) AS BIGINT)
          AS p99_bin
 FROM c2
+HAVING COUNT(*) > 0
 """,
     "pipe_multimodal_decode": """
 SELECT doc_id AS item_id,

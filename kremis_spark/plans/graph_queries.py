@@ -49,7 +49,7 @@ def graph_state(spark: SparkSession, sf_dir: str) -> GraphState:
         st = ingest_batch(
             GraphState.empty(spark), signals, enforce_limits=False
         ).cache()
-        st.edges.count()  # materialize once
+        st.edge_count()  # materialize once + seed the shared count memo
         _STATE_CACHE[key] = st
     return st
 
@@ -725,6 +725,11 @@ FROM l{LP_ITERS} ORDER BY node_id"""
 
 HC_ANCHORS = 8
 HC_DEPTH = 3
+# Frontier-size bound for the broadcast hint in the multi-anchor BFS: a
+# (anchor, node) pair frontier under this row count is safely inside the
+# executor broadcast budget; past it the hint is dropped and the join
+# shuffles (AQE re-plans at runtime).
+HC_BCAST_MAX_FRONTIER = 5_000_000
 
 
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,11 +741,15 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Integer-exact — no float harmonic terms.
 
     Scale shape: ONE BFS loop for all anchors at once — the frontier
-    carries (anchor, node) pairs so the per-hop work is a single
-    broadcast join of the (small) frontier against the edge fact, a
-    distinct, and an anti-join against the visited set; HC_DEPTH
-    iterations total, independent of anchor count. The edge fact never
-    re-shuffles."""
+    carries (anchor, node) pairs so the per-hop work is a single join
+    of the frontier against the edge fact, a distinct, and an anti-join
+    against the visited set; HC_DEPTH iterations total, independent of
+    anchor count. The edge fact never re-shuffles. The frontier is NOT
+    force-broadcast: it grows as O(anchors x nodes-reached) pairs,
+    which past ~HC_BCAST_MAX_FRONTIER rows can exceed broadcast/driver
+    memory on a dense 100 TB graph — below the bound we hint broadcast
+    (frontier count is known free from the localCheckpoint), above it
+    the join falls back to shuffle and AQE picks the strategy."""
     import functools
 
     st = graph_state(spark, sf_dir)
@@ -753,15 +762,22 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     visited = anchors.select("anchor", F.col("anchor").alias("node"))
     frontier = visited
+    frontier_rows = HC_ANCHORS  # anchors seed one pair each
     levels = []
     for dist in range(1, HC_DEPTH + 1):
+        fr = (
+            F.broadcast(frontier)
+            if frontier_rows <= HC_BCAST_MAX_FRONTIER
+            else frontier
+        )
         nxt = (
-            edges.join(F.broadcast(frontier), frontier["node"] == edges["src"])
+            edges.join(fr, fr["node"] == edges["src"])
             .select("anchor", F.col("dst").alias("node"))
             .distinct()
             .join(visited, ["anchor", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
+        frontier_rows = nxt.count()  # cheap: nxt is checkpoint-materialized
         levels.append(nxt.withColumn("dist", F.lit(dist)))
         visited = visited.unionByName(nxt)
         frontier = nxt
@@ -869,15 +885,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()
     if n > PR_COLLECT_MAX_NODES:
         return pagerank_distributed(nodes, st.edges, n)
-    # Limit-bounded count probe: one cheap job that never ships row
-    # data to the driver; only a graph that passes the bound pays the
-    # actual edge collect.
-    probe = (
-        st.edges.select(F.lit(1).alias("one"))
-        .limit(PR_COLLECT_MAX_EDGES + 1)
-        .count()
-    )
-    if probe > PR_COLLECT_MAX_EDGES:
+    # Branch probe via the state's memoized edge count — shared with the
+    # BFS-family probes, so after the first query against this state no
+    # extra job runs here at all.
+    if st.edge_count() > PR_COLLECT_MAX_EDGES:
         return pagerank_distributed(nodes, st.edges, n)
     edge_rows = [
         (int(r[0]), int(r[1]))
@@ -1151,6 +1162,31 @@ FROM od GROUP BY outdeg
 """,
     "graph_nodes": GRAPH_CTE + "SELECT node_id, entity_id FROM nodes",
     "graph_edges": GRAPH_CTE + "SELECT src, dst, weight FROM edges",
+    # Pre-order DFS is not SQL-expressible (path-dependent visited set),
+    # so this is a FROZEN golden-rows oracle: generated by
+    # tools/gen_dfs_oracle.py from an independent pure-Python port of the
+    # reference DFS (graph.rs:796-855) over the DuckDB-derived graph
+    # (GRAPH_CTE, not the Spark engine). One branch per testdata SF,
+    # dispatched on COUNT(*) of events; an unknown SF yields zero rows and
+    # fails loudly. Regenerate after any testdata change.
+    "graph_traverse_dfs": """
+SELECT CAST(v.step AS BIGINT) AS step, CAST(v.node_id AS BIGINT) AS node_id
+FROM (VALUES (0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+             (8, 10), (9, 11), (10, 12), (11, 14), (12, 3), (13, 9), (14, 13)
+     ) AS v(step, node_id)
+WHERE (SELECT count(*) FROM events) = 1000
+UNION ALL
+SELECT CAST(v.step AS BIGINT) AS step, CAST(v.node_id AS BIGINT) AS node_id
+FROM (VALUES (0, 62), (1, 1), (2, 8), (3, 9), (4, 29), (5, 61), (6, 4),
+             (7, 143), (8, 144), (9, 132), (10, 3), (11, 27), (12, 35),
+             (13, 36), (14, 131), (15, 148), (16, 133)
+     ) AS v(step, node_id)
+WHERE (SELECT count(*) FROM events) = 10000
+UNION ALL
+SELECT CAST(v.step AS BIGINT) AS step, CAST(v.node_id AS BIGINT) AS node_id
+FROM (VALUES (0, 5), (1, 642)) AS v(step, node_id)
+WHERE (SELECT count(*) FROM events) = 100000
+""",
     "graph_properties_table": GRAPH_CTE
     + "SELECT node_id, attribute, value FROM properties",
     "graph_lookup": GRAPH_CTE

@@ -275,7 +275,19 @@ def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (rank, doc_id) pair packed into a single int64 — map-side
     partial agg, text never moves after hashing."""
     docs = _docs(spark, sf_dir)
-    prio = F.substring("source", 4, 10).cast("long")
+    # Unbounded substring — identical parse on both engines (the oracle
+    # uses substr(source, 4) to end-of-string). A source that does not
+    # match the 'srcN' contract fails LOUDLY here (assert_true) instead
+    # of becoming a NULL prio that MIN would silently drop; DuckDB's CAST
+    # errors on the same input, so both engines reject it.
+    prio_raw = F.expr("substring(source, 4)").cast("long")
+    prio = F.when(
+        F.assert_true(
+            prio_raw.isNotNull(),
+            F.concat(F.lit("malformed source (want srcN): "), F.col("source")),
+        ).isNull(),
+        prio_raw,
+    )
     packed = prio * F.lit(_CANON_ENC) + F.col("doc_id")
     return (
         docs.groupBy(F.md5("text").alias("content_md5"))

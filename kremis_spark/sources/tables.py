@@ -43,8 +43,54 @@ def events_ts_unit(sf_dir: str, spark: SparkSession | None = None) -> str:
         except Exception:
             if spark is None:
                 raise
+            # Spark's catalog type says 'timestamp' for MILLIS, MICROS
+            # and (converted) NANOS alike, so the type alone cannot name
+            # the physical unit. Disambiguate with data: the ratio of
+            # the raw stored int64 to the logical epoch-microseconds is
+            # exactly the unit factor (1000x steps dwarf any tz offset).
+            # A plain long column is ns by this repo's contract; an
+            # unclassifiable ratio raises rather than guessing.
             probed = spark.read.parquet(path).schema["ts"].dataType.typeName()
-            unit = "us" if probed.startswith("timestamp") else "ns"
+            if probed in ("long", "bigint"):
+                unit = "ns"
+            elif probed.startswith("timestamp"):
+                raw = (
+                    spark.read.schema("ts LONG")
+                    .parquet(path)
+                    .agg(F.min("ts").alias("m"))
+                    .first()["m"]
+                )
+                logical_us = (
+                    spark.read.parquet(path)
+                    .select(
+                        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+                    )
+                    .agg(F.min("us").alias("m"))
+                    .first()["m"]
+                )
+                if not raw or not logical_us:
+                    raise ValueError(
+                        "cannot infer events.ts unit: empty/zero ts column"
+                    )
+                ratio = raw / logical_us
+                if 0.5 < ratio < 2:
+                    unit = "us"
+                elif 500 < ratio < 2000:
+                    unit = "ns"
+                elif 0.0005 < ratio < 0.002:
+                    unit = "ms"
+                elif 0.0000005 < ratio < 0.000002:
+                    unit = "s"
+                else:
+                    raise ValueError(
+                        f"cannot classify events.ts unit (raw/us ratio "
+                        f"{ratio!r}); refusing to guess"
+                    )
+            else:
+                raise ValueError(
+                    f"cannot infer events.ts unit from Spark type {probed!r}"
+                    " without pyarrow; refusing to guess"
+                )
         if unit not in _TS_NS_FACTOR:
             raise ValueError(f"unsupported events.ts physical unit: {unit}")
         _TS_UNIT_CACHE[path] = unit

@@ -193,3 +193,37 @@ def test_store_property_set_semantics_and_missing_node(spark):
     ]
     with _pytest.raises(KeyError):
         eng.store_property(99, "a", "b")
+
+def test_engine_ingest_collects_only_batch_entities(spark):
+    """The node-id resolution after a batch must collect O(batch) rows,
+    never the full nodes table (ingestor.rs:118-152 returns batch node
+    ids only; a full collect is the 10^9-node scale-killer)."""
+    eng = GraphEngine(spark)
+    # Patch the CONCRETE DataFrame class (pyspark.sql.classic in Spark 4
+    # overrides the abstract base's collect).
+    DataFrame = type(eng.state.nodes)
+    # Pre-populate a graph with 200 entities the next batch does NOT use.
+    pre = [(i, 1000 + i, "a", "v") for i in range(200)]
+    eng.ingest(make_signals(spark, pre))
+
+    batch = [(0, 1, "name", "Alice"), (1, 2, "name", "Bob"), (2, 1, "x", "y")]
+    collected_node_rows = []
+    orig_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        if "node_id" in self.columns and "entity_id" in self.columns:
+            collected_node_rows.append(len(rows))
+        return rows
+
+    DataFrame.collect = counting_collect
+    try:
+        ids = eng.ingest(make_signals(spark, batch))
+    finally:
+        DataFrame.collect = orig_collect
+
+    assert ids == [200, 201, 200]
+    # Every nodes-shaped collect during ingest is bounded by the batch's
+    # distinct entity count (2), not the 202-row nodes table.
+    assert collected_node_rows, "expected a node-id resolution collect"
+    assert all(n <= 2 for n in collected_node_rows), collected_node_rows
