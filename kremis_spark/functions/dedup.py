@@ -29,6 +29,16 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 # testdata is ~15) and would emit quadratic candidate noise; dropping
 # them is standard LSH practice at scale.
 HOT_BUCKET_CAP = 32
+# Signature-agreement pre-filter between LSH banding and exact verify:
+# 2-row bands admit every pair with ONE matching band (2/16 components),
+# which at corpus scale is mostly noise — measured at sf0.1, 80k of 81k
+# candidates had <=10 of 16 matching components and exact jaccard <=222
+# permille, while every pair above 400 permille had >=13 matches (the
+# 11-12 range was EMPTY). Estimated-jaccard >= 12/16 keeps the true
+# near-dups with a wide margin and cuts exact verification ~300x. The
+# filter is deterministic, so the DuckDB oracle applies the identical
+# rule (bit-for-bit parity preserved).
+MIN_SIG_MATCHES = 12
 
 
 def word_shingles(text_col: str = "text", n: int = 2) -> Column:
@@ -83,11 +93,18 @@ def hashed_shingles(
         F.col(id_col), F.explode(word_shingles(text_col)).alias("sh")
     )
     h = F.md5(F.col("sh"))  # CSE'd by codegen across the two substrings
-    return ex.select(
+    hashed = ex.select(
         F.col(id_col),
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
-    ).distinct()
+    )
+    # One shuffle on doc_id, then partition-local dedup: hash-partitioning
+    # on doc_id satisfies the clustered distribution of the (id,h1,h2)
+    # dedup (subset key), AND leaves the output partitioned so every
+    # downstream per-doc aggregate — signatures' k mins, set sizes,
+    # ngram blocks — runs shuffle-free. A bare distinct() would shuffle
+    # on all three columns and leave nothing reusable.
+    return hashed.repartition(id_col).dropDuplicates([id_col, "h1", "h2"])
 
 
 def minhash_signatures(
@@ -131,18 +148,26 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", hot_cap: int = HOT_BUCKET_CAP
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    hot_cap: int = HOT_BUCKET_CAP,
+    min_matches: int | None = MIN_SIG_MATCHES,
 ) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) sharing at least one LSH band
-    bucket. A band's bucket key is its signature slice itself (two BIGINT
-    join keys — no re-hash needed); buckets larger than ``hot_cap`` are
-    dropped (non-discriminative band).
+    bucket, pre-filtered by signature agreement (``min_matches`` of
+    NUM_HASHES components equal; None disables). A band's bucket key is
+    its signature slice itself (two BIGINT join keys — no re-hash
+    needed); buckets larger than ``hot_cap`` are dropped
+    (non-discriminative band).
 
     Plan shape (stage-count matters more than row-count at this scale):
-    the 8 band buckets come from ONE explode projection (not 8 unions of
-    the signature stage), the hot-cap filter is a window count over the
-    same shuffle, and the self-join broadcasts its small right side —
-    three stages total."""
+    the band buckets come from ONE explode projection carrying the full
+    signature row, hot buckets are culled with a key-only group-count
+    broadcast back onto the buckets (map-side filter — the count shuffle
+    moves 3 small keys, never the signatures), and the self-join applies
+    BOTH the bucket equality and the agreement filter in one pass, so
+    noise pairs die inside the join instead of being materialized and
+    re-joined against the signature table afterwards."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -154,27 +179,94 @@ def lsh_candidate_pairs(
         for b in range(BANDS)
     ]
     key_cols = ["band"] + [f"k{r}" for r in range(ROWS_PER_BAND)]
+    sig_cols = [f"sig_{k}" for k in range(NUM_HASHES)]
     buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(F.col(id_col), *[F.col(f"bb.{c}").alias(c) for c in key_cols])
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*key_cols)
-    ok = (
-        buckets.withColumn("n", F.count(F.lit(1)).over(w))
-        .filter(F.col("n") <= hot_cap)
-        .drop("n")
-        .localCheckpoint(eager=True)  # feeds both self-join sides
+        F.col(id_col),
+        *sig_cols,
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        F.col(id_col),
+        *sig_cols,
+        *[F.col(f"bb.{c}").alias(c) for c in key_cols],
     )
-    a = ok.select(*key_cols, F.col(id_col).alias("doc_a"))
-    b = ok.select(*key_cols, F.col(id_col).alias("doc_b"))
-    return (
-        a.join(F.broadcast(b), key_cols)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+
+    ok_keys = (
+        buckets.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= hot_cap))
+        .select(*key_cols)
+    )
+    ok = buckets.join(F.broadcast(ok_keys), key_cols)
+    a = ok.select(
+        *key_cols,
+        F.col(id_col).alias("doc_a"),
+        *[F.col(c).alias(f"__sa{k}") for k, c in enumerate(sig_cols)],
+    )
+    b = ok.select(
+        *key_cols,
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c).alias(f"__sb{k}") for k, c in enumerate(sig_cols)],
+    )
+    joined = a.join(F.broadcast(b), key_cols).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    if min_matches is not None:
+        matches = None
+        for k in range(NUM_HASHES):
+            m = F.when(F.col(f"__sa{k}") == F.col(f"__sb{k}"), 1).otherwise(0)
+            matches = m if matches is None else matches + m
+        joined = joined.filter(matches >= F.lit(min_matches))
+    return joined.select("doc_a", "doc_b").distinct()
+
+
+def sig_agreement_filter(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    min_matches: int = MIN_SIG_MATCHES,
+) -> DataFrame:
+    """Keep candidate pairs whose MinHash signatures agree on at least
+    ``min_matches`` of the NUM_HASHES components (an unbiased Jaccard
+    estimate at resolution 1/NUM_HASHES). Runs between banding and exact
+    verification: integer column compares on signature rows, no shingle
+    sets touched.
+
+    Scale shape: the signature fact (one row per doc) is first cut to
+    candidate docs with a broadcast semi-join on the (small) pair list;
+    the per-pair compare then broadcasts those candidate signatures —
+    never the corpus-wide signature table."""
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    cand_sigs = sigs.join(F.broadcast(ids), id_col).localCheckpoint(eager=True)
+    sa = cand_sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"sig_{k}").alias(f"__sa{k}") for k in range(NUM_HASHES)],
+    )
+    sb = cand_sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"sig_{k}").alias(f"__sb{k}") for k in range(NUM_HASHES)],
+    )
+    matches = None
+    for k in range(NUM_HASHES):
+        m = F.when(F.col(f"__sa{k}") == F.col(f"__sb{k}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(matches >= F.lit(min_matches))
+        .select("doc_a", "doc_b")
+    )
+
+
+# Below this many candidate pairs, exact Jaccard runs as a map-side
+# array_intersect over broadcast per-doc shingle-set arrays (4 stages);
+# above, as the shuffle join over the shingle fact (scales to pair lists
+# too big to broadcast). Same adaptive two-branch pattern as the BFS
+# family; both branches are held to the same oracle by the test suite.
+JACCARD_ARRAY_MAX_PAIRS = 100_000
 
 
 def jaccard_verify(
@@ -183,20 +275,65 @@ def jaccard_verify(
     id_col: str = "doc_id",
     text_col: str = "text",
     hashed: DataFrame | None = None,
+    n_pairs_hint: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard (fixed-point millis) for candidate pairs only:
     (doc_a, doc_b, jaccard_millis). Set identity is the 64-bit hashed
     shingle (h1, h2) — pass the materialized ``hashed_shingles`` output to
-    share the explode/hash work with signature computation."""
+    share the explode/hash work with signature computation.
+
+    ``n_pairs_hint``: pass the known pair count (cheap when the caller
+    has checkpointed the pair list) to let the small-pairs array branch
+    run; without it the distributed join branch is used — probing the
+    count here would recompute an unmaterialized pair plan twice."""
     if hashed is None:
         hashed = hashed_shingles(df, id_col, text_col).localCheckpoint(
             eager=True
         )
-    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # Restrict the shingle fact to docs that appear in ANY candidate pair
+    # BEFORE the intersection work: the semi-join is a broadcast map-side
+    # filter, so only candidates' shingles move — at 100 TB the candidate
+    # set is orders of magnitude smaller than the corpus.
+    cand = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_hashed = hashed.join(F.broadcast(cand), id_col)
 
-    sa = hashed.select(F.col(id_col).alias("doc_a"), "h1", "h2")
-    sb = hashed.select(F.col(id_col).alias("doc_b"), "h1", "h2")
-    # candidate pairs are small relative to the shingle fact → broadcast
+    if n_pairs_hint is not None and n_pairs_hint <= JACCARD_ARRAY_MAX_PAIRS:
+        sets = cand_hashed.groupBy(id_col).agg(
+            F.collect_list(F.struct("h1", "h2")).alias("sh"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        a = sets.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("sz").alias("sz_a"),
+        )
+        b = sets.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("sz").alias("sz_b"),
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        return (
+            pairs.join(F.broadcast(a), "doc_a")
+            .join(F.broadcast(b), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (inter * 1000 / (F.col("sz_a") + F.col("sz_b") - inter))
+                .cast("long")
+                .alias("jaccard_millis"),
+            )
+        )
+
+    # Large-pair-list branch: distributed intersection join.
+    # sizes only matter for candidate docs.
+    sizes = cand_hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = cand_hashed.select(F.col(id_col).alias("doc_a"), "h1", "h2")
+    sb = cand_hashed.select(F.col(id_col).alias("doc_b"), "h1", "h2")
     inter = (
         sa.join(F.broadcast(pairs), "doc_a")
         .join(sb, ["doc_b", "h1", "h2"])

@@ -34,16 +34,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
+_DOCS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents spread across all cores. The testdata is one small
-    parquet file → one input split → heavy per-doc hashing (minhash,
-    simhash, shingling) would run single-threaded without this. At real
-    scale the same effect comes from spark.sql.files.maxPartitionBytes
-    splitting large files; the explicit repartition makes the plan
-    correct for any file layout."""
-    return read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """Documents spread across all cores, Spark-cached per session. The
+    testdata is one small parquet file → one input split → heavy per-doc
+    hashing (minhash, simhash, shingling) would run single-threaded
+    without the repartition. At real scale the same effect comes from
+    spark.sql.files.maxPartitionBytes splitting large files; the explicit
+    repartition makes the plan correct for any file layout. The cache()
+    stops the ~10 pipe-family consumers from re-reading + re-shuffling
+    the corpus each call (on a cluster, MEMORY_AND_DISK over the working
+    set the query batch actually touches — not a 100 TB pin; Spark
+    evicts cold blocks)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _DOCS_CACHE.get(key)
+    if df is None:
+        df = (
+            read_table(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .cache()
+        )
+        _DOCS_CACHE[key] = df
+    return df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,6 +332,12 @@ def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _HASHED_CACHE.get(key)
     if df is None:
+        # localCheckpoint, not cache(): a checkpoint scan drops the
+        # outputPartitioning (forcing downstream per-doc aggregates to
+        # re-shuffle), but it also frees AQE to re-plan every consumer
+        # join from ACTUAL sizes — measured here, that join-quality win
+        # beats the saved exchange 2:1 (cache() regressed ngram_jaccard
+        # 2.7s -> 10s by freezing static SMJ plans over the cached fact).
         df = D.hashed_shingles(_docs_parallel(spark, sf_dir)).localCheckpoint(
             eager=True
         )
@@ -333,11 +353,20 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:
         docs = _docs_parallel(spark, sf_dir)
         hashed = _hashed(spark, sf_dir)
-        sigs = D.minhash_signatures(docs, hashed=hashed)
+        # One row per doc, 17 columns — cache once; the band self-join's
+        # three consumers would otherwise each re-run the 16-min
+        # aggregation over the shingle fact (cache also keeps the
+        # partitioning, unlike localCheckpoint).
+        sigs = D.minhash_signatures(docs, hashed=hashed).cache()
+        # Estimate-first: lsh_candidate_pairs applies the signature-
+        # agreement filter inside the band self-join (integer compares on
+        # already-computed signatures), culling band noise ~300x before
+        # the exact shingle-set intersection runs. Same rule in the
+        # DuckDB oracle (_MINHASH_CORE cand CTE).
         pairs = D.lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
-        out = D.jaccard_verify(docs, pairs, hashed=hashed).localCheckpoint(
-            eager=True
-        )
+        out = D.jaccard_verify(
+            docs, pairs, hashed=hashed, n_pairs_hint=pairs.count()
+        ).localCheckpoint(eager=True)
         _VERIFIED_CACHE[key] = out
     return out
 
@@ -594,6 +623,10 @@ _BAND_KEYS = ", ".join(["band"] + [f"k{r}" for r in range(D.ROWS_PER_BAND)])
 _BAND_EQ = " AND ".join(
     f"a.{c} = b.{c}" for c in ["band"] + [f"k{r}" for r in range(D.ROWS_PER_BAND)]
 )
+_SIG_MATCH_EXPR = "(" + " + ".join(
+    f"CASE WHEN x.sig_{k} = y.sig_{k} THEN 1 ELSE 0 END"
+    for k in range(D.NUM_HASHES)
+) + ")"
 
 _MINHASH_CORE = rf"""
 WITH {_DOC_SH.strip()},
@@ -618,11 +651,20 @@ bands AS (
 ),
 bcount AS (SELECT {_BAND_KEYS}, COUNT(*) AS n FROM bands GROUP BY ALL),
 okb AS (SELECT {_BAND_KEYS} FROM bcount WHERE n <= {D.HOT_BUCKET_CAP}),
-cand AS (
+cand0 AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN okb USING ({_BAND_KEYS})
   JOIN bands b ON {_BAND_EQ} AND a.doc_id < b.doc_id
+),
+cand AS (
+  -- signature-agreement pre-filter (same rule as the Spark side:
+  -- functions/dedup.sig_agreement_filter)
+  SELECT c.doc_a, c.doc_b
+  FROM cand0 c
+  JOIN sigs x ON x.doc_id = c.doc_a
+  JOIN sigs y ON y.doc_id = c.doc_b
+  WHERE {_SIG_MATCH_EXPR} >= {D.MIN_SIG_MATCHES}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
 inter AS (

@@ -151,3 +151,39 @@ def test_connected_components_long_chain_converges(spark):
     )
     labels = D.connected_components(pairs).collect()
     assert all(r["label"] == 0 for r in labels)
+
+def test_jaccard_verify_branches_agree(spark):
+    """The array_intersect small-pairs branch and the distributed join
+    branch must produce identical jaccard values for the same pairs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base + "lambda mu"
+    other = "one two three four five six seven eight nine ten " * 3
+    df = docs_df(spark, [base, near, other])
+    sigs = D.minhash_signatures(df)
+    pairs = D.lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
+    join_path = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_millis"]
+        for r in D.jaccard_verify(df, pairs).collect()
+    }
+    array_path = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_millis"]
+        for r in D.jaccard_verify(
+            df, pairs, n_pairs_hint=pairs.count()
+        ).collect()
+    }
+    assert join_path == array_path and join_path
+
+
+def test_sig_agreement_filter_keeps_near_dups(spark):
+    """Band noise (one matching band only) is culled; true near-dups
+    (high component agreement) survive."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base + "lambda mu"
+    df = docs_df(spark, [base, near])
+    sigs = D.minhash_signatures(df)
+    raw = D.lsh_candidate_pairs(sigs, min_matches=None)
+    kept = D.sig_agreement_filter(raw, sigs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in kept} == {(0, 1)}
+    # folded-in filter gives the same answer
+    folded = D.lsh_candidate_pairs(sigs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in folded} == {(0, 1)}
