@@ -206,20 +206,48 @@ class GraphEngine:
             src, dst, current + 1 if current < i64_max else i64_max
         )
 
+    def _prop_counts(self) -> dict[int, int]:
+        """Maintained per-node property counter, mirroring the reference's
+        O(1) counter (storage/redb_graph.rs:291-317). Keyed to the current
+        state object by identity: ANY path that swaps ``self.state``
+        (ingest, retract, external assignment) invalidates it; only
+        ``store_property``'s own commit carries it forward."""
+        if getattr(self, "_pc_state", None) is not self.state:
+            self._pc: dict[int, int] = {}
+            self._pc_state = self.state
+        return self._pc
+
     def store_property(self, node_id: int, attribute: str, value: str) -> None:
         """Set-semantics property append: dedup at (node, attr, value),
-        4096/node cap, error on missing node (graph.rs:726-769)."""
+        4096/node cap, error on missing node (graph.rs:726-769).
+
+        One Spark job per call: the exists-probe and the cap count run as
+        a single aggregate on a cache miss; repeated stores to the same
+        node reuse the maintained counter and pay only the probe."""
         if not self.contains_node(node_id):
             raise KeyError(f"node {node_id} not found")
         props = self.state.properties
-        exists = props.filter(
-            (F.col("node_id") == node_id)
-            & (F.col("attribute") == attribute)
-            & (F.col("value") == value)
-        ).take(1)
+        counts = self._prop_counts()
+        is_dup = (F.col("attribute") == attribute) & (F.col("value") == value)
+        if node_id in counts:
+            n = counts[node_id]
+            exists = bool(
+                props.filter((F.col("node_id") == node_id) & is_dup).take(1)
+            )
+        else:
+            row = (
+                props.filter(F.col("node_id") == node_id)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(is_dup).alias("has_dup"),
+                )
+                .first()
+            )
+            n = int(row["n"])
+            exists = bool(row["has_dup"])
+            counts[node_id] = n
         if exists:
             return  # idempotent re-insert (set semantics)
-        n = props.filter(F.col("node_id") == node_id).count()
         if n >= P.MAX_PROPERTIES_PER_NODE:
             raise ValueError(
                 f"node {node_id} at property cap {P.MAX_PROPERTIES_PER_NODE}"
@@ -231,6 +259,8 @@ class GraphEngine:
             self.state,
             properties=props.unionByName(new_row).localCheckpoint(eager=True),
         )
+        counts[node_id] = n + 1
+        self._pc_state = self.state
 
     def retract(self, from_entity: int, to_entity: int) -> bool:
         """Decrement an edge weight, floored at 0 (graph.rs:543-550,

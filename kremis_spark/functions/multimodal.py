@@ -104,26 +104,128 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("content", BinaryType(), False),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize. Requires a real image library; the container has
-    none, so this is gated. The signature + schema (content replaced,
-    meta width/height updated) is the production contract."""
+    """Image resize via PIL over Arrow-batched ``mapInPandas``: decode
+    each ``content`` payload, LANCZOS-resample to (width, height),
+    re-encode as PNG, and record the old/new dimensions in ``meta``.
+
+    The PIL branch is real and activates wherever PIL is importable (it
+    is imported inside the task closure, so executors probe it
+    independently); in this container PIL is absent and the call raises
+    up front — the documented honest stub. Undecodable payloads pass
+    through unchanged with ``meta['decode_error']`` set rather than
+    failing the batch (at 100 TB a poison byte-string must not kill the
+    stage)."""
     if not _have_pil():
         raise NotImplementedError(
             "resize_images requires PIL; not available in this environment. "
             "The mapInPandas plumbing mirrors decode_features."
         )
-    raise NotImplementedError("real resize path not wired in this build")
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            contents, metas = [], []
+            for raw, meta in zip(pdf["content"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {}
+                try:
+                    with Image.open(io.BytesIO(bytes(raw))) as im:
+                        meta["orig_width"] = str(im.width)
+                        meta["orig_height"] = str(im.height)
+                        out = io.BytesIO()
+                        im.resize(
+                            (width, height), Image.Resampling.LANCZOS
+                        ).save(out, format="PNG")
+                    contents.append(bytearray(out.getvalue()))
+                    meta["width"] = str(width)
+                    meta["height"] = str(height)
+                    meta["format"] = "png"
+                except Exception as exc:  # poison payload: tag, don't fail
+                    contents.append(raw)
+                    meta["decode_error"] = type(exc).__name__
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "modality": pdf["modality"],
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("content", BinaryType(), False),
+    ]
+)
 
 
 def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling (one row per sampled frame). Gated like
-    resize_images; output schema contract: (item_id, frame_idx, content)."""
-    raise NotImplementedError(
-        "sample_frames requires a video decoder; not available in this "
-        "environment. Output contract: (item_id LONG, frame_idx INT, "
-        "content BINARY)."
-    )
+    """Frame sampling: one output row per every_n-th frame, frames
+    re-encoded as PNG. The real branch uses PIL's multi-frame decoder
+    (GIF/APNG/TIFF sequences — a true video codec would slot into the
+    same loop via ffmpeg/av); gated on PIL like resize_images. A
+    non-animated or undecodable payload contributes zero rows — a flatMap
+    shape, which is why this is ``mapInPandas`` (row counts may change)
+    rather than a 1:1 transform."""
+    if not _have_pil():
+        raise NotImplementedError(
+            "sample_frames requires a frame decoder (PIL); not available "
+            "in this environment. Output contract: (item_id LONG, "
+            "frame_idx INT, content BINARY)."
+        )
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
+        from PIL import Image, ImageSequence
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for item_id, raw in zip(pdf["item_id"], pdf["content"]):
+                try:
+                    with Image.open(io.BytesIO(bytes(raw))) as im:
+                        for i, frame in enumerate(
+                            ImageSequence.Iterator(im)
+                        ):
+                            if i % every_n:
+                                continue
+                            out = io.BytesIO()
+                            frame.convert("RGB").save(out, format="PNG")
+                            ids.append(item_id)
+                            idxs.append(i)
+                            frames.append(bytearray(out.getvalue()))
+                except Exception:
+                    continue  # undecodable payload → zero frames
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "content": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(sample, FRAMES_SCHEMA)
 
 
 def fake_media_table(

@@ -128,6 +128,97 @@ IVF_K = 16
 IVF_NPROBE = 2
 
 
+def farthest_point_seeds(
+    prepared: DataFrame, k: int, id_col: str = "vec_id"
+) -> list[tuple[int, list[int]]]:
+    """Deterministic k-means++-style seeding: start from the lowest-id
+    vector, then greedily take the vector maximizing the squared-L2
+    distance to its nearest already-chosen seed (tie → lowest id). Exact
+    int64 arithmetic throughout, so any engine reproduces the same seeds
+    — and the sweep is prefix-consistent (the first j seeds of a k-sweep
+    ARE the j-sweep), so one max-k sweep serves every consumer.
+
+    Distributed shape: k−1 single-pass agg jobs. Per step, the chosen
+    seeds fold into ONE SQL-text literal (never py4j-built Columns) and
+    dmin is a map-side ``array_min``; the argmax is ``max(struct(dmin,
+    −id))`` — a partial-agg tree, no shuffle of vectors, no driver
+    transfer beyond one row per step. Returns [(cell, ivec), ...].
+    """
+    first = prepared.orderBy(id_col).select(id_col, "ivec").first()
+    if first is None or k <= 0:
+        return []
+    seeds = [(0, [int(v) for v in first["ivec"]])]
+    chosen_ids = [int(first[id_col])]
+    for step in range(1, k):
+        entries = ",".join(
+            f"named_struct('c2',{sum(x * x for x in c)}L,"
+            f"'cvec',array({','.join(str(int(x)) + 'L' for x in c)}))"
+            for _, c in seeds
+        )
+        # dist²(v, c) = |c|² − 2⟨v,c⟩ + |v|²; |v|² is constant per row so
+        # it rides outside the per-centroid min.
+        dmin = (
+            f"array_min(transform(array({entries}), cw -> "
+            f"cw.c2 - 2L * aggregate(zip_with(ivec, cw.cvec, (x, y) -> x * y),"
+            f" 0L, (acc, v) -> acc + v))) + norm"
+        )
+        best = (
+            prepared.filter(~F.col(id_col).isin(chosen_ids))
+            .select(
+                F.max(
+                    F.struct(
+                        F.expr(dmin).alias("dmin"),
+                        (-F.col(id_col)).alias("negid"),
+                        F.col("ivec").alias("ivec"),
+                    )
+                ).alias("best")
+            )
+            .first()["best"]
+        )
+        if best is None:
+            break  # fewer than k vectors
+        seeds.append((step, [int(v) for v in best["ivec"]]))
+        chosen_ids.append(-int(best["negid"]))
+    return seeds
+
+
+def fps_seeds_cte(
+    k: int, src: str = "norms", id_col: str = "vec_id", name: str = "fps_seeds"
+) -> str:
+    """DuckDB CTE chain reproducing ``farthest_point_seeds`` bit-for-bit:
+    k−1 unrolled greedy steps over a ``src(vec_id, ivec)`` CTE, ending in
+    ``<name>(cell, cvec)``. Generated SQL (k ≤ 16 here) — the oracle twin
+    of the Spark sweep, same dist² integers and the same (dmin DESC, id)
+    tie rule."""
+    parts = [
+        f"ch0 AS MATERIALIZED (SELECT 0 AS cell, {id_col} AS vec_id, ivec FROM {src} "
+        f"ORDER BY {id_col} LIMIT 1)"
+    ]
+    for j in range(1, k):
+        parts.append(
+            f"""d{j} AS (
+  SELECT n.{id_col} AS vec_id, n.ivec,
+         MIN(CAST(list_sum(list_transform(generate_series(1, len(n.ivec)),
+             i -> (n.ivec[i] - c.ivec[i]) * (n.ivec[i] - c.ivec[i])))
+             AS BIGINT)) AS dmin
+  FROM {src} n, ch{j - 1} c
+  WHERE n.{id_col} NOT IN (SELECT vec_id FROM ch{j - 1})
+  GROUP BY n.{id_col}, n.ivec
+)"""
+        )
+        parts.append(
+            f"s{j} AS (SELECT {j} AS cell, vec_id, ivec FROM d{j} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"ch{j} AS MATERIALIZED (SELECT * FROM ch{j - 1} UNION ALL SELECT * FROM s{j})"
+        )
+    parts.append(
+        f"{name} AS (SELECT cell, ivec AS cvec FROM ch{k - 1})"
+    )
+    return ",\n".join(parts)
+
+
 def ivf_centroids(
     prepared: DataFrame, k: int = IVF_K, id_col: str = "vec_id"
 ) -> list[tuple[int, list[int]]]:

@@ -101,10 +101,22 @@ def _run_stream(
     keys/executors instead — the plan shape is unchanged."""
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(partitions or STREAM_SHUFFLE_PARTITIONS),
     )
+    # Every gate query here emits its results in the data micro-batch
+    # (complete-mode aggs re-emit everything each batch; the interval
+    # join is inner, so matches emit eagerly) — the trailing no-data
+    # batch only advances the watermark to evict state, which a
+    # run-to-completion availableNow query doesn't need. Skipping it
+    # removes one state-store open/commit cycle per partition (~40% of
+    # gate latency). Event-time-FINALIZED emission (append-mode windows)
+    # would need it back on.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             agg.writeStream.format("memory")
@@ -116,6 +128,9 @@ def _run_stream(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return spark.table(name)
 
 

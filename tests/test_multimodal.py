@@ -29,9 +29,70 @@ def test_partition_for_decode(spark):
     assert df.count() == 16
 
 
-def test_gated_stubs_raise(spark):
+@pytest.mark.skipif(M._have_pil(), reason="PIL present: real branch active")
+def test_gated_stubs_raise_without_pil(spark):
     df = M.fake_media_table(spark, n=1)
     with pytest.raises(NotImplementedError):
         M.resize_images(df, 224, 224)
     with pytest.raises(NotImplementedError):
         M.sample_frames(df)
+
+
+def _png_media_table(spark, n=4, size=(8, 6), frames=1):
+    """Real encoded images (PNG or multi-frame GIF) via PIL; only called
+    under the skipif-PIL guard."""
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for i in range(n):
+        imgs = [
+            Image.new("RGB", size, (i * 20 % 256, f * 40 % 256, 128))
+            for f in range(frames)
+        ]
+        out = io.BytesIO()
+        if frames > 1:
+            imgs[0].save(
+                out, format="GIF", save_all=True, append_images=imgs[1:]
+            )
+        else:
+            imgs[0].save(out, format="PNG")
+        rows.append((i, "image", bytearray(out.getvalue()), {"src": "t"}))
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+@pytest.mark.skipif(not M._have_pil(), reason="PIL not in this container")
+def test_resize_images_real_branch(spark):
+    import io
+
+    from PIL import Image
+
+    df = _png_media_table(spark, n=3, size=(8, 6))
+    out = {r["item_id"]: r for r in M.resize_images(df, 4, 4).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r["meta"]["width"] == "4" and r["meta"]["height"] == "4"
+        assert r["meta"]["orig_width"] == "8"
+        with Image.open(io.BytesIO(bytes(r["content"]))) as im:
+            assert im.size == (4, 4)
+
+
+@pytest.mark.skipif(not M._have_pil(), reason="PIL not in this container")
+def test_resize_poison_payload_tagged_not_fatal(spark):
+    df = M.fake_media_table(spark, n=2)  # bytes are NOT a decodable image
+    rows = M.resize_images(df, 4, 4).collect()
+    assert len(rows) == 2
+    assert all(r["meta"]["decode_error"] for r in rows)
+
+
+@pytest.mark.skipif(not M._have_pil(), reason="PIL not in this container")
+def test_sample_frames_real_branch(spark):
+    df = _png_media_table(spark, n=2, frames=6)
+    rows = M.sample_frames(df, every_n=2).collect()
+    # 6 frames, every 2nd → idx 0,2,4 per item
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r["item_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 2, 4] for v in by_item.values())
+    assert len(by_item) == 2

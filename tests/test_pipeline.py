@@ -132,6 +132,54 @@ def test_ivf_assignment_and_probe(spark):
     assert S.ivf_probe_cells(q, cents, nprobe=1) == [0]
 
 
+def test_farthest_point_seeds_matches_python_reference(spark):
+    """The distributed farthest-point sweep equals the greedy reference:
+    max-min-dist² selection, ties to the lowest id, seed0 = lowest id."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (vid, [rng.uniform(-1, 1) for _ in range(6)]) for vid in range(24)
+    ]
+    # force a tie: vec 20 duplicates vec 21's embedding exactly
+    rows[21] = (21, rows[20][1])
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    prepared = S.prepared_embeddings(df)
+    got = S.farthest_point_seeds(prepared, 6)
+
+    vecs = {
+        r["vec_id"]: [int(v) for v in r["ivec"]] for r in prepared.collect()
+    }
+    chosen = [min(vecs)]
+    for _ in range(5):
+        best = max(
+            (
+                (
+                    min(
+                        sum((a - b) ** 2 for a, b in zip(vecs[v], vecs[c]))
+                        for c in chosen
+                    ),
+                    -v,
+                )
+                for v in vecs
+                if v not in chosen
+            ),
+        )
+        chosen.append(-best[1])
+    assert [c for c, _ in got] == list(range(6))
+    assert [v for _, v in got] == [vecs[c] for c in chosen]
+
+
+def test_farthest_point_seeds_prefix_consistent_and_small_k(spark):
+    rows = [(v, [float(v), 1.0]) for v in range(5)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    prepared = S.prepared_embeddings(df)
+    full = S.farthest_point_seeds(prepared, 5)
+    assert S.farthest_point_seeds(prepared, 3) == full[:3]
+    # k beyond table size stops at n vectors
+    assert len(S.farthest_point_seeds(prepared, 9)) == 5
+
+
 def test_connected_components_chain_and_islands(spark):
     # chain 5-3-8 (component min 3) and island 10-12; singleton 99 absent
     pairs = spark.createDataFrame(
