@@ -87,6 +87,7 @@ def main() -> None:
     # share, which is the steady-state serving shape.
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     qs = entrymod.queries()
+    cold: dict[str, float] = {}
     for name, fn in qs.items():
         samples = []
         for _ in range(REPS):
@@ -94,10 +95,14 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.collect()
             samples.append(time.time() - t0)
+        # rep 1 includes any shared-cache population (honest cold cost,
+        # reported separately); the median is the steady-state figure.
+        cold[name] = round(samples[0], 3)
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
 
     extras["reps"] = REPS
+    extras["queries_cold"] = cold
     total = round(sum(times.values()), 3)
     times = {k: round(v, 3) for k, v in times.items()}
     out = {

@@ -32,9 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kremis_spark.functions.similarity import (
+    IVF_NPROBE,
     cosine_col,
     fps_seeds_cte,
     int_dot,
+    ivf_probe_cells,
+    with_ivf_cell,
 )
 from kremis_spark.plans.pipeline import fps_seed_vectors, prepared_cached
 
@@ -115,6 +118,35 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assign_cells(prep: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Map-side nearest-centroid assignment by squared L2 (tie → lowest
+    cell): (vec_id, ivec, norm, cell, dist2).
+
+    dist²(v, c) = |v|² − 2·v·c + |c|²; |v|² is constant per row so the
+    argmin needs only (−2·v·c + |c|²) — fewer terms, same winner.
+    Composed as SQL text (one F.expr), not py4j-built literal Columns:
+    K×dim literals through py4j cost ~seconds of driver time."""
+    entries = ",".join(
+        f"named_struct('cell',{cid}L,'c2',{sum(x * x for x in c)}L,"
+        f"'cvec',array({','.join(str(int(x)) + 'L' for x in c)}))"
+        for cid, c in enumerate(centroids)
+    )
+    scored = (
+        f"transform(array({entries}), cw -> named_struct("
+        f"'rel', cw.c2 - 2L * aggregate(zip_with(ivec, cw.cvec,"
+        f" (x, y) -> x * y), 0L, (acc, v) -> acc + v),"
+        f"'cell', cw.cell))"
+    )
+    best = F.expr(f"array_min({scored})")
+    return prep.select(
+        "vec_id",
+        "ivec",
+        "norm",
+        best["cell"].alias("cell"),
+        (best["rel"] + F.col("norm")).alias("dist2"),
+    )
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact Lloyd iteration over the integerized embeddings:
     centroids are the deterministic farthest-point (k-means++-style)
@@ -128,30 +160,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the update shuffles only (cell, dim) partial sums."""
     prep = _prepared(spark, sf_dir)
     centroids = [c for _, c in fps_seed_vectors(spark, sf_dir, KMEANS_K)]
-
-    # dist²(v, c) = |v|² − 2·v·c + |c|²; |v|² is constant per row so the
-    # argmin needs only (−2·v·c + |c|²) — fewer terms, same winner.
-    # Composed as SQL text (one F.expr), not py4j-built literal Columns:
-    # K×dim literals through py4j cost ~seconds of driver time.
-    entries = ",".join(
-        f"named_struct('cell',{cid}L,'c2',{sum(x * x for x in c)}L,"
-        f"'cvec',array({','.join(str(int(x)) + 'L' for x in c)}))"
-        for cid, c in enumerate(centroids)
-    )
-    scored = (
-        f"transform(array({entries}), cw -> named_struct("
-        f"'rel', cw.c2 - 2L * aggregate(zip_with(ivec, cw.cvec,"
-        f" (x, y) -> x * y), 0L, (acc, v) -> acc + v),"
-        f"'cell', cw.cell))"
-    )
-    best = F.expr(f"array_min({scored})")
-    assigned = prep.select(
-        "vec_id",
-        "ivec",
-        "norm",
-        best["cell"].alias("cell"),
-        (best["rel"] + F.col("norm")).alias("dist2"),
-    ).localCheckpoint(eager=True)
+    assigned = _assign_cells(prep, centroids).localCheckpoint(eager=True)
 
     stats = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -257,6 +266,175 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.select(
             "vec_id",
             F.expr(pq_code).cast("long").alias("pq_code"),
+            F.expr(adist).cast("long").alias("adist2"),
+        )
+        .orderBy("adist2", "vec_id")
+        .limit(ANN_K)
+    )
+
+
+KMEANS_ITERS = 3
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the semantics of BOTH
+    Spark's ``div`` and DuckDB's ``//`` (verified: -7//2 = -3 in each),
+    unlike Python's flooring ``//``."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS exact Lloyd iterations from the farthest-point seeds
+    — the trainer whose single step ``pipe_kmeans_step`` demonstrates.
+    Per iteration: map-side assignment against the current centroid
+    literals, ONE (cell, dim) partial-sum shuffle for the integer-mean
+    update, and a k×dim-row driver readback (512 ints here — output-
+    sized, never data-sized) folded into the next round's literals.
+    Cells left empty by an assignment keep their previous centroid.
+
+    Output: per-cell size + inertia of the final assignment and the md5
+    digest of the final updated centroids. All arithmetic is int64 with
+    truncating division, so the unrolled DuckDB oracle reproduces every
+    digest bit-for-bit. At 100 TB this is the canonical distributed
+    k-means: the data never moves except (cell, dim) partial sums."""
+    import hashlib
+
+    prep = _prepared(spark, sf_dir)
+    cents = {
+        cell: list(vec)
+        for cell, vec in fps_seed_vectors(spark, sf_dir, KMEANS_K)
+    }
+    dim = len(next(iter(cents.values())))
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        centroids = [cents[c] for c in sorted(cents)]
+        assigned = _assign_cells(prep, centroids).localCheckpoint(eager=True)
+        counts = {
+            r["cell"]: r["n"]
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        acc: dict[int, list[int]] = {}
+        for r in (
+            assigned.select("cell", F.posexplode("ivec").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        ):
+            acc.setdefault(r["cell"], [0] * dim)[r["pos"]] = int(r["s"])
+        for cell, sums in acc.items():
+            n = counts[cell]
+            cents[cell] = [_tdiv(s, n) for s in sums]
+
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("dist2").cast("long").alias("inertia"),
+    )
+    digest = spark.createDataFrame(
+        [
+            (
+                cell,
+                hashlib.md5(
+                    ",".join(str(x) for x in cents[cell]).encode()
+                ).hexdigest(),
+            )
+            for cell in sorted(cents)
+        ],
+        "cell LONG, centroid_md5 STRING",
+    )
+    return (
+        stats.join(F.broadcast(digest), "cell")
+        .select("cell", "n_members", "inertia", "centroid_md5")
+        .orderBy("cell")
+    )
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC (IVF + product quantization over RESIDUALS) — the
+    billion-vector index shape: a coarse quantizer prunes the scan to
+    IVF_NPROBE cells, each candidate is PQ-encoded on its residual
+    against its cell centroid, and the query is scored by asymmetric
+    distance with a per-probed-cell lookup table built from the query's
+    residual. Composes the shared farthest-point seeds (doubling as
+    coarse centroids and codebook) with the existing IVF assignment and
+    PQ scorer.
+
+    Plan: assignment is the same map-side matmul as pipe_ann_ivf_topk;
+    residual + encode + ADC are one projection over the PRUNED candidate
+    set (nprobe/k of the data) into a TakeOrdered — nothing shuffles.
+    Integer-exact end to end."""
+    prep = _prepared(spark, sf_dir)
+    qrow = prep.orderBy("vec_id").select("vec_id", "ivec").first()
+    qid = qrow["vec_id"]
+    qvec = [int(v) for v in qrow["ivec"]]
+    dim = len(qvec)
+    sub = dim // PQ_M
+    seeds = fps_seed_vectors(spark, sf_dir, PQ_K)
+    probe = ivf_probe_cells(qvec, seeds, nprobe=IVF_NPROBE)
+    cand = with_ivf_cell(prep, seeds).filter(
+        F.col("cell").isin(probe) & (F.col("vec_id") != qid)
+    )
+    cent_arrays = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(int(x)) + "L" for x in cvec) + ")"
+            for _, cvec in seeds
+        )
+        + ")"
+    )
+    cand = cand.withColumn(
+        "rvec",
+        F.expr(
+            f"zip_with(ivec, element_at({cent_arrays},"
+            f" cast(cell + 1 as int)), (x, y) -> x - y)"
+        ),
+    )
+    books = [
+        [cvec[m * sub : (m + 1) * sub] for _, cvec in seeds]
+        for m in range(PQ_M)
+    ]
+    best_exprs = []
+    for m in range(PQ_M):
+        entries = ",".join(
+            f"named_struct('code',{c}L,"
+            f"'cvec',array({','.join(str(int(x)) + 'L' for x in cw)}))"
+            for c, cw in enumerate(books[m])
+        )
+        sl = f"slice(rvec, {m * sub + 1}, {sub})"
+        scored = (
+            f"transform(array({entries}), cw -> named_struct("
+            f"'rel', aggregate(zip_with({sl}, cw.cvec,"
+            f" (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v),"
+            f"'code', cw.code))"
+        )
+        best_exprs.append(F.expr(f"array_min({scored})").alias(f"b{m}"))
+    flat = cand.select("vec_id", "cell", *best_exprs)
+
+    cents_d = dict(seeds)
+    adist_terms = []
+    for m in range(PQ_M):
+        whens = []
+        for p in probe:
+            qres = [qvec[j] - cents_d[p][j] for j in range(dim)]
+            lut = [
+                sum(
+                    (qres[m * sub + i] - cw[i]) ** 2 for i in range(sub)
+                )
+                for cw in books[m]
+            ]
+            arr = ",".join(str(v) + "L" for v in lut)
+            whens.append(
+                f"WHEN cell = {p}L THEN element_at(array({arr}),"
+                f" cast(b{m}.code + 1 as int))"
+            )
+        adist_terms.append(f"(CASE {' '.join(whens)} END)")
+    adist = " + ".join(adist_terms)
+    return (
+        flat.select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
             F.expr(adist).cast("long").alias("adist2"),
         )
         .orderBy("adist2", "vec_id")
@@ -417,8 +595,159 @@ ORDER BY s.cell
 """,
 }
 
+def _kmeans_train_sql(iters: int = KMEANS_ITERS, k: int = KMEANS_K) -> str:
+    """Unrolled Lloyd-iteration oracle: assignment → stats → integer
+    means → carry-forward centroids, ``iters`` times, from the same
+    farthest-point seeds. MATERIALIZED breaks the exponential CTE
+    inlining of the chain."""
+    parts = [
+        f"prep AS (SELECT vec_id, {_IVEC} AS ivec FROM embeddings)",
+        fps_seeds_cte(k, src="prep", name="fps"),
+        "c0 AS MATERIALIZED (SELECT cell, cvec FROM fps)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, cell, dist2 FROM (
+    SELECT p.vec_id, c.cell,
+           CAST(list_sum(list_transform(generate_series(1, len(p.ivec)),
+               i -> (p.ivec[i] - c.cvec[i]) * (p.ivec[i] - c.cvec[i])))
+               AS BIGINT) AS dist2,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY CAST(list_sum(list_transform(
+                 generate_series(1, len(p.ivec)),
+                 i -> (p.ivec[i] - c.cvec[i]) * (p.ivec[i] - c.cvec[i])))
+                 AS BIGINT), c.cell) AS rn
+    FROM prep p, c{t - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"n{t} AS (SELECT cell, COUNT(*) AS n, SUM(dist2) AS inertia "
+            f"FROM a{t} GROUP BY cell)"
+        )
+        parts.append(
+            f"""m{t} AS (
+  SELECT a.cell, t.i AS pos, SUM(p.ivec[t.i]) AS s
+  FROM a{t} a JOIN prep p USING (vec_id),
+       LATERAL unnest(generate_series(1, len(p.ivec))) AS t(i)
+  GROUP BY a.cell, t.i
+)"""
+        )
+        parts.append(
+            f"cm{t} AS (SELECT m.cell, list(m.s // n.n ORDER BY m.pos)"
+            f" AS cvec FROM m{t} m JOIN n{t} n USING (cell) GROUP BY m.cell)"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT p.cell, COALESCE(u.cvec, p.cvec)"
+            f" AS cvec FROM c{t - 1} p LEFT JOIN cm{t} u USING (cell))"
+        )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+digest AS (
+  SELECT c.cell, md5(string_agg(CAST(c.cvec[t.i] AS VARCHAR), ','
+           ORDER BY t.i)) AS centroid_md5
+  FROM c{iters} c,
+       LATERAL unnest(generate_series(1, len(c.cvec))) AS t(i)
+  GROUP BY c.cell
+)
+SELECT n.cell, CAST(n.n AS BIGINT) AS n_members,
+       CAST(n.inertia AS BIGINT) AS inertia, d.centroid_md5
+FROM n{iters} n JOIN digest d USING (cell)
+ORDER BY n.cell
+"""
+
+
+_IVFPQ_SQL = f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+{fps_seeds_cte(PQ_K, src="prep", name="fps")},
+cents AS (SELECT cell AS cid, cvec FROM fps),
+dots AS (
+  SELECT p.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(p.ivec)),
+              i -> p.ivec[i] * c.cvec[i])) AS BIGINT) AS dot
+  FROM prep p, cents c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cid) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, ivec AS qvec FROM prep ORDER BY vec_id LIMIT 1),
+qprobe AS (
+  SELECT cid FROM dots WHERE vec_id = (SELECT qid FROM q)
+  ORDER BY dot DESC, cid LIMIT {IVF_NPROBE}
+),
+cand AS MATERIALIZED (
+  SELECT p.vec_id, a.cid,
+         list_transform(generate_series(1, len(p.ivec)),
+                        i -> p.ivec[i] - ct.cvec[i]) AS rvec
+  FROM prep p
+  JOIN assign a USING (vec_id)
+  JOIN cents ct ON ct.cid = a.cid
+  WHERE a.cid IN (SELECT cid FROM qprobe)
+    AND p.vec_id <> (SELECT qid FROM q)
+),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+rels AS (
+  SELECT r.vec_id, ms.m, cb.cell AS code,
+         CAST(list_sum(list_transform(generate_series(1, {64 // PQ_M}),
+              i -> (r.rvec[ms.m * {64 // PQ_M} + i]
+                    - cb.cvec[ms.m * {64 // PQ_M} + i])
+                 * (r.rvec[ms.m * {64 // PQ_M} + i]
+                    - cb.cvec[ms.m * {64 // PQ_M} + i]))) AS BIGINT) AS rel
+  FROM cand r, ms, fps cb
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY rel, code) AS rn
+    FROM rels
+  ) WHERE rn = 1
+),
+qres AS (
+  SELECT qp.cid,
+         list_transform(generate_series(1, len(q.qvec)),
+                        i -> q.qvec[i] - ct.cvec[i]) AS rvec
+  FROM qprobe qp JOIN cents ct USING (cid), q
+),
+qlut AS (
+  SELECT qr.cid, ms.m, cb.cell AS code,
+         CAST(list_sum(list_transform(generate_series(1, {64 // PQ_M}),
+              i -> (qr.rvec[ms.m * {64 // PQ_M} + i]
+                    - cb.cvec[ms.m * {64 // PQ_M} + i])
+                 * (qr.rvec[ms.m * {64 // PQ_M} + i]
+                    - cb.cvec[ms.m * {64 // PQ_M} + i]))) AS BIGINT) AS l
+  FROM qres qr, ms, fps cb
+),
+scored AS (
+  SELECT e.vec_id, SUM(ql.l) AS adist2
+  FROM enc e
+  JOIN cand cd USING (vec_id)
+  JOIN qlut ql ON ql.cid = cd.cid AND ql.m = e.m AND ql.code = e.code
+  GROUP BY e.vec_id
+)
+SELECT s.vec_id, CAST(cd.cid AS BIGINT) AS cell,
+       CAST(s.adist2 AS BIGINT) AS adist2
+FROM scored s JOIN cand cd USING (vec_id)
+ORDER BY s.adist2, s.vec_id LIMIT {ANN_K}
+"""
+
+ORACLE_SQL["pipe_kmeans_train"] = _kmeans_train_sql()
+ORACLE_SQL["pipe_ann_ivfpq"] = _IVFPQ_SQL
+
 QUERIES = {
     "pipe_ann_sq8": q_ann_sq8,
     "pipe_ann_pq": q_ann_pq,
+    "pipe_ann_ivfpq": q_ann_ivfpq,
     "pipe_kmeans_step": q_kmeans_step,
+    "pipe_kmeans_train": q_kmeans_train,
 }

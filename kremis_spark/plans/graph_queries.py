@@ -499,6 +499,11 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RA_TOPN = 10
+# Broadcast the (node, neighbor, weight) incidence list for the wedge
+# self-join while the graph fits executor memory; past this, shuffle +
+# AQE skew splitting. ~2M edges ≈ 100 MB incidence — the usual broadcast
+# ceiling.
+LP_BROADCAST_MAX_EDGES = 2_000_000
 
 
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,7 +517,13 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     with itself on the shared endpoint — the same wedge join as triangle
     counting, bounded by Σ deg(z)²; at real scale cap the hub degree
     (drop z above a threshold) exactly like LSH hot-bucket capping. The
-    degree dim is one row per node → broadcast."""
+    degree dim is one row per node → broadcast. The wedge join itself is
+    ADAPTIVE: below the edge threshold the incidence list broadcasts, so
+    wedge generation is map-side over an evenly repartitioned stream side
+    (a z-keyed shuffle join would put deg(z)² wedges of the hottest hub
+    on one task — measured 2.6× slower here); past the threshold it
+    falls back to the shuffle join and lets AQE's skew-join splitting
+    handle hubs."""
     st = graph_state(spark, sf_dir)
     und = (
         st.edges.filter(F.col("src") != F.col("dst"))
@@ -530,13 +541,21 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Attach the per-z weight to the node-sized incidence list BEFORE the
     # wedge self-join: the Σdeg²-sized wedge relation then never takes
     # another join pass — it flows straight into the partial-aggregating
-    # groupBy.
-    incw = inc.join(F.broadcast(deg), "z").select(
-        "z", "n", F.expr("1000000 div deg").alias("w")
+    # groupBy. Materialize it evenly repartitioned: it feeds both sides
+    # of the self-join, and the stream side's partitioning IS the
+    # parallelism of the Σdeg²-row generation stage.
+    incw = (
+        inc.join(F.broadcast(deg), "z")
+        .select("z", "n", F.expr("1000000 div deg").alias("w"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
+    right = incw.select("z", F.col("n").alias("v"))
+    if st.edge_count() <= LP_BROADCAST_MAX_EDGES:
+        right = F.broadcast(right)
     wedges = (
         incw.select("z", F.col("n").alias("u"), "w")
-        .join(incw.select("z", F.col("n").alias("v")), "z")
+        .join(right, "z")
         .filter(F.col("u") < F.col("v"))
     )
     return (
@@ -544,6 +563,62 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").alias("ra_millionths"))
         .orderBy(F.desc("ra_millionths"), "u", "v")
         .limit(RA_TOPN)
+    )
+
+
+KCORE_K = 4
+KCORE_ROUNDS = 8
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (bounded peeling): repeatedly drop nodes with
+    undirected degree < KCORE_K and the edges they carry, KCORE_ROUNDS
+    times or until the edge set stops shrinking (a fixpoint — further
+    rounds are no-ops, so early exit is oracle-exact). Output: surviving
+    nodes with their within-core degree — the classic dense-subgraph /
+    spam-farm / community-skeleton extractor.
+
+    Scale shape: per round, one degree agg over the (shrinking) edge set
+    and two broadcast semi-joins against the node-sized keep list; edges
+    never reshuffle. Rounds are O(peeling depth), the same bounded-round
+    contract as label propagation / SSSP."""
+    st = graph_state(spark, sf_dir)
+    cur = (
+        st.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    for _ in range(KCORE_ROUNDS):
+        if n_cur == 0:
+            break
+        deg = (
+            cur.select(F.col("a").alias("z"))
+            .unionByName(cur.select(F.col("b").alias("z")))
+            .groupBy("z")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        keep = deg.filter(F.col("cnt") >= KCORE_K).select("z")
+        nxt = (
+            cur.join(F.broadcast(keep.withColumnRenamed("z", "a")), "a")
+            .join(F.broadcast(keep.withColumnRenamed("z", "b")), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break  # fixpoint: edge set can only shrink, equal size = equal set
+        cur, n_cur = nxt, n_nxt
+    return (
+        cur.select(F.col("a").alias("z"))
+        .unionByName(cur.select(F.col("b").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("z").alias("node_id"), "core_degree")
+        .orderBy("node_id")
     )
 
 
@@ -1064,7 +1139,42 @@ _PAGERANK_SQL = (
     + "\nSELECT node_id, CAST(r AS BIGINT) AS rank_ppm FROM r10"
 )
 
+def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled bounded peeling, the oracle twin of q_kcore: per round,
+    degree over the current undirected edge set, keep nodes with deg ≥ k,
+    restrict edges to kept endpoints. A fixpoint makes later rounds
+    no-ops, so Spark's early exit is exact. MATERIALIZED stops the
+    exponential CTE inlining of the chain."""
+    parts = [
+        """
+, u0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""k{t} AS MATERIALIZED (
+  SELECT z FROM (
+    SELECT a AS z FROM u{t - 1} UNION ALL SELECT b AS z FROM u{t - 1}
+  ) GROUP BY z HAVING COUNT(*) >= {k}
+)"""
+        )
+        parts.append(
+            f"u{t} AS MATERIALIZED (SELECT u.a, u.b FROM u{t - 1} u "
+            f"JOIN k{t} x ON u.a = x.z JOIN k{t} y ON u.b = y.z)"
+        )
+    chain = ",\n".join(parts)
+    return f"""{chain}
+SELECT z AS node_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS z FROM u{rounds} UNION ALL SELECT b AS z FROM u{rounds})
+GROUP BY z
+ORDER BY node_id
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "graph_kcore": GRAPH_CTE + _kcore_oracle_sql(),
     "graph_triangles": GRAPH_CTE
     + """
 , und AS (
@@ -1428,6 +1538,7 @@ QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_degree_hist": q_degree_hist,
     "graph_link_prediction": q_link_prediction,
+    "graph_kcore": q_kcore,
     "graph_harmonic_centrality": q_harmonic_centrality,
     "graph_label_propagation": q_label_propagation,
     "graph_sssp": q_sssp_bellman_ford,

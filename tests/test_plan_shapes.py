@@ -111,6 +111,60 @@ def test_pagerank_shuffle_branch_never_reexchanges_edges(spark):
     assert n_hash == iters, f"expected {iters} node-sized exchanges:\n{txt}"
 
 
+def test_link_prediction_wedge_join_broadcasts_below_threshold(spark):
+    """Below LP_BROADCAST_MAX_EDGES the wedge self-join must be a
+    broadcast-hash join (a z-keyed shuffle join would pile the hottest
+    hub's deg² wedges onto one task), and top pairs must come from
+    TakeOrderedAndProject, not a global sort."""
+    from kremis_spark.plans.graph_queries import q_link_prediction
+
+    txt = plan_text(q_link_prediction(spark, SF_DIR), "simple")
+    own = txt.split("InMemoryRelation")[0]
+    assert "BroadcastHashJoin" in own, txt
+    assert "TakeOrderedAndProject" in own, txt
+
+
+def test_kcore_fixpoint_and_reference_parity(spark):
+    """q_kcore equals a pure-Python bounded peeling of the same
+    undirected graph, and its early exit is a true fixpoint (running
+    more rounds changes nothing)."""
+    from collections import defaultdict
+
+    from kremis_spark.plans.graph_queries import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        graph_state,
+        q_kcore,
+    )
+
+    st = graph_state(spark, SF_DIR)
+    und = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in st.edges.collect()
+        if r["src"] != r["dst"]
+    }
+    for _ in range(KCORE_ROUNDS):
+        deg = defaultdict(int)
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {z for z, d in deg.items() if d >= KCORE_K}
+        nxt = {(a, b) for a, b in und if a in keep and b in keep}
+        if nxt == und:
+            break
+        und = nxt
+    deg = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    expected = sorted(deg.items())
+    got = [
+        (r["node_id"], r["core_degree"])
+        for r in q_kcore(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
 def test_exclusive_prefix_sum_matches_serial(spark):
     """The distributed scan equals the serial prefix sum for every
     partition count, including ones that leave empty partitions."""
