@@ -61,9 +61,11 @@ def main() -> None:
     try:
         from kremis_spark.plans import beyond as _beyond
 
-        _beyond.q_stream_dedup_counts(
-            spark, "/root/testdata/sf0.001"
-        ).collect()
+        # smallest sibling SF if present, else the bench SF itself — the
+        # warmup must work wherever the testdata root actually lives
+        sibling = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        warm_dir = sibling if os.path.isdir(sibling) else sf_dir
+        _beyond.q_stream_dedup_counts(spark, warm_dir).collect()
     except Exception as exc:  # warmup must never fail the bench
         print(f"stream warmup skipped: {exc}", file=sys.stderr)
 

@@ -196,7 +196,12 @@ def lsh_candidate_pairs(
         .filter((F.col("n") >= 2) & (F.col("n") <= hot_cap))
         .select(*key_cols)
     )
-    ok = buckets.join(F.broadcast(ok_keys), key_cols)
+    # Materialize the surviving bucket rows ONCE: they feed both sides of
+    # the self-join, and without the cut the full explode/group-count
+    # lineage would replan per side (callers may pass uncached sigs).
+    ok = buckets.join(F.broadcast(ok_keys), key_cols).localCheckpoint(
+        eager=True
+    )
     a = ok.select(
         *key_cols,
         F.col(id_col).alias("doc_a"),
@@ -211,12 +216,21 @@ def lsh_candidate_pairs(
         F.col("doc_a") < F.col("doc_b")
     )
     if min_matches is not None:
-        matches = None
-        for k in range(NUM_HASHES):
-            m = F.when(F.col(f"__sa{k}") == F.col(f"__sb{k}"), 1).otherwise(0)
-            matches = m if matches is None else matches + m
-        joined = joined.filter(matches >= F.lit(min_matches))
+        joined = joined.filter(_sig_agreement_cond(min_matches))
     return joined.select("doc_a", "doc_b").distinct()
+
+
+def _sig_agreement_cond(min_matches: int) -> F.Column:
+    """Signature-agreement predicate over paired sig columns __sa{k} /
+    __sb{k}: at least ``min_matches`` of the NUM_HASHES components equal
+    (an unbiased Jaccard estimate at 1/NUM_HASHES resolution). Shared by
+    the folded-into-join path and the standalone filter so the rule can
+    never diverge between them."""
+    matches = None
+    for k in range(NUM_HASHES):
+        m = F.when(F.col(f"__sa{k}") == F.col(f"__sb{k}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    return matches >= F.lit(min_matches)
 
 
 def sig_agreement_filter(
@@ -249,14 +263,10 @@ def sig_agreement_filter(
         F.col(id_col).alias("doc_b"),
         *[F.col(f"sig_{k}").alias(f"__sb{k}") for k in range(NUM_HASHES)],
     )
-    matches = None
-    for k in range(NUM_HASHES):
-        m = F.when(F.col(f"__sa{k}") == F.col(f"__sb{k}"), 1).otherwise(0)
-        matches = m if matches is None else matches + m
     return (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .filter(matches >= F.lit(min_matches))
+        .filter(_sig_agreement_cond(min_matches))
         .select("doc_a", "doc_b")
     )
 

@@ -104,14 +104,8 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, FEATURES_SCHEMA)
 
 
-RESIZED_SCHEMA = StructType(
-    [
-        StructField("item_id", LongType(), False),
-        StructField("modality", StringType(), False),
-        StructField("content", BinaryType(), False),
-        StructField("meta", MapType(StringType(), StringType()), True),
-    ]
-)
+# resize is a 1:1 transform — output rows keep the media contract
+RESIZED_SCHEMA = MEDIA_SCHEMA
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -203,6 +197,10 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for item_id, raw in zip(pdf["item_id"], pdf["content"]):
+                # decode the whole item first, emit all-or-nothing: a
+                # mid-sequence frame failure must not leave a silently
+                # truncated sample in the output
+                item_idxs, item_frames = [], []
                 try:
                     with Image.open(io.BytesIO(bytes(raw))) as im:
                         for i, frame in enumerate(
@@ -212,11 +210,13 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
                                 continue
                             out = io.BytesIO()
                             frame.convert("RGB").save(out, format="PNG")
-                            ids.append(item_id)
-                            idxs.append(i)
-                            frames.append(bytearray(out.getvalue()))
+                            item_idxs.append(i)
+                            item_frames.append(bytearray(out.getvalue()))
                 except Exception:
-                    continue  # undecodable payload → zero frames
+                    continue  # undecodable/partial payload → zero frames
+                ids.extend([item_id] * len(item_idxs))
+                idxs.extend(item_idxs)
+                frames.extend(item_frames)
             yield pd.DataFrame(
                 {
                     "item_id": pd.Series(ids, dtype="int64"),

@@ -74,6 +74,10 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side quantize+dot projection and a TakeOrdered — codes never
     shuffle. The audit joins two k-row lists."""
     prep = _prepared(spark, sf_dir)
+    if prep.first() is None:
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, qdot BIGINT, in_exact_topk BIGINT"
+        )
     lo, hi = prep.agg(
         F.min(F.array_min("ivec")), F.max(F.array_max("ivec"))
     ).first()
@@ -160,6 +164,10 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the update shuffles only (cell, dim) partial sums."""
     prep = _prepared(spark, sf_dir)
     centroids = [c for _, c in fps_seed_vectors(spark, sf_dir, KMEANS_K)]
+    if not centroids:
+        return spark.createDataFrame(
+            [], "cell LONG, n_members LONG, inertia LONG, centroid_md5 STRING"
+        )
     assigned = _assign_cells(prep, centroids).localCheckpoint(eager=True)
 
     stats = assigned.groupBy("cell").agg(
@@ -215,6 +223,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     could be materialized once and rescanned for every query."""
     prep = _prepared(spark, sf_dir)
     qrow = prep.orderBy("vec_id").select("vec_id", "ivec").first()
+    if qrow is None:
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, pq_code BIGINT, adist2 BIGINT"
+        )
     qid = qrow["vec_id"]
     qvec = [int(v) for v in qrow["ivec"]]
     dim = len(qvec)
@@ -305,25 +317,28 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell: list(vec)
         for cell, vec in fps_seed_vectors(spark, sf_dir, KMEANS_K)
     }
+    if not cents:
+        return spark.createDataFrame(
+            [], "cell LONG, n_members LONG, inertia LONG, centroid_md5 STRING"
+        )
     dim = len(next(iter(cents.values())))
     assigned = None
     for _ in range(KMEANS_ITERS):
         centroids = [cents[c] for c in sorted(cents)]
         assigned = _assign_cells(prep, centroids).localCheckpoint(eager=True)
-        counts = {
-            r["cell"]: r["n"]
-            for r in assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # ONE agg job per iteration: every member contributes one row per
+        # dim, so count per (cell, pos) IS the cell's member count — no
+        # separate per-cell count pass needed.
         acc: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
         for r in (
             assigned.select("cell", F.posexplode("ivec").alias("pos", "v"))
             .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"))
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         ):
             acc.setdefault(r["cell"], [0] * dim)[r["pos"]] = int(r["s"])
+            counts[r["cell"]] = int(r["n"])
         for cell, sums in acc.items():
             n = counts[cell]
             cents[cell] = [_tdiv(s, n) for s in sums]
@@ -367,6 +382,10 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact end to end."""
     prep = _prepared(spark, sf_dir)
     qrow = prep.orderBy("vec_id").select("vec_id", "ivec").first()
+    if qrow is None:
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, cell BIGINT, adist2 BIGINT"
+        )
     qid = qrow["vec_id"]
     qvec = [int(v) for v in qrow["ivec"]]
     dim = len(qvec)

@@ -514,12 +514,17 @@ def fps_seed_vectors(
     is prefix-consistent, so every consumer slices the same list). The
     cache keeps the k−1 argmax jobs out of repeated query calls."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    seeds = _SEED_CACHE.get(key)
-    if seeds is None or len(seeds) < k:
-        seeds = S.farthest_point_seeds(
-            _prepared(spark, sf_dir), max(k, MAX_FPS_SEEDS)
-        )
-        _SEED_CACHE[key] = seeds
+    cached = _SEED_CACHE.get(key)
+    if cached is not None:
+        seeds, exhausted = cached
+        # exhausted = the sweep consumed every vector, so a larger k
+        # cannot yield more seeds — without this marker a corpus smaller
+        # than MAX_FPS_SEEDS would re-run the sweep on every call.
+        if len(seeds) >= k or exhausted:
+            return seeds[:k]
+    want = max(k, MAX_FPS_SEEDS)
+    seeds = S.farthest_point_seeds(_prepared(spark, sf_dir), want)
+    _SEED_CACHE[key] = (seeds, len(seeds) < want)
     return seeds[:k]
 
 

@@ -45,46 +45,41 @@ def events_ts_unit(sf_dir: str, spark: SparkSession | None = None) -> str:
                 raise
             # Spark's catalog type says 'timestamp' for MILLIS, MICROS
             # and (converted) NANOS alike, so the type alone cannot name
-            # the physical unit. Disambiguate with data: the ratio of
-            # the raw stored int64 to the logical epoch-microseconds is
-            # exactly the unit factor (1000x steps dwarf any tz offset).
-            # A plain long column is ns by this repo's contract; an
-            # unclassifiable ratio raises rather than guessing.
+            # the physical unit. Disambiguate with ONE non-null raw
+            # int64: epoch seconds/ms/us/ns for any date 1971–2500 live
+            # in magnitude bands 1000× apart, so a single value names the
+            # unit — a limit(1) probe, never a column scan (this runs on
+            # a 100 TB events table when pyarrow is absent). A plain long
+            # column is ns by this repo's contract; a value outside every
+            # band raises rather than guessing.
             probed = spark.read.parquet(path).schema["ts"].dataType.typeName()
             if probed in ("long", "bigint"):
                 unit = "ns"
             elif probed.startswith("timestamp"):
-                raw = (
+                row = (
                     spark.read.schema("ts LONG")
                     .parquet(path)
-                    .agg(F.min("ts").alias("m"))
-                    .first()["m"]
+                    .filter(F.col("ts").isNotNull() & (F.col("ts") != 0))
+                    .limit(1)
+                    .first()
                 )
-                logical_us = (
-                    spark.read.parquet(path)
-                    .select(
-                        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
-                    )
-                    .agg(F.min("us").alias("m"))
-                    .first()["m"]
-                )
-                if not raw or not logical_us:
+                if row is None:
                     raise ValueError(
                         "cannot infer events.ts unit: empty/zero ts column"
                     )
-                ratio = raw / logical_us
-                if 0.5 < ratio < 2:
-                    unit = "us"
-                elif 500 < ratio < 2000:
+                raw = abs(int(row["ts"]))
+                if 3 * 10**16 <= raw < 2 * 10**19:
                     unit = "ns"
-                elif 0.0005 < ratio < 0.002:
+                elif 3 * 10**13 <= raw < 2 * 10**16:
+                    unit = "us"
+                elif 3 * 10**10 <= raw < 2 * 10**13:
                     unit = "ms"
-                elif 0.0000005 < ratio < 0.000002:
+                elif 3 * 10**7 <= raw < 2 * 10**10:
                     unit = "s"
                 else:
                     raise ValueError(
-                        f"cannot classify events.ts unit (raw/us ratio "
-                        f"{ratio!r}); refusing to guess"
+                        f"cannot classify events.ts unit (raw int64 "
+                        f"{raw}); refusing to guess"
                     )
             else:
                 raise ValueError(
