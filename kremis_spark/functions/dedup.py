@@ -168,27 +168,8 @@ def lsh_candidate_pairs(
     BOTH the bucket equality and the agreement filter in one pass, so
     noise pairs die inside the join instead of being materialized and
     re-joined against the signature table afterwards."""
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            *[
-                F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"k{r}")
-                for r in range(ROWS_PER_BAND)
-            ],
-        )
-        for b in range(BANDS)
-    ]
-    key_cols = ["band"] + [f"k{r}" for r in range(ROWS_PER_BAND)]
     sig_cols = [f"sig_{k}" for k in range(NUM_HASHES)]
-    buckets = sigs.select(
-        F.col(id_col),
-        *sig_cols,
-        F.explode(F.array(*band_structs)).alias("bb"),
-    ).select(
-        F.col(id_col),
-        *sig_cols,
-        *[F.col(f"bb.{c}").alias(c) for c in key_cols],
-    )
+    buckets, key_cols = _banded(sigs, id_col)
 
     ok_keys = (
         buckets.groupBy(*key_cols)
@@ -218,6 +199,79 @@ def lsh_candidate_pairs(
     if min_matches is not None:
         joined = joined.filter(_sig_agreement_cond(min_matches))
     return joined.select("doc_a", "doc_b").distinct()
+
+
+def _banded(sigs: DataFrame, id_col: str) -> tuple[DataFrame, list[str]]:
+    """One explode projection: (id, sig_0..sig_{N-1}, band, k0..k{r-1})
+    — a row per (doc, band) keyed by the band's signature slice. Shared
+    by the self-join (batch dedup) and the cross-join (incremental
+    dedup) candidate generators."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"sig_{b * ROWS_PER_BAND + r}").alias(f"k{r}")
+                for r in range(ROWS_PER_BAND)
+            ],
+        )
+        for b in range(BANDS)
+    ]
+    key_cols = ["band"] + [f"k{r}" for r in range(ROWS_PER_BAND)]
+    sig_cols = [f"sig_{k}" for k in range(NUM_HASHES)]
+    buckets = sigs.select(
+        F.col(id_col),
+        *sig_cols,
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        F.col(id_col),
+        *sig_cols,
+        *[F.col(f"bb.{c}").alias(c) for c in key_cols],
+    )
+    return buckets, key_cols
+
+
+def lsh_cross_candidates(
+    sigs_new: DataFrame,
+    sigs_corpus: DataFrame,
+    id_col: str = "doc_id",
+    hot_cap: int = HOT_BUCKET_CAP,
+    min_matches: int = MIN_SIG_MATCHES,
+) -> DataFrame:
+    """Asymmetric candidate pairs for INCREMENTAL dedup: (doc_a from the
+    new batch, doc_b from the corpus) sharing a band bucket, with the
+    hot-cap applied to CORPUS bucket sizes (a hot corpus bucket is
+    non-discriminative regardless of the batch) and the signature-
+    agreement pre-filter applied inside the join.
+
+    Scale shape: the corpus is NEVER self-joined — band rows of the
+    (small) batch broadcast into one pass over the corpus band rows, so
+    nightly dedup of a new batch against a 100 TB corpus costs
+    O(batch × bands) probe work, not O(corpus²)."""
+    sig_cols = [f"sig_{k}" for k in range(NUM_HASHES)]
+    a_rows, key_cols = _banded(sigs_new, id_col)
+    b_rows, _ = _banded(sigs_corpus, id_col)
+    ok_keys = (
+        b_rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= hot_cap)
+        .select(*key_cols)
+    )
+    a = a_rows.select(
+        *key_cols,
+        F.col(id_col).alias("doc_a"),
+        *[F.col(c).alias(f"__sa{k}") for k, c in enumerate(sig_cols)],
+    )
+    b = b_rows.join(F.broadcast(ok_keys), key_cols).select(
+        *key_cols,
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c).alias(f"__sb{k}") for k, c in enumerate(sig_cols)],
+    )
+    return (
+        b.join(F.broadcast(a), key_cols)
+        .filter(_sig_agreement_cond(min_matches))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def _sig_agreement_cond(min_matches: int) -> F.Column:

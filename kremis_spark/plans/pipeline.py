@@ -321,7 +321,23 @@ def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _HASHED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 CLUSTER_JACCARD_MIN = 500  # 0.5 in millis
+
+
+def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature table (one row per doc, 17 columns), cached per
+    session — shared by the batch self-join dedup and the incremental
+    cross-join dedup. cache() (not localCheckpoint) keeps the per-doc
+    partitioning for the band explodes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    s = _SIGS_CACHE.get(key)
+    if s is None:
+        s = D.minhash_signatures(
+            _docs_parallel(spark, sf_dir), hashed=_hashed(spark, sf_dir)
+        ).cache()
+        _SIGS_CACHE[key] = s
+    return s
 
 
 def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,11 +369,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:
         docs = _docs_parallel(spark, sf_dir)
         hashed = _hashed(spark, sf_dir)
-        # One row per doc, 17 columns — cache once; the band self-join's
-        # three consumers would otherwise each re-run the 16-min
-        # aggregation over the shingle fact (cache also keeps the
-        # partitioning, unlike localCheckpoint).
-        sigs = D.minhash_signatures(docs, hashed=hashed).cache()
+        sigs = _sigs(spark, sf_dir)
         # Estimate-first: lsh_candidate_pairs applies the signature-
         # agreement filter inside the band self-join (integer compares on
         # already-computed signatures), culling band noise ~300x before
@@ -397,6 +409,53 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(_docs_parallel(spark, sf_dir))
+
+
+INCOMING_MOD = 10  # doc_id % 10 == 0 → "today's batch", else corpus
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: flag each INCOMING doc (a
+    deterministic doc_id % INCOMING_MOD split standing in for today's
+    batch) against the existing corpus. ``exact_dup`` = content md5
+    already present in the corpus; ``near_dup`` = shares a non-hot LSH
+    band bucket with a corpus doc AND MinHash signatures agree on ≥
+    MIN_SIG_MATCHES components — the estimate-first rule of the batch
+    dedup family, applied asymmetrically.
+
+    Scale shape: this is the operator that makes dedup affordable as a
+    nightly job — the corpus is never self-joined; the (small) batch's
+    band rows broadcast into one pass over corpus band rows
+    (functions/dedup.lsh_cross_candidates), so cost is O(batch × bands)
+    probe work against a 100 TB corpus, plus one hash semi-join for the
+    exact tier."""
+    docs = _docs_parallel(spark, sf_dir)
+    sigs = _sigs(spark, sf_dir)
+    is_inc = (F.col("doc_id") % INCOMING_MOD) == 0
+    inc_ids = docs.filter(is_inc).select("doc_id")
+    inc_md = docs.filter(is_inc).select("doc_id", F.md5("text").alias("m"))
+    corp_md = docs.filter(~is_inc).select(F.md5("text").alias("m")).distinct()
+    exact = (
+        inc_md.join(corp_md, "m", "semi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(1))
+    )
+    near = (
+        D.lsh_cross_candidates(sigs.filter(is_inc), sigs.filter(~is_inc))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(1))
+    )
+    return (
+        inc_ids.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(0)).cast("long").alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(0)).cast("long").alias("near_dup"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 NGRAM_BLOCK_CAP = 64
@@ -723,6 +782,64 @@ ORDER BY jaccard_millis DESC, doc_a, doc_b
 LIMIT {PAIR_TOPN}
 """
 )
+
+_INCR_SQL = rf"""
+WITH {_DOC_SH.strip()},
+shh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+  FROM (SELECT doc_id, UNNEST(shingles) AS s FROM doc_sh)
+),
+sigagg AS (
+  SELECT doc_id,
+    {_SIG_AGGS}
+  FROM shh GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id,
+    {_SIG_COALESCE}
+  FROM documents d LEFT JOIN sigagg USING (doc_id)
+),
+bands AS (
+{_BAND_SELECTS}
+),
+inc AS (SELECT doc_id FROM documents WHERE doc_id % {INCOMING_MOD} = 0),
+corp AS (SELECT doc_id FROM documents WHERE doc_id % {INCOMING_MOD} <> 0),
+md AS (SELECT doc_id, md5(text) AS m FROM documents),
+exact AS (
+  SELECT DISTINCT i.doc_id
+  FROM md i JOIN inc USING (doc_id)
+  JOIN md c ON c.m = i.m
+  JOIN corp ON corp.doc_id = c.doc_id
+),
+cbands AS (SELECT b.* FROM bands b JOIN corp USING (doc_id)),
+ibands AS (SELECT b.* FROM bands b JOIN inc USING (doc_id)),
+bcount AS (SELECT {_BAND_KEYS}, COUNT(*) AS n FROM cbands GROUP BY ALL),
+okb AS (SELECT {_BAND_KEYS} FROM bcount WHERE n <= {D.HOT_BUCKET_CAP}),
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ibands a
+  JOIN okb USING ({_BAND_KEYS})
+  JOIN cbands b ON {_BAND_EQ}
+),
+near AS (
+  SELECT DISTINCT c.doc_a AS doc_id
+  FROM cand0 c
+  JOIN sigs x ON x.doc_id = c.doc_a
+  JOIN sigs y ON y.doc_id = c.doc_b
+  WHERE {_SIG_MATCH_EXPR} >= {D.MIN_SIG_MATCHES}
+)
+SELECT i.doc_id,
+  CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS exact_dup,
+  CAST(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS near_dup
+FROM inc i
+LEFT JOIN exact e ON e.doc_id = i.doc_id
+LEFT JOIN near nr ON nr.doc_id = i.doc_id
+ORDER BY i.doc_id
+"""
 
 _NGRAM_SQL = rf"""
 WITH {_DOC_SH.strip()},
@@ -1133,6 +1250,7 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_dedup_incremental": _INCR_SQL,
     "pipe_ngram_jaccard": _NGRAM_SQL,
     "pipe_clean_sample": _CLEAN_SQL,
     "pipe_dup_clusters": _CLUSTERS_SQL,
@@ -1210,6 +1328,7 @@ QUERIES = {
     "pipe_tfidf_top_terms": q_tfidf_top_terms,
     "pipe_dedup_exact": q_dedup_exact,
     "pipe_dedup_minhash": q_dedup_minhash,
+    "pipe_dedup_incremental": q_dedup_incremental,
     "pipe_ngram_jaccard": q_ngram_jaccard,
     "pipe_clean_sample": q_clean_sample,
     "pipe_dup_clusters": q_dup_clusters,

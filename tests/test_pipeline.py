@@ -132,6 +132,44 @@ def test_ivf_assignment_and_probe(spark):
     assert S.ivf_probe_cells(q, cents, nprobe=1) == [0]
 
 
+def test_lsh_cross_candidates_incremental(spark):
+    """Asymmetric incremental dedup candidates: a batch doc that
+    near-duplicates a corpus doc is found; an unrelated batch doc is
+    not; pairs never come from within one side."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the storm rolls in over the quiet harbor town tonight"
+    )
+    corpus = docs_df(
+        spark,
+        [
+            base,
+            "completely different corpus text about spark physical plans "
+            "and shuffle boundaries in distributed aggregation pipelines",
+        ],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base + " extra"),  # near-dup of corpus doc 0
+            (
+                101,
+                "nothing like anything else entirely novel words "
+                "unmatched by either corpus document in any shingle",
+            ),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sigs_c = D.minhash_signatures(corpus)
+    sigs_b = D.minhash_signatures(batch)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_cross_candidates(sigs_b, sigs_c).collect()
+    }
+    assert (100, 0) in pairs
+    assert all(a in (100, 101) and b in (0, 1) for a, b in pairs)
+    assert not any(a == 101 for a, _ in pairs)
+
+
 def test_farthest_point_seeds_matches_python_reference(spark):
     """The distributed farthest-point sweep equals the greedy reference:
     max-min-dist² selection, ties to the lowest id, seed0 = lowest id."""
