@@ -127,6 +127,70 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-budget water-filling: allocate BUDGET_NUM/BUDGET_DEN of the
+# corpus's total tokens across sources, capping every source at a common
+# level L (the largest L with Σ min(tokens_s, L) ≤ budget) — the standard
+# over-represented-source rebalancing rule of pretraining data mixing.
+BUDGET_NUM, BUDGET_DEN = 1, 2
+
+
+def water_level(counts: list[int], budget: int) -> int:
+    """Largest integer level L with Σ min(c, L) ≤ budget (closed form:
+    the largest k over ascending-sorted counts with P_k + (n−k)·c_k ≤ B,
+    then L = (B − P_k) div (n−k); every count ≤ L → L = max count).
+    Pure integer math — the SQL oracle reproduces it with a window
+    prefix sum."""
+    cs = sorted(counts)
+    n = len(cs)
+    prefix = 0
+    kstar, pstar = 0, 0
+    for k in range(1, n + 1):
+        prefix += cs[k - 1]
+        if prefix + (n - k) * cs[k - 1] <= budget:
+            kstar, pstar = k, prefix
+    if kstar == n:
+        return cs[-1]
+    return (budget - pstar) // (n - kstar)
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget allocation by exact integer water-filling:
+    sources cheaper than the water level L keep every token; bigger
+    sources are capped at L, chosen as the largest integer level whose
+    total allocation fits the budget (half the corpus tokens here).
+    Output: (source, n_tokens, alloc_tokens, capped), ordered by source.
+
+    Scale shape: ONE partial-agg shuffle of (source, token-count) group
+    rows — the text never moves; the water-level solve runs on the
+    collected per-source aggregate (output-sized: one row per source, a
+    dimension of ~dozens even at 100 TB) and re-enters the plan as a
+    literal. The closed form (largest k with P_k + (n−k)·t_k ≤ B over
+    the ascending-sorted sources) makes the level reproducible in pure
+    SQL for the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    agg = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(tokens())).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    rows = sorted((int(r["t"]), r["source"]) for r in agg.collect())
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "source STRING, n_tokens LONG, alloc_tokens LONG, capped LONG",
+        )
+    total = sum(t for t, _ in rows)
+    level = water_level(
+        [t for t, _ in rows], total * BUDGET_NUM // BUDGET_DEN
+    )
+    return agg.select(
+        "source",
+        F.col("t").alias("n_tokens"),
+        F.least(F.col("t"), F.lit(level)).cast("long").alias("alloc_tokens"),
+        (F.col("t") > level).cast("long").alias("capped"),
+    ).orderBy("source")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag training documents sharing any
     8-gram with the benchmark slice (doc_id % 17 == 0), with overlap
@@ -252,6 +316,41 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
 ORACLE_SQL: dict[str, str] = {
+    # Water level L via the closed form: largest k (ascending-sorted
+    # sources) with P_k + (n−k)·t_k ≤ B, then L = (B − P_k) div (n−k)
+    # (or max(t) if the whole corpus fits). Same integers as the Spark
+    # driver-side solve.
+    "pipe_token_budget_mix": f"""
+WITH st AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS t
+  FROM documents GROUP BY source
+),
+tot AS (SELECT COUNT(*) AS n, SUM(t) AS total FROM st),
+b AS (SELECT total * {BUDGET_NUM} // {BUDGET_DEN} AS budget FROM tot),
+ranked AS (
+  SELECT source, t,
+         ROW_NUMBER() OVER (ORDER BY t, source) AS rn,
+         SUM(t) OVER (ORDER BY t, source ROWS UNBOUNDED PRECEDING) AS pk
+  FROM st
+),
+ks AS (
+  SELECT COALESCE(MAX(rn), 0) AS k
+  FROM ranked, tot, b
+  WHERE pk + (n - rn) * t <= budget
+),
+lvl AS (
+  SELECT CASE WHEN ks.k >= tot.n THEN (SELECT MAX(t) FROM st)
+         ELSE (b.budget
+               - COALESCE((SELECT pk FROM ranked WHERE rn = ks.k), 0))
+              // (tot.n - ks.k) END AS level
+  FROM ks, tot, b
+)
+SELECT st.source, st.t AS n_tokens,
+       CAST(LEAST(st.t, lvl.level) AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN st.t > lvl.level THEN 1 ELSE 0 END AS BIGINT)
+         AS capped
+FROM st, lvl ORDER BY st.source
+""",
     "pipe_seq_pack": f"""
 WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
 c AS (
@@ -358,6 +457,7 @@ FROM g WHERE len(grams) > 0
 }
 
 QUERIES = {
+    "pipe_token_budget_mix": q_token_budget_mix,
     "pipe_seq_pack": q_seq_pack,
     "pipe_chunk_overlap": q_chunk_overlap,
     "pipe_mixture_sample": q_mixture_sample,

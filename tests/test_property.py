@@ -120,3 +120,24 @@ def test_reingest_idempotent_for_nodes_and_properties(spark, sigs):
     assert p1 == p2
     # edges exactly double their weights
     assert e2 == [(s, d, 2 * w) for s, d, w in e1]
+
+
+# --- water-filling level (pure integer property) ---------------------------
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=12),
+    st.integers(0, 200_000),
+)
+@settings(max_examples=300)
+def test_water_level_is_maximal_feasible(counts, budget):
+    """water_level returns the LARGEST integer L whose total allocation
+    Σ min(c, L) fits the budget (and allocation at L+1 overshoots unless
+    L already covers every count)."""
+    from kremis_spark.plans.curation import water_level
+
+    lvl = water_level(counts, budget)
+    used = sum(min(c, lvl) for c in counts)
+    assert used <= budget
+    if lvl < max(counts):
+        assert sum(min(c, lvl + 1) for c in counts) > budget
