@@ -219,6 +219,88 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TRAIN_MERGES = 3
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real multi-round BPE trainer: BPE_TRAIN_MERGES iterations of
+    (count adjacent symbol pairs over the weighted vocabulary → pick the
+    most frequent pair, ties by pair → apply the merge greedy-left to
+    every word). Output: the learned merge table (step, lhs, rhs,
+    pair_count) — rounds 2+ count pairs over the ALREADY-MERGED symbol
+    sequences, which is what distinguishes a trainer from the single
+    pair-frequency step (``pipe_bpe_merge_step``).
+
+    Scale shape: the corpus collapses to the (distinct word, freq)
+    vocabulary once; per round, pair counting is one partial-agg shuffle
+    of symbol-pair keys over vocabulary rows, the argmax is a 1-row
+    collect, and the merge APPLICATION is a fully map-side ``aggregate``
+    fold over each word's symbol array — the corpus/vocabulary never
+    reshuffles for the rewrite. The greedy-left fold is provably
+    equivalent to the oracle's window-parity formulation (run-of-matches
+    gaps-and-islands; exhaustively checked in tests) — same merges, same
+    counts, bit-for-bit."""
+    from kremis_spark.functions.text import tokens
+
+    chars = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    cur = (
+        _docs_parallel(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+        .select("w", "f", chars.alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    return bpe_train_merges(cur, BPE_TRAIN_MERGES)
+
+
+def bpe_train_merges(cur: DataFrame, n_merges: int) -> DataFrame:
+    """The trainer loop over a (w, f, syms) vocabulary DataFrame —
+    factored out so tests can drive it with synthetic vocabularies."""
+    spark = cur.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pair_structs = F.expr(
+            "transform(slice(syms, 1, size(syms) - 1),"
+            " (s, i) -> struct(s AS x, element_at(syms, i + 2) AS y))"
+        )
+        best = (
+            cur.select("f", F.explode(pair_structs).alias("p"))
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("f").alias("c"))
+            .orderBy(F.desc("c"), "x", "y")
+            .first()
+        )
+        if best is None:
+            break
+        x, y = best["x"], best["y"]
+        merges.append((step, x, y, int(best["c"])))
+        if step == n_merges:
+            break  # the last learned pair is never applied
+        cur = cur.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, ch: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(x))
+                    & (ch == F.lit(y)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(x + y)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(ch))),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step LONG, lhs STRING, rhs STRING, pair_count LONG"
+    ).orderBy("step")
+
+
 def q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals complementary to ``pipe_repetition``
     (which covers the duplicate-3-gram fraction): duplicate UNIGRAM
@@ -774,6 +856,86 @@ jpairs AS (
 )
 """
 
+def _bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled BPE-trainer oracle. Merge application uses the window
+    formulation of greedy-left merging: match positions → run grouping
+    (gaps-and-islands on consecutive i) → for equal-symbol pairs only the
+    odd positions within a run merge → drop the symbol after each merge
+    start. Equivalent to the Spark fold (tests/test_pipeline.py pins the
+    equivalence exhaustively)."""
+    parts = [
+        rf"""w0 AS MATERIALIZED (
+  SELECT w, f,
+         list_transform(generate_series(1, len(w)),
+                        i -> substr(w, i, 1)) AS syms
+  FROM (SELECT w, COUNT(*) AS f
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+        GROUP BY w HAVING len(w) >= 2)
+)"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f"""p{t} AS (
+  SELECT s.syms[t.i] AS x, s.syms[t.i + 1] AS y, SUM(s.f) AS c
+  FROM w{t - 1} s,
+       LATERAL unnest(generate_series(1, len(s.syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"b{t} AS MATERIALIZED "
+            f"(SELECT x, y, c FROM p{t} ORDER BY c DESC, x, y LIMIT 1)"
+        )
+        if t == n_merges:
+            break
+        parts.append(
+            f"""e{t} AS (
+  SELECT s.w, s.f, t.i, s.syms[t.i] AS sym, b.x AS bx, b.y AS yy,
+         (t.i < len(s.syms) AND s.syms[t.i] = b.x
+          AND s.syms[t.i + 1] = b.y) AS m
+  FROM w{t - 1} s, b{t} b,
+       LATERAL unnest(generate_series(1, len(s.syms))) AS t(i)
+)"""
+        )
+        parts.append(
+            f"""r{t} AS (
+  SELECT *, CASE WHEN m THEN
+    i - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY i) END AS run_id
+  FROM e{t}
+)"""
+        )
+        parts.append(
+            f"""g{t} AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY w, run_id ORDER BY i) AS rn2
+  FROM r{t}
+)"""
+        )
+        parts.append(
+            f"""k{t} AS (
+  SELECT *, (m AND (bx <> yy OR rn2 % 2 = 1)) AS ms
+  FROM g{t}
+)"""
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w, f,
+         list(CASE WHEN ms THEN sym || yy ELSE sym END ORDER BY i) AS syms
+  FROM (SELECT *, COALESCE(LAG(ms) OVER (PARTITION BY w ORDER BY i),
+                           false) AS prev_ms
+        FROM k{t})
+  WHERE NOT prev_ms
+  GROUP BY w, f
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, x AS lhs, y AS rhs,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    joined = ",\n".join(parts)
+    return f"WITH {joined}\nSELECT * FROM (\n{selects}\n) ORDER BY step"
+
+
 _MINHASH_SQL = (
     _MINHASH_CORE
     + f"""
@@ -1251,6 +1413,7 @@ FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
     "pipe_dedup_incremental": _INCR_SQL,
+    "pipe_bpe_train": _bpe_train_sql(),
     "pipe_ngram_jaccard": _NGRAM_SQL,
     "pipe_clean_sample": _CLEAN_SQL,
     "pipe_dup_clusters": _CLUSTERS_SQL,
@@ -1329,6 +1492,7 @@ QUERIES = {
     "pipe_dedup_exact": q_dedup_exact,
     "pipe_dedup_minhash": q_dedup_minhash,
     "pipe_dedup_incremental": q_dedup_incremental,
+    "pipe_bpe_train": q_bpe_train,
     "pipe_ngram_jaccard": q_ngram_jaccard,
     "pipe_clean_sample": q_clean_sample,
     "pipe_dup_clusters": q_dup_clusters,

@@ -132,6 +132,99 @@ def test_ivf_assignment_and_probe(spark):
     assert S.ivf_probe_cells(q, cents, nprobe=1) == [0]
 
 
+def _bpe_reference(words, n_merges):
+    """Pure-Python BPE trainer: greedy-left merge application, pair
+    counts over weighted vocab, ties (count desc, x, y)."""
+    vocab = {w: [list(w), f] for w, f in words.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (x, y), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, x, y, c))
+        if step == n_merges:
+            break
+        for w, (syms, f) in vocab.items():
+            acc = []
+            for ch in syms:
+                if acc and acc[-1] == x and ch == y:
+                    acc[-1] = x + y
+                else:
+                    acc.append(ch)
+            vocab[w][0] = acc
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed trainer (fold-based merge application) equals the
+    pure-Python reference, including the adversarial equal-symbol runs
+    ('aaaa' → greedy non-overlapping merges)."""
+    from kremis_spark.plans.pipeline import bpe_train_merges
+
+    words = {
+        "aaaa": 5,
+        "aaab": 3,
+        "abab": 4,
+        "baaa": 2,
+        "abba": 1,
+        "bbbb": 2,
+    }
+    cur = spark.createDataFrame(
+        [(w, f, list(w)) for w, f in words.items()],
+        "w STRING, f LONG, syms ARRAY<STRING>",
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_merges(cur, 3).collect()
+    ]
+    assert got == _bpe_reference(words, 3)
+
+
+def test_bpe_train_oracle_parity_on_equal_symbol_runs(spark, tmp_path):
+    """Spark fold vs DuckDB window-parity oracle on a corpus whose
+    winning merges are EQUAL-symbol pairs ('aa'): the overlapping-run
+    case the real testdata never exercises."""
+    import duckdb
+
+    from kremis_spark.plans.pipeline import _bpe_train_sql, bpe_train_merges
+
+    texts = ["aaaa aaab baaa", "aaaa aaaa bbbb", "abab aaab aaaa"]
+    docs = spark.createDataFrame(
+        [(i, t, "src0", "en") for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING, source STRING, lang STRING",
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+        .selectExpr(
+            "w", "f",
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            " AS syms",
+        )
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_merges(words, 3).collect()
+    ]
+    assert got[0][1] == got[0][2] == "a"  # the equal-symbol case IS hit
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{pq}/*.parquet')"
+    )
+    oracle = [tuple(r) for r in con.sql(_bpe_train_sql(3)).fetchall()]
+    assert oracle == got
+
+
 def test_lsh_cross_candidates_incremental(spark):
     """Asymmetric incremental dedup candidates: a batch doc that
     near-duplicates a corpus doc is found; an unrelated batch doc is
