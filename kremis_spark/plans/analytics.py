@@ -410,6 +410,51 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_K2 = 4  # (2σ)²: the k-sigma rule squared, divisions cleared
+
+
+def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer k-sigma anomaly screen over hourly event counts per
+    type: hour h is anomalous iff (n_h·H − S)² > k²·(H·Q − S²), the
+    z-score test multiplied through by H² so no engine ever divides or
+    touches floats (H = #hours, S = Σn, Q = Σn²). Emits every hour with
+    the deviation/threshold integers and the flag — the traffic-spike /
+    pipeline-stall detector over any metric stream.
+
+    Scale shape: two key-partitioned aggregates ((type, hour) then
+    (type)) and one broadcast join of the per-type stats dim; output is
+    one row per (type, hour). At extreme per-hour counts the squared
+    terms would need DECIMAL(38) widening — int64 here, where values are
+    bounded far below 2⁶³."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.expr("ts div 3600000000000").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("H"),
+        F.sum("n").alias("S"),
+        F.sum(F.col("n") * F.col("n")).alias("Q"),
+    )
+    dev = F.col("n") * F.col("H") - F.col("S")
+    thresh = F.lit(ANOMALY_K2) * (
+        F.col("H") * F.col("Q") - F.col("S") * F.col("S")
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            F.col("n").cast("long").alias("n_events"),
+            (dev * dev).cast("long").alias("dev2_h2"),
+            thresh.cast("long").alias("thresh_h2"),
+            ((dev * dev) > thresh).cast("long").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by their first active
     epoch-day (cohort), counted on each subsequent day they return —
@@ -711,6 +756,25 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """,
+    "events_hourly_anomaly": """
+WITH h AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, COUNT(*) AS H, SUM(n) AS S, SUM(n * n) AS Q
+  FROM h GROUP BY 1
+)
+SELECT h.event_type, CAST(h.hr AS BIGINT) AS hr,
+       CAST(h.n AS BIGINT) AS n_events,
+       CAST((h.n * st.H - st.S) * (h.n * st.H - st.S) AS BIGINT) AS dev2_h2,
+       CAST({K2} * (st.H * st.Q - st.S * st.S) AS BIGINT) AS thresh_h2,
+       CAST(CASE WHEN (h.n * st.H - st.S) * (h.n * st.H - st.S)
+                      > {K2} * (st.H * st.Q - st.S * st.S)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM h JOIN st USING (event_type)
+ORDER BY h.event_type, hr
+""".replace("{K2}", str(ANOMALY_K2)),
     "events_user_trend": """
 WITH daily AS (
   SELECT user_id, epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS y
@@ -748,6 +812,7 @@ QUERIES = {
     "docs_rollup_stats": q_docs_rollup,
     "events_json_props": q_json_props,
     "events_user_trend": q_user_trend,
+    "events_hourly_anomaly": q_hourly_anomaly,
     "events_retention": q_retention,
     "events_type_transitions": q_type_transitions,
 }
