@@ -127,6 +127,94 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Content-defined chunking: a polynomial rolling hash over a fixed
+# character window marks chunk boundaries wherever hash % CDC_D == 0, so
+# boundaries survive insertions/deletions (unlike fixed-offset chunking)
+# — the rsync/restic/dedup-store trick, here feeding a corpus-wide
+# chunk-level dedup count.
+CDC_W = 8  # rolling window (chars)
+CDC_B = 257  # polynomial base
+CDC_M = 2147483647  # modulus (2^31 − 1): keeps every term in int64
+CDC_D = 32  # boundary divisor → ~32-char expected chunks
+
+
+def _cdc_hash_terms() -> str:
+    """The window hash at position i as a plain modular sum: each term
+    code·(B^p mod M) < 2^51, W terms < 2^54 — exact int64 in any engine
+    (identical SQL text works for Spark and DuckDB)."""
+    pows = [pow(CDC_B, CDC_W - 1 - j, CDC_M) for j in range(CDC_W)]
+    return " + ".join(
+        f"element_at(codes, i - {CDC_W - 1 - j}) * {pows[j]}"
+        for j in range(CDC_W)
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup: split every document
+    at rolling-hash boundaries (window CDC_W, boundary where hash %
+    CDC_D == 0; the tail always closes the last chunk), then count how
+    many times each chunk's content recurs across the corpus. Output one
+    row per chunk: (doc_id, chunk_idx, chunk_len, chunk_md5, n_copies).
+
+    Scale shape: boundary detection is a pure map-side projection
+    (per-doc O(len·W) integer math inside codegen — no UDF); the only
+    shuffle is the chunk_md5 group-count, which moves 32-byte keys. This
+    is the storage-dedup primitive: at 100 TB the chunk store would be
+    written partitioned by hash prefix and the n_copies column IS the
+    dedup ratio audit."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    with_codes = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "transform(sequence(1, length(text)),"
+            " p -> cast(ascii(substring(text, p, 1)) as bigint))"
+        ).alias("codes"),
+    )
+    ends = (
+        f"CASE WHEN length(text) >= {CDC_W} THEN "
+        f"filter(sequence({CDC_W}, length(text)),"
+        f" i -> (({_cdc_hash_terms()}) % {CDC_M}) % {CDC_D} = 0) "
+        f"ELSE array() END"
+    )
+    ends2 = (
+        "CASE WHEN size(ends) = 0 OR element_at(ends, -1) <> length(text)"
+        " THEN concat(ends, array(length(text))) ELSE ends END"
+    )
+    spans = (
+        "transform(ends2, (e, k) -> struct("
+        "CASE WHEN k = 0 THEN 1 ELSE element_at(ends2, k) + 1 END AS s,"
+        " e AS e))"
+    )
+    chunks = (
+        with_codes.withColumn("ends", F.expr(ends))
+        .withColumn("ends2", F.expr(ends2))
+        .select(
+            "doc_id",
+            "text",
+            F.posexplode(F.expr(spans)).alias("chunk_idx", "sp"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("sp.e") - F.col("sp.s") + 1)
+            .cast("long")
+            .alias("chunk_len"),
+            F.md5(
+                F.expr("substring(text, sp.s, sp.e - sp.s + 1)")
+            ).alias("chunk_md5"),
+        )
+    )
+    counts = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return chunks.join(counts, "chunk_md5").select(
+        "doc_id", "chunk_idx", "chunk_len", "chunk_md5", "n_copies"
+    ).orderBy("doc_id", "chunk_idx")
+
+
 # Token-budget water-filling: allocate BUDGET_NUM/BUDGET_DEN of the
 # corpus's total tokens across sources, capping every source at a common
 # level L (the largest L with Σ min(tokens_s, L) ≤ budget) — the standard
@@ -315,7 +403,61 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
+def _cdc_terms_duck() -> str:
+    pows = [pow(CDC_B, CDC_W - 1 - j, CDC_M) for j in range(CDC_W)]
+    return " + ".join(
+        f"codes[i - {CDC_W - 1 - j}] * {pows[j]}" for j in range(CDC_W)
+    )
+
+
+_CDC_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0
+),
+c AS (
+  SELECT doc_id, text, n,
+         list_transform(generate_series(1, n),
+                        p -> CAST(ascii(substr(text, p, 1)) AS BIGINT))
+           AS codes
+  FROM d
+),
+e0 AS (
+  SELECT *, CASE WHEN n >= {CDC_W} THEN
+    list_filter(generate_series({CDC_W}, n),
+                i -> (({_cdc_terms_duck()}) % {CDC_M}) % {CDC_D} = 0)
+    ELSE [] END AS ends
+  FROM c
+),
+e1 AS (
+  SELECT *, CASE WHEN len(ends) = 0 OR ends[-1] <> n
+            THEN list_append(ends, n) ELSE ends END AS ends2
+  FROM e0
+),
+ch AS (
+  SELECT doc_id, text, ends2,
+         unnest(generate_series(1, len(ends2))) AS k
+  FROM e1
+),
+sp AS (
+  SELECT doc_id, k - 1 AS chunk_idx,
+         CASE WHEN k = 1 THEN 1 ELSE ends2[k - 1] + 1 END AS s,
+         ends2[k] AS e, text
+  FROM ch
+),
+rws AS (
+  SELECT doc_id, chunk_idx, CAST(e - s + 1 AS BIGINT) AS chunk_len,
+         md5(substr(text, s, e - s + 1)) AS chunk_md5
+  FROM sp
+),
+cnt AS (SELECT chunk_md5, COUNT(*) AS nc FROM rws GROUP BY 1)
+SELECT r.doc_id, CAST(r.chunk_idx AS BIGINT) AS chunk_idx, r.chunk_len,
+       r.chunk_md5, CAST(c2.nc AS BIGINT) AS n_copies
+FROM rws r JOIN cnt c2 USING (chunk_md5)
+ORDER BY r.doc_id, r.chunk_idx
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "pipe_cdc_chunks": _CDC_SQL,
     # Water level L via the closed form: largest k (ascending-sorted
     # sources) with P_k + (n−k)·t_k ≤ B, then L = (B − P_k) div (n−k)
     # (or max(t) if the whole corpus fits). Same integers as the Spark
@@ -457,6 +599,7 @@ FROM g WHERE len(grams) > 0
 }
 
 QUERIES = {
+    "pipe_cdc_chunks": q_cdc_chunks,
     "pipe_token_budget_mix": q_token_budget_mix,
     "pipe_seq_pack": q_seq_pack,
     "pipe_chunk_overlap": q_chunk_overlap,

@@ -132,6 +132,46 @@ def test_ivf_assignment_and_probe(spark):
     assert S.ivf_probe_cells(q, cents, nprobe=1) == [0]
 
 
+def test_cdc_chunks_tile_and_survive_prefix_edit(spark, tmp_path):
+    """CDC invariants: chunks tile each document exactly, and boundaries
+    after an edit survive a prefix insertion (the content-defined
+    property fixed-offset chunking lacks) — doc B = junk + doc A must
+    share suffix chunks with A."""
+    import random
+
+    from kremis_spark.plans.curation import q_cdc_chunks
+
+    rng = random.Random(3)
+    words = [
+        "".join(rng.choice("abcdefgh") for _ in range(rng.randrange(3, 9)))
+        for _ in range(60)
+    ]
+    base = " ".join(words)
+    docs = spark.createDataFrame(
+        [(0, base, "src0", "en"), (1, "ZQJX " + base, "src0", "en")],
+        "doc_id LONG, text STRING, source STRING, lang STRING",
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+    rows = q_cdc_chunks(spark, str(tmp_path)).collect()
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, text in ((0, base), (1, "ZQJX " + base)):
+        spans = sorted(by_doc[d], key=lambda r: r["chunk_idx"])
+        assert sum(r["chunk_len"] for r in spans) == len(text)
+        assert [r["chunk_idx"] for r in spans] == list(range(len(spans)))
+    shared = {r["chunk_md5"] for r in by_doc[0]} & {
+        r["chunk_md5"] for r in by_doc[1]
+    }
+    assert shared, "prefix edit destroyed every chunk boundary"
+    # and the shared chunks are counted as cross-doc copies
+    assert any(
+        r["n_copies"] >= 2 for r in rows if r["chunk_md5"] in shared
+    )
+
+
 def _bpe_reference(words, n_merges):
     """Pure-Python BPE trainer: greedy-left merge application, pair
     counts over weighted vocab, ties (count desc, x, y)."""
