@@ -249,7 +249,11 @@ def lsh_cross_candidates(
     O(batch × bands) probe work, not O(corpus²)."""
     sig_cols = [f"sig_{k}" for k in range(NUM_HASHES)]
     a_rows, key_cols = _banded(sigs_new, id_col)
+    # materialize the corpus band rows once: they feed BOTH the hot-
+    # bucket count and the probe join side, and callers may pass
+    # uncached signatures (same invariant as the self-join variant)
     b_rows, _ = _banded(sigs_corpus, id_col)
+    b_rows = b_rows.localCheckpoint(eager=True)
     ok_keys = (
         b_rows.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n"))

@@ -10,7 +10,10 @@ overlap (the standard 8-gram rule), and intra-document repetition scoring
 
 Design rules (same as the rest of the gate):
 - built-in HOF expressions only (split/slice/transform/aggregate) — the
-  per-document work is map-side inside whole-stage codegen, no Python;
+  per-document work is map-side inside whole-stage codegen, no Python.
+  ONE measured exception: the CDC rolling-hash scan (``_cdc_ends_udf``)
+  is an Arrow-batched numpy UDF, because HOF lambdas evaluate
+  interpreted and the O(len·window) scan is ~10× faster under Arrow;
 - md5 as the portable hash so every derived value is bit-reproducible in
   the DuckDB oracle;
 - integer fixed-point ratios (millis) — exact, order-independent.
@@ -182,12 +185,15 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     many times each chunk's content recurs across the corpus. Output one
     row per chunk: (doc_id, chunk_idx, chunk_len, chunk_md5, n_copies).
 
-    Scale shape: boundary detection is a pure map-side projection
-    (per-doc O(len·W) integer math inside codegen — no UDF); the only
-    shuffle is the chunk_md5 group-count, which moves 32-byte keys. This
-    is the storage-dedup primitive: at 100 TB the chunk store would be
-    written partitioned by hash prefix and the n_copies column IS the
-    dedup ratio audit."""
+    Scale shape: boundary detection is map-side over an Arrow-batched
+    pandas UDF (one int64 ``np.correlate`` per document — the measured
+    ~10× win over interpreted HOF lambdas; see ``_cdc_ends_udf``, the
+    one sanctioned exception to this module's no-Python rule); the
+    chunk rows are materialized ONCE before fanning out to the count
+    and the join probe, and the only shuffle moves 32-byte chunk-hash
+    keys. This is the storage-dedup primitive: at 100 TB the chunk
+    store would be written partitioned by hash prefix and the n_copies
+    column IS the dedup ratio audit."""
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
@@ -213,6 +219,10 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("substring(text, sp.s, sp.e - sp.s + 1)")
             ).alias("chunk_md5"),
         )
+        # one materialization: the chunk rows feed BOTH the md5 count
+        # and the join probe side; without the cut the UDF scan + md5
+        # lineage replans per consumer
+        .localCheckpoint(eager=True)
     )
     counts = chunks.groupBy("chunk_md5").agg(
         F.count(F.lit(1)).cast("long").alias("n_copies")
@@ -237,6 +247,8 @@ def water_level(counts: list[int], budget: int) -> int:
     prefix sum."""
     cs = sorted(counts)
     n = len(cs)
+    if n == 0:
+        return 0
     prefix = 0
     kstar, pstar = 0, 0
     for k in range(1, n + 1):
