@@ -461,6 +461,98 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_K = KMEANS_K  # coarse clusters bounding the pairwise search
+# Production SemDeDup uses cosine ≥ ~0.95; the synthetic embeddings are
+# near-random (max within-cluster cosine ≈ 0.47), so the gate threshold
+# sits where this corpus has signal — every cluster contributes dup
+# pairs AND the keep rule drops fewer vectors than there are pairs,
+# exercising the distinct-count path. The knob is the only difference.
+SEMDEDUP_TAU_MILLIS = 330
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the deterministic
+    farthest-point centroids, then search for near-duplicate pairs
+    (cosine ≥ SEMDEDUP_TAU_MILLIS/1000) ONLY within each cluster — the clustering is what
+    turns the O(n²) all-pairs cosine into Σ cᵢ², the whole reason the
+    technique works at billion-document scale (K grows with N so cᵢ
+    stays bounded). Keep rule, per the paper's keep-one-per-group made
+    deterministic: members are ordered by (dist² to centroid ASC,
+    vec_id ASC); a vector is REMOVED iff some earlier member of its
+    cluster is within the cosine threshold. No cascade: removed
+    vectors still shadow later ones (same closure style as the
+    min-label dup_clusters).
+
+    Output: one row per cluster — size, near-dup pair count, and how
+    many members the keep rule drops.
+
+    Distributed shape: assignment is the shared map-side argmin
+    (centroid literals folded as SQL text); the pair search is a
+    self-join ON cell — at scale both sides hash-partition by cell, so
+    each cluster's quadratic work is local to one task and bounded by
+    the K ∝ N sizing; the tails are two partial-aggregated counts.
+    Assignment integers are exact; the pair cosine uses the proven
+    floor(cos·1000) expression shape shared with pipe_embed_neardup."""
+    prep = _prepared(spark, sf_dir)
+    centroids = [c for _, c in fps_seed_vectors(spark, sf_dir, SEMDEDUP_K)]
+    if not centroids:
+        return spark.createDataFrame(
+            [], "cell LONG, n_members LONG, n_dup_pairs LONG, n_removed LONG"
+        )
+    assigned = _assign_cells(prep, centroids).localCheckpoint(eager=True)
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("ivec").alias("ivec_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("dist2").alias("dist2_a"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("ivec").alias("ivec_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("dist2").alias("dist2_b"),
+    )
+    keep_order = (F.col("dist2_a") < F.col("dist2_b")) | (
+        (F.col("dist2_a") == F.col("dist2_b"))
+        & (F.col("vec_a") < F.col("vec_b"))
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(keep_order)
+        .filter((F.col("norm_a") > 0) & (F.col("norm_b") > 0))
+    )
+    cos = cosine_col(
+        int_dot(F.col("ivec_a"), F.col("ivec_b")),
+        F.col("norm_a"),
+        F.col("norm_b"),
+    )
+    near = pairs.withColumn(
+        "cos_millis", F.floor(cos * 1000).cast("long")
+    ).filter(F.col("cos_millis") >= SEMDEDUP_TAU_MILLIS)
+    per = near.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("vec_b").cast("long").alias("n_removed"),
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        stats.join(per, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias(
+                "n_dup_pairs"
+            ),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+        .orderBy("cell")
+    )
+
+
 _IVEC = (
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000)"
     " AS BIGINT))"
@@ -763,10 +855,62 @@ ORDER BY s.adist2, s.vec_id LIMIT {ANN_K}
 ORACLE_SQL["pipe_kmeans_train"] = _kmeans_train_sql()
 ORACLE_SQL["pipe_ann_ivfpq"] = _IVFPQ_SQL
 
+# Same assignment chain as pipe_kmeans_step (ROW_NUMBER ORDER BY rel,
+# cell == the Spark array_min (rel, cell) tiebreak); pair cosine uses
+# the _NEARDUP_SQL expression shape byte-for-byte.
+ORACLE_SQL["pipe_semdedup"] = f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+{fps_seeds_cte(SEMDEDUP_K, src="prep", name="fps")},
+seeds AS (SELECT cell, cvec FROM fps),
+cnorm AS (
+  SELECT cell, cvec,
+         (SELECT SUM(x * x) FROM unnest(cvec) AS t(x)) AS c2
+  FROM seeds
+),
+scored AS (
+  SELECT p.vec_id, p.ivec, c.cell,
+         c.c2 - 2 * (SELECT SUM(p.ivec[i] * c.cvec[i])
+                     FROM unnest(generate_series(1, len(p.ivec))) AS t(i))
+           AS rel,
+         (SELECT SUM(x * x) FROM unnest(p.ivec) AS t(x)) AS norm
+  FROM prep p CROSS JOIN cnorm c
+),
+asg AS (
+  SELECT vec_id, ivec, cell, rel + norm AS dist2, norm,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rel, cell) AS rn
+  FROM scored
+),
+a AS MATERIALIZED (SELECT * FROM asg WHERE rn = 1),
+near AS (
+  SELECT x.cell, x.vec_id AS va, y.vec_id AS vb
+  FROM a x JOIN a y ON x.cell = y.cell
+       AND (x.dist2 < y.dist2 OR (x.dist2 = y.dist2 AND x.vec_id < y.vec_id))
+  WHERE x.norm > 0 AND y.norm > 0
+    AND CAST(FLOOR(
+          CAST(CAST(list_sum(list_transform(generate_series(1, len(x.ivec)),
+                    i -> x.ivec[i] * y.ivec[i])) AS BIGINT) AS DOUBLE)
+          / (SQRT(CAST(x.norm AS DOUBLE)) * SQRT(CAST(y.norm AS DOUBLE)))
+          * 1000) AS BIGINT) >= {SEMDEDUP_TAU_MILLIS!s}
+),
+per AS (
+  SELECT cell, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT vb) AS n_removed
+  FROM near GROUP BY cell
+),
+stats AS (SELECT cell, COUNT(*) AS n_members FROM a GROUP BY cell)
+SELECT s.cell, CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed
+FROM stats s LEFT JOIN per p USING (cell)
+ORDER BY s.cell
+"""
+
 QUERIES = {
     "pipe_ann_sq8": q_ann_sq8,
     "pipe_ann_pq": q_ann_pq,
     "pipe_ann_ivfpq": q_ann_ivfpq,
     "pipe_kmeans_step": q_kmeans_step,
     "pipe_kmeans_train": q_kmeans_train,
+    "pipe_semdedup": q_semdedup,
 }

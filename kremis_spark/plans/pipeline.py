@@ -94,6 +94,62 @@ def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model filtering signal (Wenzek et al. 2020,
+    arXiv:1911.00359): CCNet buckets documents by the perplexity of a
+    KenLM n-gram model trained on clean text. This is the same shape as
+    an integer-exact proxy — the corpus itself is the bigram model, and
+    each bigram occurrence contributes the inverse of its corpus
+    probability (total_occurrences div corpus_count, a monotone stand-in
+    for −log p that needs no floats): common word transitions score low,
+    rare/garbled ones score high. Per doc: bigram count and the summed
+    surprisal proxy. Docs with <2 tokens score 0 — nothing to model.
+
+    Distributed shape: one explode of the bigram fact, a partial-agg
+    count per bigram, then the occurrence fact re-joins its own counts
+    hash-partitioned ON the bigram key (self-join co-partitioning —
+    both sides shuffle on g once) and sums per doc. The corpus total is
+    a single scalar readback (output-sized). At 100 TB the model table
+    (distinct bigrams) is Zipf-bounded and the join key is the natural
+    partitioning — no broadcast needed, no skew beyond the head words
+    that AQE splits."""
+    sh = _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.explode(D.word_shingles("text", 2)).alias("g")
+    )
+    counts = sh.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c")).first()[0]
+    if total is None:
+        base = _docs_parallel(spark, sf_dir)
+        return base.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0).cast("long").alias("lm_surprisal"),
+        ).orderBy("doc_id")
+    per = (
+        sh.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.expr(f"{int(total)}L div c")).cast("long").alias(
+                "lm_surprisal"
+            ),
+        )
+    )
+    return (
+        _docs_parallel(spark, sf_dir)
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lm_surprisal", F.lit(0)).cast("long").alias(
+                "lm_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.with_quality_score(_docs_parallel(spark, sf_dir)).select("doc_id", "quality")
 
@@ -1338,6 +1394,24 @@ SELECT pair, CAST(SUM(f) AS BIGINT) AS n_occurrences
 FROM pairs GROUP BY pair
 ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOP_MERGES}
 """,
+    # Bigram shingles via the shared _DOC_SH chain (duplicates kept —
+    # every occurrence contributes); `//` == Spark `div` on positives.
+    "pipe_lm_surprisal": rf"""
+WITH {_DOC_SH.strip()},
+occ AS (SELECT doc_id, UNNEST(shingles) AS g FROM doc_sh),
+counts AS (SELECT g, COUNT(*) AS c FROM occ GROUP BY g),
+tot AS (SELECT SUM(c) AS n FROM counts),
+per AS (
+  SELECT o.doc_id, COUNT(*) AS n_bigrams, SUM(t.n // c.c) AS s
+  FROM occ o JOIN counts c USING (g) CROSS JOIN tot t
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.s, 0) AS BIGINT) AS lm_surprisal
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+""",
     "pipe_token_stats": rf"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
@@ -1484,6 +1558,7 @@ ORDER BY doc_id
 
 QUERIES = {
     "pipe_token_stats": q_token_stats,
+    "pipe_lm_surprisal": q_lm_surprisal,
     "pipe_subword_tokens": q_subword_tokens,
     "pipe_quality": q_quality,
     "pipe_lang_id": q_lang_id,

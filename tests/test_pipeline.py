@@ -406,3 +406,45 @@ def test_sig_agreement_filter_keeps_near_dups(spark):
     # folded-in filter gives the same answer
     folded = D.lsh_candidate_pairs(sigs).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in folded} == {(0, 1)}
+
+
+def test_semdedup_invariants(spark):
+    """Cluster sizes partition the vector set; the keep rule can only
+    drop vectors that appear as the LATER side of a near pair, so
+    n_removed <= n_dup_pairs and n_removed < n_members per cluster (the
+    first member in keep order is never removed)."""
+    from kremis_spark.plans.embed import SEMDEDUP_K, q_semdedup
+    from kremis_spark.plans.pipeline import prepared_cached
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = q_semdedup(spark, sf_dir).collect()
+    assert [r["cell"] for r in rows] == sorted(
+        {r["cell"] for r in rows}
+    ) and len(rows) <= SEMDEDUP_K
+    n_vecs = prepared_cached(spark, sf_dir).count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_dup_pairs"]
+        assert r["n_removed"] < r["n_members"]
+
+
+def test_lm_surprisal_invariants(spark):
+    """Every document appears exactly once; a doc's summed surprisal is
+    at least its bigram count (each occurrence contributes total div c
+    >= 1); docs with <2 tokens score (0, 0)."""
+    import duckdb
+
+    from kremis_spark.plans.pipeline import q_lm_surprisal
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = q_lm_surprisal(spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    for r in rows:
+        if r["n_bigrams"] == 0:
+            assert r["lm_surprisal"] == 0
+        else:
+            assert r["lm_surprisal"] >= r["n_bigrams"]
