@@ -150,6 +150,55 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_TOP_TOKENS = 100
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift monitor — the corpus-health check a
+    multi-source training pipeline runs per ingestion batch: for each
+    source, the L1 distance (in parts-per-million, integer-exact
+    truncating shares) between that source's unigram distribution and
+    the whole corpus's, restricted to the corpus's top-100 tokens (ties
+    broken by token). A source whose drift jumps between batches has
+    changed character — new crawl seed, encoding bug, spam influx.
+
+    Distributed shape: the token fact aggregates twice (corpus-wide on
+    tok, per-source on (source, tok)), both with map-side partial aggs;
+    the top-100 head and the per-source totals are output-sized and
+    broadcast into a tiny sources × top-100 grid, so the drift sum
+    never shuffles text. The corpus total is one scalar readback."""
+    toks = _docs_parallel(spark, sf_dir).select(
+        "source", F.explode(T.tokens("text")).alias("tok")
+    )
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = corpus.agg(F.sum("c")).first()[0]
+    if total is None:
+        return spark.createDataFrame(
+            [], "source STRING, n_tokens BIGINT, l1_drift_ppm BIGINT"
+        )
+    top = corpus.orderBy(F.desc("c"), "tok").limit(DRIFT_TOP_TOKENS)
+    srct = toks.groupBy("source").agg(F.count(F.lit(1)).alias("sn"))
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("sc"))
+    grid = srct.crossJoin(F.broadcast(top))
+    j = grid.join(st, ["source", "tok"], "left").select(
+        "source",
+        "sn",
+        "c",
+        F.coalesce("sc", F.lit(0)).alias("sc"),
+    )
+    drift = F.abs(
+        F.expr("sc * 1000000L div sn") - F.expr(f"c * 1000000L div {int(total)}L")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("sn").cast("long").alias("n_tokens"),
+            F.sum(drift).cast("long").alias("l1_drift_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.with_quality_score(_docs_parallel(spark, sf_dir)).select("doc_id", "quality")
 
@@ -1412,6 +1461,24 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per p USING (doc_id)
 ORDER BY d.doc_id
 """,
+    # `//` == Spark `div` on nonnegative counts; top-100 tie → token.
+    "pipe_source_drift": rf"""
+WITH tok AS (SELECT source, UNNEST({_TOKS}) AS tok FROM documents),
+corpus AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT SUM(c) AS n FROM corpus),
+top AS (SELECT tok, c FROM corpus ORDER BY c DESC, tok LIMIT {DRIFT_TOP_TOKENS}),
+srct AS (SELECT source, COUNT(*) AS sn FROM tok GROUP BY source),
+st AS (SELECT source, tok, COUNT(*) AS sc FROM tok GROUP BY source, tok),
+grid AS (SELECT s.source, s.sn, t.tok, t.c FROM srct s CROSS JOIN top t),
+j AS (
+  SELECT g.source, g.sn, g.c, COALESCE(st.sc, 0) AS sc
+  FROM grid g LEFT JOIN st ON st.source = g.source AND st.tok = g.tok
+)
+SELECT j.source, CAST(MAX(j.sn) AS BIGINT) AS n_tokens,
+       CAST(SUM(ABS(sc * 1000000 // sn - c * 1000000 // t.n)) AS BIGINT)
+         AS l1_drift_ppm
+FROM j CROSS JOIN tot t GROUP BY j.source ORDER BY j.source
+""",
     "pipe_token_stats": rf"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
@@ -1559,6 +1626,7 @@ ORDER BY doc_id
 QUERIES = {
     "pipe_token_stats": q_token_stats,
     "pipe_lm_surprisal": q_lm_surprisal,
+    "pipe_source_drift": q_source_drift,
     "pipe_subword_tokens": q_subword_tokens,
     "pipe_quality": q_quality,
     "pipe_lang_id": q_lang_id,
