@@ -235,7 +235,7 @@ def lsh_cross_candidates(
     sigs_corpus: DataFrame,
     id_col: str = "doc_id",
     hot_cap: int = HOT_BUCKET_CAP,
-    min_matches: int = MIN_SIG_MATCHES,
+    min_matches: int | None = MIN_SIG_MATCHES,
 ) -> DataFrame:
     """Asymmetric candidate pairs for INCREMENTAL dedup: (doc_a from the
     new batch, doc_b from the corpus) sharing a band bucket, with the
@@ -270,12 +270,11 @@ def lsh_cross_candidates(
         F.col(id_col).alias("doc_b"),
         *[F.col(c).alias(f"__sb{k}") for k, c in enumerate(sig_cols)],
     )
-    return (
-        b.join(F.broadcast(a), key_cols)
-        .filter(_sig_agreement_cond(min_matches))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    joined = b.join(F.broadcast(a), key_cols)
+    # mirror lsh_candidate_pairs: None means "no agreement pre-filter"
+    if min_matches is not None:
+        joined = joined.filter(_sig_agreement_cond(min_matches))
+    return joined.select("doc_a", "doc_b").distinct()
 
 
 def _sig_agreement_cond(min_matches: int) -> F.Column:

@@ -89,7 +89,11 @@ STREAM_SHUFFLE_PARTITIONS = 8
 
 
 def _run_stream(
-    agg: DataFrame, name: str, mode: str, partitions: int | None = None
+    agg: DataFrame,
+    name: str,
+    mode: str,
+    partitions: int | None = None,
+    skip_nodata: bool | None = None,
 ) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink.
 
@@ -108,15 +112,22 @@ def _run_stream(
         "spark.sql.shuffle.partitions",
         str(partitions or STREAM_SHUFFLE_PARTITIONS),
     )
-    # Every gate query here emits its results in the data micro-batch
-    # (complete-mode aggs re-emit everything each batch; the interval
-    # join is inner, so matches emit eagerly) — the trailing no-data
-    # batch only advances the watermark to evict state, which a
-    # run-to-completion availableNow query doesn't need. Skipping it
-    # removes one state-store open/commit cycle per partition (~40% of
-    # gate latency). Event-time-FINALIZED emission (append-mode windows)
-    # would need it back on.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # The trailing no-data micro-batch only advances the watermark to
+    # finalize/evict state; skipping it removes one state-store
+    # open/commit cycle per partition (~40% of gate latency). It is safe
+    # ONLY when results emit in the data batch itself: complete-mode
+    # aggs re-emit everything each batch (safe by construction →
+    # default), but append/update sinks emit on watermark-FINALIZATION
+    # unless the operator is eager (inner interval join, NoTimeout
+    # custom state) — those call sites must opt in explicitly via
+    # skip_nodata=True; an un-annotated append-mode windowed agg keeps
+    # the no-data batch and stays correct.
+    if skip_nodata is None:
+        skip_nodata = mode == "complete"
+    if skip_nodata:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
     try:
         q = (
             agg.writeStream.format("memory")
@@ -166,7 +177,12 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the streaming unit tests."""
     ev = _events_stream(spark, sf_dir)
     return _run_stream(
-        running_user_totals(ev), f"gate_running_totals_{next(_qid)}", "update"
+        running_user_totals(ev),
+        f"gate_running_totals_{next(_qid)}",
+        "update",
+        # NoTimeout custom state emits per data batch — no finalization
+        # depends on the trailing no-data batch
+        skip_nodata=True,
     )
 
 
@@ -264,7 +280,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("view_ts")).alias("view_us"),
     )
     return _run_stream(
-        joined, f"gate_stream_stream_join_{next(_qid)}", "append", partitions=4
+        joined,
+        f"gate_stream_stream_join_{next(_qid)}",
+        "append",
+        partitions=4,
+        # inner interval join emits matches eagerly in the data batch;
+        # the watermark only evicts state afterwards
+        skip_nodata=True,
     )
 
 

@@ -44,6 +44,7 @@ from kremis_spark.plans.pipeline import fps_seed_vectors, prepared_cached
 SQ_LEVELS = 255
 ANN_K = 10
 KMEANS_K = 8
+EMB_DIM = 64  # testdata embedding width; oracle SQL is generated for this
 PQ_M = 4  # product-quantization subspaces (dim 64 → 16 dims each)
 PQ_K = 16  # codebook entries per subspace
 
@@ -389,6 +390,9 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qid = qrow["vec_id"]
     qvec = [int(v) for v in qrow["ivec"]]
     dim = len(qvec)
+    # The generated DuckDB oracle hard-codes EMB_DIM — fail loudly here
+    # rather than silently diverge from it if the testdata width changes.
+    assert dim == EMB_DIM, f"embedding dim {dim} != EMB_DIM {EMB_DIM}"
     sub = dim // PQ_M
     seeds = fps_seed_vectors(spark, sf_dir, PQ_K)
     probe = ivf_probe_cells(qvec, seeds, nprobe=IVF_NPROBE)
@@ -461,7 +465,12 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEMDEDUP_K = KMEANS_K  # coarse clusters bounding the pairwise search
+# Coarse clusters bounding the pairwise search. The paper sizes K ∝ N so
+# per-cluster quadratic work stays bounded; 16 (the full shared
+# farthest-point sweep) halves pair work vs KMEANS_K=8 at bench SF. The
+# generated oracle derives from the same constant, so both sides move
+# together.
+SEMDEDUP_K = 16
 # Production SemDeDup uses cosine ≥ ~0.95; the synthetic embeddings are
 # near-random (max within-cluster cosine ≈ 0.47), so the gate threshold
 # sits where this corpus has signal — every cluster contributes dup
@@ -809,11 +818,11 @@ cand AS MATERIALIZED (
 ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
 rels AS (
   SELECT r.vec_id, ms.m, cb.cell AS code,
-         CAST(list_sum(list_transform(generate_series(1, {64 // PQ_M}),
-              i -> (r.rvec[ms.m * {64 // PQ_M} + i]
-                    - cb.cvec[ms.m * {64 // PQ_M} + i])
-                 * (r.rvec[ms.m * {64 // PQ_M} + i]
-                    - cb.cvec[ms.m * {64 // PQ_M} + i]))) AS BIGINT) AS rel
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM // PQ_M}),
+              i -> (r.rvec[ms.m * {EMB_DIM // PQ_M} + i]
+                    - cb.cvec[ms.m * {EMB_DIM // PQ_M} + i])
+                 * (r.rvec[ms.m * {EMB_DIM // PQ_M} + i]
+                    - cb.cvec[ms.m * {EMB_DIM // PQ_M} + i]))) AS BIGINT) AS rel
   FROM cand r, ms, fps cb
 ),
 enc AS (
@@ -832,11 +841,11 @@ qres AS (
 ),
 qlut AS (
   SELECT qr.cid, ms.m, cb.cell AS code,
-         CAST(list_sum(list_transform(generate_series(1, {64 // PQ_M}),
-              i -> (qr.rvec[ms.m * {64 // PQ_M} + i]
-                    - cb.cvec[ms.m * {64 // PQ_M} + i])
-                 * (qr.rvec[ms.m * {64 // PQ_M} + i]
-                    - cb.cvec[ms.m * {64 // PQ_M} + i]))) AS BIGINT) AS l
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM // PQ_M}),
+              i -> (qr.rvec[ms.m * {EMB_DIM // PQ_M} + i]
+                    - cb.cvec[ms.m * {EMB_DIM // PQ_M} + i])
+                 * (qr.rvec[ms.m * {EMB_DIM // PQ_M} + i]
+                    - cb.cvec[ms.m * {EMB_DIM // PQ_M} + i]))) AS BIGINT) AS l
   FROM qres qr, ms, fps cb
 ),
 scored AS (

@@ -748,7 +748,11 @@ def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 prepared_cached = _prepared  # public alias for sibling plan modules
 
-_SEED_CACHE: dict[tuple[str, str], list[tuple[int, list[int]]]] = {}
+# (seeds, exhausted): the prefix-consistent seed list plus whether the
+# sweep ran out of distinct vectors before MAX_FPS_SEEDS
+_SEED_CACHE: dict[
+    tuple[str, str], tuple[list[tuple[int, list[int]]], bool]
+] = {}
 MAX_FPS_SEEDS = 16  # max(IVF_K, KMEANS_K, PQ_K) — one sweep serves all
 
 
