@@ -138,6 +138,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(EMBED_QUERIES)
     except ImportError:
         pass
+    try:
+        from kremis_spark.plans.filtering import QUERIES as FILTERING_QUERIES
+
+        out.update(FILTERING_QUERIES)
+    except ImportError:
+        pass
     return _family_interleaved(out)
 
 
@@ -180,6 +186,12 @@ def oracle_sql() -> dict[str, str]:
         from kremis_spark.plans.embed import ORACLE_SQL as EMBED_ORACLES
 
         out.update(EMBED_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.filtering import ORACLE_SQL as FILTERING_ORACLES
+
+        out.update(FILTERING_ORACLES)
     except ImportError:
         pass
     return _family_interleaved(out)

@@ -1,0 +1,264 @@
+"""Model-based filtering and substring-level dedup approximations — the
+data-selection layer of a 100 TB pretraining pipeline, on top of the
+dedup/quality families in plans/pipeline.py:
+
+- ``pipe_dup_ngram_coverage`` — per-document duplicated 8-gram fraction
+  vs all earlier documents: the distributed approximation of
+  substring-level exact dedup (Lee et al. 2022, "Deduplicating Training
+  Data Makes Language Models Better", arXiv:2107.06499 — their
+  ExactSubstr pass). A suffix array is not a data-parallel structure;
+  the shingle-grain equivalent (fraction of a doc's 8-grams first seen
+  in an earlier doc) IS, and is the standard large-scale stand-in.
+- ``pipe_hash_classifier`` — hashed-bag-of-words linear quality scorer,
+  the fastText-style classifier filter used by GPT-3/CCNet-lineage
+  pipelines, with a deterministic md5-derived weight table so the score
+  is exactly reproducible in any engine (a trained coefficient table
+  would be broadcast the same way; the plan shape is identical).
+- ``pipe_importance_weights`` — DSIR-style hashed-unigram importance
+  weighting (Xie et al. 2023, arXiv:2302.03169): score each document by
+  how much its token distribution looks like a target domain vs the
+  corpus at large, in exact integer ppm arithmetic.
+
+Determinism/oracle parity: md5 is the portable hash (same hex in Spark
+and DuckDB); all ratios are integer ppm/permille via floor division of
+NONNEGATIVE quantities only (Spark ``div`` truncates toward zero while
+DuckDB ``//`` floors, so negative intermediate divisions are never
+emitted — sums of signed weights are reported undivided).
+
+Scale notes: every query here is explode → partial-agg groupBy →
+hash-join on the grouping key → partial-agg groupBy, the
+map-side-combinable shape that survives a 1000-executor corpus. Nothing
+collects to the driver; the only broadcast is implicit (AQE picks it
+when the vocabulary side is small enough).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kremis_spark.sources.tables import read_table
+
+NGRAM_N = 8  # ExactSubstr-approximation shingle width (words)
+CLS_BUCKETS = 2001  # hashed-weight table size → weights in [-1000, 1000]
+DSIR_TARGET_SOURCE = "src0"  # stand-in "target domain" for the gate
+DSIR_TOP_K = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+_TOKS = F.split(F.trim(F.col("text")), r"\s+")
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-8-gram coverage against all LOWER doc_ids: for
+    each document, the fraction (permille) of its distinct word 8-grams
+    whose corpus-wide first occurrence is an earlier document. Documents
+    shorter than 8 tokens have no grams and report 0.
+
+    Distributed shape: one explode to distinct (doc_id, gram-md5) rows,
+    one groupBy(gram) for the global first-seen doc, one join back on
+    the same key (co-partitioned — AQE reuses the exchange), one
+    groupBy(doc_id). All four stages are partial-agg/hash-join; gram
+    cardinality shards evenly because the key is a hash."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _TOKS.alias("w"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(w) - {NGRAM_N - 1}, 0)),"
+                    f" i -> md5(concat_ws(' ', slice(w, i, {NGRAM_N}))))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") < F.col("doc_id")).cast("long")
+            ).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.expr(
+                "CAST(coalesce(n_dup, 0) * 1000"
+                " div greatest(coalesce(n_grams, 0), 1) AS LONG)"
+            ).alias("dup_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-unigram linear classifier: weight(w) = (first 32 md5 bits
+    mod CLS_BUCKETS) − 1000 ∈ [−1000, 1000]; a document's score is the
+    sum of its tokens' weights (repeats count — bag of words) and it is
+    kept iff score ≥ 0. Deterministic stand-in for a trained fastText
+    quality filter: swap the md5-derived weight for a broadcast
+    coefficient table and the plan is unchanged.
+
+    Distributed shape: fully map-side — the weight is computed inline
+    per token (no vocabulary join at all), then one partial-agg
+    groupBy(doc_id). This is the cheapest possible classifier plan: at
+    100 TB it is a single scan."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(_TOKS).alias("tok")
+    )
+    w = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % CLS_BUCKETS
+        - 1000
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(w).cast("long").alias("score_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_sum",
+            (F.col("score_sum") >= 0).cast("long").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores: unigram frequency is estimated in
+    ppm over the target domain (source = DSIR_TARGET_SOURCE) and over
+    the whole corpus; each token contributes (target_ppm − corpus_ppm)
+    and the doc's score is the signed sum. Top DSIR_TOP_K docs by score
+    (tie → lower doc_id) — the selection set a pipeline would feed to
+    training. Integer ppm floor-division of nonnegative counts only.
+
+    Distributed shape: ONE groupBy(tok) computes both corpus and target
+    counts (conditional sum — no second pass over the target), the two
+    totals reduce to scalars, the token stream re-joins the tiny
+    weight table on tok, then one groupBy(doc_id) into a TakeOrdered
+    top-k. No driver loops; the weight table join is AQE-broadcastable
+    when the vocabulary fits, plain hash-join when it doesn't."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(_TOKS).alias("tok")
+    ).localCheckpoint(eager=True)
+    is_t = (F.col("source") == DSIR_TARGET_SOURCE).cast("long")
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(is_t).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_all").alias("t_all"), F.sum("c_tgt").alias("t_tgt")
+    ).first()
+    t_all, t_tgt = max(int(totals["t_all"]), 1), max(int(totals["t_tgt"]), 1)
+    weights = counts.select(
+        "tok",
+        (
+            F.expr(f"CAST(c_tgt * 1000000 div {t_tgt} AS LONG)")
+            - F.expr(f"CAST(c_all * 1000000 div {t_all} AS LONG)")
+        ).alias("w_ppm"),
+    )
+    return (
+        tok.join(weights, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_ppm").cast("long").alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(DSIR_TOP_K)
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "pipe_dup_ngram_coverage": rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(w[i:i + {NGRAM_N - 1}], 'string_agg', ' ')) AS g
+  FROM t, UNNEST(range(1, len(w) - {NGRAM_N - 2})) AS u(i)
+  WHERE len(w) >= {NGRAM_N}
+),
+f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS n_dup
+  FROM g JOIN f USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(COALESCE(n_dup, 0) * 1000
+            // GREATEST(COALESCE(n_grams, 0), 1) AS BIGINT) AS dup_permille
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+""",
+    "pipe_hash_classifier": rf"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(('0x' || substr(md5(tok), 1, 8))::BIGINT % {CLS_BUCKETS}
+             - 1000) AS score_sum
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score_sum AS BIGINT) AS score_sum,
+       CAST(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sc ORDER BY doc_id
+""",
+    "pipe_importance_weights": rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, COUNT(*) AS c_all,
+         SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+           AS c_tgt
+  FROM tok GROUP BY tok
+),
+tot AS (SELECT GREATEST(SUM(c_all), 1) AS t_all,
+               GREATEST(SUM(c_tgt), 1) AS t_tgt FROM counts),
+w AS (
+  SELECT tok,
+         CAST(c_tgt * 1000000 // t_tgt AS BIGINT)
+           - CAST(c_all * 1000000 // t_all AS BIGINT) AS w_ppm
+  FROM counts, tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w_ppm) AS BIGINT) AS dsir_score
+FROM tok JOIN w USING (tok)
+GROUP BY doc_id
+ORDER BY dsir_score DESC, doc_id
+LIMIT {DSIR_TOP_K}
+""",
+}
+
+
+QUERIES = {
+    "pipe_dup_ngram_coverage": q_dup_ngram_coverage,
+    "pipe_hash_classifier": q_hash_classifier,
+    "pipe_importance_weights": q_importance_weights,
+}
