@@ -240,3 +240,36 @@ def test_seq_pack_invariants(spark):
         for off, ln in sp:
             assert off == pos, (d, sp)
             pos += ln
+
+
+def test_hash_classifier_single_scan_no_join(spark):
+    """The hashed-weight classifier must be the cheapest possible plan:
+    weights computed inline per token (no vocabulary join anywhere) and
+    one hash exchange for the per-doc aggregation."""
+    from kremis_spark.plans.filtering import q_hash_classifier
+
+    txt = plan_text(q_hash_classifier(spark, SF_DIR), "simple")
+    assert "Join" not in txt, txt
+    n_hash = txt.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash shuffle, got {n_hash}:\n{txt}"
+
+
+def test_dup_ngram_coverage_hash_joins_only(spark):
+    """The substring-dedup approximation must run on hash-partitioned
+    equi-joins — any nested-loop/cartesian fallback would be quadratic
+    in corpus size."""
+    from kremis_spark.plans.filtering import q_dup_ngram_coverage
+
+    txt = plan_text(q_dup_ngram_coverage(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_importance_weights_topk_no_global_sort(spark):
+    """DSIR selection ends in TakeOrderedAndProject (map-side top-k),
+    never a global sort of every document's score."""
+    from kremis_spark.plans.filtering import q_importance_weights
+
+    txt = plan_text(q_importance_weights(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in txt, txt
+    assert "CartesianProduct" not in txt, txt
