@@ -126,74 +126,85 @@ def cosine_topk(
 
 IVF_K = 16
 IVF_NPROBE = 2
+# Seeding sweeps over a bounded deterministic sample, never the full
+# corpus: the FPS_SAMPLE vectors with the lowest md5(vec_id) (an
+# unbiased hash-order shuffle, reproducible in any engine). Driver
+# transfer is bounded by FPS_SAMPLE×dim int64s at ANY corpus size — the
+# same bounded-collect contract as the adaptive graph operators.
+FPS_SAMPLE = 1024
 
 
 def farthest_point_seeds(
     prepared: DataFrame, k: int, id_col: str = "vec_id"
 ) -> list[tuple[int, list[int]]]:
     """Deterministic k-means++-style seeding: start from the lowest-id
-    vector, then greedily take the vector maximizing the squared-L2
-    distance to its nearest already-chosen seed (tie → lowest id). Exact
-    int64 arithmetic throughout, so any engine reproduces the same seeds
-    — and the sweep is prefix-consistent (the first j seeds of a k-sweep
-    ARE the j-sweep), so one max-k sweep serves every consumer.
+    vector of the hash-ordered FPS_SAMPLE, then greedily take the sample
+    vector maximizing the squared-L2 distance to its nearest
+    already-chosen seed (tie → lowest id). Exact int64 arithmetic, so
+    any engine reproduces the same seeds — and the sweep is
+    prefix-consistent (the first j seeds of a k-sweep ARE the j-sweep),
+    so one max-k sweep serves every consumer.
 
-    Distributed shape: k−1 single-pass agg jobs. Per step, the chosen
-    seeds fold into ONE SQL-text literal (never py4j-built Columns) and
-    dmin is a map-side ``array_min``; the argmax is ``max(struct(dmin,
-    −id))`` — a partial-agg tree, no shuffle of vectors, no driver
-    transfer beyond one row per step. Returns [(cell, ivec), ...].
+    Distributed shape: ONE TakeOrdered job collects the bounded sample
+    (hash-ordered top-FPS_SAMPLE); the k−1 greedy steps run locally over
+    it in vectorized int64 numpy. Replaces the previous k−1 sequential
+    full-scan agg jobs — at 100 TB nobody sweeps the corpus for 16
+    seeds, and per-job latency made the sweep the dominant cold cost of
+    the ANN family locally. Returns [(cell, ivec), ...].
     """
-    first = prepared.orderBy(id_col).select(id_col, "ivec").first()
-    if first is None or k <= 0:
+    if k <= 0:
         return []
-    seeds = [(0, [int(v) for v in first["ivec"]])]
-    chosen_ids = [int(first[id_col])]
-    for step in range(1, k):
-        entries = ",".join(
-            f"named_struct('c2',{sum(x * x for x in c)}L,"
-            f"'cvec',array({','.join(str(int(x)) + 'L' for x in c)}))"
-            for _, c in seeds
-        )
-        # dist²(v, c) = |c|² − 2⟨v,c⟩ + |v|²; |v|² is constant per row so
-        # it rides outside the per-centroid min.
-        dmin = (
-            f"array_min(transform(array({entries}), cw -> "
-            f"cw.c2 - 2L * aggregate(zip_with(ivec, cw.cvec, (x, y) -> x * y),"
-            f" 0L, (acc, v) -> acc + v))) + norm"
-        )
-        best = (
-            prepared.filter(~F.col(id_col).isin(chosen_ids))
-            .select(
-                F.max(
-                    F.struct(
-                        F.expr(dmin).alias("dmin"),
-                        (-F.col(id_col)).alias("negid"),
-                        F.col("ivec").alias("ivec"),
-                    )
-                ).alias("best")
-            )
-            .first()["best"]
-        )
-        if best is None:
-            break  # fewer than k vectors
-        seeds.append((step, [int(v) for v in best["ivec"]]))
-        chosen_ids.append(-int(best["negid"]))
-    return seeds
+    rows = (
+        prepared.select(id_col, "ivec")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(FPS_SAMPLE)
+        .collect()
+    )
+    if not rows:
+        return []
+    import numpy as np
+
+    ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
+    vecs = np.array([[int(v) for v in r["ivec"]] for r in rows],
+                    dtype=np.int64)
+    first_i = int(np.argmin(ids))
+    chosen = [first_i]
+    # dmin[i] = squared L2 distance from sample vector i to its nearest
+    # chosen seed; components are ~1e6 fixed-point, so diff² sums stay
+    # far inside int64.
+    dmin = ((vecs - vecs[first_i]) ** 2).sum(axis=1)
+    dmin[first_i] = -1  # chosen sentinel (real distances are >= 0)
+    for _ in range(1, min(k, len(rows))):
+        maxv = int(dmin.max())
+        if maxv < 0:
+            break  # every sample vector already chosen
+        cand = ids.copy()
+        cand[dmin != maxv] = np.iinfo(np.int64).max
+        nxt = int(np.argmin(cand))  # tie → lowest id
+        chosen.append(nxt)
+        dmin = np.minimum(dmin, ((vecs - vecs[nxt]) ** 2).sum(axis=1))
+        dmin[nxt] = -1
+    return [(j, [int(v) for v in vecs[i]]) for j, i in enumerate(chosen)]
 
 
 def fps_seeds_cte(
     k: int, src: str = "norms", id_col: str = "vec_id", name: str = "fps_seeds"
 ) -> str:
     """DuckDB CTE chain reproducing ``farthest_point_seeds`` bit-for-bit:
-    k−1 unrolled greedy steps over a ``src(vec_id, ivec)`` CTE, ending in
-    ``<name>(cell, cvec)``. Generated SQL (k ≤ 16 here) — the oracle twin
-    of the Spark sweep, same dist² integers and the same (dmin DESC, id)
+    the same hash-ordered FPS_SAMPLE, then k−1 unrolled greedy steps over
+    it, ending in ``<name>(cell, cvec)``. Generated SQL (k ≤ 16 here) —
+    the oracle twin of the Spark sweep, same sample rule (md5 of the id
+    as text, then id), same dist² integers and the same (dmin DESC, id)
     tie rule."""
+    smp = f"{name}_smp"
     parts = [
-        f"ch0 AS MATERIALIZED (SELECT 0 AS cell, {id_col} AS vec_id, ivec FROM {src} "
+        f"{smp} AS MATERIALIZED (SELECT {id_col}, ivec FROM {src} "
+        f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} "
+        f"LIMIT {FPS_SAMPLE})",
+        f"ch0 AS MATERIALIZED (SELECT 0 AS cell, {id_col} AS vec_id, ivec FROM {smp} "
         f"ORDER BY {id_col} LIMIT 1)"
     ]
+    src = smp
     for j in range(1, k):
         parts.append(
             f"""d{j} AS (

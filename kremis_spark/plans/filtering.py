@@ -49,7 +49,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
-_TOKS = F.split(F.trim(F.col("text")), r"\s+")
+def _toks() -> F.Column:
+    # built lazily — Column construction needs an active SparkContext
+    return F.split(F.trim(F.col("text")), r"\s+")
 
 
 def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +66,7 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id). All four stages are partial-agg/hash-join; gram
     cardinality shards evenly because the key is a hash."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", _TOKS.alias("w"))
+    toks = docs.select("doc_id", _toks().alias("w"))
     grams = (
         toks.select(
             "doc_id",
@@ -118,7 +120,7 @@ def q_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it is a single scan."""
     docs = _docs(spark, sf_dir)
     tok = docs.select(
-        "doc_id", F.explode(_TOKS).alias("tok")
+        "doc_id", F.explode(_toks()).alias("tok")
     )
     w = (
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
@@ -157,7 +159,7 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the vocabulary fits, plain hash-join when it doesn't."""
     docs = _docs(spark, sf_dir)
     tok = docs.select(
-        "doc_id", "source", F.explode(_TOKS).alias("tok")
+        "doc_id", "source", F.explode(_toks()).alias("tok")
     ).localCheckpoint(eager=True)
     is_t = (F.col("source") == DSIR_TARGET_SOURCE).cast("long")
     counts = tok.groupBy("tok").agg(
