@@ -72,8 +72,9 @@ _PRIORITY_FIRST_50 = [
     "tpch_q18_large_orders",
     "tpch_q21_waiting_supplier",
     # text analysis family
-    "pipe_token_stats",
     "pipe_quality",
+    # data selection family
+    "pipe_dup_ngram_coverage",
     # events / sessionization
     "events_sessionization",
     # curation family

@@ -483,6 +483,82 @@ def q_docs_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("lang").agg(*picks).orderBy("lang")
 
 
+DECAY_MAX_SHIFT = 40  # cents >> 40 is 0 for any real value — safe clamp
+KANON_K = 5  # minimum distinct users for a group to be releasable
+
+
+def q_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user — the feature-store
+    "recency-weighted activity" aggregate: each event contributes its
+    value (integer cents) halved once per hour of age relative to the
+    newest event in the corpus. Half-life decay is a right-shift on
+    nonnegative integer cents, so the score is exact in any engine (no
+    float exp()).
+
+    Scale shape: the reference hour is one scalar agg; the decayed
+    contribution is map-side arithmetic folded into a single per-user
+    partial agg — one shuffle total, no joins. At 100 TB this is the
+    canonical incremental-feature shape: a day's re-score multiplies
+    yesterday's scores by a constant shift and adds the new partials."""
+    ev = read_table(spark, sf_dir, "events")
+    ref_hr = ev.agg(
+        F.max(F.expr("ts div 3600000000000")).alias("m")
+    ).first()["m"]
+    if ref_hr is None:
+        return spark.createDataFrame(
+            [], "user_id LONG, n_events LONG, decay_score LONG"
+        )
+    age = f"least({int(ref_hr)}L - ts div 3600000000000, {DECAY_MAX_SHIFT})"
+    cents = "CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)"
+    return (
+        ev.select(
+            "user_id",
+            F.expr(f"shiftright({cents}, CAST({age} AS INT))").alias("dv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("dv").cast("long").alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_kanon_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate over the (event_type, day) activity
+    summary: a group's counts are published only when at least KANON_K
+    distinct users contribute; smaller groups are emitted suppressed
+    (NULL counts) so the release shape is auditable without leaking
+    small cohorts — the standard privacy gate in front of any shared
+    analytics export.
+
+    Scale shape: one partial-agg groupBy on (type, day) computing count
+    + count-distinct(user) together; the gate is a map-side CASE. The
+    distinct-count is the only rewrite AQE does (two-phase expand);
+    output is bounded by the group space, never the fact."""
+    ev = read_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    ok = F.col("n_users") >= KANON_K
+    return g.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        ok.cast("long").alias("released"),
+        F.when(ok, F.col("n_events")).cast("long").alias("n_events_pub"),
+        F.when(ok, F.col("n_users")).cast("long").alias("n_users_pub"),
+    ).orderBy("event_type", "day")
+
+
 _CENTS = "CAST(ROUND(CAST({c} AS DOUBLE) * 100) AS BIGINT)"
 _REV = (
     "CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)"
@@ -734,9 +810,37 @@ WHERE {_CENTS.format(c='p.c_acctbal')} * a.cnt_bal > a.sum_bal
                   AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1 ORDER BY nationkey
 """,
+    "events_decay_sum": f"""
+WITH ref AS (SELECT MAX(epoch_ns(ts) // 3600000000000) AS m FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM({_EV_CENTS}
+                >> LEAST(r.m - epoch_ns(ts) // 3600000000000,
+                         {DECAY_MAX_SHIFT})) AS BIGINT) AS decay_score
+FROM events, ref r
+GROUP BY user_id
+ORDER BY user_id
+""",
+    "events_kanon_summary": f"""
+WITH g AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(CASE WHEN n_users >= {KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+         AS released,
+       CAST(CASE WHEN n_users >= {KANON_K} THEN n_events END AS BIGINT)
+         AS n_events_pub,
+       CAST(CASE WHEN n_users >= {KANON_K} THEN n_users END AS BIGINT)
+         AS n_users_pub
+FROM g ORDER BY event_type, day
+""",
 }
 
 QUERIES = {
+    "events_decay_sum": q_decay_sum,
+    "events_kanon_summary": q_kanon_summary,
     "events_cube_summary": q_cube_summary,
     "events_pivot_hourly": q_pivot_hourly,
     "events_funnel": q_funnel,
