@@ -362,11 +362,50 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(cur, BPE_TRAIN_MERGES)
 
 
+BPE_LOCAL_VOCAB = 65536  # ≤ this many vocab rows → train locally
+
+
 def bpe_train_merges(cur: DataFrame, n_merges: int) -> DataFrame:
     """The trainer loop over a (w, f, syms) vocabulary DataFrame —
-    factored out so tests can drive it with synthetic vocabularies."""
+    factored out so tests can drive it with synthetic vocabularies.
+
+    Adaptive, like the graph operators: a vocabulary that fits the
+    BPE_LOCAL_VOCAB bound is collected once ((word, freq, syms) rows —
+    bounded driver transfer) and trained with the identical greedy-left
+    algorithm in local Python, replacing ~3 Spark jobs per merge round
+    with zero. Larger vocabularies take the distributed loop below; both
+    branches are held to the same oracle."""
     spark = cur.sparkSession
     merges: list[tuple[int, str, str, int]] = []
+    if cur.limit(BPE_LOCAL_VOCAB + 1).count() <= BPE_LOCAL_VOCAB:
+        rows = cur.select("f", "syms").collect()
+        vocab = [(int(r["f"]), list(r["syms"])) for r in rows]
+        for step in range(1, n_merges + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for f, syms in vocab:
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            # max count, ties by lexicographically smallest (x, y) —
+            # identical to the distributed orderBy(desc(c), x, y)
+            (x, y), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((step, x, y, int(c)))
+            if step == n_merges:
+                break  # the last learned pair is never applied
+            for i, (f, syms) in enumerate(vocab):
+                acc: list[str] = []
+                for ch in syms:
+                    if acc and acc[-1] == x and ch == y:
+                        acc[-1] = x + y
+                    else:
+                        acc.append(ch)
+                vocab[i] = (f, acc)
+        return spark.createDataFrame(
+            merges, "step LONG, lhs STRING, rhs STRING, pair_count LONG"
+        ).orderBy("step")
     for step in range(1, n_merges + 1):
         pair_structs = F.expr(
             "transform(slice(syms, 1, size(syms) - 1),"

@@ -448,3 +448,24 @@ def test_lm_surprisal_invariants(spark):
             assert r["lm_surprisal"] == 0
         else:
             assert r["lm_surprisal"] >= r["n_bigrams"]
+
+
+def test_bpe_train_distributed_branch_matches_local(spark, monkeypatch):
+    """Force the distributed trainer loop (vocab bound patched to 0) and
+    pin it to the local-branch result on the same vocabulary — both
+    branches must learn identical merges, including equal-symbol runs."""
+    import kremis_spark.plans.pipeline as P
+
+    words = {"aaaa": 5, "aaab": 3, "abab": 4, "baaa": 2, "abba": 1}
+    cur = spark.createDataFrame(
+        [(w, f, list(w)) for w, f in words.items()],
+        "w STRING, f LONG, syms ARRAY<STRING>",
+    )
+    local = [
+        tuple(r) for r in P.bpe_train_merges(cur, 3).collect()
+    ]
+    monkeypatch.setattr(P, "BPE_LOCAL_VOCAB", 0)
+    dist = [
+        tuple(r) for r in P.bpe_train_merges(cur, 3).collect()
+    ]
+    assert dist == local == _bpe_reference(words, 3)
