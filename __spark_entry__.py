@@ -145,6 +145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(FILTERING_QUERIES)
     except ImportError:
         pass
+    try:
+        from kremis_spark.plans.mixing import QUERIES as MIXING_QUERIES
+
+        out.update(MIXING_QUERIES)
+    except ImportError:
+        pass
     return _family_interleaved(out)
 
 
@@ -193,6 +199,12 @@ def oracle_sql() -> dict[str, str]:
         from kremis_spark.plans.filtering import ORACLE_SQL as FILTERING_ORACLES
 
         out.update(FILTERING_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.mixing import ORACLE_SQL as MIXING_ORACLES
+
+        out.update(MIXING_ORACLES)
     except ImportError:
         pass
     return _family_interleaved(out)

@@ -1,0 +1,340 @@
+"""Corpus mixing, curriculum scheduling, and end-to-end dedup removal —
+the batch-composition layer that sits between data selection
+(plans/filtering.py) and training:
+
+- ``pipe_temperature_mix`` — temperature-scaled source sampling weights
+  w_i ∝ n_i^(1/2) (the multilingual/multi-source rebalancing rule of
+  mT5/XLM-R-style training, T=2), in exact integer arithmetic via an
+  error-corrected integer square root. Complements
+  ``pipe_token_budget_mix`` (hard budget water-filling) with the soft
+  proportional rule.
+- ``pipe_curriculum_stages`` — curriculum learning schedule: order the
+  corpus by a difficulty signal and split it into NTILE(4) stages
+  (easy → hard). The global rank comes from the two-phase distributed
+  prefix scan (operators/prefix.py), NOT an unpartitioned window — the
+  plan that survives 100 TB; the NTILE group sizes are reproduced
+  exactly with integer math so a plain SQL NTILE oracle agrees.
+- ``pipe_dedup_keep`` — the end-to-end near-dup REMOVAL operator: LSH
+  candidates → exact-Jaccard verify → connected components → keep the
+  min-id doc per cluster, everything else per source is removed. This
+  is the operator a FineWeb-style pipeline actually runs; the gate
+  reports per-source kept/removed counts.
+- ``pipe_quality_median_filter`` — per-source exact-median quality gate:
+  keep docs at or above their source's median quality. The window is
+  PARTITIONED by source (parallel across sources — no global sort), the
+  standard per-domain adaptive threshold.
+
+Determinism/oracle parity: integer-only outputs; the isqrt corrects the
+float sqrt's ±1 ulp so both engines agree bit-for-bit; NTILE tie order
+is total (difficulty, doc_id); component labels are exact fixpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kremis_spark.functions import text as T
+from kremis_spark.functions.dedup import connected_components
+from kremis_spark.operators.prefix import exclusive_prefix_sum
+from kremis_spark.plans.pipeline import (
+    _MINHASH_CORE,
+    _STOP_LIST,
+    _TOKS,
+    CLUSTER_JACCARD_MIN,
+    _docs_parallel,
+    _verified_pairs,
+)
+
+N_STAGES = 4  # curriculum tiles
+MIX_SCALE = 1_000_000  # ppm
+
+
+def _isqrt_col(n: str) -> F.Column:
+    """Exact integer sqrt: float sqrt, then correct the ±1 boundary error
+    (floor(sqrt(n)) in doubles can be off by one near perfect squares).
+    Pure integer compares after the initial estimate — same expression
+    evaluates identically in DuckDB."""
+    return F.expr(
+        f"CASE WHEN s0 * s0 > {n} THEN s0 - 1 "
+        f"WHEN (s0 + 1) * (s0 + 1) <= {n} THEN s0 + 1 ELSE s0 END"
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights ∝ sqrt(token count), normalized to
+    ppm: the temperature-T=2 source-rebalancing rule (upsample small
+    sources, damp huge ones) used by multilingual LM pipelines.
+
+    Distributed shape: one partial-agg groupBy(source) over a map-side
+    token count, then scalar normalization over the (tiny) source
+    dimension via an unpartitioned window — safe because the window input
+    is one row per SOURCE, not per document."""
+    docs = _docs_parallel(spark, sf_dir)
+    per = (
+        docs.select("source", F.size(T.tokens()).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+        .withColumn("s0", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+        .withColumn("sqrt_tokens", _isqrt_col("n_tokens"))
+        .drop("s0")
+    )
+    total = F.sum("sqrt_tokens").over(Window.partitionBy())
+    return (
+        per.select(
+            "source",
+            "n_tokens",
+            "sqrt_tokens",
+            F.expr(f"CAST(sqrt_tokens * {MIX_SCALE} AS LONG)")
+            .alias("_num"),
+            total.alias("_tot"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "sqrt_tokens",
+            F.expr("CAST(_num div greatest(_tot, 1) AS LONG)").alias(
+                "weight_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _ntile_stage(rank: str, n: str, k: int) -> F.Column:
+    """Exact NTILE(k) group (1-based) from a 0-based global rank: the
+    first (n mod k) tiles hold ceil(n/k) rows, the rest floor(n/k) —
+    SQL-standard NTILE semantics in pure integer arithmetic."""
+    return F.expr(
+        f"CAST(CASE WHEN {rank} < ({n} % {k}) * (({n} div {k}) + 1) "
+        f"THEN {rank} div (({n} div {k}) + 1) "
+        f"ELSE ({n} % {k}) + ({rank} - ({n} % {k}) * (({n} div {k}) + 1)) "
+        f"div greatest({n} div {k}, 1) END + 1 AS LONG)"
+    )
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: difficulty = mean token length (permille,
+    n_chars·1000 div n_tokens — longer words ≈ harder text), corpus
+    ordered by (difficulty, doc_id) and cut into N_STAGES NTILE tiles;
+    one row per stage with doc/token totals and the difficulty span.
+
+    Distributed shape: the global rank is the two-phase prefix scan
+    (range partition → local window → broadcast offsets), so no single
+    task ever sees the whole corpus; the NTILE arithmetic is then
+    map-side and the stage rollup is a 4-group partial agg."""
+    docs = _docs_parallel(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.size(T.tokens()).cast("long").alias("n_tokens"),
+        F.expr("CAST(n_chars * 1000 div greatest("
+               "size(split(trim(text), '\\\\s+')), 1) AS LONG)")
+        .alias("difficulty"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    n_total = base.count()
+    ranked = exclusive_prefix_sum(
+        base, ["difficulty", "doc_id"], "one", out_col="rank"
+    )
+    staged = ranked.withColumn(
+        "stage", _ntile_stage("rank", str(n_total), N_STAGES)
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("difficulty").cast("long").alias("min_difficulty"),
+            F.max("difficulty").cast("long").alias("max_difficulty"),
+        )
+        .orderBy("stage")
+    )
+
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal summary: connected components over
+    verified pairs (Jaccard ≥ 0.5), keep the min-id doc per cluster and
+    every unclustered doc; per-source kept/removed counts — the actual
+    corpus-shrink report of a FineWeb-style dedup stage.
+
+    Distributed shape: reuses the session-shared verified-pairs
+    materialization (bucketed LSH + estimate-first verify — never an
+    all-pairs join), min-label components to exact fixpoint, then one
+    LEFT join of the (tiny) label table into the corpus scan and a
+    per-source partial agg."""
+    docs = _docs_parallel(spark, sf_dir)
+    strong = _verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
+    )
+    labels = connected_components(strong).withColumnRenamed("n", "doc_id")
+    kept = F.when(
+        F.col("label").isNull() | (F.col("label") == F.col("doc_id")), 1
+    ).otherwise(0)
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select("source", kept.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("n_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality gate: each source keeps docs with
+    quality ≥ its own exact median (the value at ascending rank
+    ceil(n/2), ties broken by doc_id). Reports per-source medians and
+    kept counts — the domain-adaptive threshold that a fixed global
+    cutoff gets wrong when sources differ in style.
+
+    Distributed shape: all windows are PARTITIONED by source, so every
+    source ranks in parallel and no global sort exists; the median rows
+    (one per source) broadcast back onto the per-source aggregate."""
+    docs = T.with_quality_score(_docs_parallel(spark, sf_dir))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = docs.select(
+        "source",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    medians = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        "source", F.col("quality").alias("median_q")
+    )
+    per = docs.select("source", "quality").join(
+        F.broadcast(medians), "source"
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.first("median_q").cast("long").alias("median_q"),
+            F.sum(
+                (F.col("quality") >= F.col("median_q")).cast("long")
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUALITY_EXPR = f"""
+  SELECT doc_id, source,
+         CAST((LEAST(n, 100) * 30) // 100
+              + CASE WHEN n > 0 AND stops * 1000 // n BETWEEN 50 AND 600
+                     THEN 35 ELSE 0 END
+              + CASE WHEN n > 0 AND sumc * 1000 // n BETWEEN 3000 AND 8000
+                     THEN 35 ELSE 0 END AS BIGINT) AS quality
+  FROM (
+    SELECT doc_id, source,
+           CAST(len(toks) AS BIGINT) AS n,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sumc,
+           CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS BIGINT)
+             AS stops
+    FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+  )
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "pipe_temperature_mix": rf"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+e AS (SELECT source, n_tokens,
+             CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS s0 FROM s),
+r AS (
+  SELECT source, n_tokens,
+         CASE WHEN s0 * s0 > n_tokens THEN s0 - 1
+              WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+              ELSE s0 END AS sqrt_tokens
+  FROM e
+)
+SELECT source, n_tokens, sqrt_tokens,
+       CAST(sqrt_tokens * {MIX_SCALE}
+            // GREATEST(SUM(sqrt_tokens) OVER (), 1) AS BIGINT) AS weight_ppm
+FROM r ORDER BY source
+""",
+    "pipe_curriculum_stages": rf"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(n_chars * 1000
+              // GREATEST(len({_TOKS}), 1) AS BIGINT) AS difficulty
+  FROM documents
+),
+t AS (
+  SELECT n_tokens, difficulty,
+         CAST(NTILE({N_STAGES}) OVER (ORDER BY difficulty, doc_id) AS BIGINT)
+           AS stage
+  FROM b
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+       CAST(MAX(difficulty) AS BIGINT) AS max_difficulty
+FROM t GROUP BY stage ORDER BY stage
+""",
+    "pipe_dedup_keep": (
+        _MINHASH_CORE
+        + f"""
+, strong AS (
+  SELECT doc_a, doc_b FROM jpairs WHERE jaccard_millis >= {CLUSTER_JACCARD_MIN}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM strong
+  UNION ALL
+  SELECT doc_b, doc_a FROM strong
+),
+members AS (SELECT DISTINCT a AS n FROM und),
+comp AS (
+  WITH RECURSIVE r(n, lbl) AS (
+    SELECT n, n FROM members
+    UNION
+    SELECT u.b, r.lbl FROM r JOIN und u ON u.a = r.n WHERE r.lbl < u.b
+  )
+  SELECT n, MIN(lbl) AS lbl FROM r GROUP BY n
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.n IS NULL OR c.lbl = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.n IS NULL OR c.lbl = d.doc_id
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+    ),
+    "pipe_quality_median_filter": rf"""
+WITH q AS ({_QUALITY_EXPR}),
+r AS (
+  SELECT source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM q
+),
+m AS (SELECT source, quality AS median_q FROM r WHERE rn = (n + 1) // 2)
+SELECT q.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ANY_VALUE(m.median_q) AS BIGINT) AS median_q,
+       CAST(SUM(CASE WHEN q.quality >= m.median_q THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM q JOIN m USING (source)
+GROUP BY q.source ORDER BY q.source
+""",
+}
+
+
+QUERIES = {
+    "pipe_temperature_mix": q_temperature_mix,
+    "pipe_curriculum_stages": q_curriculum_stages,
+    "pipe_dedup_keep": q_dedup_keep,
+    "pipe_quality_median_filter": q_quality_median_filter,
+}

@@ -88,6 +88,8 @@ def test_no_duplicate_query_keys_across_plan_modules():
         "beyond",
         "curation",
         "embed",
+        "filtering",
+        "mixing",
     ):
         try:
             m = importlib.import_module(f"kremis_spark.plans.{mod}")

@@ -1,0 +1,105 @@
+"""Invariant tests for the mixing/scheduling family (plans/mixing.py).
+
+The oracle hash-equality itself is covered by test_analytics_oracle.py;
+these pin the semantic invariants that a hash can't explain when it
+breaks: NTILE group sizing, isqrt exactness, mixture normalization,
+median-gate keep bounds, and dedup-keep conservation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kremis_spark.plans import mixing
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_isqrt_exact_near_perfect_squares(spark):
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 2**40 - 1, 2**40, 2**40 + 1,
+            (10**9 + 7) ** 2 - 1, (10**9 + 7) ** 2, (10**9 + 7) ** 2 + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "n_tokens LONG")
+    out = (
+        df.withColumn("s0", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+        .withColumn("isq", mixing._isqrt_col("n_tokens"))
+        .collect()
+    )
+    import math
+
+    for r in out:
+        assert int(r["isq"]) == math.isqrt(int(r["n_tokens"])), r
+
+
+def test_temperature_mix_normalizes_and_dampens(spark):
+    rows = mixing.q_temperature_mix(spark, SF_DIR).collect()
+    assert rows, "no sources"
+    total_ppm = sum(int(r["weight_ppm"]) for r in rows)
+    # floor division loses at most (n_sources - 1) ppm
+    assert mixing.MIX_SCALE - len(rows) < total_ppm <= mixing.MIX_SCALE
+    # temperature flattening: weight ratios are strictly tighter than
+    # token-count ratios for any two unequal sources
+    rows = sorted(rows, key=lambda r: int(r["n_tokens"]))
+    lo, hi = rows[0], rows[-1]
+    if int(lo["n_tokens"]) < int(hi["n_tokens"]):
+        assert (
+            int(hi["weight_ppm"]) * int(lo["n_tokens"])
+            < int(lo["weight_ppm"]) * int(hi["n_tokens"])
+        )
+
+
+def test_curriculum_stage_sizes_are_ntile(spark):
+    rows = mixing.q_curriculum_stages(spark, SF_DIR).collect()
+    assert [int(r["stage"]) for r in rows] == list(
+        range(1, mixing.N_STAGES + 1)
+    )
+    sizes = [int(r["n_docs"]) for r in rows]
+    n = sum(sizes)
+    k = mixing.N_STAGES
+    expect = [n // k + (1 if i < n % k else 0) for i in range(k)]
+    assert sizes == expect
+    # stages are difficulty-ordered: spans never go backwards
+    for a, b in zip(rows, rows[1:]):
+        assert int(a["min_difficulty"]) <= int(a["max_difficulty"])
+        assert int(a["max_difficulty"]) <= int(b["min_difficulty"])
+
+
+def test_ntile_emulation_matches_sql_semantics(spark):
+    # exhaustive small-N check of the integer NTILE emulation
+    for n in range(1, 23):
+        df = spark.createDataFrame(
+            [(i,) for i in range(n)], "rank LONG"
+        ).withColumn("stage", mixing._ntile_stage("rank", str(n), 4))
+        got = [int(r["stage"]) for r in df.orderBy("rank").collect()]
+        k = 4
+        expect = []
+        for r in range(n):
+            big = n // k + 1
+            if r < (n % k) * big:
+                expect.append(r // big + 1)
+            else:
+                expect.append((n % k) + (r - (n % k) * big) // (n // k) + 1)
+        assert got == expect, f"n={n}"
+
+
+def test_dedup_keep_conserves_and_removes_only_clustered(spark):
+    per = mixing.q_dedup_keep(spark, SF_DIR).collect()
+    from kremis_spark.plans.pipeline import _docs_parallel, q_dup_clusters
+
+    n_docs = _docs_parallel(spark, SF_DIR).count()
+    assert sum(int(r["n_docs"]) for r in per) == n_docs
+    for r in per:
+        assert int(r["n_kept"]) + int(r["n_removed"]) == int(r["n_docs"])
+    clusters = q_dup_clusters(spark, SF_DIR).collect()
+    # every cluster of size s removes exactly s-1 docs corpus-wide
+    expect_removed = sum(int(c["n_docs"]) - 1 for c in clusters)
+    assert sum(int(r["n_removed"]) for r in per) == expect_removed
+
+
+def test_quality_median_filter_bounds(spark):
+    rows = mixing.q_quality_median_filter(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        n, kept = int(r["n_docs"]), int(r["n_kept"])
+        # at least the upper half qualifies (>= median), never more than all
+        assert n - (n + 1) // 2 + 1 <= kept <= n
