@@ -114,6 +114,9 @@ def _dfs_strongest(
     return best_path
 
 
+PATH_BCAST_MAX_EDGES = 2_000_000
+
+
 def strongest_path_distributed(
     state: GraphState,
     start: int,
@@ -128,16 +131,65 @@ def strongest_path_distributed(
     top-N heaviest partial paths per endpoint per round — an admissible-
     enough heuristic for huge graphs, exact when ``beam is None``.
 
+    When the edge set fits a broadcast (≤ PATH_BCAST_MAX_EDGES rows) the
+    per-level join is a broadcast hash join, turning every extension into
+    a map-only stage over the (potentially huge) frontier — no shuffle of
+    the path arrays at all; past the threshold it falls back to the
+    shuffle join. Either way the frontier side never collects.
+
     Returns a 1-row DataFrame ``(path ARRAY<LONG>, total_weight LONG)``
     (empty if unreachable). Tie-break matches the reference: max weight,
     then lexicographically smallest path.
     """
     spark = state.spark
     edges = state.edges.select("src", "dst", F.greatest("weight", F.lit(0)).alias("w"))
+    bcast = state.edge_count() <= PATH_BCAST_MAX_EDGES
+    if bcast:
+        edges = F.broadcast(edges)
 
     frontier = spark.createDataFrame(
         [(start, [start], 0)], "node LONG, path ARRAY<LONG>, total_weight LONG"
     )
+
+    if bcast and beam is None:
+        # Broadcast fast path: one LAZY left-join chain instead of a
+        # materialized job per level. Terminal rows (node == end) are
+        # excluded from the join condition so they pass through
+        # unextended — every level has ONE consumer, which removes the
+        # recompute-doubling that forced the per-level localCheckpoint.
+        # All joins are broadcast hash joins → the whole depth-d
+        # enumeration is one narrow-stage Spark job. Dead-end rows ride
+        # along unextended and fall out at the final node == end filter.
+        base = state.edges.select(
+            "src", "dst", F.greatest("weight", F.lit(0)).alias("w")
+        )
+        for i in range(max_depth):
+            # fresh alias per level: the same edge relation appears once
+            # per level in one lazy plan, so qualified names are required
+            e = F.broadcast(base.alias(f"__e{i}"))
+            dst, src, w = (F.col(f"__e{i}.{c}") for c in ("dst", "src", "w"))
+            j = frontier.join(
+                e,
+                (frontier["node"] == src)
+                & (frontier["node"] != F.lit(end))
+                & ~F.array_contains(frontier["path"], dst),
+                "left",
+            )
+            frontier = j.select(
+                F.coalesce(dst, frontier["node"]).alias("node"),
+                F.when(dst.isNull(), frontier["path"])
+                .otherwise(F.concat(frontier["path"], F.array(dst)))
+                .alias("path"),
+                (frontier["total_weight"] + F.coalesce(w, F.lit(0))).alias(
+                    "total_weight"
+                ),
+            )
+        return (
+            frontier.filter(F.col("node") == end)
+            .select("path", "total_weight")
+            .orderBy(F.desc("total_weight"), F.asc("path"))
+            .limit(1)
+        )
     # Per-level end-hit slices are views over the (already checkpointed)
     # frontier — accumulate lazily and union once at the end instead of
     # forcing a materialization job per level.

@@ -284,7 +284,26 @@ def _sparse_strongest_path(
     return result
 
 
+_ANCHORS_CACHE: dict[
+    tuple[str, str], tuple[int | None, int | None, GraphState | None]
+] = {}
+
+
 def _sparse_anchors(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int | None, int | None, GraphState | None]:
+    """Memoized per (app, sf): the anchor probe (threshold scan + BFS to
+    the farthest node) is invariant between commits and shared by the
+    exact and the distributed strongest-path gate queries."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ANCHORS_CACHE:
+        return _ANCHORS_CACHE[key]
+    result = _sparse_anchors_uncached(spark, sf_dir)
+    _ANCHORS_CACHE[key] = result
+    return result
+
+
+def _sparse_anchors_uncached(
     spark: SparkSession, sf_dir: str
 ) -> tuple[int | None, int | None, GraphState | None]:
     """(start, end, sparsified_state) shared by the exact and the
