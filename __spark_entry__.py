@@ -15,73 +15,67 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The grading driver runs CORRECTNESS verdicts for the FIRST 50 entries in
-# queries() dict order. This priority list interleaves every operator
-# family into that window: the full reference §2 graph surface (27) plus
-# representatives of dedup, ANN, streaming, sketches, TPC-H, text
-# analysis, curation, and multimodal. The remaining queries keep their
-# original relative order after these.
+# queries() dict order. Rounds 1-4 verified a fixed window (50/50 green in
+# CORRECTNESS_r04.json); round 5 ROTATES the window: one already-green
+# sentinel per operator family stays (regression canary), and the
+# remaining ~33 slots go to queries that have never received a driver
+# verdict (all of extended TPC-H, window/funnel/retention analytics,
+# k-core, k-means, mixing, ...). The remaining queries keep their original
+# relative order after these — prior-round green rows are still exercised
+# by tests/test_analytics_oracle.py at sf0.001 every pytest run.
 _PRIORITY_FIRST_50 = [
-    # reference §2 graph surface (complete)
-    "graph_nodes",
-    "graph_edges",
-    "graph_properties_table",
-    "graph_lookup",
-    "graph_properties",
-    "graph_intersect",
-    "graph_topk_edges",
-    "graph_status",
-    "graph_stage",
-    "graph_bfs_levels",
-    "graph_bfs_filtered",
-    "graph_traverse_subgraph",
-    "graph_confidence",
-    "graph_strongest_path",
-    "graph_strongest_path_dist",
-    "graph_extract_path",
-    "graph_metrics",
-    "graph_traverse_dfs",
-    "graph_path_confidence",
-    "graph_components",
-    "graph_triangles",
-    "graph_pagerank",
-    "graph_degree_hist",
-    "graph_link_prediction",
-    "graph_harmonic_centrality",
-    "graph_label_propagation",
-    "graph_sssp",
-    # dedup family
-    "pipe_dedup_exact",
-    "pipe_dedup_minhash",
-    "pipe_simhash",
-    "pipe_dup_clusters",
-    # ANN / embeddings family
-    "pipe_ann_cosine_topk",
-    "pipe_ann_ivf_topk",
-    "pipe_ann_pq",
-    "pipe_ann_recall",
-    # streaming family
-    "stream_window_counts",
-    "stream_running_totals",
-    "stream_stream_join",
-    # sketch family
-    "events_cms_user_counts",
-    "events_bloom_membership",
-    "events_hll_distinct",
-    # TPC-H family
-    "tpch_q1_pricing",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier",
-    # text analysis family
-    "pipe_quality",
-    # data selection family
-    "pipe_dup_ngram_coverage",
-    # events / sessionization
-    "events_sessionization",
-    # curation family
-    "pipe_seq_pack",
-    "pipe_decontaminate",
-    # multimodal plumbing
-    "pipe_multimodal_decode",
+    # --- family sentinels (driver-green in r04, kept as canaries) ---
+    "graph_nodes",               # ingest family
+    "graph_lookup",              # point lookup
+    "graph_bfs_levels",          # traversal
+    "graph_traverse_dfs",        # DFS (golden-rows oracle)
+    "graph_strongest_path",      # reference path algorithm
+    "graph_strongest_path_dist", # distributed path variant
+    "graph_metrics",             # metrics family
+    "graph_pagerank",            # iterative graph algorithms
+    "graph_link_prediction",     # wedge join (hub-cap guarded this round)
+    "pipe_dedup_minhash",        # dedup family
+    "pipe_ann_cosine_topk",      # ANN family
+    "stream_window_counts",      # streaming family
+    "events_hll_distinct",       # sketch family
+    "tpch_q1_pricing",           # TPC-H family
+    "pipe_quality",              # text-analysis family
+    "pipe_seq_pack",             # curation family
+    "events_sessionization",     # events family
+    "pipe_multimodal_decode",    # multimodal plumbing
+    # --- never-driver-checked rotation (first verdict this round) ---
+    "graph_kcore",
+    "tpch_q3_toporders",
+    "tpch_q5_nation_revenue",
+    "tpch_q6_forecast",
+    "tpch_q7_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returns",
+    "tpch_q12_priority_class",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_or_predicates",
+    "tpch_q22_idle_customers",
+    "events_funnel",
+    "events_retention",
+    "events_asof_attribution",
+    "win_rolling_revenue",
+    "win_top_customer_per_nation",
+    "pipe_lang_id",
+    "pipe_tfidf_top_terms",
+    "pipe_bpe_train",
+    "pipe_token_stats",
+    "pipe_dedup_incremental",
+    "pipe_semdedup",
+    "pipe_ngram_jaccard",
+    "pipe_ann_lsh_topk",
+    "pipe_kmeans_train",
+    "pipe_temperature_mix",
+    "pipe_curriculum_stages",
 ]
 
 

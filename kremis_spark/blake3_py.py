@@ -1,0 +1,147 @@
+"""Pure-Python BLAKE3 (hash mode only).
+
+Vendored so ``state_hash`` (canonical.py) matches the reference engine's
+certificate state hash (kremis-core/src/export.rs:498,
+certificate.rs:253-256 — both use the ``blake3`` crate) in environments
+where the compiled ``blake3`` wheel is unavailable.
+
+Implemented from the public BLAKE3 specification
+("BLAKE3: one function, fast everywhere", O'Connor, Aumasson, Neves,
+Wilcox-O'Hearn — https://github.com/BLAKE3-team/BLAKE3-specs). Plain
+hash mode with 32-byte output only (no keyed mode, no derive-key, no
+extended output): that is the only mode the reference uses.
+
+Design notes
+------------
+* The compression core is the BLAKE2s G function (rotations 16/12/8/7)
+  over a 4x4 uint32 state; 7 rounds; the BLAKE3 message permutation
+  [2,6,3,10,7,0,4,13,1,11,12,5,9,14,15,8] applied between rounds.
+* Input is split into 1024-byte chunks (16 x 64-byte blocks); chunks are
+  leaves of a left-complete binary tree whose left subtree always holds
+  the largest power-of-two number of chunks strictly smaller than the
+  total. Parent nodes compress the concatenated child chaining values
+  with the PARENT flag, counter 0, block_len 64. The final compression
+  (chunk-last-block when there is a single chunk, else the root parent)
+  carries the ROOT flag.
+* Pure Python runs at roughly 1 MB/s — fine for certificate-sized
+  canonical exports (KB..low MB). ``canonical.state_hash_bytes`` prefers
+  the compiled ``blake3`` module when importable and only falls back
+  here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_IV = (
+    0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+    0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19,
+)
+_PERM = (2, 6, 3, 10, 7, 0, 4, 13, 1, 11, 12, 5, 9, 14, 15, 8)
+
+_CHUNK_START = 1
+_CHUNK_END = 2
+_PARENT = 4
+_ROOT = 8
+
+_BLOCK_LEN = 64
+_CHUNK_LEN = 1024
+_M32 = 0xFFFFFFFF
+
+
+def _g(v: list, a: int, b: int, c: int, d: int, mx: int, my: int) -> None:
+    v[a] = (v[a] + v[b] + mx) & _M32
+    x = v[d] ^ v[a]
+    v[d] = ((x >> 16) | (x << 16)) & _M32
+    v[c] = (v[c] + v[d]) & _M32
+    x = v[b] ^ v[c]
+    v[b] = ((x >> 12) | (x << 20)) & _M32
+    v[a] = (v[a] + v[b] + my) & _M32
+    x = v[d] ^ v[a]
+    v[d] = ((x >> 8) | (x << 24)) & _M32
+    v[c] = (v[c] + v[d]) & _M32
+    x = v[b] ^ v[c]
+    v[b] = ((x >> 7) | (x << 25)) & _M32
+
+
+def _compress(
+    cv: tuple, block_words: tuple, counter: int, block_len: int, flags: int
+) -> list:
+    """One BLAKE3 compression; returns the full 16-word output state."""
+    v = [
+        cv[0], cv[1], cv[2], cv[3], cv[4], cv[5], cv[6], cv[7],
+        _IV[0], _IV[1], _IV[2], _IV[3],
+        counter & _M32, (counter >> 32) & _M32, block_len, flags,
+    ]
+    m = block_words
+    for rnd in range(7):
+        _g(v, 0, 4, 8, 12, m[0], m[1])
+        _g(v, 1, 5, 9, 13, m[2], m[3])
+        _g(v, 2, 6, 10, 14, m[4], m[5])
+        _g(v, 3, 7, 11, 15, m[6], m[7])
+        _g(v, 0, 5, 10, 15, m[8], m[9])
+        _g(v, 1, 6, 11, 12, m[10], m[11])
+        _g(v, 2, 7, 8, 13, m[12], m[13])
+        _g(v, 3, 4, 9, 14, m[14], m[15])
+        if rnd < 6:
+            m = tuple(m[p] for p in _PERM)
+    for i in range(8):
+        v[i] ^= v[i + 8]
+        v[i + 8] ^= cv[i]
+    return v
+
+
+def _words(block: bytes) -> tuple:
+    if len(block) < _BLOCK_LEN:
+        block = block + b"\x00" * (_BLOCK_LEN - len(block))
+    return struct.unpack("<16I", block)
+
+
+def _chunk_cv(chunk: bytes, chunk_counter: int, root: bool) -> list:
+    """Chaining value of one <=1024-byte chunk (or root state words)."""
+    # An empty chunk (empty input only) is a single zero-length block.
+    blocks = [chunk[i : i + _BLOCK_LEN] for i in range(0, len(chunk), _BLOCK_LEN)]
+    if not blocks:
+        blocks = [b""]
+    cv = _IV
+    last = len(blocks) - 1
+    for i, blk in enumerate(blocks):
+        flags = 0
+        if i == 0:
+            flags |= _CHUNK_START
+        if i == last:
+            flags |= _CHUNK_END
+            if root:
+                flags |= _ROOT
+        out = _compress(cv, _words(blk), chunk_counter, len(blk), flags)
+        cv = tuple(out[:8])
+    return out
+
+
+def _subtree_cv(data: bytes, chunk_counter: int) -> tuple:
+    """Chaining value of the subtree over ``data`` (never the root)."""
+    if len(data) <= _CHUNK_LEN:
+        return tuple(_chunk_cv(data, chunk_counter, root=False)[:8])
+    n_chunks = (len(data) + _CHUNK_LEN - 1) // _CHUNK_LEN
+    # Left subtree: largest power of two strictly below n_chunks.
+    left_chunks = 1 << (n_chunks - 1).bit_length() - 1
+    split = left_chunks * _CHUNK_LEN
+    lcv = _subtree_cv(data[:split], chunk_counter)
+    rcv = _subtree_cv(data[split:], chunk_counter + left_chunks)
+    return tuple(
+        _compress(_IV, lcv + rcv, 0, _BLOCK_LEN, _PARENT)[:8]
+    )
+
+
+def blake3_digest(data: bytes) -> bytes:
+    """32-byte BLAKE3 hash of ``data`` (plain hash mode)."""
+    if len(data) <= _CHUNK_LEN:
+        out = _chunk_cv(data, 0, root=True)
+        return struct.pack("<8I", *out[:8])
+    n_chunks = (len(data) + _CHUNK_LEN - 1) // _CHUNK_LEN
+    left_chunks = 1 << (n_chunks - 1).bit_length() - 1
+    split = left_chunks * _CHUNK_LEN
+    lcv = _subtree_cv(data[:split], 0)
+    rcv = _subtree_cv(data[split:], left_chunks)
+    out = _compress(_IV, lcv + rcv, 0, _BLOCK_LEN, _PARENT | _ROOT)
+    return struct.pack("<8I", *out[:8])

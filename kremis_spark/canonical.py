@@ -12,11 +12,11 @@ Spark determinism contract: every table is ``orderBy``-ed before collect —
 nodes by id, edges by (from, to), properties by (node, attr, value) —
 matching the reference's BTreeMap iteration order (export.rs:201-239).
 
-Crypto hash: the reference uses BLAKE3 (export.rs:498). This container
-has no blake3 wheel, so ``state_hash`` uses ``hashlib.blake2b(digest_size
-=32)`` and records the algorithm; drop-in ``blake3`` is used when
-importable. The certificate *format* is independent of which hash fills
-the 32-byte field.
+Crypto hash: the reference uses BLAKE3 (export.rs:498). ``state_hash``
+uses the compiled ``blake3`` wheel when importable, else the vendored
+pure-Python BLAKE3 (blake3_py.py) — output is identical either way, so a
+certificate state hash produced here equals one produced by the
+reference over the same canonical bytes.
 """
 
 from __future__ import annotations
@@ -318,15 +318,19 @@ def verify_canonical(state, data: bytes) -> bool:
 
 
 def state_hash_bytes(data: bytes) -> bytes:
-    """32-byte crypto hash of the canonical export. blake3 when available
-    (reference parity, export.rs:498), else blake2b-256 (documented
-    deviation — same role, different algorithm)."""
+    """32-byte BLAKE3 of the canonical export (reference parity,
+    export.rs:498). Uses the compiled ``blake3`` wheel when importable,
+    else the vendored pure-Python implementation (blake3_py.py) —
+    identical output either way, so cross-engine certificate state-hash
+    interop holds in any environment."""
     try:
         import blake3  # type: ignore
 
         return blake3.blake3(data).digest()
     except ImportError:
-        return hashlib.blake2b(data, digest_size=32).digest()
+        from kremis_spark.blake3_py import blake3_digest
+
+        return blake3_digest(data)
 
 
 def state_hash_of(state) -> bytes:

@@ -294,18 +294,23 @@ def sig_agreement_filter(
     pairs: DataFrame,
     sigs: DataFrame,
     id_col: str = "doc_id",
-    min_matches: int = MIN_SIG_MATCHES,
+    min_matches: int | None = MIN_SIG_MATCHES,
 ) -> DataFrame:
     """Keep candidate pairs whose MinHash signatures agree on at least
     ``min_matches`` of the NUM_HASHES components (an unbiased Jaccard
-    estimate at resolution 1/NUM_HASHES). Runs between banding and exact
-    verification: integer column compares on signature rows, no shingle
-    sets touched.
+    estimate at resolution 1/NUM_HASHES). ``None`` disables the filter
+    and returns ``pairs`` unchanged — the same contract as the candidate
+    generators (a raw None reaching the predicate would build a NULL
+    comparison that silently drops every pair). Runs between banding and
+    exact verification: integer column compares on signature rows, no
+    shingle sets touched.
 
     Scale shape: the signature fact (one row per doc) is first cut to
     candidate docs with a broadcast semi-join on the (small) pair list;
     the per-pair compare then broadcasts those candidate signatures —
     never the corpus-wide signature table."""
+    if min_matches is None:
+        return pairs.select("doc_a", "doc_b")
     ids = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))

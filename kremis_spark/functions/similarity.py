@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 
 SCALE = 1_000_000
 N_PLANES = 8
+# Embedding width of the testdata corpus. Single source of truth: the
+# ANN/PQ plans and their generated oracle SQL (plans/embed.py) import it,
+# so a width change cannot desynchronize query and oracle.
+EMB_DIM = 64
 
 
 def integerize(col: Column) -> Column:
@@ -48,7 +52,7 @@ def cosine_col(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     )
 
 
-def hyperplanes(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[int]]:
     """Deterministic pseudo-random ±1 hyperplanes: component i of plane p
     is +1 iff the first hex digit of md5('p:i') is odd. Precomputed in
     Python (same md5 → same planes can be regenerated anywhere)."""

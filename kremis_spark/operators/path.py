@@ -115,6 +115,12 @@ def _dfs_strongest(
 
 
 PATH_BCAST_MAX_EDGES = 2_000_000
+# The lazy broadcast-join fast path builds ONE Catalyst plan with
+# max_depth chained self-joins; past ~16 levels analysis/codegen cost and
+# unbarriered exact path enumeration dominate, so deeper searches use the
+# per-level materialized loop (localCheckpoint barrier per level) even
+# when the edge set would broadcast.
+PATH_BCAST_MAX_DEPTH = 16
 
 
 def strongest_path_distributed(
@@ -151,7 +157,7 @@ def strongest_path_distributed(
         [(start, [start], 0)], "node LONG, path ARRAY<LONG>, total_weight LONG"
     )
 
-    if bcast and beam is None:
+    if bcast and beam is None and max_depth <= PATH_BCAST_MAX_DEPTH:
         # Broadcast fast path: one LAZY left-join chain instead of a
         # materialized job per level. Terminal rows (node == end) are
         # excluded from the join condition so they pass through

@@ -93,7 +93,7 @@ def _run_stream(
     name: str,
     mode: str,
     partitions: int | None = None,
-    skip_nodata: bool | None = None,
+    eager_emit: bool = False,
 ) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink.
 
@@ -115,15 +115,18 @@ def _run_stream(
     # The trailing no-data micro-batch only advances the watermark to
     # finalize/evict state; skipping it removes one state-store
     # open/commit cycle per partition (~40% of gate latency). It is safe
-    # ONLY when results emit in the data batch itself: complete-mode
-    # aggs re-emit everything each batch (safe by construction →
-    # default), but append/update sinks emit on watermark-FINALIZATION
-    # unless the operator is eager (inner interval join, NoTimeout
-    # custom state) — those call sites must opt in explicitly via
-    # skip_nodata=True; an un-annotated append-mode windowed agg keeps
-    # the no-data batch and stays correct.
-    if skip_nodata is None:
-        skip_nodata = mode == "complete"
+    # ONLY when results emit in the data batch itself. That invariant is
+    # the ``eager_emit`` parameter, not a comment: complete-mode aggs
+    # re-emit everything each batch (eager by construction), while
+    # append/update sinks emit on watermark-FINALIZATION unless the call
+    # site DECLARES its operator eager (inner interval join, NoTimeout
+    # custom state) by passing eager_emit=True. An un-annotated
+    # append-mode windowed agg keeps the no-data batch and stays correct.
+    if eager_emit and mode == "complete":
+        raise ValueError(
+            "eager_emit is redundant for complete mode — drop the flag"
+        )
+    skip_nodata = eager_emit or mode == "complete"
     if skip_nodata:
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", "false"
@@ -182,7 +185,7 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         # NoTimeout custom state emits per data batch — no finalization
         # depends on the trailing no-data batch
-        skip_nodata=True,
+        eager_emit=True,
     )
 
 
@@ -286,7 +289,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitions=4,
         # inner interval join emits matches eagerly in the data batch;
         # the watermark only evicts state afterwards
-        skip_nodata=True,
+        eager_emit=True,
     )
 
 

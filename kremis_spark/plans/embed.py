@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kremis_spark.functions.similarity import (
+    # Testdata embedding width; oracle SQL is generated for it. Shared
+    # with the LSH hyperplane generator so both sides track one constant.
+    EMB_DIM,
     IVF_NPROBE,
     cosine_col,
     fps_seeds_cte,
@@ -44,7 +47,6 @@ from kremis_spark.plans.pipeline import fps_seed_vectors, prepared_cached
 SQ_LEVELS = 255
 ANN_K = 10
 KMEANS_K = 8
-EMB_DIM = 64  # testdata embedding width; oracle SQL is generated for this
 PQ_M = 4  # product-quantization subspaces (dim 64 → 16 dims each)
 PQ_K = 16  # codebook entries per subspace
 

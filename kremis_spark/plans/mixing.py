@@ -47,6 +47,12 @@ from kremis_spark.plans.pipeline import (
 )
 
 N_STAGES = 4  # curriculum tiles
+# Broadcast the dedup cluster-label table only while it is genuinely
+# small: one (doc_id, label) long pair per clustered doc ≈ 16 B + row
+# overhead → 5M rows ≈ low-hundreds MB broadcast, the usual ceiling. A
+# dup-heavy corpus can push labels to a large corpus fraction, where the
+# left join must shuffle instead.
+DEDUP_LABELS_BCAST_MAX = 5_000_000
 MIX_SCALE = 1_000_000  # ppm
 
 
@@ -160,19 +166,27 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed shape: reuses the session-shared verified-pairs
     materialization (bucketed LSH + estimate-first verify — never an
     all-pairs join), min-label components to exact fixpoint, then one
-    LEFT join of the (tiny) label table into the corpus scan and a
-    per-source partial agg."""
+    LEFT join of the label table into the corpus scan and a per-source
+    partial agg. The label table holds one row per CLUSTERED doc — tiny
+    for a mostly-unique corpus but a large corpus fraction in a dup-heavy
+    one, so the broadcast is GATED on its row count (same adaptive
+    pattern as the path/pagerank broadcast thresholds); past the gate the
+    left join shuffles on doc_id."""
     docs = _docs_parallel(spark, sf_dir)
     strong = _verified_pairs(spark, sf_dir).filter(
         F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
     )
     labels = connected_components(strong).withColumnRenamed("n", "doc_id")
+    # connected_components returns a localCheckpoint-ed table: counting
+    # it costs one scan of materialized rows, not a lineage replay.
+    if labels.count() <= DEDUP_LABELS_BCAST_MAX:
+        labels = F.broadcast(labels)
     kept = F.when(
         F.col("label").isNull() | (F.col("label") == F.col("doc_id")), 1
     ).otherwise(0)
     return (
         docs.select("doc_id", "source")
-        .join(F.broadcast(labels), "doc_id", "left")
+        .join(labels, "doc_id", "left")
         .select("source", kept.alias("keep"))
         .groupBy("source")
         .agg(

@@ -34,7 +34,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
+# Session memos, keyed (applicationId, sf_dir). ASSUMPTION: parquet under
+# sf_dir is immutable for the application's lifetime (true for the
+# driver/bench setup). Tests that rewrite an sf_dir in-place must call
+# clear_pipeline_caches() (and graph_queries.clear_query_caches()).
 _DOCS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_pipeline_caches() -> None:
+    """Drop every session memo in this module (docs, signatures, verified
+    pairs, embeddings, FPS seeds)."""
+    for c in (_DOCS_CACHE, _VERIFIED_CACHE, _HASHED_CACHE, _SIGS_CACHE,
+              _EMB_CACHE, _SEED_CACHE):
+        c.clear()
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:

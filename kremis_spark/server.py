@@ -3,10 +3,13 @@
 Routes (``apps/kremis/src/api/mod.rs:211-224``): GET /health /status
 /stage /hash /metrics, POST /signal /signal/retract /signals /query
 /certify /export. Optional bearer-key auth (constant-time compare,
-api/auth.rs), a 2 MiB body cap (api/mod.rs:242), and a global
+api/auth.rs), a 2 MiB body cap (api/mod.rs:242), a global
 token-bucket rate limit (default 100 req/s — the reference's governor
 default, docs/api/overview.mdx:49; /health is exempt so liveness
-probes never starve).
+probes never starve), and a CORS layer (api/mod.rs:100-155): wildcard →
+permissive with an insecure-origin warning, empty → localhost-only,
+else the validated origin list; preflight is answered before auth, as
+in the reference's middleware stack (CORS outermost, mod.rs:165-170).
 
 This facade exists so tooling written against the reference (e.g. its
 fabrication benchmark harness) can drive the Spark engine unchanged. It
@@ -16,6 +19,7 @@ is a thin adapter: all logic lives in ``kremis_spark.api``.
 from __future__ import annotations
 
 import hmac
+import logging
 import os
 import threading
 import time
@@ -29,6 +33,57 @@ from kremis_spark.schema import SIGNALS_SCHEMA
 
 MAX_BODY_BYTES = 2 * 1024 * 1024
 DEFAULT_RATE_PER_SEC = 100
+
+# Restrictive CORS default when no origins are configured
+# (api/mod.rs:142-155 build_localhost_cors).
+LOCALHOST_ORIGINS = (
+    "http://localhost:3000",
+    "http://localhost:8080",
+    "http://127.0.0.1:3000",
+    "http://127.0.0.1:8080",
+)
+CORS_METHODS = "GET, POST, OPTIONS"
+CORS_HEADERS = "Content-Type, Authorization"
+
+_LOG = logging.getLogger(__name__)
+
+
+def _valid_origin(origin: str) -> bool:
+    """An origin usable as a header value: non-empty, ASCII, no spaces or
+    control characters (the reference drops entries that fail HeaderValue
+    parsing, api/mod.rs:117-127)."""
+    return bool(origin) and origin.isascii() and not any(
+        c.isspace() or ord(c) < 0x20 for c in origin
+    )
+
+
+def resolve_cors_origins(origins: list[str] | None) -> list[str] | str:
+    """Mirror of build_cors_layer (api/mod.rs:100-139): returns "*" for
+    permissive mode, else the concrete allowlist. Wildcard anywhere in
+    the list wins (with the reference's insecure warning); an empty or
+    all-invalid list falls back to localhost-only."""
+    origins = origins or []
+    if any(o == "*" for o in origins):
+        _LOG.warning(
+            "CORS: Allowing ALL origins. This is insecure for production!"
+        )
+        return "*"
+    if not origins:
+        _LOG.info("CORS: No origins configured, defaulting to localhost only")
+        return list(LOCALHOST_ORIGINS)
+    allowed = []
+    for o in origins:
+        if _valid_origin(o):
+            _LOG.info("CORS: Allowing origin: %s", o)
+            allowed.append(o)
+        else:
+            _LOG.warning("CORS: Invalid origin '%s'", o)
+    if not allowed:
+        _LOG.warning(
+            "CORS: No valid origins parsed, defaulting to localhost only"
+        )
+        return list(LOCALHOST_ORIGINS)
+    return allowed
 
 
 class TokenBucket:
@@ -58,11 +113,21 @@ def create_app(
     engine: GraphEngine,
     api_key: str | None = None,
     rate_per_sec: float | None = DEFAULT_RATE_PER_SEC,
+    cors_origins: list[str] | None = None,
 ) -> Flask:
     app = Flask("kremis_spark")
     app.config["MAX_CONTENT_LENGTH"] = MAX_BODY_BYTES
     metrics = {"requests": 0, "signals_ingested": 0, "queries": 0}
     bucket = TokenBucket(rate_per_sec) if rate_per_sec else None
+    allowed_origins = resolve_cors_origins(cors_origins)
+
+    def cors_origin_for(req) -> str | None:
+        origin = req.headers.get("Origin")
+        if origin is None:
+            return None
+        if allowed_origins == "*":
+            return "*"
+        return origin if origin in allowed_origins else None
 
     def authed() -> bool:
         if api_key is None:
@@ -74,6 +139,19 @@ def create_app(
     @app.before_request
     def check_auth():
         metrics["requests"] += 1
+        # CORS sits OUTSIDE auth in the reference middleware stack
+        # (api/mod.rs:165-170): browsers send preflights without
+        # Authorization, so OPTIONS is answered here, pre-auth.
+        if request.method == "OPTIONS":
+            resp = app.make_default_options_response()
+            origin = cors_origin_for(request)
+            if origin is not None:
+                resp.headers["Access-Control-Allow-Origin"] = origin
+                resp.headers["Access-Control-Allow-Methods"] = CORS_METHODS
+                resp.headers["Access-Control-Allow-Headers"] = CORS_HEADERS
+                if origin != "*":
+                    resp.headers["Vary"] = "Origin"
+            return resp
         if request.path == "/health":
             return None
         if not authed():
@@ -81,6 +159,15 @@ def create_app(
         if bucket is not None and not bucket.allow():
             return jsonify({"error": "rate limit exceeded"}), 429
         return None
+
+    @app.after_request
+    def add_cors_headers(resp):
+        origin = cors_origin_for(request)
+        if origin is not None and "Access-Control-Allow-Origin" not in resp.headers:
+            resp.headers["Access-Control-Allow-Origin"] = origin
+            if origin != "*":
+                resp.headers["Vary"] = "Origin"
+        return resp
 
     @app.get("/health")
     def health():
@@ -199,10 +286,12 @@ def main() -> None:  # pragma: no cover
     from kremis_spark.session import get_spark
 
     engine = GraphEngine(get_spark("kremis_server"))
+    cors_env = os.environ.get("KREMIS_CORS_ORIGINS", "")
     app = create_app(
         engine,
         api_key=os.environ.get("KREMIS_API_KEY"),
         rate_per_sec=float(os.environ.get("KREMIS_RATE_LIMIT", DEFAULT_RATE_PER_SEC)),
+        cors_origins=[o.strip() for o in cors_env.split(",") if o.strip()],
     )
     app.run(
         host=os.environ.get("KREMIS_HOST", "127.0.0.1"),

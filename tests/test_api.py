@@ -205,3 +205,80 @@ def test_rate_limit_429_and_health_exempt(spark):
     c = app.test_client()
     assert c.get("/status").status_code == 429
     assert c.get("/health").status_code == 200  # liveness never limited
+
+
+# --- CORS (api/mod.rs:100-155 build_cors_layer; api_tests.rs CORS cases) --
+
+
+def _cors_app(spark, origins):
+    engine = GraphEngine(spark)
+    app = create_app(engine, cors_origins=origins)
+    app.testing = True
+    return app.test_client()
+
+
+def test_cors_default_localhost_only(spark):
+    c = _cors_app(spark, None)
+    ok = c.get("/health", headers={"Origin": "http://localhost:3000"})
+    assert ok.headers.get("Access-Control-Allow-Origin") == "http://localhost:3000"
+    bad = c.get("/health", headers={"Origin": "https://evil.example"})
+    assert "Access-Control-Allow-Origin" not in bad.headers
+
+
+def test_cors_wildcard_permissive_with_warning(spark, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="kremis_spark.server"):
+        c = _cors_app(spark, ["https://a.example", "*"])
+    assert any("insecure" in r.message for r in caplog.records)
+    r = c.get("/health", headers={"Origin": "https://anything.example"})
+    assert r.headers.get("Access-Control-Allow-Origin") == "*"
+
+
+def test_cors_explicit_allowlist(spark):
+    c = _cors_app(spark, ["https://app.example"])
+    ok = c.get("/health", headers={"Origin": "https://app.example"})
+    assert ok.headers.get("Access-Control-Allow-Origin") == "https://app.example"
+    assert ok.headers.get("Vary") == "Origin"
+    bad = c.get("/health", headers={"Origin": "http://localhost:3000"})
+    assert "Access-Control-Allow-Origin" not in bad.headers
+
+
+def test_cors_invalid_origins_fall_back_to_localhost(spark, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="kremis_spark.server"):
+        c = _cors_app(spark, ["not valid\x00origin", "  "])
+    assert any("Invalid origin" in r.message for r in caplog.records)
+    ok = c.get("/health", headers={"Origin": "http://127.0.0.1:8080"})
+    assert ok.headers.get("Access-Control-Allow-Origin") == "http://127.0.0.1:8080"
+
+
+def test_cors_preflight_bypasses_auth(spark):
+    engine = GraphEngine(spark)
+    app = create_app(
+        engine, api_key="sekrit", cors_origins=["https://app.example"]
+    )
+    app.testing = True
+    c = app.test_client()
+    # browser preflight: no Authorization header, must still succeed
+    r = c.options(
+        "/query",
+        headers={
+            "Origin": "https://app.example",
+            "Access-Control-Request-Method": "POST",
+            "Access-Control-Request-Headers": "content-type, authorization",
+        },
+    )
+    assert r.status_code < 300
+    assert r.headers.get("Access-Control-Allow-Origin") == "https://app.example"
+    assert "POST" in r.headers.get("Access-Control-Allow-Methods", "")
+    assert "Authorization" in r.headers.get("Access-Control-Allow-Headers", "")
+    # the actual POST without auth still 401s
+    assert c.post("/query", json={}).status_code == 401
+
+
+def test_cors_simple_request_not_blocked(spark):
+    # api_tests.rs test_cors_headers_present: plain /health stays 200
+    c = _cors_app(spark, ["https://app.example"])
+    assert c.get("/health").status_code == 200

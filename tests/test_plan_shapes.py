@@ -116,12 +116,40 @@ def test_link_prediction_wedge_join_broadcasts_below_threshold(spark):
     broadcast-hash join (a z-keyed shuffle join would pile the hottest
     hub's deg² wedges onto one task), and top pairs must come from
     TakeOrderedAndProject, not a global sort."""
-    from kremis_spark.plans.graph_queries import q_link_prediction
+    from kremis_spark.plans.graph_queries import (
+        LP_HUB_DEGREE_CAP,
+        q_link_prediction,
+    )
 
     txt = plan_text(q_link_prediction(spark, SF_DIR), "simple")
     own = txt.split("InMemoryRelation")[0]
     assert "BroadcastHashJoin" in own, txt
     assert "TakeOrderedAndProject" in own, txt
+    # The exact branch must NOT cap hub degrees (oracle exactness).
+    assert f"<= {LP_HUB_DEGREE_CAP}" not in own, txt
+
+
+def test_link_prediction_hub_cap_above_threshold(spark, monkeypatch):
+    """Past LP_BROADCAST_MAX_EDGES the wedge join must drop hub
+    common-neighbors: a filter on deg <= LP_HUB_DEGREE_CAP has to sit on
+    the self-join inputs, bounding per-hub wedge output at cap² instead
+    of a celebrity hub's deg² (the LSH hot-bucket pattern)."""
+    from kremis_spark.plans import graph_queries as gq
+
+    monkeypatch.setattr(gq, "LP_BROADCAST_MAX_EDGES", 0)
+    capped = gq.q_link_prediction(spark, SF_DIR)
+    txt = plan_text(capped, "simple")
+    own = txt.split("InMemoryRelation")[0]
+    assert f"<= {gq.LP_HUB_DEGREE_CAP}" in own, (
+        f"hub-degree cap predicate missing from at-scale plan:\n{txt}"
+    )
+    # The capped result must still equal the exact result when no node
+    # exceeds the cap (true at test scale).
+    monkeypatch.setattr(gq, "LP_BROADCAST_MAX_EDGES", 2_000_000)
+    exact = gq.q_link_prediction(spark, SF_DIR)
+    assert [tuple(r) for r in capped.collect()] == [
+        tuple(r) for r in exact.collect()
+    ]
 
 
 def test_kcore_fixpoint_and_reference_parity(spark):
