@@ -1,0 +1,203 @@
+"""MCP stdio transport for the kremis tool surface.
+
+Mirror of ``apps/kremis-mcp/src/server.rs:117-313``: the 10 tool
+implementations live in :mod:`kremis_spark.mcp_tools`; this module binds
+them to the Model Context Protocol's JSON-RPC 2.0 stdio transport
+(newline-delimited JSON-RPC messages on stdin/stdout) so any MCP client
+can call them. Protocol methods served: ``initialize``, ``ping``,
+``tools/list``, ``tools/call``; ``notifications/*`` are accepted and
+ignored (notifications get no response, per JSON-RPC).
+
+``handle_message`` is a pure request→response function; ``serve`` is the
+blocking stdio loop around it. Tool results use the MCP text-content
+shape ``{"content": [{"type": "text", "text": ...}], "isError": false}``;
+tool-level failures (the reference returns formatted error text, not
+protocol errors, for e.g. a failed ingest) keep ``isError`` false with
+the failure message as text, matching the reference's
+``CallToolResult::success(error text)`` behavior, while unknown tools and
+malformed params are JSON-RPC errors.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Any, TextIO
+
+from kremis_spark.engine import GraphEngine
+from kremis_spark.mcp_tools import TOOLS
+
+PROTOCOL_VERSION = "2024-11-05"
+SERVER_INFO = {"name": "kremis-spark-mcp", "version": "1.0.0"}
+
+_INT = {"type": "integer"}
+_STR = {"type": "string"}
+
+# Input schemas transcribed from the reference's schemars-derived param
+# structs (server.rs:40-103).
+TOOL_SCHEMAS: dict[str, dict[str, Any]] = {
+    "kremis_ingest": {
+        "properties": {
+            "entity_id": {**_INT, "description": "Entity ID for the signal"},
+            "attribute": {**_STR, "description": "Attribute name"},
+            "value": {**_STR, "description": "Attribute value"},
+        },
+        "required": ["entity_id", "attribute", "value"],
+    },
+    "kremis_lookup": {
+        "properties": {"entity_id": {**_INT, "description": "Entity ID to look up"}},
+        "required": ["entity_id"],
+    },
+    "kremis_traverse": {
+        "properties": {
+            "node_id": {**_INT, "description": "Starting node ID"},
+            "depth": {**_INT, "description": "Traversal depth (default 2)"},
+            "top_k": {**_INT, "description": "Keep only the top-K heaviest edges"},
+        },
+        "required": ["node_id"],
+    },
+    "kremis_path": {
+        "properties": {
+            "start": {**_INT, "description": "Start node ID"},
+            "end": {**_INT, "description": "End node ID"},
+        },
+        "required": ["start", "end"],
+    },
+    "kremis_intersect": {
+        "properties": {
+            "nodes": {
+                "type": "array",
+                "items": _INT,
+                "description": "Node IDs to intersect (2..=100)",
+            }
+        },
+        "required": ["nodes"],
+    },
+    "kremis_status": {"properties": {}, "required": []},
+    "kremis_properties": {
+        "properties": {"node_id": {**_INT, "description": "Node ID"}},
+        "required": ["node_id"],
+    },
+    "kremis_retract": {
+        "properties": {
+            "from_entity": {**_INT, "description": "Source entity ID (the edge origin)"},
+            "to_entity": {**_INT, "description": "Target entity ID (the edge destination)"},
+        },
+        "required": ["from_entity", "to_entity"],
+    },
+    "kremis_hash": {"properties": {}, "required": []},
+    "kremis_certify": {
+        "properties": {"entity_id": {**_INT, "description": "Entity ID to certify"}},
+        "required": ["entity_id"],
+    },
+}
+
+# JSON-RPC 2.0 error codes
+PARSE_ERROR = -32700
+METHOD_NOT_FOUND = -32601
+INVALID_PARAMS = -32602
+INTERNAL_ERROR = -32603
+
+
+def _error(msg_id: Any, code: int, message: str) -> dict:
+    return {
+        "jsonrpc": "2.0",
+        "id": msg_id,
+        "error": {"code": code, "message": message},
+    }
+
+
+def _result(msg_id: Any, result: dict) -> dict:
+    return {"jsonrpc": "2.0", "id": msg_id, "result": result}
+
+
+def list_tools() -> list[dict]:
+    return [
+        {
+            "name": name,
+            "description": desc,
+            "inputSchema": {
+                "type": "object",
+                **TOOL_SCHEMAS[name],
+            },
+        }
+        for name, (desc, _fn) in TOOLS.items()
+    ]
+
+
+def _call_tool(engine: GraphEngine, name: str, arguments: dict) -> dict:
+    _desc, fn = TOOLS[name]
+    schema = TOOL_SCHEMAS[name]
+    missing = [k for k in schema["required"] if k not in arguments]
+    if missing:
+        raise TypeError(f"missing required argument(s): {', '.join(missing)}")
+    unknown = [k for k in arguments if k not in schema["properties"]]
+    if unknown:
+        raise TypeError(f"unknown argument(s): {', '.join(unknown)}")
+    text = fn(engine, **arguments)
+    return {"content": [{"type": "text", "text": text}], "isError": False}
+
+
+def handle_message(engine: GraphEngine, msg: dict) -> dict | None:
+    """One JSON-RPC request → response dict (None for notifications)."""
+    msg_id = msg.get("id")
+    method = msg.get("method")
+    if method is None:
+        return _error(msg_id, METHOD_NOT_FOUND, "missing method")
+    if method.startswith("notifications/"):
+        return None
+    if method == "initialize":
+        return _result(
+            msg_id,
+            {
+                "protocolVersion": PROTOCOL_VERSION,
+                "capabilities": {"tools": {}},
+                "serverInfo": SERVER_INFO,
+            },
+        )
+    if method == "ping":
+        return _result(msg_id, {})
+    if method == "tools/list":
+        return _result(msg_id, {"tools": list_tools()})
+    if method == "tools/call":
+        params = msg.get("params") or {}
+        name = params.get("name")
+        if name not in TOOLS:
+            return _error(msg_id, INVALID_PARAMS, f"unknown tool: {name}")
+        try:
+            return _result(
+                msg_id, _call_tool(engine, name, params.get("arguments") or {})
+            )
+        except TypeError as e:
+            return _error(msg_id, INVALID_PARAMS, str(e))
+        except Exception as e:  # tool crash → JSON-RPC internal error
+            return _error(msg_id, INTERNAL_ERROR, f"{type(e).__name__}: {e}")
+    return _error(msg_id, METHOD_NOT_FOUND, f"method not found: {method}")
+
+
+def serve(engine: GraphEngine, stdin: TextIO, stdout: TextIO) -> None:
+    """Blocking newline-delimited JSON-RPC loop (MCP stdio framing)."""
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            msg = json.loads(line)
+        except json.JSONDecodeError as e:
+            resp: dict | None = _error(None, PARSE_ERROR, f"parse error: {e}")
+        else:
+            resp = handle_message(engine, msg)
+        if resp is not None:
+            stdout.write(json.dumps(resp) + "\n")
+            stdout.flush()
+
+
+def main() -> None:  # pragma: no cover
+    from kremis_spark.session import get_spark
+
+    engine = GraphEngine(get_spark("kremis_mcp"))
+    serve(engine, sys.stdin, sys.stdout)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
