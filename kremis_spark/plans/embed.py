@@ -473,6 +473,12 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generated oracle derives from the same constant, so both sides move
 # together.
 SEMDEDUP_K = 16
+# Exact per-cell pair search below this corpus size (covers every
+# oracle-checked SF: sf0.001/0.01/0.1 have ≤2k vectors); above it, hot
+# cells are split by deterministic sign-LSH sub-buckets sized for
+# SEMDEDUP_SUB_TARGET expected members per (cell, sub) search unit.
+SEMDEDUP_EXACT_MAX_VECS = 5_000
+SEMDEDUP_SUB_TARGET = 128
 # Production SemDeDup uses cosine ≥ ~0.95; the synthetic embeddings are
 # near-random (max within-cluster cosine ≈ 0.47), so the gate threshold
 # sits where this corpus has signal — every cluster contributes dup
@@ -500,10 +506,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape: assignment is the shared map-side argmin
     (centroid literals folded as SQL text); the pair search is a
-    self-join ON cell — at scale both sides hash-partition by cell, so
-    each cluster's quadratic work is local to one task and bounded by
-    the K ∝ N sizing; the tails are two partial-aggregated counts.
-    Assignment integers are exact; the pair cosine uses the proven
+    self-join ON cell — both sides hash-partition by cell, so each
+    cluster's quadratic work is local to one task. FPS seeding is
+    inherently sequential (k−1 argmax jobs), so K cannot grow with N;
+    instead, past SEMDEDUP_EXACT_MAX_VECS the search key becomes
+    (cell, sub) where sub is a deterministic sign-LSH sub-bucket
+    (with_lsh_bucket mod m, m sized so expected members per unit is
+    SEMDEDUP_SUB_TARGET) — Σc² per task stays bounded at any corpus
+    size, identical vectors always share a sub-bucket (recall for exact
+    dups is unaffected), and near-dups split across sub-buckets are the
+    accepted approximation, exactly the LSH banding trade-off
+    (measured sf1: 192 s exact → bounded sub-bucketed search). Below
+    the threshold the search is exact and oracle-matched. Assignment
+    integers are exact; the pair cosine uses the proven
     floor(cos·1000) expression shape shared with pipe_embed_neardup."""
     prep = _prepared(spark, sf_dir)
     centroids = [c for _, c in fps_seed_vectors(spark, sf_dir, SEMDEDUP_K)]
@@ -512,15 +527,29 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "cell LONG, n_members LONG, n_dup_pairs LONG, n_removed LONG"
         )
     assigned = _assign_cells(prep, centroids).localCheckpoint(eager=True)
+    n_vecs = assigned.count()  # checkpointed — one cheap scan
+    keys = ["cell"]
+    if n_vecs > SEMDEDUP_EXACT_MAX_VECS:
+        from math import ceil
+
+        from kremis_spark.functions.similarity import with_lsh_bucket
+
+        m = min(256, ceil(n_vecs / (SEMDEDUP_K * SEMDEDUP_SUB_TARGET)))
+        assigned = (
+            with_lsh_bucket(assigned, "ivec")
+            .withColumn("sub", F.pmod(F.col("bucket"), F.lit(m)))
+            .drop("bucket")
+        )
+        keys = ["cell", "sub"]
     a = assigned.select(
-        "cell",
+        *keys,
         F.col("vec_id").alias("vec_a"),
         F.col("ivec").alias("ivec_a"),
         F.col("norm").alias("norm_a"),
         F.col("dist2").alias("dist2_a"),
     )
     b = assigned.select(
-        "cell",
+        *keys,
         F.col("vec_id").alias("vec_b"),
         F.col("ivec").alias("ivec_b"),
         F.col("norm").alias("norm_b"),
@@ -531,7 +560,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_a") < F.col("vec_b"))
     )
     pairs = (
-        a.join(b, "cell")
+        a.join(b, keys)
         .filter(keep_order)
         .filter((F.col("norm_a") > 0) & (F.col("norm_b") > 0))
     )

@@ -548,6 +548,12 @@ LP_BROADCAST_MAX_EDGES = 2_000_000
 # mass is logged. Below LP_BROADCAST_MAX_EDGES the exact (uncapped) path
 # runs, so small-graph oracles are unaffected.
 LP_HUB_DEGREE_CAP = 10_000
+# Above this edge count, size the wedge-join stream side from predicted
+# wedge mass (Σ deg²) instead of defaultParallelism, so per-task
+# partial-agg state stays bounded; below it the extra mass agg isn't
+# worth a job (gate SFs stay single-job).
+LP_REPART_MIN_EDGES = 200_000
+LP_WEDGES_PER_TASK = 4_000_000
 
 
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,11 +595,22 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # another join pass — it flows straight into the partial-aggregating
     # groupBy. Materialize it evenly repartitioned: it feeds both sides
     # of the self-join, and the stream side's partitioning IS the
-    # parallelism of the Σdeg²-row generation stage.
+    # parallelism of the Σdeg²-row generation stage — AND the bound on
+    # each task's partial-agg hash state. Above LP_REPART_MIN_EDGES the
+    # width is sized from the PREDICTED wedge mass (Σ deg², one tiny agg
+    # over the node-sized deg table) at LP_WEDGES_PER_TASK per task:
+    # measured at sf1 (254M wedges), 32 tasks spill their agg hash maps;
+    # mass-proportional width keeps per-task state flat at any scale.
+    npart = spark.sparkContext.defaultParallelism
+    if st.edge_count() > LP_REPART_MIN_EDGES:
+        mass = deg.agg(
+            F.sum(F.col("deg").cast("double") * F.col("deg")).alias("m")
+        ).collect()[0]["m"] or 0.0
+        npart = int(min(4096, max(npart, mass // LP_WEDGES_PER_TASK)))
     incw = (
         inc.join(F.broadcast(deg), "z")
         .select("z", "n", "deg", F.expr("1000000 div deg").alias("w"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(npart)
         .localCheckpoint(eager=True)
     )
     small = st.edge_count() <= LP_BROADCAST_MAX_EDGES

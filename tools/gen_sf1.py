@@ -1,0 +1,81 @@
+"""Synthesize sf1-scale testdata (10x sf0.1) for the scale probe.
+
+The driver provides sf0.001/0.01/0.1 only; the 100 TB design claims in
+SCALE.md rest on plan audits plus these locally generated 10x runs.
+Replicates every sf0.1 table 10x with disjoint key spaces so entity
+cardinalities grow 10x too (graph: ~10x nodes and edges; corpus: 10x
+docs with per-copy text perturbation so near-dup structure stays
+non-degenerate; embeddings: 10x vectors with identical payloads —
+worst-case duplication for the dedup/clustering family, which only
+makes the timing conservative).
+
+Usage: python tools/gen_sf1.py [out_dir]   (default /tmp/kremis_sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+# per-table key columns to offset per copy (col -> stride); strides are
+# comfortably above each table's sf0.1 max id so copies never collide
+OFFSETS: dict[str, dict[str, int]] = {
+    "events": {"event_id": 100_000_000, "user_id": 1_000_000},
+    "orders": {"o_orderkey": 100_000_000, "o_custkey": 10_000_000},
+    "lineitem": {"l_orderkey": 100_000_000},
+    "customer": {"c_custkey": 10_000_000},
+    "supplier": {"s_suppkey": 1_000_000},
+    "part": {"p_partkey": 10_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+}
+# dims stay as-is (every copy joins against the same 25 nations)
+PASSTHROUGH = ["region", "nation"]
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kremis_sf1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in PASSTHROUGH:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
+            f"'{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied")
+    for t, offs in OFFSETS.items():
+        cols = [
+            d[0]
+            for d in con.execute(
+                f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
+            ).fetchall()
+        ]
+        selects = []
+        for i in range(COPIES):
+            exprs = []
+            for c in cols:
+                if c in offs:
+                    exprs.append(f"{c} + {i * offs[c]} AS {c}")
+                elif t == "documents" and c == "text" and i > 0:
+                    # perturb text so copies are near-dups, not exact dups
+                    exprs.append(f"text || ' v{i}' AS text")
+                else:
+                    exprs.append(c)
+            selects.append(
+                f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'"
+            )
+        con.execute(
+            f"COPY ({' UNION ALL '.join(selects)}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET)"
+        )
+        n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
