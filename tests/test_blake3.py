@@ -62,6 +62,58 @@ def test_structural_determinism(n):
         assert blake3_digest(bytes(flipped)) != d1
 
 
+def _blake3_stack(data: bytes) -> bytes:
+    """Independent re-derivation of BLAKE3 via the official INCREMENTAL
+    chunk-stack algorithm (merge after chunk t iff trailing bits of the
+    chunk count are zero), as opposed to blake3_py's recursive
+    left-largest-power-of-two split. The two formulations produce the
+    same tree only if the split rule is implemented correctly, so their
+    agreement over many lengths pins the multi-chunk logic that the
+    published single-chunk vectors cannot reach."""
+    import struct
+
+    from kremis_spark.blake3_py import (
+        _CHUNK_LEN,
+        _IV,
+        _PARENT,
+        _ROOT,
+        _chunk_cv,
+        _compress,
+    )
+
+    if len(data) <= _CHUNK_LEN:
+        return struct.pack("<8I", *_chunk_cv(data, 0, root=True)[:8])
+    chunks = [data[i: i + _CHUNK_LEN] for i in range(0, len(data), _CHUNK_LEN)]
+    # All but the final chunk are pushed through the merge-on-even rule
+    # (a chunk is only pushed once further input arrives, so the final
+    # chunk never enters the stack — finalize starts from it instead).
+    stack: list[tuple] = []
+    for t, chunk in enumerate(chunks[:-1]):
+        cv = tuple(_chunk_cv(chunk, t, root=False)[:8])
+        n = t + 1
+        while n % 2 == 0:
+            cv = tuple(_compress(_IV, stack.pop() + cv, 0, 64, _PARENT)[:8])
+            n //= 2
+        stack.append(cv)
+    cv = tuple(_chunk_cv(chunks[-1], len(chunks) - 1, root=False)[:8])
+    while len(stack) > 1:
+        cv = tuple(_compress(_IV, stack.pop() + cv, 0, 64, _PARENT)[:8])
+    out = _compress(_IV, stack.pop() + cv, 0, 64, _PARENT | _ROOT)
+    return struct.pack("<8I", *out[:8])
+
+
+@pytest.mark.parametrize(
+    "n",
+    [1025, 2047, 2048, 2049, 3072, 3073, 4096, 4097, 5120, 6144, 7168,
+     8192, 8193, 10240, 16384, 31744, 100_000],
+)
+def test_multichunk_tree_matches_incremental_stack(n):
+    data = bytes(i % 251 for i in range(n))
+    from kremis_spark.blake3_py import blake3_digest as recursive
+
+    assert recursive(data) == _blake3_stack(data), n
+
+
 def test_matches_compiled_wheel_when_available():
     blake3 = pytest.importorskip("blake3")
     for n in list(range(0, 200)) + [1023, 1024, 1025, 2048, 2049, 5000,
