@@ -189,6 +189,116 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 3  # word k-gram width
+WINNOW_W = 4  # winnowing window (guarantee: one fingerprint per W k-grams)
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every word K-gram, slide a window of W consecutive
+    k-gram hashes over each document, and select the window minimum
+    (rightmost occurrence on ties). Guarantees: any shared substring of
+    ≥ W+K−1 words yields at least one shared fingerprint, and selected
+    density is ~2/(W+1) — the locality property that made it the
+    standard plagiarism / near-copy detector. Output per doc: k-gram
+    count, fingerprints selected (raw + distinct), and how many distinct
+    fingerprints were already selected by an earlier doc — the
+    cross-document copy signal.
+
+    The "rightmost minimum of some window" rule is closed-form per
+    position: p is selected iff for some offset o < W the full window
+    [p−o, p−o+W−1] has min == h[p] AND every position after p in that
+    window is strictly greater (rightmost tie-break). That is 2W window
+    aggregates over ONE (doc_id, pos) ordering — a single shuffle, no
+    stateful scan, identical frames in the DuckDB oracle. Docs with
+    fewer than W k-grams fall back to "rightmost min of the whole doc"
+    so short docs still fingerprint.
+
+    Distributed shape: posexplode → window funcs on the doc_id
+    partitioning → two partial aggs; the cross-doc phase is one
+    groupBy(h) min + a re-join on h (both map-side combinable). Nothing
+    is quadratic and nothing collects."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    kg = F.expr(
+        f"CASE WHEN size(t) >= {WINNOW_K} THEN "
+        f"transform(sequence(1, size(t) - {WINNOW_K - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {WINNOW_K}))) "
+        f"ELSE array() END"
+    )
+    ex = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+        )
+        .select("doc_id", F.posexplode(kg).alias("pos", "g"))
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    wb = Window.partitionBy("doc_id").orderBy("pos")
+    sel = F.lit(False)
+    for o in range(WINNOW_W):
+        fr = wb.rowsBetween(-o, WINNOW_W - 1 - o)
+        cond = (F.count("h").over(fr) == WINNOW_W) & (
+            F.min("h").over(fr) == F.col("h")
+        )
+        if WINNOW_W - 1 - o >= 1:
+            cond = cond & (
+                F.min("h").over(wb.rowsBetween(1, WINNOW_W - 1 - o))
+                > F.col("h")
+            )
+        sel = sel | cond
+    whole = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tail = wb.rowsBetween(1, Window.unboundedFollowing)
+    short = (
+        (F.count("h").over(whole) < WINNOW_W)
+        & (F.col("h") == F.min("h").over(whole))
+        & (
+            F.min("h").over(tail).isNull()
+            | (F.min("h").over(tail) > F.col("h"))
+        )
+    )
+    marked = ex.withColumn("selected", sel | short).localCheckpoint(
+        eager=True
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kgrams"),
+        F.sum(F.col("selected").cast("long")).cast("long").alias("n_fp"),
+    )
+    fps = marked.filter("selected").select("doc_id", "h").distinct()
+    firsts = fps.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    cov = fps.join(firsts, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp_distinct"),
+        F.sum((F.col("first_doc") < F.col("doc_id")).cast("long"))
+        .cast("long")
+        .alias("n_fp_seen_earlier"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_kgrams", F.lit(0)).cast("long").alias("n_kgrams"),
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            F.coalesce("n_fp_distinct", F.lit(0))
+            .cast("long")
+            .alias("n_fp_distinct"),
+            F.coalesce("n_fp_seen_earlier", F.lit(0))
+            .cast("long")
+            .alias("n_fp_seen_earlier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "pipe_dup_ngram_coverage": rf"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -259,8 +369,85 @@ LIMIT {DSIR_TOP_K}
 }
 
 
+# Winnowing oracle: identical k-gram hash, identical window frames (the
+# WINDOW clause names mirror the Spark rowsBetween offsets o=0..W-1).
+ORACLE_SQL["pipe_winnowing"] = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, i - 1 AS pos,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM base,
+       UNNEST(generate_series(1, GREATEST(len(toks) - {WINNOW_K - 1}, 0)))
+         AS t(i)
+),
+hx AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM kg
+),
+mk AS (
+  SELECT doc_id, pos, h,
+    (   (COUNT(h) OVER w0 = {WINNOW_W} AND MIN(h) OVER w0 = h
+         AND COALESCE(MIN(h) OVER a0 > h, FALSE))
+     OR (COUNT(h) OVER w1 = {WINNOW_W} AND MIN(h) OVER w1 = h
+         AND COALESCE(MIN(h) OVER a1 > h, FALSE))
+     OR (COUNT(h) OVER w2 = {WINNOW_W} AND MIN(h) OVER w2 = h
+         AND COALESCE(MIN(h) OVER a2 > h, FALSE))
+     OR (COUNT(h) OVER w3 = {WINNOW_W} AND MIN(h) OVER w3 = h)
+     OR (COUNT(h) OVER wa < {WINNOW_W} AND h = MIN(h) OVER wa
+         AND COALESCE(MIN(h) OVER ta > h, TRUE))
+    ) AS selected
+  FROM hx
+  WINDOW
+    w0 AS (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING),
+    a0 AS (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING),
+    w1 AS (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING),
+    a1 AS (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING),
+    w2 AS (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING),
+    a2 AS (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING),
+    w3 AS (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+    wa AS (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+    ta AS (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_kgrams,
+         SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS n_fp
+  FROM mk GROUP BY doc_id
+),
+fp AS (SELECT DISTINCT doc_id, h FROM mk WHERE selected),
+fst AS (SELECT h, MIN(doc_id) AS first_doc FROM fp GROUP BY h),
+cv AS (
+  SELECT doc_id, COUNT(*) AS n_fp_distinct,
+         SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+           AS n_fp_seen_earlier
+  FROM fp JOIN fst USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(pd.n_kgrams, 0) AS BIGINT) AS n_kgrams,
+       CAST(COALESCE(pd.n_fp, 0) AS BIGINT) AS n_fp,
+       CAST(COALESCE(cv.n_fp_distinct, 0) AS BIGINT) AS n_fp_distinct,
+       CAST(COALESCE(cv.n_fp_seen_earlier, 0) AS BIGINT)
+         AS n_fp_seen_earlier
+FROM documents d
+LEFT JOIN pd USING (doc_id)
+LEFT JOIN cv USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pipe_dup_ngram_coverage": q_dup_ngram_coverage,
     "pipe_hash_classifier": q_hash_classifier,
     "pipe_importance_weights": q_importance_weights,
+    "pipe_winnowing": q_winnowing,
 }
