@@ -1678,6 +1678,132 @@ ORDER BY doc_id
 }
 
 
+CONT_RARE_DF_CAP = 16  # blocking shingles: appear in 2..=16 docs
+CONT_MIN_MILLIS = 600
+CONT_TOPN = 20
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(A,B) = |A∩B| / |A| — catches a
+    document mostly embedded in a larger one (boilerplate, quoting,
+    wrapper pages), which symmetric Jaccard systematically under-scores
+    (a 50-shingle doc inside a 5000-shingle doc has Jaccard ≤ 0.01 and
+    will never survive MinHash banding). Candidates come from
+    RARE-shingle blocking instead of LSH: two docs are candidates iff
+    they share a shingle appearing in ≤ CONT_RARE_DF_CAP docs — rare
+    features are the discriminative ones, and the cap bounds the
+    per-shingle pair fan-out at cap² (the hot-bucket rule again; a
+    boilerplate shingle shared by thousands of docs generates no
+    candidates, which is correct — it isn't evidence of copying).
+    Containment is then EXACT on the candidate set. Top pairs by
+    max(C(A,B), C(B,A)) in integer millis with full tiebreak.
+
+    Distributed shape: one groupBy(h) doc-frequency pass, the bounded
+    rare-shingle self-join, then the intersection count as pairs ⋈
+    shingles(A) ⋈ shingles(B) — co-partitioned hash joins, row count
+    bounded by Σ_pairs |A|; sizes re-join from the node-sized doc-size
+    dim. Everything reuses the session-shared hashed-shingle cache."""
+    hashed = _hashed(spark, sf_dir)
+    sizes = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    rare = (
+        hashed.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= CONT_RARE_DF_CAP))
+        .select("h1", "h2")
+    )
+    rh = hashed.join(rare, ["h1", "h2"])
+    cand = (
+        rh.select("h1", "h2", F.col("doc_id").alias("doc_a"))
+        .join(rh.select("h1", "h2", F.col("doc_id").alias("doc_b")), ["h1", "h2"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            hashed.select(F.col("doc_id").alias("doc_a"), "h1", "h2"), "doc_a"
+        )
+        .join(
+            hashed.select(F.col("doc_id").alias("doc_b"), "h1", "h2"),
+            ["doc_b", "h1", "h2"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    best = F.greatest("cont_a_millis", "cont_b_millis")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "size_a",
+            "size_b",
+            "n_common",
+            F.expr("CAST(n_common * 1000 div size_a AS LONG)").alias(
+                "cont_a_millis"
+            ),
+            F.expr("CAST(n_common * 1000 div size_b AS LONG)").alias(
+                "cont_b_millis"
+            ),
+        )
+        .filter(best >= CONT_MIN_MILLIS)
+        .orderBy(F.desc(best), "doc_a", "doc_b")
+        .limit(CONT_TOPN)
+    )
+
+
+ORACLE_SQL["pipe_containment"] = rf"""
+WITH {_DOC_SH.strip()},
+shh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+  FROM (SELECT doc_id, UNNEST(shingles) AS s FROM doc_sh)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+rare AS (
+  SELECT h1, h2 FROM shh GROUP BY h1, h2
+  HAVING COUNT(*) BETWEEN 2 AND {CONT_RARE_DF_CAP}
+),
+rh AS (SELECT s.* FROM shh s JOIN rare USING (h1, h2)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM rh x JOIN rh y USING (h1, h2)
+  WHERE x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shh a ON a.doc_id = c.doc_a
+  JOIN shh b ON b.doc_id = c.doc_b AND b.h1 = a.h1 AND b.h2 = a.h2
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(sa.sz AS BIGINT) AS size_a,
+       CAST(sb.sz AS BIGINT) AS size_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(i.n_common * 1000 // sa.sz AS BIGINT) AS cont_a_millis,
+       CAST(i.n_common * 1000 // sb.sz AS BIGINT) AS cont_b_millis
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE GREATEST(i.n_common * 1000 // sa.sz, i.n_common * 1000 // sb.sz)
+      >= {CONT_MIN_MILLIS}
+ORDER BY GREATEST(i.n_common * 1000 // sa.sz, i.n_common * 1000 // sb.sz)
+         DESC, i.doc_a, i.doc_b
+LIMIT {CONT_TOPN}
+"""
+
+
 QUERIES = {
     "pipe_token_stats": q_token_stats,
     "pipe_lm_surprisal": q_lm_surprisal,
@@ -1705,4 +1831,5 @@ QUERIES = {
     "pipe_top_ngram": q_top_ngram,
     "pipe_bpe_merge_step": q_bpe_merge_step,
     "pipe_canonical_pick": q_canonical_pick,
+    "pipe_containment": q_containment,
 }
