@@ -1678,6 +1678,75 @@ ORDER BY doc_id
 }
 
 
+SIMHASH_HAM_MAX = 3  # Manku et al. 2007's k for 32-bit fingerprints
+SIMHASH_BAND_CAP = 1024  # drop non-discriminative hot band buckets
+SIMHASH_TOPN = 20
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate detection by banded fingerprint lookup
+    (Manku, Jain, Das Sarma 2007, "Detecting Near-Duplicates for Web
+    Crawling"): split the 32-bit SimHash into 4 bytes; by pigeonhole,
+    any pair within hamming distance SIMHASH_HAM_MAX (=3) shares at
+    least one identical byte, so candidates are exactly the pairs
+    sharing a band bucket, verified with one XOR+popcount. Buckets
+    larger than SIMHASH_BAND_CAP are dropped on BOTH engines (a hot
+    band value is non-discriminative — the deterministic twin of the
+    LSH hot-bucket rule, so the cap is oracle-reproducible, not a
+    silent recall loss). Output: the SIMHASH_TOPN docs with the most
+    near-dup neighbors — the boilerplate/template hubs a cleaning
+    pipeline should inspect first.
+
+    Distributed shape: band explode (4 rows/doc) → bucket-size cull →
+    within-bucket self-join bounded by cap² per bucket → popcount
+    verify → one degree agg → TakeOrdered top-N. No all-pairs join."""
+    sh = D.simhash32(_docs_parallel(spark, sf_dir))
+    bands = sh.select(
+        "doc_id",
+        "simhash32",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash32", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash32", "bb.band", "bb.key")
+    ok = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= SIMHASH_BAND_CAP))
+        .select("band", "key")
+    )
+    bb = bands.join(ok, ["band", "key"]).localCheckpoint(eager=True)
+    cand = (
+        bb.select("band", "key", F.col("doc_id").alias("a"), F.col("simhash32").alias("sa"))
+        .join(
+            bb.select("band", "key", F.col("doc_id").alias("b"), F.col("simhash32").alias("sb")),
+            ["band", "key"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    near = cand.filter(
+        F.expr(f"bit_count(sa ^ sb) <= {SIMHASH_HAM_MAX}")
+    )
+    deg = (
+        near.select(F.col("a").alias("doc_id"))
+        .unionByName(near.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+    )
+    return deg.orderBy(F.desc("n_neighbors"), "doc_id").limit(SIMHASH_TOPN)
+
+
 CONT_RARE_DF_CAP = 16  # blocking shingles: appear in 2..=16 docs
 CONT_MIN_MILLIS = 600
 CONT_TOPN = 20
@@ -1761,6 +1830,38 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_SQL["pipe_simhash_neardup"] = rf"""
+WITH sh AS ({_SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash32, band,
+         (simhash32 >> (8 * band)) & 255 AS key
+  FROM sh, UNNEST([0, 1, 2, 3]) AS t(band)
+),
+ok AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING COUNT(*) BETWEEN 2 AND {SIMHASH_BAND_CAP}
+),
+bb AS (SELECT b.* FROM bands b JOIN ok USING (band, key)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                  x.simhash32 AS sa, y.simhash32 AS sb
+  FROM bb x JOIN bb y USING (band, key)
+  WHERE x.doc_id < y.doc_id
+),
+near AS (
+  SELECT a, b FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_MAX}
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+  FROM (SELECT a AS doc_id FROM near UNION ALL SELECT b FROM near)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_neighbors FROM deg
+ORDER BY n_neighbors DESC, doc_id
+LIMIT {SIMHASH_TOPN}
+"""
+
+
 ORACLE_SQL["pipe_containment"] = rf"""
 WITH {_DOC_SH.strip()},
 shh AS (
@@ -1832,4 +1933,5 @@ QUERIES = {
     "pipe_bpe_merge_step": q_bpe_merge_step,
     "pipe_canonical_pick": q_canonical_pick,
     "pipe_containment": q_containment,
+    "pipe_simhash_neardup": q_simhash_neardup,
 }
