@@ -1207,9 +1207,11 @@ LIMIT {PAIR_TOPN}
 # every larger-id node in its component (the component minimum reaches
 # everyone), so MIN(lbl) per node is the component min — identical to the
 # Spark fixpoint propagation.
-_CLUSTERS_SQL = (
-    _MINHASH_CORE
-    + f"""
+# Shared transitive-closure block over the strong (jaccard >=
+# CLUSTER_JACCARD_MIN) pair graph: ends in comp(n, lbl) = min-label
+# connected components. Used by the cluster report AND the
+# leakage-safe-split oracle.
+_CC_SQL_BLOCK = f"""
 , strong AS (
   SELECT doc_a, doc_b FROM jpairs WHERE jaccard_millis >= {CLUSTER_JACCARD_MIN}
 ),
@@ -1227,6 +1229,12 @@ comp AS (
   )
   SELECT n, MIN(lbl) AS lbl FROM r GROUP BY n
 )
+"""
+
+_CLUSTERS_SQL = (
+    _MINHASH_CORE
+    + _CC_SQL_BLOCK
+    + """
 SELECT lbl AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM comp GROUP BY lbl HAVING COUNT(*) >= 2
 """
@@ -1747,6 +1755,80 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.orderBy(F.desc("n_neighbors"), "doc_id").limit(SIMHASH_TOPN)
 
 
+VAL_HEX = ("0", "1", "2")  # md5 first hex digit → ~18.75% validation
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: assign each document by the
+    hash of its NEAR-DUP CLUSTER label (connected component over
+    verified Jaccard >= CLUSTER_JACCARD_MIN pairs; singletons are their
+    own group), so no near-duplicate pair can straddle the split — the
+    eval-contamination guard a naive per-document hash split lacks
+    (a val doc whose near-copy sits in train silently inflates eval).
+    Output is a 1-row audit: doc/val counts for the cluster split and
+    the naive split, plus each split's LEAKED pair count — 0 by
+    construction for the cluster split, the contamination the naive
+    split would have shipped for the other.
+
+    Distributed shape: reuses the session-shared verified-pairs +
+    min-label components; assignment is one map-side md5 per doc; the
+    leak audit joins the (small) strong-pair list against the node-
+    sized assignment table twice. Everything else is partial aggs."""
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    strong = _verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
+    ).select("doc_a", "doc_b")
+    labels = D.connected_components(strong).withColumnRenamed("n", "doc_id")
+    lab = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("grp")
+    )
+
+    def is_val(col: F.Column) -> F.Column:
+        return (
+            F.substring(F.md5(col.cast("string")), 1, 1)
+            .isin(*VAL_HEX)
+            .cast("long")
+        )
+
+    asg = lab.select(
+        "doc_id",
+        is_val(F.col("grp")).alias("val_c"),
+        is_val(F.col("doc_id")).alias("val_n"),
+    ).localCheckpoint(eager=True)
+    counts = asg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("val_c").cast("long").alias("n_val_cluster"),
+        F.sum("val_n").cast("long").alias("n_val_naive"),
+    )
+    leaks = (
+        strong.join(
+            asg.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("val_c").alias("ca"),
+                F.col("val_n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            asg.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("val_c").alias("cb"),
+                F.col("val_n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .agg(
+            F.coalesce(
+                F.sum((F.col("ca") != F.col("cb")).cast("long")), F.lit(0)
+            ).cast("long").alias("leaked_cluster"),
+            F.coalesce(
+                F.sum((F.col("na") != F.col("nb")).cast("long")), F.lit(0)
+            ).cast("long").alias("leaked_naive"),
+        )
+    )
+    return counts.crossJoin(leaks)
+
+
 CONT_RARE_DF_CAP = 16  # blocking shingles: appear in 2..=16 docs
 CONT_MIN_MILLIS = 600
 CONT_TOPN = 20
@@ -1829,6 +1911,42 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CONT_TOPN)
     )
 
+
+_VAL_HEX_SQL = ", ".join(f"'{h}'" for h in VAL_HEX)
+
+ORACLE_SQL["pipe_leakage_split"] = (
+    _MINHASH_CORE
+    + _CC_SQL_BLOCK
+    + f"""
+, lab AS (
+  SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+),
+asg AS (
+  SELECT doc_id,
+    CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 1)
+         IN ({_VAL_HEX_SQL}) THEN 1 ELSE 0 END AS val_c,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         IN ({_VAL_HEX_SQL}) THEN 1 ELSE 0 END AS val_n
+  FROM lab
+),
+leaks AS (
+  SELECT COALESCE(SUM(CASE WHEN x.val_c <> y.val_c THEN 1 ELSE 0 END), 0)
+           AS leaked_cluster,
+         COALESCE(SUM(CASE WHEN x.val_n <> y.val_n THEN 1 ELSE 0 END), 0)
+           AS leaked_naive
+  FROM strong s
+  JOIN asg x ON x.doc_id = s.doc_a
+  JOIN asg y ON y.doc_id = s.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(val_c) AS BIGINT) AS n_val_cluster,
+       CAST(SUM(val_n) AS BIGINT) AS n_val_naive,
+       CAST((SELECT leaked_cluster FROM leaks) AS BIGINT) AS leaked_cluster,
+       CAST((SELECT leaked_naive FROM leaks) AS BIGINT) AS leaked_naive
+FROM asg
+"""
+)
 
 ORACLE_SQL["pipe_simhash_neardup"] = rf"""
 WITH sh AS ({_SIMHASH_SQL}),
@@ -1934,4 +2052,5 @@ QUERIES = {
     "pipe_canonical_pick": q_canonical_pick,
     "pipe_containment": q_containment,
     "pipe_simhash_neardup": q_simhash_neardup,
+    "pipe_leakage_split": q_leakage_split,
 }
