@@ -38,9 +38,11 @@ from kremis_spark.functions.similarity import (
     IVF_NPROBE,
     cosine_col,
     fps_seeds_cte,
+    hyperplanes,
     int_dot,
     ivf_probe_cells,
     with_ivf_cell,
+    with_lsh_bucket,
 )
 from kremis_spark.plans.pipeline import fps_seed_vectors, prepared_cached
 
@@ -122,6 +124,85 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("qdot"), "vec_id")
+    )
+
+
+MIPS_PLANES = 4  # 16 buckets: fuller buckets than the 8-plane cosine LSH
+
+
+def q_ann_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) via the norm-augmentation
+    reduction (Shrivastava & Li 2014; Bachrach et al. 2014): append
+    aug(v) = isqrt(max_norm2 - |v|2) to every database vector so all
+    augmented vectors have (near-)equal norm, which makes hyperplane-LSH
+    buckets meaningful for the INNER-PRODUCT objective — the retrieval
+    target of recommender / router workloads where cosine's
+    normalization is the wrong ranking. The query is augmented with 0,
+    so q_aug . v_aug = q . v exactly: bucket-probe then rank by the raw
+    integer dot product, with each hit audited against the exact
+    brute-force MIPS top-k in the same row (the recall column an index
+    is judged by).
+
+    Plan shape: one scalar agg (corpus max norm2) collected once, then
+    a fully map-side augment (exact integer sqrt, +-1-corrected like
+    plans/mixing.py) + Arrow-batched bucket matmul; the probe prunes the
+    scan to one of 2^MIPS_PLANES buckets before the TakeOrdered. At
+    100 TB: the augmented bucket id is computed at write time and the
+    table partitioned by it, so a probe reads one partition."""
+    prep = _prepared(spark, sf_dir)
+    qrow = prep.orderBy("vec_id").first()
+    if qrow is None:
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, dot BIGINT, in_exact_topk BIGINT"
+        )
+    m2 = prep.agg(F.max("norm")).first()[0]
+    qid, qivec = qrow["vec_id"], [int(v) for v in qrow["ivec"]]
+    base = prep.filter(F.col("vec_id") != qid)
+    aug = (
+        base.withColumn("rem", F.lit(int(m2)).cast("long") - F.col("norm"))
+        .withColumn(
+            "s0", F.floor(F.sqrt(F.col("rem").cast("double"))).cast("long")
+        )
+        .withColumn(
+            "aug",
+            F.expr(
+                "CASE WHEN s0 * s0 > rem THEN s0 - 1 "
+                "WHEN (s0 + 1) * (s0 + 1) <= rem THEN s0 + 1 ELSE s0 END"
+            ),
+        )
+        .withColumn("avec", F.concat(F.col("ivec"), F.array(F.col("aug"))))
+    )
+    planes = hyperplanes(n_planes=MIPS_PLANES, dim=EMB_DIM + 1)
+    bucketed = with_lsh_bucket(aug, vec_col="avec", planes=planes)
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        # query aug is 0, so its last plane component contributes nothing
+        if sum(a * b for a, b in zip(qivec, plane[:EMB_DIM])) > 0:
+            qbucket |= 1 << p
+    qarr = F.array(*[F.lit(v).cast("long") for v in qivec])
+    topb = (
+        bucketed.filter(F.col("bucket") == qbucket)
+        .withColumn("dot", int_dot(F.col("ivec"), qarr))
+        .select("vec_id", "dot")
+        .orderBy(F.desc("dot"), "vec_id")
+        .limit(ANN_K)
+    )
+    exact = (
+        base.withColumn("dot", int_dot(F.col("ivec"), qarr))
+        .orderBy(F.desc("dot"), "vec_id")
+        .limit(ANN_K)
+        .select("vec_id", F.lit(1).cast("long").alias("in_exact_topk"))
+    )
+    return (
+        topb.join(exact, "vec_id", "left")
+        .select(
+            "vec_id",
+            "dot",
+            F.coalesce("in_exact_topk", F.lit(0)).cast("long").alias(
+                "in_exact_topk"
+            ),
+        )
+        .orderBy(F.desc("dot"), "vec_id")
     )
 
 
@@ -892,6 +973,81 @@ FROM scored s JOIN cand cd USING (vec_id)
 ORDER BY s.adist2, s.vec_id LIMIT {ANN_K}
 """
 
+def _mips_planes_sql() -> str:
+    planes = hyperplanes(n_planes=MIPS_PLANES, dim=EMB_DIM + 1)
+    vals = ", ".join(f"({p}, {plane})" for p, plane in enumerate(planes))
+    return f"mplanes AS (SELECT * FROM (VALUES {vals}) p(pid, plane))"
+
+
+# Same reduction as the Spark plan: augment with the +-1-corrected
+# integer sqrt of (max_norm2 - norm2), bucket the 65-dim augmented
+# vectors, probe the query's bucket (query aug = 0 so only the first
+# EMB_DIM plane components matter), rank by raw integer dot.
+ORACLE_SQL["pipe_ann_mips"] = f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+norms AS (
+  SELECT vec_id, ivec,
+         CAST(list_sum(list_transform(ivec, x -> x * x)) AS BIGINT) AS norm
+  FROM prep
+),
+q AS (SELECT vec_id AS qid, ivec AS qvec FROM norms ORDER BY vec_id LIMIT 1),
+mx AS (SELECT MAX(norm) AS m2 FROM norms),
+augd AS (
+  SELECT n.vec_id, n.ivec, mx.m2 - n.norm AS rem,
+         CAST(FLOOR(SQRT(CAST(mx.m2 - n.norm AS DOUBLE))) AS BIGINT) AS s0
+  FROM norms n, mx, q WHERE n.vec_id <> q.qid
+),
+augv AS (
+  SELECT vec_id, ivec,
+         ivec || [CASE WHEN s0 * s0 > rem THEN s0 - 1
+                       WHEN (s0 + 1) * (s0 + 1) <= rem THEN s0 + 1
+                       ELSE s0 END] AS avec
+  FROM augd
+),
+{_mips_planes_sql()},
+buckets AS (
+  SELECT a.vec_id,
+         CAST(SUM(CASE WHEN CAST(list_sum(list_transform(
+                    generate_series(1, {EMB_DIM + 1}),
+                    i -> a.avec[i] * p.plane[i])) AS BIGINT) > 0
+                  THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT)
+         AS bucket
+  FROM augv a, mplanes p
+  GROUP BY a.vec_id
+),
+qb AS (
+  SELECT CAST(SUM(CASE WHEN CAST(list_sum(list_transform(
+                    generate_series(1, {EMB_DIM}),
+                    i -> q.qvec[i] * p.plane[i])) AS BIGINT) > 0
+                  THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT)
+         AS bucket
+  FROM q, mplanes p
+),
+topb AS (
+  SELECT a.vec_id,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                i -> a.ivec[i] * q.qvec[i])) AS BIGINT) AS dot
+  FROM augv a JOIN buckets b USING (vec_id), q, qb
+  WHERE b.bucket = qb.bucket
+  ORDER BY dot DESC, a.vec_id
+  LIMIT {ANN_K}
+),
+exact AS (
+  SELECT n.vec_id
+  FROM norms n, q WHERE n.vec_id <> q.qid
+  ORDER BY CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+               i -> n.ivec[i] * q.qvec[i])) AS BIGINT) DESC, n.vec_id
+  LIMIT {ANN_K}
+)
+SELECT t.vec_id, t.dot,
+       CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS in_exact_topk
+FROM topb t LEFT JOIN exact e USING (vec_id)
+ORDER BY t.dot DESC, t.vec_id
+"""
+
 ORACLE_SQL["pipe_kmeans_train"] = _kmeans_train_sql()
 ORACLE_SQL["pipe_ann_ivfpq"] = _IVFPQ_SQL
 
@@ -948,6 +1104,7 @@ ORDER BY s.cell
 
 QUERIES = {
     "pipe_ann_sq8": q_ann_sq8,
+    "pipe_ann_mips": q_ann_mips,
     "pipe_ann_pq": q_ann_pq,
     "pipe_ann_ivfpq": q_ann_ivfpq,
     "pipe_kmeans_step": q_kmeans_step,

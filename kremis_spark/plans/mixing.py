@@ -157,6 +157,62 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUDGET_MULT = 5  # training budget = 5x corpus tokens (data-constrained)
+MAX_EPOCHS = 4  # repeat value decays to ~zero past 4 epochs
+
+
+def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repetition schedule for a data-constrained run (the
+    multi-epoch regime of Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"): the training budget
+    (BUDGET_MULT x corpus tokens) is allocated per source by the
+    temperature weights, then expressed as full epochs over that
+    source plus a fractional last epoch, with full epochs capped at
+    MAX_EPOCHS (repetition beyond ~4 epochs adds ~no value, so the
+    overflow is surfaced as excess_tokens for reallocation instead of
+    silently over-repeating). All integer arithmetic: epochs by floor
+    division, the fractional epoch in ppm.
+
+    Distributed shape: builds on the temperature-mix aggregate — one
+    partial-agg groupBy(source), then pure scalar arithmetic over the
+    tiny source dimension (unpartitioned window over one row per
+    SOURCE, not per document)."""
+    mix = q_temperature_mix(spark, sf_dir)
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    alloc = (
+        mix.withColumn("_tot", total)
+        .select(
+            "source",
+            "n_tokens",
+            "weight_ppm",
+            F.expr(
+                f"CAST((_tot * {BUDGET_MULT}) * weight_ppm"
+                f" div {MIX_SCALE} AS LONG)"
+            ).alias("alloc_tokens"),
+        )
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "weight_ppm",
+        "alloc_tokens",
+        F.expr(
+            f"CAST(LEAST(alloc_tokens div greatest(n_tokens, 1),"
+            f" {MAX_EPOCHS}) AS LONG)"
+        ).alias("n_full_epochs"),
+        F.expr(
+            f"CAST(CASE WHEN alloc_tokens div greatest(n_tokens, 1)"
+            f" >= {MAX_EPOCHS} THEN 0"
+            f" ELSE (alloc_tokens % greatest(n_tokens, 1)) * {MIX_SCALE}"
+            f" div greatest(n_tokens, 1) END AS LONG)"
+        ).alias("last_epoch_frac_ppm"),
+        F.expr(
+            f"CAST(GREATEST(alloc_tokens - {MAX_EPOCHS} * n_tokens, 0)"
+            f" AS LONG)"
+        ).alias("excess_tokens"),
+    ).orderBy("source")
+
+
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal summary: connected components over
     verified pairs (Jaccard ≥ 0.5), keep the min-id doc per cluster and
@@ -274,6 +330,47 @@ SELECT source, n_tokens, sqrt_tokens,
             // GREATEST(SUM(sqrt_tokens) OVER (), 1) AS BIGINT) AS weight_ppm
 FROM r ORDER BY source
 """,
+    "pipe_epoch_schedule": rf"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+e AS (SELECT source, n_tokens,
+             CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS s0 FROM s),
+r AS (
+  SELECT source, n_tokens,
+         CASE WHEN s0 * s0 > n_tokens THEN s0 - 1
+              WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+              ELSE s0 END AS sqrt_tokens
+  FROM e
+),
+mix AS (
+  SELECT source, n_tokens,
+         CAST(sqrt_tokens * {MIX_SCALE}
+              // GREATEST(SUM(sqrt_tokens) OVER (), 1) AS BIGINT)
+           AS weight_ppm,
+         SUM(n_tokens) OVER () AS tot
+  FROM r
+),
+alloc AS (
+  SELECT source, n_tokens, weight_ppm,
+         CAST((tot * {BUDGET_MULT}) * weight_ppm
+              // {MIX_SCALE} AS BIGINT) AS alloc_tokens
+  FROM mix
+)
+SELECT source, n_tokens, weight_ppm, alloc_tokens,
+       CAST(LEAST(alloc_tokens // GREATEST(n_tokens, 1),
+                  {MAX_EPOCHS}) AS BIGINT) AS n_full_epochs,
+       CAST(CASE WHEN alloc_tokens // GREATEST(n_tokens, 1) >= {MAX_EPOCHS}
+                 THEN 0
+                 ELSE (alloc_tokens % GREATEST(n_tokens, 1)) * {MIX_SCALE}
+                      // GREATEST(n_tokens, 1) END AS BIGINT)
+         AS last_epoch_frac_ppm,
+       CAST(GREATEST(alloc_tokens - {MAX_EPOCHS} * n_tokens, 0) AS BIGINT)
+         AS excess_tokens
+FROM alloc ORDER BY source
+""",
     "pipe_curriculum_stages": rf"""
 WITH b AS (
   SELECT doc_id,
@@ -348,6 +445,7 @@ GROUP BY q.source ORDER BY q.source
 
 QUERIES = {
     "pipe_temperature_mix": q_temperature_mix,
+    "pipe_epoch_schedule": q_epoch_schedule,
     "pipe_curriculum_stages": q_curriculum_stages,
     "pipe_dedup_keep": q_dedup_keep,
     "pipe_quality_median_filter": q_quality_median_filter,

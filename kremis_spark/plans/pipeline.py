@@ -1829,6 +1829,126 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(leaks)
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the two near-dup candidate generators against the
+    pooled truth set — the quality number a dedup index is judged by.
+    Exhaustive all-pairs Jaccard is quadratic (impossible at 100 TB), so
+    truth is POOLED (the TREC pooling method): the union of strong pairs
+    (exact Jaccard >= CLUSTER_JACCARD_MIN) surfaced by EITHER generator
+    — banded MinHash LSH or single-key min-shingle blocking. Each
+    generator's recall = its strong pairs / pooled strong pairs. One
+    audit row: pooled count, per-generator hits + recall in millis.
+
+    Scale shape: reuses the session-shared verified-pairs table and the
+    shared hashed-shingle base; the blocked side re-derives its bounded
+    per-block pair set (block size capped at NGRAM_BLOCK_CAP). The three
+    counts are partial aggs crossJoined into one row — nothing wide."""
+    strong_lsh = (
+        _verified_pairs(spark, sf_dir)
+        .filter(F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    docs = _docs_parallel(spark, sf_dir)
+    hashed = _hashed(spark, sf_dir)
+    blocks = hashed.groupBy("doc_id").agg(F.min("h1").alias("blk"))
+    ok = (
+        blocks.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= NGRAM_BLOCK_CAP))
+        .select("blk")
+    )
+    members = blocks.join(F.broadcast(ok), "blk")
+    bpairs = (
+        members.select("blk", F.col("doc_id").alias("doc_a"))
+        .join(members.select("blk", F.col("doc_id").alias("doc_b")), "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    strong_blk = (
+        D.jaccard_verify(docs, bpairs, hashed=hashed)
+        .filter(F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    pooled = strong_lsh.union(strong_blk).distinct()
+    n_all = pooled.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_lsh = strong_lsh.agg(F.count(F.lit(1)).cast("long").alias("lsh_hits"))
+    n_blk = strong_blk.agg(
+        F.count(F.lit(1)).cast("long").alias("block_hits")
+    )
+    return (
+        n_all.crossJoin(n_lsh)
+        .crossJoin(n_blk)
+        .select(
+            "n_true_pairs",
+            "lsh_hits",
+            F.expr(
+                "lsh_hits * 1000 div greatest(n_true_pairs, 1)"
+            ).alias("lsh_recall_millis"),
+            "block_hits",
+            F.expr(
+                "block_hits * 1000 div greatest(n_true_pairs, 1)"
+            ).alias("block_recall_millis"),
+        )
+    )
+
+
+ORACLE_SQL["pipe_lsh_recall"] = (
+    _MINHASH_CORE
+    + f"""
+, blk AS (SELECT doc_id, MIN(h1) AS blk FROM shh GROUP BY 1),
+okblk AS (
+  SELECT blk FROM (SELECT blk, COUNT(*) AS n FROM blk GROUP BY 1)
+  WHERE n BETWEEN 2 AND {NGRAM_BLOCK_CAP}
+),
+bcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blk a JOIN okblk USING (blk)
+  JOIN blk b ON b.blk = a.blk AND a.doc_id < b.doc_id
+),
+binter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM bcand c
+  JOIN shh sa ON sa.doc_id = c.doc_a
+  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
+  GROUP BY 1, 2
+),
+bj AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COALESCE(i.i, 0) * 1000
+              // (za.sz + zb.sz - COALESCE(i.i, 0)) AS BIGINT)
+           AS jaccard_millis
+  FROM bcand c
+  LEFT JOIN binter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+),
+lsh_true AS (
+  SELECT doc_a, doc_b FROM jpairs
+  WHERE jaccard_millis >= {CLUSTER_JACCARD_MIN}
+),
+blk_true AS (
+  SELECT doc_a, doc_b FROM bj
+  WHERE jaccard_millis >= {CLUSTER_JACCARD_MIN}
+),
+pooled AS (SELECT * FROM lsh_true UNION SELECT * FROM blk_true),
+cnts AS (
+  SELECT (SELECT COUNT(*) FROM pooled) AS n_true_pairs,
+         (SELECT COUNT(*) FROM lsh_true) AS lsh_hits,
+         (SELECT COUNT(*) FROM blk_true) AS block_hits
+)
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(lsh_hits AS BIGINT) AS lsh_hits,
+       CAST(lsh_hits * 1000 // GREATEST(n_true_pairs, 1) AS BIGINT)
+         AS lsh_recall_millis,
+       CAST(block_hits AS BIGINT) AS block_hits,
+       CAST(block_hits * 1000 // GREATEST(n_true_pairs, 1) AS BIGINT)
+         AS block_recall_millis
+FROM cnts
+"""
+)
+
+
 CONT_RARE_DF_CAP = 16  # blocking shingles: appear in 2..=16 docs
 CONT_MIN_MILLIS = 600
 CONT_TOPN = 20
@@ -2053,4 +2173,5 @@ QUERIES = {
     "pipe_containment": q_containment,
     "pipe_simhash_neardup": q_simhash_neardup,
     "pipe_leakage_split": q_leakage_split,
+    "pipe_lsh_recall": q_lsh_recall,
 }

@@ -103,3 +103,36 @@ def test_quality_median_filter_bounds(spark):
         n, kept = int(r["n_docs"]), int(r["n_kept"])
         # at least the upper half qualifies (>= median), never more than all
         assert n - (n + 1) // 2 + 1 <= kept <= n
+
+
+def test_epoch_schedule_invariants(spark):
+    rows = mixing.q_epoch_schedule(spark, SF_DIR).collect()
+    assert rows
+    mix = {
+        r["source"]: r
+        for r in mixing.q_temperature_mix(spark, SF_DIR).collect()
+    }
+    total = sum(int(r["n_tokens"]) for r in rows)
+    budget = total * mixing.BUDGET_MULT
+    for r in rows:
+        n, w = int(r["n_tokens"]), int(r["weight_ppm"])
+        alloc = int(r["alloc_tokens"])
+        # allocation follows the temperature weights exactly
+        assert w == int(mix[r["source"]]["weight_ppm"])
+        assert alloc == budget * w // mixing.MIX_SCALE
+        ep, frac = int(r["n_full_epochs"]), int(r["last_epoch_frac_ppm"])
+        excess = int(r["excess_tokens"])
+        assert 0 <= ep <= mixing.MAX_EPOCHS
+        assert 0 <= frac < mixing.MIX_SCALE
+        if ep < mixing.MAX_EPOCHS:
+            # below the cap: epochs+frac exactly decompose the allocation
+            assert ep == alloc // max(n, 1)
+            assert frac == (alloc % max(n, 1)) * mixing.MIX_SCALE // max(n, 1)
+            assert excess == 0
+        else:
+            # capped: overflow surfaced, never silently over-repeated
+            assert frac == 0
+            assert excess == max(alloc - mixing.MAX_EPOCHS * n, 0)
+    # temperature upsampling means SOME source overflows the epoch cap
+    # under a budget > MAX_EPOCHS x corpus (BUDGET_MULT = 5 > 4)
+    assert any(int(r["excess_tokens"]) > 0 for r in rows)

@@ -469,3 +469,71 @@ def test_bpe_train_distributed_branch_matches_local(spark, monkeypatch):
         tuple(r) for r in P.bpe_train_merges(cur, 3).collect()
     ]
     assert dist == local == _bpe_reference(words, 3)
+
+
+def test_lsh_recall_bounds(spark):
+    from kremis_spark.plans.pipeline import q_lsh_recall
+
+    row = q_lsh_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    n, lsh, blk = (
+        int(row["n_true_pairs"]),
+        int(row["lsh_hits"]),
+        int(row["block_hits"]),
+    )
+    # pooled truth is the union: each generator finds a subset, and
+    # together they cover it
+    assert 0 <= lsh <= n and 0 <= blk <= n
+    assert lsh + blk >= n
+    assert int(row["lsh_recall_millis"]) == lsh * 1000 // max(n, 1)
+    assert int(row["block_recall_millis"]) == blk * 1000 // max(n, 1)
+
+
+def test_ann_mips_matches_local_reduction(spark):
+    """Re-derive the MIPS norm-augmentation locally (numpy) and check the
+    bucket probe + integer dots match the distributed plan exactly."""
+    import math
+
+    import numpy as np
+
+    from kremis_spark.functions import similarity as S
+    from kremis_spark.plans.embed import MIPS_PLANES, q_ann_mips
+    from kremis_spark.plans.pipeline import prepared_cached
+
+    sf = "/root/testdata/sf0.001"
+    prep = prepared_cached(spark, sf).select("vec_id", "ivec").collect()
+    vecs = {int(r["vec_id"]): np.array(r["ivec"], dtype=np.int64)
+            for r in prep}
+    qid = min(vecs)
+    q = vecs[qid]
+    m2 = max(int(v @ v) for v in vecs.values())
+    planes = np.array(
+        S.hyperplanes(n_planes=MIPS_PLANES, dim=S.EMB_DIM + 1),
+        dtype=np.int64,
+    )
+    qbucket = 0
+    for p in range(MIPS_PLANES):
+        if int(q @ planes[p, : S.EMB_DIM]) > 0:
+            qbucket |= 1 << p
+    expect = []
+    for vid, v in vecs.items():
+        if vid == qid:
+            continue
+        aug = math.isqrt(m2 - int(v @ v))
+        av = np.append(v, aug)
+        bucket = 0
+        for p in range(MIPS_PLANES):
+            if int(av @ planes[p]) > 0:
+                bucket |= 1 << p
+        if bucket == qbucket:
+            expect.append((int(v @ q), vid))
+    expect.sort(key=lambda t: (-t[0], t[1]))
+    got = q_ann_mips(spark, sf).collect()
+    assert [(int(r["dot"]), int(r["vec_id"])) for r in got] == expect[:10]
+    # the audit column marks exact brute-force MIPS top-k membership
+    brute = sorted(
+        ((int(v @ q), vid) for vid, v in vecs.items() if vid != qid),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    top_ids = {vid for _, vid in brute}
+    for r in got:
+        assert int(r["in_exact_topk"]) == (int(r["vec_id"]) in top_ids)
