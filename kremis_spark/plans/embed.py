@@ -697,7 +697,7 @@ rels AS (
   FROM prep p
   CROSS JOIN ms
   CROSS JOIN cb c,
-       LATERAL unnest(generate_series(ms.m * 16 + 1, (ms.m + 1) * 16))
+       LATERAL unnest(generate_series(ms.m * {EMB_DIM // PQ_M} + 1, (ms.m + 1) * {EMB_DIM // PQ_M}))
          AS t(i)
   WHERE p.vec_id <> (SELECT qid FROM q)
   GROUP BY p.vec_id, ms.m, c.code
@@ -713,7 +713,7 @@ qlut AS (
          SUM((q.qvec[t.i] - c.cvec[t.i]) * (q.qvec[t.i] - c.cvec[t.i]))
            AS l
   FROM q CROSS JOIN ms CROSS JOIN cb c,
-       LATERAL unnest(generate_series(ms.m * 16 + 1, (ms.m + 1) * 16))
+       LATERAL unnest(generate_series(ms.m * {EMB_DIM // PQ_M} + 1, (ms.m + 1) * {EMB_DIM // PQ_M}))
          AS t(i)
   GROUP BY ms.m, c.code
 ),
