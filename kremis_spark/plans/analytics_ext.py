@@ -524,6 +524,98 @@ def q_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_SALT = "ab:"  # experiment salt: new salt = fresh independent split
+AB_ARM_A_HEX = ("0", "1", "2", "3", "4", "5", "6", "7")  # 50/50 split
+SRM_CHI2_MILLIS = 3841  # chi-square(1df) 0.05 critical value, in millis
+
+
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with the guardrail every experimentation
+    platform runs first: deterministic hash assignment (arm A iff the
+    first hex digit of md5(salt : user_id) falls in the low half — same
+    user, same arm, forever) and the sample-ratio-mismatch (SRM) check.
+    For a 50/50 design the chi-square statistic reduces to
+    (n_a - n_b)^2 / (n_a + n_b); reported in millis against the 3.841
+    critical value (p < 0.05 means randomization is broken and the
+    metric deltas are untrustworthy). One audit row: per-arm user
+    counts, event counts, converted users (>= 1 purchase), revenue
+    cents, conversion ppm, the SRM statistic, and the flag.
+
+    Scale shape: one per-user partial agg (the fact table's only
+    shuffle), a map-side md5 assignment, and a single global partial
+    agg down to one row. Integer arithmetic throughout."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = "CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)"
+    per_user = (
+        ev.select(
+            "user_id",
+            F.expr(cents).alias("cents"),
+            (F.col("event_type") == "purchase").cast("long").alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("p").cast("long").alias("converted"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    arm_a = (
+        F.substring(
+            F.md5(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        .isin(*AB_ARM_A_HEX)
+        .cast("long")
+    )
+    armed = per_user.withColumn("a", arm_a)
+    agg = armed.agg(
+        F.sum("a").cast("long").alias("n_users_a"),
+        F.sum(1 - F.col("a")).cast("long").alias("n_users_b"),
+        F.sum(F.col("a") * F.col("n_events")).cast("long").alias(
+            "n_events_a"
+        ),
+        F.sum((1 - F.col("a")) * F.col("n_events")).cast("long").alias(
+            "n_events_b"
+        ),
+        F.sum(F.col("a") * F.col("converted")).cast("long").alias(
+            "conv_users_a"
+        ),
+        F.sum((1 - F.col("a")) * F.col("converted")).cast("long").alias(
+            "conv_users_b"
+        ),
+        F.sum(F.col("a") * F.col("cents")).cast("long").alias("cents_a"),
+        F.sum((1 - F.col("a")) * F.col("cents")).cast("long").alias(
+            "cents_b"
+        ),
+    )
+    return agg.select(
+        "n_users_a",
+        "n_users_b",
+        "n_events_a",
+        "n_events_b",
+        "conv_users_a",
+        "conv_users_b",
+        "cents_a",
+        "cents_b",
+        F.expr(
+            "conv_users_a * 1000000 div greatest(n_users_a, 1)"
+        ).alias("conv_ppm_a"),
+        F.expr(
+            "conv_users_b * 1000000 div greatest(n_users_b, 1)"
+        ).alias("conv_ppm_b"),
+        F.expr(
+            "(n_users_a - n_users_b) * (n_users_a - n_users_b) * 1000"
+            " div greatest(n_users_a + n_users_b, 1)"
+        ).alias("srm_chi2_millis"),
+        F.expr(
+            "CAST((n_users_a - n_users_b) * (n_users_a - n_users_b) * 1000"
+            f" div greatest(n_users_a + n_users_b, 1) > {SRM_CHI2_MILLIS}"
+            " AS LONG)"
+        ).alias("srm_flag"),
+    )
+
+
 def q_kanon_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release gate over the (event_type, day) activity
     summary: a group's counts are published only when at least KANON_K
@@ -836,11 +928,58 @@ SELECT event_type, CAST(day AS BIGINT) AS day,
          AS n_users_pub
 FROM g ORDER BY event_type, day
 """,
+    "events_ab_srm": f"""
+WITH pu AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT *,
+         CASE WHEN substr(md5('{AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 1)
+              IN ({", ".join(f"'{h}'" for h in AB_ARM_A_HEX)})
+              THEN 1 ELSE 0 END AS a
+  FROM pu
+),
+agg AS (
+  SELECT SUM(a) AS n_users_a, SUM(1 - a) AS n_users_b,
+         SUM(a * n_events) AS n_events_a,
+         SUM((1 - a) * n_events) AS n_events_b,
+         SUM(a * converted) AS conv_users_a,
+         SUM((1 - a) * converted) AS conv_users_b,
+         SUM(a * cents) AS cents_a, SUM((1 - a) * cents) AS cents_b
+  FROM armed
+)
+SELECT CAST(n_users_a AS BIGINT) AS n_users_a,
+       CAST(n_users_b AS BIGINT) AS n_users_b,
+       CAST(n_events_a AS BIGINT) AS n_events_a,
+       CAST(n_events_b AS BIGINT) AS n_events_b,
+       CAST(conv_users_a AS BIGINT) AS conv_users_a,
+       CAST(conv_users_b AS BIGINT) AS conv_users_b,
+       CAST(cents_a AS BIGINT) AS cents_a,
+       CAST(cents_b AS BIGINT) AS cents_b,
+       CAST(conv_users_a * 1000000 // GREATEST(n_users_a, 1) AS BIGINT)
+         AS conv_ppm_a,
+       CAST(conv_users_b * 1000000 // GREATEST(n_users_b, 1) AS BIGINT)
+         AS conv_ppm_b,
+       CAST((n_users_a - n_users_b) * (n_users_a - n_users_b) * 1000
+            // GREATEST(n_users_a + n_users_b, 1) AS BIGINT)
+         AS srm_chi2_millis,
+       CAST(CASE WHEN (n_users_a - n_users_b) * (n_users_a - n_users_b)
+                      * 1000 // GREATEST(n_users_a + n_users_b, 1)
+                      > {SRM_CHI2_MILLIS}
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM agg
+""",
 }
 
 QUERIES = {
     "events_decay_sum": q_decay_sum,
     "events_kanon_summary": q_kanon_summary,
+    "events_ab_srm": q_ab_srm,
     "events_cube_summary": q_cube_summary,
     "events_pivot_hourly": q_pivot_hourly,
     "events_funnel": q_funnel,
