@@ -44,14 +44,38 @@ LOOKUP_ENTITY = 7
 # that rewrites sf_dir in-place within one application must call
 # clear_query_caches() or it will be served stale state.
 _STATE_CACHE: dict[tuple[str, str], GraphState] = {}
+_UND_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_query_caches() -> None:
     """Drop every session memo in this module (graph state, strongest-path
-    intermediates, anchors). For tests/tools that regenerate data under an
-    sf_dir within one Spark application."""
-    for c in (_STATE_CACHE, _PATH_CACHE, _ANCHORS_CACHE):
+    intermediates, anchors, canonical undirected edges). For tests/tools
+    that regenerate data under an sf_dir within one Spark application."""
+    for c in (_STATE_CACHE, _PATH_CACHE, _ANCHORS_CACHE, _UND_CACHE):
         c.clear()
+
+
+def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected edge set (a < b, loops dropped, distinct),
+    materialized once per session: the shared base of every undirected
+    graph algorithm here (triangles, link prediction, k-core, harmonic
+    centrality, neighbor Jaccard). Before this memo each of them paid
+    the same dedup shuffle + checkpoint on a cold run."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _UND_CACHE.get(key)
+    if df is None:
+        st = graph_state(spark, sf_dir)
+        df = (
+            st.edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        _UND_CACHE[key] = df
+    return df
 
 
 def graph_state(spark: SparkSession, sf_dir: str) -> GraphState:
@@ -490,18 +514,9 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     join fan-out stays bounded — the shape that survives scale-up,
     unlike naive 3-cycle enumeration which counts each triangle 6×.
     Two key-partitioned self-joins; no cross product."""
-    st = graph_state(spark, sf_dir)
-    # Materialize the canonical edge set once: it feeds three self-join
-    # aliases, and without this the whole ingest lineage is replanned
-    # per alias (3× the scan/shuffle work).
-    und = (
-        st.edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # session-shared canonical edge set: feeds three self-join aliases
+    # here and four sibling undirected algorithms
+    und = undirected_edges(spark, sf_dir)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     return (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -577,14 +592,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     millionths), with the dropped wedge mass Σ_{deg>cap} deg(z)² logged
     — the LSH hot-bucket pattern applied to wedges."""
     st = graph_state(spark, sf_dir)
-    und = (
-        st.edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = undirected_edges(spark, sf_dir)
     # undirected incidence (node, neighbor)
     inc = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
         und.select(F.col("b").alias("z"), F.col("a").alias("n"))
@@ -653,6 +661,108 @@ KCORE_K = 4
 KCORE_ROUNDS = 8
 
 
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed co-occurrence graph: the ppm
+    fraction of non-loop edges (u, v) whose reverse (v, u) also exists —
+    the standard directed-graph symmetry diagnostic (near-0 = feed-like
+    flow, near-1M = conversational/mutual structure), and the number
+    that says whether a directed pipeline can be halved into an
+    undirected one.
+
+    Scale shape: one semi-join of the edge set against its own reversal
+    (key-partitioned, no fan-out — both sides are unique (src, dst)
+    pairs) and two scalar partial aggs crossJoined into the audit row."""
+    st = graph_state(spark, sf_dir)
+    e = st.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_all = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_rec = (
+        e.join(rev, ["src", "dst"], "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    return n_all.crossJoin(n_rec).select(
+        "n_edges",
+        "n_reciprocal",
+        F.expr(
+            "n_reciprocal * 1000000 div greatest(n_edges, 1)"
+        ).alias("reciprocity_ppm"),
+    )
+
+
+JN_TOPN = 10
+# Common-neighbor enumeration through a node z emits deg(z)^2 wedge rows
+# — the same blowup as link prediction's RA index. The cap is part of
+# the operator's SEMANTICS (both engines drop z above it), so one code
+# path serves gate SFs (where no node comes close) and 100 TB (where a
+# celebrity hub would otherwise emit 10^12 rows): a capped Jaccard is a
+# documented estimate, not an engine divergence.
+JN_HUB_CAP = 10_000
+
+
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard link prediction: for NON-adjacent node pairs
+    with at least one common neighbor, |N(a) & N(b)| / |N(a) | N(b)| in
+    exact integer millis; top JN_TOPN pairs. Complements the
+    resource-allocation index (q_link_prediction) with the set-overlap
+    scorer most similarity-search literature quotes.
+
+    Scale shape: adjacency from the canonical undirected edge set; the
+    wedge self-join is keyed on the shared neighbor z with hub nodes
+    (deg > JN_HUB_CAP) excluded by definition (see cap comment); the
+    Jaccard denominator joins two node-sized degree rows per surviving
+    pair; adjacency is removed with one anti-join."""
+    und = undirected_edges(spark, sf_dir)
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("z")).union(
+        und.select(F.col("b").alias("n"), F.col("a").alias("z"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # broadcast the HUB list (tiny by construction) and anti-join, never
+    # the complement (which is nearly every node)
+    hubs = deg.filter(F.col("deg") > JN_HUB_CAP).select(
+        F.col("n").alias("z")
+    )
+    # Same wedge-join strategy as link prediction: evenly repartition the
+    # stream side (its partitioning IS the parallelism of the Σdeg²-row
+    # stage), and broadcast the build side while the graph is small — a
+    # z-keyed shuffle join would put every hub's deg² wedges on one task.
+    cadj = (
+        adj.join(F.broadcast(hubs), "z", "anti")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    right = cadj.select("z", F.col("n").alias("y"))
+    if graph_state(spark, sf_dir).edge_count() <= LP_BROADCAST_MAX_EDGES:
+        right = F.broadcast(right)
+    common = (
+        cadj.select("z", F.col("n").alias("x"))
+        .join(right, "z")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    non_adj = common.join(
+        und,
+        (common["x"] == und["a"]) & (common["y"] == und["b"]),
+        "anti",
+    )
+    degd = F.broadcast(deg)
+    scored = (
+        non_adj.join(degd.select(F.col("n").alias("x"), F.col("deg").alias("deg_x")), "x")
+        .join(degd.select(F.col("n").alias("y"), F.col("deg").alias("deg_y")), "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "common",
+            F.expr(
+                "common * 1000 div greatest(deg_x + deg_y - common, 1)"
+            ).alias("jaccard_millis"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_millis"), F.desc("common"), "node_a", "node_b"
+    ).limit(JN_TOPN)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (bounded peeling): repeatedly drop nodes with
     undirected degree < KCORE_K and the edges they carry, KCORE_ROUNDS
@@ -665,15 +775,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     and two broadcast semi-joins against the node-sized keep list; edges
     never reshuffle. Rounds are O(peeling depth), the same bounded-round
     contract as label propagation / SSSP."""
-    st = graph_state(spark, sf_dir)
-    cur = (
-        st.edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    cur = undirected_edges(spark, sf_dir)
     n_cur = cur.count()
     for _ in range(KCORE_ROUNDS):
         if n_cur == 0:
@@ -816,13 +918,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     step as PageRank; adjacency is built once and checkpointed, labels
     are checkpointed every other round to keep lineage flat."""
     st = graph_state(spark, sf_dir)
-    und = (
-        st.edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    und = undirected_edges(spark, sf_dir)
     adj = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
@@ -1258,6 +1354,56 @@ ORDER BY node_id
 
 ORACLE_SQL: dict[str, str] = {
     "graph_kcore": GRAPH_CTE + _kcore_oracle_sql(),
+    "graph_reciprocity": GRAPH_CTE
+    + """
+, de AS (SELECT src, dst FROM edges WHERE src <> dst),
+cnts AS (
+  SELECT (SELECT COUNT(*) FROM de) AS n_edges,
+         (SELECT COUNT(*) FROM de a
+          JOIN de b ON b.src = a.dst AND b.dst = a.src) AS n_reciprocal
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+       CAST(n_reciprocal * 1000000 // GREATEST(n_edges, 1) AS BIGINT)
+         AS reciprocity_ppm
+FROM cnts
+""",
+    "graph_jaccard_neighbors": GRAPH_CTE
+    + f"""
+, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+adj AS (
+  SELECT a AS n, b AS z FROM und
+  UNION ALL
+  SELECT b AS n, a AS z FROM und
+),
+deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
+cadj AS (
+  SELECT adj.n, adj.z FROM adj
+  JOIN deg dz ON dz.n = adj.z AND dz.deg <= {JN_HUB_CAP}
+),
+common AS (
+  SELECT x.n AS x, y.n AS y, COUNT(*) AS common
+  FROM cadj x JOIN cadj y ON y.z = x.z AND x.n < y.n
+  GROUP BY 1, 2
+),
+non_adj AS (
+  SELECT c.* FROM common c
+  LEFT JOIN und u ON u.a = c.x AND u.b = c.y
+  WHERE u.a IS NULL
+)
+SELECT c.x AS node_a, c.y AS node_b, CAST(c.common AS BIGINT) AS common,
+       CAST(c.common * 1000
+            // GREATEST(dx.deg + dy.deg - c.common, 1) AS BIGINT)
+         AS jaccard_millis
+FROM non_adj c
+JOIN deg dx ON dx.n = c.x
+JOIN deg dy ON dy.n = c.y
+ORDER BY jaccard_millis DESC, common DESC, node_a, node_b
+LIMIT {JN_TOPN}
+""",
     "graph_triangles": GRAPH_CTE
     + """
 , und AS (
@@ -1622,6 +1768,8 @@ QUERIES = {
     "graph_degree_hist": q_degree_hist,
     "graph_link_prediction": q_link_prediction,
     "graph_kcore": q_kcore,
+    "graph_reciprocity": q_reciprocity,
+    "graph_jaccard_neighbors": q_jaccard_neighbors,
     "graph_harmonic_centrality": q_harmonic_centrality,
     "graph_label_propagation": q_label_propagation,
     "graph_sssp": q_sssp_bellman_ford,

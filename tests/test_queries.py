@@ -195,3 +195,39 @@ def test_path_confidence_avg_weight_5_is_75():
     weights = {(0, 1): 5, (1, 2): 5}
     out = compute_path_confidence([0, 1, 2], weights)
     assert out["score"] == 75
+
+
+def test_ab_srm_assignment_deterministic_and_consistent(spark):
+    """The arm split is a pure function of user_id (stable across runs),
+    totals conserve, and the SRM statistic matches a local re-derivation."""
+    import hashlib
+
+    from kremis_spark.plans.analytics_ext import (
+        AB_ARM_A_HEX,
+        AB_SALT,
+        SRM_CHI2_MILLIS,
+        q_ab_srm,
+    )
+    from kremis_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    row = q_ab_srm(spark, sf).collect()[0]
+    ev = read_table(spark, sf, "events").select("user_id").distinct().collect()
+    arm_a = {
+        int(r["user_id"])
+        for r in ev
+        if hashlib.md5(
+            f"{AB_SALT}{int(r['user_id'])}".encode()
+        ).hexdigest()[0] in AB_ARM_A_HEX
+    }
+    assert int(row["n_users_a"]) == len(arm_a)
+    assert int(row["n_users_a"]) + int(row["n_users_b"]) == len(ev)
+    na, nb = int(row["n_users_a"]), int(row["n_users_b"])
+    chi2 = (na - nb) * (na - nb) * 1000 // max(na + nb, 1)
+    assert int(row["srm_chi2_millis"]) == chi2
+    assert int(row["srm_flag"]) == (1 if chi2 > SRM_CHI2_MILLIS else 0)
+    for side in ("a", "b"):
+        assert 0 <= int(row[f"conv_users_{side}"]) <= int(
+            row[f"n_users_{side}"]
+        )
+        assert 0 <= int(row[f"conv_ppm_{side}"]) <= 1_000_000
