@@ -70,6 +70,135 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-framed as the opaque media table (shared by the
+    decode, phash-dedup, and shard-manifest plumbing)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+
+PHASH_BANDS = 4  # 64-bit perceptual hash split into 4x16-bit LSH bands
+PHASH_BUCKET_CAP = 32  # hot (non-discriminative) band buckets dropped
+PHASH_TOPN = 20
+
+
+def q_media_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup plumbing: a 64-bit content hash per
+    item is split into 4 x 16-bit bands and near-duplicate candidates
+    are item pairs (same modality) sharing >= 1 band bucket — exactly
+    the banded-Hamming LSH used for pHash image dedup at scale (two
+    pHashes within Hamming distance d collide on some band with high
+    probability). The HASH itself is the stubbed part (sha256-derived,
+    deterministic — this container has no image libs); a production
+    deployment swaps a DCT pHash into the same column and every band /
+    bucket / cap / pair stage is unchanged. With the stub, colliding
+    pairs are exact-content duplicates, which the corpus does contain.
+
+    Scale shape: band explode is one map-side projection (4 rows/item);
+    hot buckets are capped like the MinHash LSH (a bucket with > cap
+    members is non-discriminative); the pair join is per-bucket and
+    bounded by the cap. Top pairs by shared-band count."""
+    m = _media(spark, sf_dir)
+    ph = m.select(
+        "item_id",
+        "modality",
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )
+    bands = ph.select(
+        "item_id",
+        "modality",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.conv(
+                            F.substring("sha", 1 + 4 * b, 4), 16, 10
+                        ).cast("long").alias("bval"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("item_id", "modality", "bb.band", "bb.bval")
+    sizes = (
+        bands.groupBy("modality", "band", "bval")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= PHASH_BUCKET_CAP))
+        .select("modality", "band", "bval")
+    )
+    hot = bands.join(F.broadcast(sizes), ["modality", "band", "bval"])
+    pairs = (
+        hot.select("modality", "band", "bval", F.col("item_id").alias("item_a"))
+        .join(
+            hot.select(
+                "modality", "band", "bval", F.col("item_id").alias("item_b")
+            ),
+            ["modality", "band", "bval"],
+        )
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.countDistinct("band").cast("long").alias("n_shared_bands"))
+    )
+    return pairs.orderBy(
+        F.desc("n_shared_bands"), "item_a", "item_b"
+    ).limit(PHASH_TOPN)
+
+
+SHARD_TARGET_BYTES = 64 * 1024  # test-scale stand-in for ~512MB shards
+
+
+def q_media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-manifest planner for the media lake: items laid out in
+    (modality, item_id) order and cut into fixed-byte-budget shards by
+    the global byte prefix sum (shard = prefix div target) — the layout
+    step that turns 100 TB of blobs into uniformly sized, sequentially
+    readable training shards (WebDataset/tar-style). One manifest row
+    per shard: item count, byte total, and the item range.
+
+    Scale shape: the global prefix is the two-phase distributed scan
+    (operators/prefix.py) — range partition, per-partition offsets, no
+    single-partition window; the rollup is one partial agg keyed by the
+    (derived, monotone) shard id."""
+    from kremis_spark.operators.prefix import exclusive_prefix_sum
+
+    m = _media(spark, sf_dir).select(
+        "modality",
+        "item_id",
+        F.length("content").cast("long").alias("n_bytes"),
+    )
+    pre = exclusive_prefix_sum(
+        m, ["modality", "item_id"], "n_bytes", out_col="off"
+    )
+    sharded = pre.select(
+        "modality",
+        "item_id",
+        "n_bytes",
+        F.expr(f"off div {SHARD_TARGET_BYTES}").alias("shard_id"),
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.min(F.struct("modality", "item_id"))["item_id"].alias(
+                "first_item"
+            ),
+            F.max(F.struct("modality", "item_id"))["item_id"].alias(
+                "last_item"
+            ),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kremis_spark.sources.tables import normalize_events_ts
 
@@ -518,6 +647,75 @@ SELECT doc_id AS item_id,
          AS feat0_q
 FROM documents
 """,
+    "pipe_media_phash_bands": f"""
+WITH m AS (
+  SELECT doc_id AS item_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         sha256(text) AS sha
+  FROM documents
+),
+bands AS (
+  SELECT item_id, modality, b.band,
+         ('0x' || substr(sha, 1 + 4 * b.band, 4))::BIGINT AS bval
+  FROM m, (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS band) b
+),
+ok AS (
+  SELECT modality, band, bval
+  FROM (SELECT modality, band, bval, COUNT(*) AS n
+        FROM bands GROUP BY ALL)
+  WHERE n BETWEEN 2 AND {PHASH_BUCKET_CAP}
+),
+hot AS (SELECT bands.* FROM bands JOIN ok USING (modality, band, bval)),
+pairs AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         COUNT(DISTINCT a.band) AS n_shared_bands
+  FROM hot a
+  JOIN hot b ON b.modality = a.modality AND b.band = a.band
+            AND b.bval = a.bval AND a.item_id < b.item_id
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, CAST(n_shared_bands AS BIGINT) AS n_shared_bands
+FROM pairs ORDER BY n_shared_bands DESC, item_a, item_b
+LIMIT {PHASH_TOPN}
+""",
+    "pipe_media_shard_manifest": f"""
+WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         doc_id AS item_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+pre AS (
+  SELECT *,
+         COALESCE(SUM(n_bytes) OVER (
+           ORDER BY modality, item_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM m
+),
+s AS (SELECT *, off // {SHARD_TARGET_BYTES} AS shard_id FROM pre),
+agg AS (
+  SELECT shard_id, COUNT(*) AS n_items, SUM(n_bytes) AS shard_bytes
+  FROM s GROUP BY 1
+),
+ends AS (
+  SELECT DISTINCT shard_id,
+         FIRST_VALUE(item_id) OVER (
+           PARTITION BY shard_id ORDER BY modality, item_id) AS first_item,
+         FIRST_VALUE(item_id) OVER (
+           PARTITION BY shard_id ORDER BY modality DESC, item_id DESC)
+           AS last_item
+  FROM s
+)
+SELECT CAST(a.shard_id AS BIGINT) AS shard_id,
+       CAST(a.n_items AS BIGINT) AS n_items,
+       CAST(a.shard_bytes AS BIGINT) AS shard_bytes,
+       CAST(e.first_item AS BIGINT) AS first_item,
+       CAST(e.last_item AS BIGINT) AS last_item
+FROM agg a JOIN ends e USING (shard_id)
+ORDER BY shard_id
+""",
     "stream_window_counts": """
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
        event_type,
@@ -690,6 +888,8 @@ ORDER BY event_type
 
 QUERIES = {
     "pipe_multimodal_decode": q_multimodal_decode,
+    "pipe_media_phash_bands": q_media_phash_bands,
+    "pipe_media_shard_manifest": q_media_shard_manifest,
     "stream_window_counts": q_stream_window_counts,
     "stream_running_totals": q_stream_running_totals,
     "stream_session_windows": q_stream_session_windows,
