@@ -571,6 +571,22 @@ LP_REPART_MIN_EDGES = 200_000
 LP_WEDGES_PER_TASK = 4_000_000
 
 
+def _wedge_parallelism(spark: SparkSession, deg: DataFrame, edge_count: int) -> int:
+    """Stream-side width for a wedge self-join (shared by link prediction
+    and neighbor Jaccard): defaultParallelism below LP_REPART_MIN_EDGES;
+    above it, sized from the PREDICTED wedge mass (Σ deg², one tiny agg
+    over the node-sized degree table) at LP_WEDGES_PER_TASK per task, so
+    per-task partial-agg state stays bounded at any scale (measured at
+    sf1: 254M wedges over 32 tasks spill their agg hash maps)."""
+    npart = spark.sparkContext.defaultParallelism
+    if edge_count > LP_REPART_MIN_EDGES:
+        mass = deg.agg(
+            F.sum(F.col("deg").cast("double") * F.col("deg")).alias("m")
+        ).collect()[0]["m"] or 0.0
+        npart = int(min(4096, max(npart, mass // LP_WEDGES_PER_TASK)))
+    return npart
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by resource-allocation index: every pair sharing
     at least one common neighbor scores RA(u,v) = Σ_z 1e6 div deg(z)
@@ -609,12 +625,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the node-sized deg table) at LP_WEDGES_PER_TASK per task:
     # measured at sf1 (254M wedges), 32 tasks spill their agg hash maps;
     # mass-proportional width keeps per-task state flat at any scale.
-    npart = spark.sparkContext.defaultParallelism
-    if st.edge_count() > LP_REPART_MIN_EDGES:
-        mass = deg.agg(
-            F.sum(F.col("deg").cast("double") * F.col("deg")).alias("m")
-        ).collect()[0]["m"] or 0.0
-        npart = int(min(4096, max(npart, mass // LP_WEDGES_PER_TASK)))
+    npart = _wedge_parallelism(spark, deg, st.edge_count())
     incw = (
         inc.join(F.broadcast(deg), "z")
         .select("z", "n", "deg", F.expr("1000000 div deg").alias("w"))
@@ -725,13 +736,14 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream side (its partitioning IS the parallelism of the Σdeg²-row
     # stage), and broadcast the build side while the graph is small — a
     # z-keyed shuffle join would put every hub's deg² wedges on one task.
+    edge_count = graph_state(spark, sf_dir).edge_count()
     cadj = (
         adj.join(F.broadcast(hubs), "z", "anti")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(_wedge_parallelism(spark, deg, edge_count))
         .localCheckpoint(eager=True)
     )
     right = cadj.select("z", F.col("n").alias("y"))
-    if graph_state(spark, sf_dir).edge_count() <= LP_BROADCAST_MAX_EDGES:
+    if edge_count <= LP_BROADCAST_MAX_EDGES:
         right = F.broadcast(right)
     common = (
         cadj.select("z", F.col("n").alias("x"))

@@ -17,7 +17,7 @@ Oracle-parity techniques used here (and worth keeping for any new query):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kremis_spark.functions import dedup as D
@@ -1949,6 +1949,164 @@ FROM cnts
 )
 
 
+VOCAB_CHECKPOINTS = (10, 100, 1000, 10000)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design statistic: for
+    each candidate vocab size V, what fraction (ppm) of all corpus token
+    OCCURRENCES the top-V types (by frequency, ties lexicographic)
+    cover. The knee of this curve is how vocab sizes are actually
+    chosen; its tail is the OOV rate a fixed vocab ships with.
+
+    Scale shape: one token-frequency partial agg; the global frequency
+    rank comes from the two-phase distributed prefix scan (range
+    partition on (-freq, tok) — never a single-partition window over
+    the vocabulary); each type then joins the (4-row, broadcast)
+    checkpoint dim on rank < V and collapses into one partial agg per
+    checkpoint. Vocabulary is Zipf-bounded, far smaller than the
+    corpus."""
+    from kremis_spark.operators.prefix import exclusive_prefix_sum
+
+    docs = _docs_parallel(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(T.tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .withColumn("negf", -F.col("f"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = exclusive_prefix_sum(tf, ["negf", "tok"], "one", out_col="rank0")
+    cps = spark.createDataFrame(
+        [(v,) for v in VOCAB_CHECKPOINTS], "vocab_size LONG"
+    )
+    total = tf.agg(F.sum("f").cast("long").alias("t"))
+    return (
+        ranked.join(F.broadcast(cps), F.col("rank0") < F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("f").cast("long").alias("cum_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "n_types",
+            "cum_tokens",
+            F.expr("cum_tokens * 1000000 div greatest(t, 1)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+ORACLE_SQL["pipe_vocab_coverage"] = f"""
+WITH tf AS (
+  SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY 1
+),
+r AS (
+  SELECT tok, f,
+         ROW_NUMBER() OVER (ORDER BY f DESC, tok) - 1 AS rank0
+  FROM tf
+),
+tot AS (SELECT SUM(f) AS t FROM tf),
+cps AS (SELECT unnest({list(VOCAB_CHECKPOINTS)}) AS vocab_size)
+SELECT CAST(c.vocab_size AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(r.f) AS BIGINT) AS cum_tokens,
+       CAST(SUM(r.f) * 1000000 // GREATEST((SELECT t FROM tot), 1)
+            AS BIGINT) AS coverage_ppm
+FROM r JOIN cps c ON r.rank0 < c.vocab_size
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup buys you, in tokens — the one-row budget audit quoted
+    in every dataset paper: total corpus tokens, tokens surviving exact
+    dedup (keep the min-doc_id copy per byte-identical text), tokens
+    surviving near-dup removal (keep cluster representatives — the
+    pipe_dedup_keep rule), and the inflation of the raw corpus over the
+    near-deduped one in ppm (how much of the compute a naive training
+    run would spend re-reading copies).
+
+    Scale shape: reuses the session-shared verified-pairs + component
+    labels; the three token sums are one scan with map-side CASEs
+    folded into a single partial agg (the md5 keep-mark is a window
+    over the md5 key, partitioned — no global sort)."""
+    docs = _docs_parallel(spark, sf_dir)
+    strong = _verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
+    )
+    labels = D.connected_components(strong).withColumnRenamed("n", "doc_id")
+    w = Window.partitionBy("md5").orderBy("doc_id")
+    marked = (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("md5"),
+            F.size(T.tokens()).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "exact_keep",
+            (F.row_number().over(w) == 1).cast("long"),
+        )
+        .join(labels, "doc_id", "left")
+        .withColumn(
+            "near_keep",
+            (
+                F.col("label").isNull()
+                | (F.col("label") == F.col("doc_id"))
+            ).cast("long"),
+        )
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.col("exact_keep") * F.col("n_tokens")).cast("long").alias(
+            "tokens_exact_dedup"
+        ),
+        F.sum(F.col("near_keep") * F.col("n_tokens")).cast("long").alias(
+            "tokens_neardup_keep"
+        ),
+    ).select(
+        "n_docs",
+        "tokens_total",
+        "tokens_exact_dedup",
+        "tokens_neardup_keep",
+        F.expr(
+            "tokens_total * 1000000 div greatest(tokens_neardup_keep, 1)"
+        ).alias("inflation_ppm"),
+    )
+
+
+ORACLE_SQL["pipe_dup_inflation"] = (
+    _MINHASH_CORE
+    + _CC_SQL_BLOCK
+    + f"""
+, marked AS (
+  SELECT d.doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS exact_keep,
+         CASE WHEN c.lbl IS NULL OR c.lbl = d.doc_id THEN 1 ELSE 0 END
+           AS near_keep
+  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(exact_keep * n_tokens) AS BIGINT) AS tokens_exact_dedup,
+       CAST(SUM(near_keep * n_tokens) AS BIGINT) AS tokens_neardup_keep,
+       CAST(SUM(n_tokens) * 1000000
+            // GREATEST(SUM(near_keep * n_tokens), 1) AS BIGINT)
+         AS inflation_ppm
+FROM marked
+"""
+)
+
+
 CONT_RARE_DF_CAP = 16  # blocking shingles: appear in 2..=16 docs
 CONT_MIN_MILLIS = 600
 CONT_TOPN = 20
@@ -2174,4 +2332,6 @@ QUERIES = {
     "pipe_simhash_neardup": q_simhash_neardup,
     "pipe_leakage_split": q_leakage_split,
     "pipe_lsh_recall": q_lsh_recall,
+    "pipe_vocab_coverage": q_vocab_coverage,
+    "pipe_dup_inflation": q_dup_inflation,
 }
