@@ -466,6 +466,126 @@ _ = windowed_event_counts
 CMS_PROBES = 5
 
 
+DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+
+def q_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup as a STREAM — the real deployment shape
+    of pipe_dedup_incremental: incoming documents arrive on a file
+    stream and each is flagged against the STATIC corpus via
+    stream-static joins (exact tier: md5 membership; near tier: shared
+    non-hot LSH band bucket + MinHash signature agreement). Same
+    semantics, same oracle SQL as the batch operator.
+
+    Streaming-specific shapes: MinHash signatures are computed PER ROW
+    with array_min over the hashed shingle array (the batch formulation
+    is an explode + groupBy min — a stateful aggregation a stream
+    doesn't need); the corpus band/md5 tables are batch-side,
+    hot-capped, and broadcast into the stream (a 100 TB corpus index
+    instead lives behind a key-partitioned state store or a lookup
+    join, but the join CONTRACT is identical); the final per-doc flag
+    merge is a complete-mode agg whose state is one row per incoming
+    doc (production: update mode + watermark eviction)."""
+    from kremis_spark.functions import dedup as D
+    from kremis_spark.plans.pipeline import INCOMING_MOD, _docs_parallel, _sigs
+
+    docs = _docs_parallel(spark, sf_dir)
+    is_inc = (F.col("doc_id") % INCOMING_MOD) == 0
+    corp_md = F.broadcast(
+        docs.filter(~is_inc).select(F.md5("text").alias("m")).distinct()
+        .withColumn("in_corpus", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    corp_bands, key_cols = D._banded(_sigs(spark, sf_dir).filter(~is_inc), "doc_id")
+    corp_bands = corp_bands.localCheckpoint(eager=True)
+    ok_keys = (
+        corp_bands.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= D.HOT_BUCKET_CAP)
+        .select(*key_cols)
+    )
+    sig_cols = [f"sig_{k}" for k in range(D.NUM_HASHES)]
+    corp_side = F.broadcast(
+        corp_bands.join(ok_keys, key_cols)
+        .select(
+            *key_cols,
+            *[F.col(c).alias(f"__sb{k}") for k, c in enumerate(sig_cols)],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(is_inc)
+    )
+    # Per-row MinHash: hash each shingle once into its (h1, h2) halves,
+    # then 16 array_min folds of the Kirsch-Mitzenmacher family — the
+    # same numbers as functions/dedup.minhash_signatures, zero state.
+    hs = F.transform(
+        D.word_shingles("text"),
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        ),
+    )
+    sigged = stream.withColumn("hs", hs).select(
+        "doc_id",
+        F.md5("text").alias("m"),
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        "hs",
+                        lambda h: (h["h1"] + F.lit(k) * h["h2"])
+                        % F.lit(D.EMPTY_SIG),
+                    )
+                ),
+                F.lit(D.EMPTY_SIG),
+            ).alias(f"sig_{k}")
+            for k in range(D.NUM_HASHES)
+        ],
+    )
+    exact = sigged.join(corp_md, "m", "left").select(
+        "doc_id",
+        F.coalesce("in_corpus", F.lit(0)).cast("long").alias("exact"),
+        F.lit(0).cast("long").alias("near"),
+    )
+    s_bands, _ = D._banded(
+        sigged.select("doc_id", *sig_cols), "doc_id"
+    )
+    near = (
+        s_bands.select(
+            "doc_id",
+            *key_cols,
+            *[F.col(c).alias(f"__sa{k}") for k, c in enumerate(sig_cols)],
+        )
+        .join(corp_side, key_cols)
+        .filter(D._sig_agreement_cond(D.MIN_SIG_MATCHES))
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("exact"),
+            F.lit(1).cast("long").alias("near"),
+        )
+    )
+    flags = (
+        exact.unionByName(near)
+        .groupBy("doc_id")
+        .agg(
+            F.max("exact").cast("long").alias("exact_dup"),
+            F.max("near").cast("long").alias("near_dup"),
+        )
+    )
+    return _run_stream(
+        flags, f"gate_stream_neardup_{next(_qid)}", "complete"
+    ).orderBy("doc_id")
+
+
 def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates vs exact counts for the
     lowest probe user ids (functions/sketch.py). The md5-derived hash
@@ -886,8 +1006,13 @@ ORDER BY event_type
 """,
 }
 
+from kremis_spark.plans.pipeline import _INCR_SQL as _INCR_SQL_SHARED  # noqa: E402
+
+ORACLE_SQL["stream_neardup_flags"] = _INCR_SQL_SHARED
+
 QUERIES = {
     "pipe_multimodal_decode": q_multimodal_decode,
+    "stream_neardup_flags": q_stream_neardup_flags,
     "pipe_media_phash_bands": q_media_phash_bands,
     "pipe_media_shard_manifest": q_media_shard_manifest,
     "stream_window_counts": q_stream_window_counts,
