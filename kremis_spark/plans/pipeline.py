@@ -908,6 +908,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_FILTER_SOURCE = "src1"
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k cosine restricted to vectors whose
+    document carries a metadata predicate (source = ANN_FILTER_SOURCE):
+    the retrieval shape every production vector store supports (RAG with
+    tenant/source/date filters), where the filter must compose with the
+    index instead of post-filtering a global top-k (which silently
+    returns < k or misses better in-filter hits).
+
+    Plan: pre-filter via one broadcast semi-join of the (tiny) matching
+    doc-id dim into the session-cached vector base, then exact cosine
+    top-k. At 100 TB the same pre-filter composes with the IVF probe
+    (filter, then scan the probed cells) — selectivity decides
+    pre-filter vs post-filter, and this operator pins the semantics."""
+    q = _query_ivec(spark, sf_dir)
+    if not q:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine DOUBLE")
+    docs = _docs_parallel(spark, sf_dir)
+    keep = docs.filter(F.col("source") == ANN_FILTER_SOURCE).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    base = _prepared(spark, sf_dir).join(F.broadcast(keep), "vec_id", "semi")
+    return S.cosine_topk(base, q, k=TOPK, exclude_id=QUERY_VEC_ID)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = S.with_lsh_bucket(_prepared(spark, sf_dir))
     return S.bucket_neardup_pairs(prepared, top_n=PAIR_TOPN)
@@ -1623,6 +1650,20 @@ FROM documents GROUP BY 1
     "pipe_dup_clusters": _CLUSTERS_SQL,
     "pipe_simhash": _SIMHASH_SQL,
     "pipe_ann_cosine_topk": _COSINE_TOPK_SQL,
+    "pipe_ann_filtered_topk": f"""
+WITH {_EMB_CTE.strip()}
+SELECT e.vec_id,
+       CAST(CAST(list_sum(list_transform(generate_series(1, len(e.ivec)),
+                 i -> e.ivec[i] * q.qv[i])) AS BIGINT) AS DOUBLE)
+       / (SQRT(CAST(e.norm AS DOUBLE)) * SQRT(CAST(q.qnorm AS DOUBLE)))
+       AS cosine
+FROM norms e
+JOIN documents d ON d.doc_id = e.vec_id
+     AND d.source = '{ANN_FILTER_SOURCE}', q
+WHERE e.vec_id <> {QUERY_VEC_ID} AND e.norm > 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT {TOPK}
+""",
     "pipe_ann_lsh_topk": _LSH_TOPK_SQL,
     "pipe_ann_ivf_topk": _IVF_TOPK_SQL,
     "pipe_ann_recall": f"""
@@ -2319,6 +2360,7 @@ QUERIES = {
     "pipe_dup_clusters": q_dup_clusters,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
+    "pipe_ann_filtered_topk": q_ann_filtered_topk,
     "pipe_ann_lsh_topk": q_ann_lsh_topk,
     "pipe_ann_ivf_topk": q_ann_ivf_topk,
     "pipe_ann_recall": q_ann_recall,
