@@ -134,7 +134,9 @@ def q_media_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 2) & (F.col("n") <= PHASH_BUCKET_CAP))
         .select("modality", "band", "bval")
     )
-    hot = bands.join(F.broadcast(sizes), ["modality", "band", "bval"])
+    # no broadcast hint: the qualifying-bucket list is corpus-sized in a
+    # dup-heavy dataset — AQE flips the join to broadcast when it IS small
+    hot = bands.join(sizes, ["modality", "band", "bval"])
     pairs = (
         hot.select("modality", "band", "bval", F.col("item_id").alias("item_a"))
         .join(

@@ -719,7 +719,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 2) & (F.col("n") <= NGRAM_BLOCK_CAP))
         .select("blk")
     )
-    members = blocks.join(F.broadcast(ok), "blk")
+    # no broadcast hint: qualifying blocks are corpus-sized in a dup-heavy
+    # dataset — AQE flips to broadcast when the list is actually small
+    members = blocks.join(ok, "blk")
     pairs = (
         members.select("blk", F.col("doc_id").alias("doc_a"))
         .join(members.select("blk", F.col("doc_id").alias("doc_b")), "blk")
@@ -1898,7 +1900,9 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 2) & (F.col("n") <= NGRAM_BLOCK_CAP))
         .select("blk")
     )
-    members = blocks.join(F.broadcast(ok), "blk")
+    # no broadcast hint: qualifying blocks are corpus-sized in a dup-heavy
+    # dataset — AQE flips to broadcast when the list is actually small
+    members = blocks.join(ok, "blk")
     bpairs = (
         members.select("blk", F.col("doc_id").alias("doc_a"))
         .join(members.select("blk", F.col("doc_id").alias("doc_b")), "blk")

@@ -96,3 +96,51 @@ def test_sample_frames_real_branch(spark):
         by_item.setdefault(r["item_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 2, 4] for v in by_item.values())
     assert len(by_item) == 2
+
+
+def test_media_shard_manifest_conserves_and_is_contiguous(spark):
+    from kremis_spark.plans.beyond import (
+        SHARD_TARGET_BYTES,
+        q_media_shard_manifest,
+    )
+    from kremis_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_media_shard_manifest(spark, sf).collect()
+    assert rows
+    ids = [int(r["shard_id"]) for r in rows]
+    assert ids == list(range(len(ids))), "shard ids must be contiguous"
+    docs = read_table(spark, sf, "documents")
+    n_docs = docs.count()
+    total_bytes = sum(int(r["shard_bytes"]) for r in rows)
+    assert sum(int(r["n_items"]) for r in rows) == n_docs
+    # every shard except the last must have crossed its byte budget by
+    # the time it closed (it closes only when the prefix passes target)
+    for r in rows[:-1]:
+        assert int(r["shard_bytes"]) >= 1
+    assert total_bytes > SHARD_TARGET_BYTES * (len(rows) - 1)
+
+
+def test_media_phash_full_band_pairs_are_exact_dups_under_stub(spark):
+    """With the sha256-derived stand-in hash, a pair sharing ALL 4 bands
+    shares the hash's first 64 bits — for distinct contents that is a
+    2^-64 event, so 4-band pairs must be byte-identical. Pairs sharing
+    fewer bands are legitimate 16-bit coincidences (the recall side of
+    banded LSH) and carry no content guarantee."""
+    from kremis_spark.plans.beyond import _media, q_media_phash_bands
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q_media_phash_bands(spark, sf).collect()
+    if not pairs:
+        return
+    content = {
+        int(r["item_id"]): bytes(r["content"])
+        for r in _media(spark, sf).collect()
+    }
+    full = [p for p in pairs if int(p["n_shared_bands"]) == 4]
+    for p in full:
+        assert content[int(p["item_a"])] == content[int(p["item_b"])]
+    # the corpus DOES contain byte-identical texts; the top of the
+    # ranking (shared bands desc) must surface them
+    if full:
+        assert int(pairs[0]["n_shared_bands"]) == 4
