@@ -910,6 +910,68 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 3
+KNN_BUCKET_CAP = 64  # hot LSH buckets dropped (non-discriminative)
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction — for EVERY vector, its top-K cosine
+    neighbors among the vectors sharing its hyperplane-LSH bucket: the
+    all-vectors similarity structure that SemDeDup-style clustering,
+    graph-based dedup, and label propagation over embeddings all start
+    from (vs the single-query top-k of the ANN family). Bucketing makes
+    it an approximate k-NN graph; exactness within a bucket is total.
+
+    Scale shape: bucket sizes are culled to <= KNN_BUCKET_CAP (a hot
+    bucket is non-discriminative and would emit cap^2 pairs), so the
+    within-bucket self-join is bounded by cap per row; the per-vector
+    top-K is a bucket-partitioned window (never global). Output is
+    O(N x K) rows — the graph itself, not a sample."""
+    prepared = S.with_lsh_bucket(_prepared(spark, sf_dir)).filter(
+        F.col("norm") > 0
+    )
+    sizes = (
+        prepared.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= KNN_BUCKET_CAP))
+        .select("bucket")
+    )
+    inb = prepared.join(sizes, "bucket")
+    a = inb.select(
+        "bucket",
+        F.col("vec_id").alias("v"),
+        F.col("ivec").alias("ivec_v"),
+        F.col("norm").alias("norm_v"),
+    )
+    b = inb.select(
+        "bucket",
+        F.col("vec_id").alias("u"),
+        F.col("ivec").alias("ivec_u"),
+        F.col("norm").alias("norm_u"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("v") != F.col("u"))
+    scored = pairs.withColumn(
+        "cosine",
+        S.cosine_col(
+            S.int_dot(F.col("ivec_v"), F.col("ivec_u")),
+            F.col("norm_v"),
+            F.col("norm_u"),
+        ),
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cosine"), "u")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("v").alias("vec_id"),
+            F.col("u").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
 ANN_FILTER_SOURCE = "src1"
 
 
@@ -1652,6 +1714,37 @@ FROM documents GROUP BY 1
     "pipe_dup_clusters": _CLUSTERS_SQL,
     "pipe_simhash": _SIMHASH_SQL,
     "pipe_ann_cosine_topk": _COSINE_TOPK_SQL,
+    "pipe_knn_graph": f"""
+WITH {_EMB_CTE.strip()},
+{_BUCKETS_CTE.strip()},
+nb AS (
+  SELECT b.vec_id, b.bucket, e.ivec, e.norm
+  FROM buckets b JOIN norms e ON e.vec_id = b.vec_id
+  WHERE e.norm > 0
+),
+bsz AS (
+  SELECT bucket FROM (SELECT bucket, COUNT(*) AS n FROM nb GROUP BY 1)
+  WHERE n BETWEEN 2 AND {KNN_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.vec_id AS v, b.vec_id AS u,
+         CAST(CAST(list_sum(list_transform(
+               generate_series(1, len(a.ivec)),
+               i -> a.ivec[i] * b.ivec[i])) AS BIGINT) AS DOUBLE)
+         / (SQRT(CAST(a.norm AS DOUBLE)) * SQRT(CAST(b.norm AS DOUBLE)))
+           AS cosine
+  FROM nb a JOIN bsz USING (bucket)
+  JOIN nb b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT v, u, cosine,
+         ROW_NUMBER() OVER (PARTITION BY v ORDER BY cosine DESC, u) AS rn
+  FROM pairs
+)
+SELECT v AS vec_id, u AS neighbor_id, CAST(rn AS BIGINT) AS rank, cosine
+FROM ranked WHERE rn <= {KNN_K}
+ORDER BY vec_id, rank
+""",
     "pipe_ann_filtered_topk": f"""
 WITH {_EMB_CTE.strip()}
 SELECT e.vec_id,
@@ -2364,6 +2457,7 @@ QUERIES = {
     "pipe_dup_clusters": q_dup_clusters,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
+    "pipe_knn_graph": q_knn_graph,
     "pipe_ann_filtered_topk": q_ann_filtered_topk,
     "pipe_ann_lsh_topk": q_ann_lsh_topk,
     "pipe_ann_ivf_topk": q_ann_ivf_topk,
