@@ -145,6 +145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(MIXING_QUERIES)
     except ImportError:
         pass
+    try:
+        from kremis_spark.plans.retrieval import QUERIES as RETRIEVAL_QUERIES
+
+        out.update(RETRIEVAL_QUERIES)
+    except ImportError:
+        pass
     return _family_interleaved(out)
 
 
@@ -199,6 +205,12 @@ def oracle_sql() -> dict[str, str]:
         from kremis_spark.plans.mixing import ORACLE_SQL as MIXING_ORACLES
 
         out.update(MIXING_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.retrieval import ORACLE_SQL as RETRIEVAL_ORACLES
+
+        out.update(RETRIEVAL_ORACLES)
     except ImportError:
         pass
     return _family_interleaved(out)

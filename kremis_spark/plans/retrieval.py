@@ -1,0 +1,310 @@
+"""Ranked retrieval over the document corpus — the RAG-shaped read path
+of a training-data platform: fixed-point BM25 lexical search and a
+hybrid lexical+vector fusion (reciprocal-rank fusion), each with an
+exact DuckDB oracle.
+
+Beyond-reference family (build-brief: similarity search / text
+analysis). The reference engine has no retrieval surface; these follow
+the repo's oracle-parity rules (integer fixed-point scores, md5-free
+deterministic tiebreaks, every LIMIT fully ordered).
+
+Why a log-free BM25: classic BM25 idf is ln((N-df+0.5)/(df+0.5)+1),
+a transcendental the two engines are not guaranteed to round
+identically. The Robertson idf RATIO ((N-df+0.5)/(df+0.5)) is kept
+exactly as the integer ppm fixed-point ((2N-2df+1)*1e6) div (2df+1) —
+same pairwise ordering for any two terms as the log form (log is
+monotone), bit-identical on both engines. The tf saturation term uses
+k1=1.2, b=0.75 multiplied through to integers:
+  tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  = 44*tf*avgdl / (20*tf*avgdl + 6*avgdl + 18*dl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kremis_spark.functions import similarity as S
+from kremis_spark.functions import text as T
+from kremis_spark.plans.pipeline import (
+    QUERY_VEC_ID,
+    TOPK,
+    _docs_parallel,
+    _query_ivec,
+    prepared_cached,
+)
+
+# Fixed query: three mid-frequency corpus terms (the synthetic documents
+# vocabulary is a small closed word set, so these hit every SF).
+QUERY_TERMS = ["stream", "window", "customer"]
+IDF_SCALE = 1_000_000  # ppm fixed point for idf and tf terms
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+RRF_POOL = 100  # per-ranker candidate pool fused by RRF
+RRF_SCALE = 1_000_000
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point BM25 top-k for the constant query ``QUERY_TERMS``.
+
+    Distributed shape: one explode of the token fact filtered to the
+    query terms (the filter lands directly under the explode, so the
+    shuffled fact is |query| × matching docs, not the corpus); per-doc
+    lengths come map-side from ``size(tokens)`` with a partial-agg
+    global sum for avgdl (one scalar readback, output-sized). The
+    3-row document-frequency table broadcasts onto the tf fact, and the
+    final top-k is a TakeOrdered — no global sort. At 100 TB nothing
+    here materializes more than (n_query_terms × df) rows."""
+    docs = _docs_parallel(spark, sf_dir)
+    dl = docs.select("doc_id", F.size(T.tokens("text")).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).first()
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "doc_id BIGINT, n_terms BIGINT, bm25_score BIGINT"
+        )
+    avgdl = max(1, int(stats["total"] or 0) // n_docs)
+
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .filter(F.col("term").isin(QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = dft.select(
+        "term",
+        F.expr(
+            f"(({2 * n_docs}L - 2L * df + 1L) * {IDF_SCALE}L)"
+            " div (2L * df + 1L)"
+        ).alias("idf_ppm"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf_ppm")
+                * F.expr(
+                    f"(44L * tf * {avgdl}L * {IDF_SCALE}L)"
+                    f" div (20L * tf * {avgdl}L + {6 * avgdl}L + 18L * dl)"
+                )
+            ).alias("num"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.expr(f"sum(num div {IDF_SCALE}L)").cast("long").alias(
+                "bm25_score"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("bm25_score"), "doc_id").limit(TOPK)
+
+
+def _bm25_pool(spark: SparkSession, sf_dir: str, pool: int) -> DataFrame:
+    """Top-``pool`` BM25 candidates with their 1-based lexical rank.
+    The rank window runs on the already-limited pool (output-sized), so
+    the single-partition window is O(pool), never O(corpus)."""
+    docs = _docs_parallel(spark, sf_dir)
+    dl = docs.select("doc_id", F.size(T.tokens("text")).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).first()
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        return spark.createDataFrame([], "doc_id BIGINT, lex_rank BIGINT")
+    avgdl = max(1, int(stats["total"] or 0) // n_docs)
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .filter(F.col("term").isin(QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = dft.select(
+        "term",
+        F.expr(
+            f"(({2 * n_docs}L - 2L * df + 1L) * {IDF_SCALE}L)"
+            " div (2L * df + 1L)"
+        ).alias("idf_ppm"),
+    )
+    top = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf_ppm")
+                * F.expr(
+                    f"(44L * tf * {avgdl}L * {IDF_SCALE}L)"
+                    f" div (20L * tf * {avgdl}L + {6 * avgdl}L + 18L * dl)"
+                )
+            ).alias("num"),
+        )
+        .groupBy("doc_id")
+        .agg(F.expr(f"sum(num div {IDF_SCALE}L)").cast("long").alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(pool)
+    )
+    w = Window.orderBy(F.desc("s"), "doc_id")
+    return top.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("lex_rank")
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the BM25 lexical ranking for ``QUERY_TERMS`` with the exact
+    cosine ranking against embedding ``QUERY_VEC_ID`` (vec_id ≡ doc_id
+    in the testdata lake), scoring each doc
+
+        rrf = Σ_rankers 1e6 div (60 + rank)   (absent from a pool → 0).
+
+    This is the standard RAG retrieval shape: two independent top-100
+    candidate pools (each a distributed TakeOrdered), fused and
+    re-ranked on the driver-sized union — at 100 TB the fusion input is
+    200 rows regardless of corpus size. Integer RRF keeps the fused
+    score bit-identical across engines even though one ranker orders by
+    a double (rank, not value, enters the score)."""
+    lex = _bm25_pool(spark, sf_dir, RRF_POOL)
+    q = _query_ivec(spark, sf_dir)
+    if not q:
+        vec = spark.createDataFrame([], "doc_id BIGINT, vec_rank BIGINT")
+    else:
+        topv = S.cosine_topk(
+            prepared_cached(spark, sf_dir), q, k=RRF_POOL,
+            exclude_id=QUERY_VEC_ID,
+        )
+        wv = Window.orderBy(F.desc("cosine"), "vec_id")
+        vec = topv.select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(wv).cast("long").alias("vec_rank"),
+        )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        )
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (
+                F.when(
+                    F.col("lex_rank") > 0,
+                    F.expr(f"{RRF_SCALE}L div ({RRF_K}L + lex_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("vec_rank") > 0,
+                    F.expr(f"{RRF_SCALE}L div ({RRF_K}L + vec_rank)"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(TOPK)
+
+
+# --- DuckDB oracles ---------------------------------------------------------
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+# Shared BM25 scoring chain (`//` == Spark `div` on the nonnegative
+# integers used here; avgdl/n mirror the Spark scalar readbacks).
+_BM25_CORE = rf"""
+dl AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+  FROM documents
+),
+st AS (SELECT COUNT(*) AS n, GREATEST(1, SUM(dl) // COUNT(*)) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents)
+  WHERE term IN ({_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT d.term,
+         ((2 * s.n - 2 * d.df + 1) * {IDF_SCALE}) // (2 * d.df + 1) AS idf_ppm
+  FROM dft d CROSS JOIN st s
+),
+contrib AS (
+  SELECT t.doc_id,
+         i.idf_ppm * ((44 * t.tf * s.avgdl * {IDF_SCALE})
+            // (20 * t.tf * s.avgdl + 6 * s.avgdl + 18 * l.dl)) AS num
+  FROM tf t
+  JOIN idf i USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN st s
+),
+bm25 AS (
+  SELECT doc_id, COUNT(*) AS n_terms, SUM(num // {IDF_SCALE}) AS s
+  FROM contrib GROUP BY doc_id
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "pipe_bm25_topk": f"""
+WITH {_BM25_CORE.strip()}
+SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(s AS BIGINT) AS bm25_score
+FROM bm25 ORDER BY s DESC, doc_id LIMIT {TOPK}
+""",
+}
+
+
+def _rrf_sql() -> str:
+    # late import mirror of the Spark side: reuse pipeline's embedding CTE
+    from kremis_spark.plans.pipeline import _EMB_CTE
+
+    return f"""
+WITH {_BM25_CORE.strip()},
+lexpool AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+  FROM bm25 ORDER BY s DESC, doc_id LIMIT {RRF_POOL}
+),
+{_EMB_CTE.strip()},
+vecpool AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank
+  FROM (
+    SELECT e.vec_id,
+           CAST(CAST(list_sum(list_transform(generate_series(1, len(e.ivec)),
+                     i -> e.ivec[i] * q.qv[i])) AS BIGINT) AS DOUBLE)
+           / (SQRT(CAST(e.norm AS DOUBLE)) * SQRT(CAST(q.qnorm AS DOUBLE)))
+           AS cosine
+    FROM norms e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID} AND e.norm > 0
+    ORDER BY cosine DESC, e.vec_id LIMIT {RRF_POOL}
+  )
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(v.vec_rank, 0) AS vec_rank
+  FROM lexpool l FULL OUTER JOIN vecpool v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       CAST(CASE WHEN lex_rank > 0
+                 THEN {RRF_SCALE} // ({RRF_K} + lex_rank) ELSE 0 END
+          + CASE WHEN vec_rank > 0
+                 THEN {RRF_SCALE} // ({RRF_K} + vec_rank) ELSE 0 END
+            AS BIGINT) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {TOPK}
+"""
+
+
+ORACLE_SQL["pipe_hybrid_rrf"] = _rrf_sql()
+
+QUERIES = {
+    "pipe_bm25_topk": q_bm25_topk,
+    "pipe_hybrid_rrf": q_hybrid_rrf,
+}
