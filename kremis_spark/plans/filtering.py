@@ -34,7 +34,7 @@ when the vocabulary side is small enough).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kremis_spark.sources.tables import read_table
@@ -299,6 +299,81 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SURPRISAL_BANDS = 3  # CCNet head / middle / tail
+SURPRISAL_KEEP_BANDS = 2  # keep head + middle, prune the tail
+
+
+def q_surprisal_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-band pruning (Wenzek et al. 2020,
+    arXiv:1911.00359): CCNet buckets each language's documents into
+    head/middle/tail by LM perplexity percentile and trains on
+    head+middle. Same rule here on the integer surprisal proxy
+    (plans/pipeline.q_lm_surprisal): per SOURCE, rank docs by per-bigram
+    mean surprisal (millis) and split into 3 exact bands
+    band = ((rank-1)*3) div n_source; bands 0-1 are kept, band 2 (the
+    highest-perplexity tail — garbled/boilerplate text) is pruned.
+    Output: per-source doc and token counts kept vs pruned — the
+    audit row a filtering run logs per batch.
+
+    Distributed shape: the surprisal signal is the lm_surprisal plan
+    (explode → co-partitioned self-join on the bigram key); the banding
+    window is PARTITIONED by source (parallel across sources, no global
+    sort — at 100 TB a single source's rank would instead come from the
+    two-phase prefix scan in operators/prefix.py, same exact band
+    arithmetic). Final agg is one tiny per-source row set."""
+    from kremis_spark.functions import text as T
+    from kremis_spark.plans.pipeline import _docs_parallel, q_lm_surprisal
+
+    per = q_lm_surprisal(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(T.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    d = docs.join(per, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("lm_surprisal * 1000L div n_bigrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("surp_millis"),
+    )
+    w = Window.partitionBy("source").orderBy("surp_millis", "doc_id")
+    wn = Window.partitionBy("source")
+    banded = d.select(
+        "source",
+        "n_tokens",
+        (
+            (F.row_number().over(w).cast("long") - 1) * SURPRISAL_BANDS
+        ).alias("_rn3"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("_n"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr("_rn3 div _n").cast("long").alias("band"),
+    )
+    keep = F.col("band") < SURPRISAL_KEEP_BANDS
+    return (
+        banded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.sum((~keep).cast("long")).cast("long").alias("n_pruned"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.sum(F.when(~keep, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("pruned_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "pipe_dup_ngram_coverage": rf"""
 WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -445,9 +520,58 @@ ORDER BY doc_id
 """
 
 
+def _surprisal_prune_sql() -> str:
+    # Late import (not a cycle — pipeline never imports filtering):
+    # reuse the lm_surprisal bigram-shingle chain so both queries'
+    # oracles share one definition of the signal.
+    from kremis_spark.plans.pipeline import _DOC_SH
+
+    return rf"""
+WITH {_DOC_SH.strip()},
+occ AS (SELECT doc_id, UNNEST(shingles) AS g FROM doc_sh),
+counts AS (SELECT g, COUNT(*) AS c FROM occ GROUP BY g),
+tot AS (SELECT SUM(c) AS n FROM counts),
+per AS (
+  SELECT o.doc_id, COUNT(*) AS n_bigrams, SUM(t.n // c.c) AS s
+  FROM occ o JOIN counts c USING (g) CROSS JOIN tot t
+  GROUP BY o.doc_id
+),
+d AS (
+  SELECT doc.doc_id, doc.source,
+         len(regexp_split_to_array(trim(doc.text), '\s+')) AS n_tokens,
+         CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+              THEN COALESCE(p.s, 0) * 1000 // p.n_bigrams
+              ELSE 0 END AS surp_millis
+  FROM documents doc LEFT JOIN per p USING (doc_id)
+),
+banded AS (
+  SELECT source, n_tokens,
+         ((ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY surp_millis, doc_id) - 1)
+            * {SURPRISAL_BANDS})
+           // COUNT(*) OVER (PARTITION BY source) AS band
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN band < {SURPRISAL_KEEP_BANDS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN band >= {SURPRISAL_KEEP_BANDS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN band < {SURPRISAL_KEEP_BANDS} THEN n_tokens
+                     ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN band >= {SURPRISAL_KEEP_BANDS} THEN n_tokens
+                     ELSE 0 END) AS BIGINT) AS pruned_tokens
+FROM banded GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_SQL["pipe_surprisal_prune"] = _surprisal_prune_sql()
+
 QUERIES = {
     "pipe_dup_ngram_coverage": q_dup_ngram_coverage,
     "pipe_hash_classifier": q_hash_classifier,
     "pipe_importance_weights": q_importance_weights,
     "pipe_winnowing": q_winnowing,
+    "pipe_surprisal_prune": q_surprisal_prune,
 }

@@ -443,10 +443,120 @@ GROUP BY q.source ORDER BY q.source
 }
 
 
+SAMPLE_BUDGET = 100  # total docs across all sources
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling — the reproducible eval/holdout draw a
+    pipeline takes per source: allocate SAMPLE_BUDGET docs across
+    sources proportionally by the largest-remainder (Hamilton) method
+    (floor quotas, then +1 to the largest remainders — the allocation
+    that is exact, integer-only, and adds up), then pick each source's
+    quota deterministically in md5(doc_id) order (a uniform,
+    seed-stable order both engines reproduce).
+
+    Distributed shape: the source histogram is output-sized, so the
+    Hamilton windows run on a broadcast-scale dim; the per-source pick
+    is one window PARTITIONED by source over the md5 rank (parallel
+    across sources) joined against the broadcast quota table. Nothing
+    global except the tiny allocation table."""
+    docs = _docs_parallel(spark, sf_dir).select(
+        "doc_id", "source", F.size(T.tokens("text")).cast("long").alias("nt")
+    )
+    srcn = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    wrem = Window.orderBy(F.desc("rem"), "source")
+    alloc = (
+        srcn.select(
+            "source",
+            "n",
+            F.sum("n").over(wall).alias("total"),
+        )
+        .select(
+            "source",
+            "n",
+            F.expr(f"n * {SAMPLE_BUDGET}L div total").alias("fl"),
+            F.expr(f"(n * {SAMPLE_BUDGET}L) % total").alias("rem"),
+        )
+        .select(
+            "source",
+            "n",
+            "fl",
+            F.row_number().over(wrem).cast("long").alias("rrank"),
+            (F.lit(SAMPLE_BUDGET) - F.sum("fl").over(wall)).alias("leftover"),
+        )
+        .select(
+            "source",
+            "n",
+            (
+                F.col("fl")
+                + F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
+    wpick = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    picked = (
+        docs.select(
+            "source", "nt", F.row_number().over(wpick).cast("long").alias("rn")
+        )
+        .join(F.broadcast(alloc), "source")
+        .select("source", "n", "quota", "nt", (F.col("rn") <= F.col("quota")).alias("take"))
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max("quota").cast("long").alias("quota"),
+            F.sum(F.col("take").cast("long")).cast("long").alias("n_sampled"),
+            F.sum(F.when(F.col("take"), F.col("nt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("sample_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SQL["pipe_stratified_sample"] = rf"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS}) AS nt FROM documents
+),
+srcn AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+a0 AS (
+  SELECT source, n,
+         n * {SAMPLE_BUDGET} // SUM(n) OVER () AS fl,
+         (n * {SAMPLE_BUDGET}) % SUM(n) OVER () AS rem
+  FROM srcn
+),
+alloc AS (
+  SELECT source, n,
+         fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                        <= {SAMPLE_BUDGET} - SUM(fl) OVER ()
+                   THEN 1 ELSE 0 END AS quota
+  FROM a0
+),
+picked AS (
+  SELECT d.source, a.n, a.quota, d.nt,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           <= a.quota AS take
+  FROM d JOIN alloc a USING (source)
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(quota) AS BIGINT) AS quota,
+       CAST(SUM(CASE WHEN take THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN take THEN nt ELSE 0 END) AS BIGINT)
+         AS sample_tokens
+FROM picked GROUP BY source ORDER BY source
+"""
+
 QUERIES = {
     "pipe_temperature_mix": q_temperature_mix,
     "pipe_epoch_schedule": q_epoch_schedule,
     "pipe_curriculum_stages": q_curriculum_stages,
     "pipe_dedup_keep": q_dedup_keep,
     "pipe_quality_median_filter": q_quality_median_filter,
+    "pipe_stratified_sample": q_stratified_sample,
 }
