@@ -481,6 +481,37 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands sequence statistic (engagement scoring, habit
+    metrics): distinct active epoch-days per user, islands identified by
+    the (day − row_number) constant, then per-user streak aggregates.
+
+    Scale shape: distinct (user, day) shuffles once on the composite
+    key; the island id is ONE window on the user key (days already
+    co-partitioned); both group-aggs are map-side partial. Nothing
+    leaves the user's partition — the same single-shuffle shape as
+    retention/sessionization."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts div 86400000000000").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.withColumn("island", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over each user's event-type
     sequence: for consecutive events of the same user (ordered by ts,
@@ -530,6 +561,24 @@ SELECT p.prev_type, p.next_type,
        CAST(p.n * 1000 // o.out_total AS BIGINT) AS share_millis
 FROM pairs p JOIN outs o USING (prev_type)
 ORDER BY p.prev_type, p.next_type
+""",
+    "events_user_streaks": """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events
+),
+isl AS (
+  SELECT user_id,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM ud
+),
+st AS (
+  SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM st GROUP BY user_id ORDER BY user_id
 """,
     "events_retention": """
 WITH ud AS (
@@ -814,5 +863,6 @@ QUERIES = {
     "events_user_trend": q_user_trend,
     "events_hourly_anomaly": q_hourly_anomaly,
     "events_retention": q_retention,
+    "events_user_streaks": q_user_streaks,
     "events_type_transitions": q_type_transitions,
 }

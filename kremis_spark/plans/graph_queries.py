@@ -528,6 +528,57 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (ppm): for every node with
+    undirected degree ≥ 2, 2·tri(v)·10⁶ div (deg(v)·(deg(v)−1)) — how
+    close the node's neighborhood is to a clique, the standard
+    small-world / community-structure signal (Watts & Strogatz 1998)
+    and a per-node companion to the global triangle count.
+
+    Scale shape: triangles are enumerated once via the canonical a<b<c
+    orientation (same bounded self-join pair as q_triangles — each
+    triangle exactly once, no 6× fan-out), then each triangle credits
+    its three corners through one explode + group-agg on node id.
+    Degrees come from the incidence union with map-side partials.
+    Output is O(V) — the per-node signal table itself."""
+    und = undirected_edges(spark, sf_dir)
+    inc = und.select(F.col("a").alias("n")).unionAll(
+        und.select(F.col("b").alias("n"))
+    )
+    deg = inc.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.a"), F.col("e1.b"), F.col("e2.b"))
+            ).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "n", "left")
+        .select(
+            F.col("n").alias("node_id"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "coalesce(n_triangles, 0L) * 2000000L"
+                " div (degree * (degree - 1L))"
+            ).cast("long").alias("cc_ppm"),
+        )
+        .orderBy("node_id")
+    )
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree histogram — the first thing to look at before choosing
     a partitioning/skew strategy for any graph workload (a heavy tail
@@ -1427,6 +1478,38 @@ FROM und e1
 JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
+    "graph_clustering_coeff": GRAPH_CTE
+    + """
+, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT n, COUNT(*) AS degree
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY n
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT n, COUNT(*) AS t
+  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY n
+)
+SELECT d.n AS node_id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(t.t, 0) * 2000000 // (d.degree * (d.degree - 1))
+            AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t ON t.n = d.n
+WHERE d.degree >= 2
+ORDER BY node_id
+""",
     "graph_pagerank": _PAGERANK_SQL,
     "graph_link_prediction": GRAPH_CTE
     + f"""
@@ -1776,6 +1859,7 @@ QUERIES = {
     "graph_path_confidence": q_path_confidence,
     "graph_components": q_components,
     "graph_triangles": q_triangles,
+    "graph_clustering_coeff": q_clustering_coeff,
     "graph_pagerank": q_pagerank,
     "graph_degree_hist": q_degree_hist,
     "graph_link_prediction": q_link_prediction,
