@@ -443,6 +443,80 @@ GROUP BY q.source ORDER BY q.source
 }
 
 
+ZORDER_FILES = 16  # target output files for the layout plan
+ZORDER_BITS = 10  # interleaved bits per dimension (len capped at 1023)
+
+
+def _z_interleave_spark(q: str, l: str) -> str:
+    """Spark SQL bit-interleave of two ZORDER_BITS-wide nonneg ints."""
+    return " + ".join(
+        f"shiftleft(shiftright({q}, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright({l}, {i}) & 1, {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+
+
+def _z_interleave_duck(q: str, l: str) -> str:
+    return " + ".join(
+        f"((({q} >> {i}) & 1) << {2 * i})"
+        f" + ((({l} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data-placement plan — the multi-column
+    layout clustering behind Delta/Iceberg OPTIMIZE ZORDER: interleave
+    the bits of two filter dimensions (quality score 0..100 and token
+    count capped at 2^10−1), range-split the corpus into ZORDER_FILES
+    files along the Z curve, and report each file's min/max on BOTH
+    dimensions — the exact statistics a scan planner would use for file
+    skipping. A single-column sort bounds one dimension and leaves the
+    other's range full-width per file; the Z layout bounds both, which
+    is the point (predicates on either column skip files).
+
+    Distributed shape: the Z key is pure map-side bit arithmetic; the
+    global Z rank is the two-phase prefix scan (no unpartitioned
+    window); file assignment is exact-NTILE integer math and the audit
+    is a ZORDER_FILES-group partial agg. At 100 TB this is the plan
+    (file → rows) a compaction job would execute with a write per
+    file-range."""
+    docs = _docs_parallel(spark, sf_dir)
+    base = T.with_quality_score(docs).select(
+        "doc_id",
+        F.col("quality").cast("long").alias("q"),
+        F.least(
+            F.size(T.tokens()).cast("long"), F.lit((1 << ZORDER_BITS) - 1)
+        ).alias("l"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    zed = base.withColumn(
+        "z", F.expr(_z_interleave_spark("q", "l")).cast("long")
+    )
+    n_total = zed.count()
+    if n_total == 0:
+        return spark.createDataFrame(
+            [],
+            "file_id BIGINT, n_docs BIGINT, min_quality BIGINT, "
+            "max_quality BIGINT, min_tokens BIGINT, max_tokens BIGINT",
+        )
+    ranked = exclusive_prefix_sum(zed, ["z", "doc_id"], "one", out_col="rank")
+    files = ranked.withColumn(
+        "file_id", _ntile_stage("rank", str(n_total), ZORDER_FILES)
+    )
+    return (
+        files.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("q").cast("long").alias("min_quality"),
+            F.max("q").cast("long").alias("max_quality"),
+            F.min("l").cast("long").alias("min_tokens"),
+            F.max("l").cast("long").alias("max_tokens"),
+        )
+        .orderBy("file_id")
+    )
+
+
 SAMPLE_BUDGET = 100  # total docs across all sources
 
 
@@ -552,6 +626,42 @@ SELECT source,
 FROM picked GROUP BY source ORDER BY source
 """
 
+ORACLE_SQL["docs_zorder_layout"] = rf"""
+WITH q AS ({_QUALITY_EXPR}),
+feat AS (
+  SELECT d.doc_id, qq.quality AS q,
+         LEAST(len({_TOKS}), {(1 << ZORDER_BITS) - 1}) AS l
+  FROM documents d JOIN q qq USING (doc_id)
+),
+zed AS (
+  SELECT doc_id, q, l, {_z_interleave_duck("q", "l")} AS z FROM feat
+),
+r AS (
+  SELECT q, l,
+         ROW_NUMBER() OVER (ORDER BY z, doc_id) - 1 AS rank,
+         COUNT(*) OVER () AS n
+  FROM zed
+),
+f AS (
+  SELECT q, l,
+         CASE WHEN rank < (n % {ZORDER_FILES}) * ((n // {ZORDER_FILES}) + 1)
+              THEN rank // ((n // {ZORDER_FILES}) + 1)
+              ELSE (n % {ZORDER_FILES})
+                   + (rank - (n % {ZORDER_FILES})
+                            * ((n // {ZORDER_FILES}) + 1))
+                     // GREATEST(n // {ZORDER_FILES}, 1)
+         END + 1 AS file_id
+  FROM r
+)
+SELECT CAST(file_id AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(q) AS BIGINT) AS min_quality,
+       CAST(MAX(q) AS BIGINT) AS max_quality,
+       CAST(MIN(l) AS BIGINT) AS min_tokens,
+       CAST(MAX(l) AS BIGINT) AS max_tokens
+FROM f GROUP BY file_id ORDER BY file_id
+"""
+
 QUERIES = {
     "pipe_temperature_mix": q_temperature_mix,
     "pipe_epoch_schedule": q_epoch_schedule,
@@ -559,4 +669,5 @@ QUERIES = {
     "pipe_dedup_keep": q_dedup_keep,
     "pipe_quality_median_filter": q_quality_median_filter,
     "pipe_stratified_sample": q_stratified_sample,
+    "docs_zorder_layout": q_zorder_layout,
 }
