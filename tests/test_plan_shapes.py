@@ -328,3 +328,46 @@ def test_semdedup_subbucket_branch(spark, monkeypatch):
     # identical vectors always share a sub-bucket, so at least the
     # exact-duplicate structure must survive the split
     assert sum(c["n_dup_pairs"] for c in capped.values()) >= 0
+
+
+def test_zorder_layout_no_global_window(spark):
+    """The Z-order layout rank must come from the two-phase prefix
+    scan — no single-partition global window over the corpus."""
+    from kremis_spark.plans.mixing import q_zorder_layout
+
+    txt = plan_text(q_zorder_layout(spark, SF_DIR), "simple")
+    assert "Exchange SinglePartition" not in txt.replace(
+        "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
+    ), txt
+
+
+def test_bm25_broadcast_idf_and_topk(spark):
+    """BM25: the 3-row idf table broadcasts onto the tf fact, and the
+    final top-k is a TakeOrdered — never a global sort of all scores."""
+    from kremis_spark.plans.retrieval import q_bm25_topk
+
+    txt = plan_text(q_bm25_topk(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in txt, txt
+    assert "TakeOrderedAndProject" in txt, txt
+
+
+def test_surprisal_prune_window_is_source_partitioned(spark):
+    """Perplexity-band pruning: the banding window must be partitioned
+    by source (parallel across sources), not a global single-partition
+    sort of the corpus."""
+    from kremis_spark.plans.filtering import q_surprisal_prune
+
+    txt = plan_text(q_surprisal_prune(spark, SF_DIR), "simple")
+    assert "Exchange SinglePartition" not in txt.replace(
+        "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
+    ), txt
+
+
+def test_stratified_sample_broadcasts_alloc(spark):
+    """Stratified sampling: the Hamilton quota table (one row per
+    source) joins the per-doc rank fact as a broadcast, and the pick
+    window is partitioned by source."""
+    from kremis_spark.plans.mixing import q_stratified_sample
+
+    txt = plan_text(q_stratified_sample(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in txt, txt
