@@ -1102,6 +1102,88 @@ FROM stats s LEFT JOIN per p USING (cell)
 ORDER BY s.cell
 """
 
+DIM_OFFSET = 1_000_000  # = similarity.SCALE; shifts values nonnegative
+
+
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension vector-QC / quantizer-calibration statistics: for
+    every embedding dimension, count, sum, min, max, integer mean, and
+    integer variance of the 1e-6 fixed-point components — the table an
+    SQ8 quantizer derives its per-dim ranges from and the first health
+    check on a new embedding batch (a dead dimension shows as
+    var≈0, a scale bug as min/max drift).
+
+    Exactness across engines: integer division must never see a
+    negative numerator (Spark ``div`` truncates toward zero, DuckDB
+    ``//`` floors), so mean/variance are computed on values shifted by
+    +DIM_OFFSET (variance is shift-invariant; the mean is shifted back
+    by subtraction). Intermediates stay under int64 to ~5e6 vectors per
+    stat; past that the same plan runs on DECIMAL(38).
+
+    Scale shape: one posexplode (64 rows per vector) into a 64-group
+    partial agg — fully map-side combinable, output O(EMB_DIM)."""
+    prep = _prepared(spark, sf_dir)
+    d = prep.select(F.posexplode("ivec").alias("dim", "x")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("x").cast("long").alias("x"),
+        (F.col("x") + DIM_OFFSET).cast("long").alias("xs"),
+    )
+    a = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("x").cast("long").alias("sum_val"),
+        F.min("x").cast("long").alias("min_val"),
+        F.max("x").cast("long").alias("max_val"),
+        F.sum("xs").cast("long").alias("ssum"),
+        F.sum(F.expr("xs * xs")).cast("long").alias("ssq"),
+    )
+    return (
+        a.select(
+            "dim",
+            "n_vecs",
+            "sum_val",
+            "min_val",
+            "max_val",
+            (F.expr("ssum div n_vecs") - DIM_OFFSET).cast("long").alias(
+                "mean_val"
+            ),
+            F.expr(
+                "(ssq - 2L * (ssum div n_vecs) * ssum"
+                " + n_vecs * (ssum div n_vecs) * (ssum div n_vecs))"
+                " div n_vecs"
+            ).cast("long").alias("var_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_SQL["pipe_embed_dim_stats"] = f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+d AS (
+  SELECT t.i - 1 AS dim, prep.ivec[t.i] AS x,
+         prep.ivec[t.i] + {DIM_OFFSET} AS xs
+  FROM prep, LATERAL unnest(generate_series(1, len(prep.ivec))) AS t(i)
+),
+a AS (
+  SELECT dim, COUNT(*) AS n_vecs, SUM(x) AS sum_val,
+         MIN(x) AS min_val, MAX(x) AS max_val,
+         SUM(xs) AS ssum, SUM(xs * xs) AS ssq
+  FROM d GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(sum_val AS BIGINT) AS sum_val,
+       CAST(min_val AS BIGINT) AS min_val,
+       CAST(max_val AS BIGINT) AS max_val,
+       CAST(ssum // n_vecs - {DIM_OFFSET} AS BIGINT) AS mean_val,
+       CAST((ssq - 2 * (ssum // n_vecs) * ssum
+             + n_vecs * (ssum // n_vecs) * (ssum // n_vecs)) // n_vecs
+            AS BIGINT) AS var_val
+FROM a ORDER BY dim
+"""
+
+
 QUERIES = {
     "pipe_ann_sq8": q_ann_sq8,
     "pipe_ann_mips": q_ann_mips,
@@ -1110,4 +1192,5 @@ QUERIES = {
     "pipe_kmeans_step": q_kmeans_step,
     "pipe_kmeans_train": q_kmeans_train,
     "pipe_semdedup": q_semdedup,
+    "pipe_embed_dim_stats": q_embed_dim_stats,
 }
