@@ -579,6 +579,54 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity moments (Newman 2002): over every ordered
+    incidence (x=deg(u), y=deg(v)) of the undirected graph — each edge
+    counted in both orders, the standard symmetric form — report the
+    deviation moments around the integer mean degree:
+    cov_num = Σ(x−m)(y−m) (signed, UNDIVIDED — repo rule: never divide
+    a signed quantity), var_num = Σ(x−m)², n_pairs, mean_deg m. The
+    assortativity coefficient is cov_num/var_num downstream; a hub-to-
+    leaf (disassortative) graph shows cov_num < 0 — the structural
+    signal that decides salting/orientation strategies for the wedge
+    joins above.
+
+    Exactness: m = Σx div n is nonnegative, the moment expansion
+    Σxy − m·Σy − m·Σx + n·m² uses no further division, so both engines
+    agree bit-for-bit. Scale shape: two broadcast-sized joins of the
+    degree table onto the edge list (degree table is node-sized; at
+    100 TB it hash-joins on the edge key instead — AQE decides), one
+    global agg. Output is one row."""
+    und = undirected_edges(spark, sf_dir)
+    inc = und.select(F.col("a").alias("n")).unionAll(
+        und.select(F.col("b").alias("n"))
+    )
+    deg = inc.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("y"))
+    pairs = und.join(da, "a").join(db, "b").select("x", "y")
+    both = pairs.unionAll(pairs.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+    )
+    return agg.select(
+        "n_pairs",
+        F.expr("sx div n_pairs").cast("long").alias("mean_deg"),
+        F.expr(
+            "sxy - (sx div n_pairs) * sy - (sx div n_pairs) * sx"
+            " + n_pairs * (sx div n_pairs) * (sx div n_pairs)"
+        ).cast("long").alias("cov_num"),
+        F.expr(
+            "sxx - 2L * (sx div n_pairs) * sx"
+            " + n_pairs * (sx div n_pairs) * (sx div n_pairs)"
+        ).cast("long").alias("var_num"),
+    )
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree histogram — the first thing to look at before choosing
     a partitioning/skew strategy for any graph workload (a heavy tail
@@ -1478,6 +1526,37 @@ FROM und e1
 JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
+    "graph_assortativity": GRAPH_CTE
+    + """
+, und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY n
+),
+dpair AS (
+  SELECT da.d AS x, db.d AS y
+  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+),
+bothdir AS (SELECT x, y FROM dpair UNION ALL SELECT y AS x, x AS y FROM dpair),
+agg AS (
+  SELECT COUNT(*) AS n_pairs, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM bothdir
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(sx // n_pairs AS BIGINT) AS mean_deg,
+       CAST(sxy - (sx // n_pairs) * sy - (sx // n_pairs) * sx
+            + n_pairs * (sx // n_pairs) * (sx // n_pairs) AS BIGINT)
+         AS cov_num,
+       CAST(sxx - 2 * (sx // n_pairs) * sx
+            + n_pairs * (sx // n_pairs) * (sx // n_pairs) AS BIGINT)
+         AS var_num
+FROM agg
+""",
     "graph_clustering_coeff": GRAPH_CTE
     + """
 , und AS (
@@ -1860,6 +1939,7 @@ QUERIES = {
     "graph_components": q_components,
     "graph_triangles": q_triangles,
     "graph_clustering_coeff": q_clustering_coeff,
+    "graph_assortativity": q_assortativity,
     "graph_pagerank": q_pagerank,
     "graph_degree_hist": q_degree_hist,
     "graph_link_prediction": q_link_prediction,
