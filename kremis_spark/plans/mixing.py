@@ -443,6 +443,117 @@ GROUP BY q.source ORDER BY q.source
 }
 
 
+def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composed pipeline a user of this
+    engine actually runs, as ONE audited query: near-dup removal
+    (LSH-verified clusters, keep min-id per cluster) → per-source
+    adaptive quality gate (median of the dedup SURVIVORS, so the gate
+    adapts to the post-dedup distribution) → temperature-T=2 mix weights
+    over the final kept tokens. Output: one funnel row per source
+    (docs in → after dedup → after quality, kept tokens, final mix
+    weight ppm) — the per-batch report that proves each stage's
+    contribution and feeds the sampler.
+
+    Distributed shape: strictly a composition of the audited stage
+    shapes — the session-shared verified-pairs materialization and
+    min-label components (never all-pairs), a gated-broadcast label
+    join, source-partitioned median windows, and scalar mix arithmetic
+    over the tiny source dimension. Nothing new shuffles; at 100 TB the
+    funnel costs what its stages cost."""
+    docs = _docs_parallel(spark, sf_dir)
+    strong = _verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
+    )
+    labels = connected_components(strong).withColumnRenamed("n", "doc_id")
+    if labels.count() <= DEDUP_LABELS_BCAST_MAX:
+        labels = F.broadcast(labels)
+    base = T.with_quality_score(docs).select(
+        "doc_id",
+        "source",
+        F.col("quality").cast("long").alias("quality"),
+        F.size(T.tokens()).cast("long").alias("nt"),
+    )
+    surv = (
+        base.join(labels, "doc_id", "left")
+        .filter(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
+        .drop("label")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    wn = Window.partitionBy("source")
+    r = surv.select(
+        "source",
+        "quality",
+        "nt",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nsrc"),
+    )
+    med = r.filter(F.expr("rn = (nsrc + 1) div 2")).select(
+        "source", F.col("quality").alias("median_q")
+    )
+    per = (
+        r.join(F.broadcast(med), "source")
+        .groupBy("source")
+        .agg(
+            F.max("nsrc").cast("long").alias("n_after_dedup"),
+            F.sum((F.col("quality") >= F.col("median_q")).cast("long"))
+            .cast("long")
+            .alias("n_after_quality"),
+            F.sum(
+                F.when(
+                    F.col("quality") >= F.col("median_q"), F.col("nt")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    funnel = (
+        tot.join(per, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_after_dedup", F.lit(0)).cast("long").alias(
+                "n_after_dedup"
+            ),
+            F.coalesce("n_after_quality", F.lit(0)).cast("long").alias(
+                "n_after_quality"
+            ),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+        )
+        .withColumn("s0", F.floor(F.sqrt(F.col("kept_tokens"))).cast("long"))
+        .withColumn("sq", _isqrt_col("kept_tokens"))
+        .drop("s0")
+    )
+    total = F.sum("sq").over(Window.partitionBy())
+    return (
+        funnel.select(
+            "source",
+            "n_docs",
+            "n_after_dedup",
+            "n_after_quality",
+            "kept_tokens",
+            F.expr(f"CAST(sq * {MIX_SCALE} AS LONG)").alias("_num"),
+            total.alias("_tot"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_after_dedup",
+            "n_after_quality",
+            "kept_tokens",
+            F.expr("CAST(_num div greatest(_tot, 1) AS LONG)").alias(
+                "weight_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 ZORDER_FILES = 16  # target output files for the layout plan
 ZORDER_BITS = 10  # interleaved bits per dimension (len capped at 1023)
 
@@ -626,6 +737,79 @@ SELECT source,
 FROM picked GROUP BY source ORDER BY source
 """
 
+ORACLE_SQL["pipe_e2e_curation"] = (
+    _MINHASH_CORE
+    + f"""
+, strong AS (
+  SELECT doc_a, doc_b FROM jpairs WHERE jaccard_millis >= {CLUSTER_JACCARD_MIN}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM strong
+  UNION ALL
+  SELECT doc_b, doc_a FROM strong
+),
+members AS (SELECT DISTINCT a AS n FROM und),
+comp AS (
+  WITH RECURSIVE rc(n, lbl) AS (
+    SELECT n, n FROM members
+    UNION
+    SELECT u.b, rc.lbl FROM rc JOIN und u ON u.a = rc.n WHERE rc.lbl < u.b
+  )
+  SELECT n, MIN(lbl) AS lbl FROM rc GROUP BY n
+),
+q AS ({_QUALITY_EXPR}),
+tk AS (SELECT doc_id, len({_TOKS}) AS nt FROM documents),
+surv AS (
+  SELECT q.doc_id, q.source, q.quality, tk.nt
+  FROM q JOIN tk USING (doc_id)
+  LEFT JOIN comp c ON c.n = q.doc_id
+  WHERE c.n IS NULL OR c.lbl = q.doc_id
+),
+r AS (
+  SELECT source, doc_id, quality, nt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS nsrc
+  FROM surv
+),
+med AS (SELECT source, quality AS median_q FROM r WHERE rn = (nsrc + 1) // 2),
+per AS (
+  SELECT r.source,
+         MAX(nsrc) AS n_after_dedup,
+         SUM(CASE WHEN quality >= median_q THEN 1 ELSE 0 END)
+           AS n_after_quality,
+         SUM(CASE WHEN quality >= median_q THEN nt ELSE 0 END) AS kept_tokens
+  FROM r JOIN med USING (source) GROUP BY r.source
+),
+tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+funnel AS (
+  SELECT t.source, t.n_docs,
+         COALESCE(p.n_after_dedup, 0) AS n_after_dedup,
+         COALESCE(p.n_after_quality, 0) AS n_after_quality,
+         COALESCE(p.kept_tokens, 0) AS kept_tokens
+  FROM tot t LEFT JOIN per p USING (source)
+),
+e0 AS (
+  SELECT *, CAST(FLOOR(SQRT(kept_tokens)) AS BIGINT) AS s0 FROM funnel
+),
+sq AS (
+  SELECT source, n_docs, n_after_dedup, n_after_quality, kept_tokens,
+         CASE WHEN s0 * s0 > kept_tokens THEN s0 - 1
+              WHEN (s0 + 1) * (s0 + 1) <= kept_tokens THEN s0 + 1
+              ELSE s0 END AS sqv
+  FROM e0
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_after_dedup AS BIGINT) AS n_after_dedup,
+       CAST(n_after_quality AS BIGINT) AS n_after_quality,
+       CAST(kept_tokens AS BIGINT) AS kept_tokens,
+       CAST(sqv * {MIX_SCALE} // GREATEST(SUM(sqv) OVER (), 1) AS BIGINT)
+         AS weight_ppm
+FROM sq ORDER BY source
+"""
+)
+
 ORACLE_SQL["docs_zorder_layout"] = rf"""
 WITH q AS ({_QUALITY_EXPR}),
 feat AS (
@@ -670,4 +854,5 @@ QUERIES = {
     "pipe_quality_median_filter": q_quality_median_filter,
     "pipe_stratified_sample": q_stratified_sample,
     "docs_zorder_layout": q_zorder_layout,
+    "pipe_e2e_curation": q_e2e_curation,
 }
