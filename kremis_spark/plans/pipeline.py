@@ -1965,6 +1965,86 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(leaks)
 
 
+def q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM-eval signal on the LEAKAGE-SAFE split: train the
+    corpus bigram model (the q_lm_surprisal proxy) on the TRAIN side of
+    the cluster-hash split only, then score every VALIDATION doc under
+    that train-only model — per val doc: bigram count, out-of-vocabulary
+    bigram count, and the summed integer surprisal (seen bigram →
+    train_total div count; unseen → the fixed 2×train_total penalty,
+    larger than any seen score). This is the eval loop a data pipeline
+    runs to compare curation recipes: the split guarantees no val doc
+    has a near-duplicate in train (q_leakage_split), so the score is
+    uninflated by contamination — scoring against the self-trained
+    model (q_lm_surprisal) is exactly the leak this avoids.
+
+    Distributed shape: split assignment is the session-shared
+    components + one map-side md5; the model table aggregates train
+    bigrams with partial aggs; val occurrences re-join it hash-
+    partitioned on the bigram key (same co-partitioned shape as
+    lm_surprisal). Train total is one scalar readback."""
+    docs = _docs_parallel(spark, sf_dir)
+    strong = _verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
+    ).select("doc_a", "doc_b")
+    labels = D.connected_components(strong).withColumnRenamed("n", "doc_id")
+    val = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.substring(
+                F.md5(F.coalesce("label", F.col("doc_id")).cast("string")),
+                1,
+                1,
+            )
+            .isin(*VAL_HEX)
+            .alias("is_val"),
+        )
+    )
+    sh = docs.select(
+        "doc_id", F.explode(D.word_shingles("text", 2)).alias("g")
+    ).join(val, "doc_id")
+    tcounts = (
+        sh.filter(~F.col("is_val"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tt = int(tcounts.agg(F.sum("c")).first()[0] or 0)
+    per = (
+        sh.filter(F.col("is_val"))
+        .join(tcounts, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.col("c").isNull().cast("long")).cast("long").alias(
+                "n_oov"
+            ),
+            F.sum(
+                F.when(
+                    F.col("c").isNotNull(), F.expr(f"{tt}L div c")
+                ).otherwise(F.lit(2 * tt))
+            )
+            .cast("long")
+            .alias("heldout_surprisal"),
+        )
+    )
+    return (
+        val.filter(F.col("is_val"))
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("heldout_surprisal", F.lit(0)).cast("long").alias(
+                "heldout_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the two near-dup candidate generators against the
     pooled truth set — the quality number a dedup index is judged by.
@@ -2364,6 +2444,46 @@ FROM asg
 """
 )
 
+ORACLE_SQL["pipe_heldout_ppl"] = (
+    _MINHASH_CORE
+    + _CC_SQL_BLOCK
+    + f"""
+, lab AS (
+  SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+),
+vl AS (
+  SELECT doc_id,
+    CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 1)
+         IN ({_VAL_HEX_SQL}) THEN 1 ELSE 0 END AS is_val
+  FROM lab
+),
+occ2 AS (SELECT doc_id, UNNEST(shingles) AS g FROM doc_sh),
+tcounts AS (
+  SELECT g, COUNT(*) AS c
+  FROM occ2 JOIN vl USING (doc_id) WHERE is_val = 0 GROUP BY g
+),
+ttx AS (SELECT COALESCE(SUM(c), 0) AS n FROM tcounts),
+per AS (
+  SELECT o.doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN tc.g IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         SUM(CASE WHEN tc.g IS NULL THEN 2 * t.n ELSE t.n // tc.c END) AS s
+  FROM occ2 o
+  JOIN vl USING (doc_id)
+  LEFT JOIN tcounts tc USING (g)
+  CROSS JOIN ttx t
+  WHERE is_val = 1
+  GROUP BY o.doc_id
+)
+SELECT v.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(COALESCE(p.s, 0) AS BIGINT) AS heldout_surprisal
+FROM vl v LEFT JOIN per p USING (doc_id)
+WHERE v.is_val = 1 ORDER BY v.doc_id
+"""
+)
+
 ORACLE_SQL["pipe_simhash_neardup"] = rf"""
 WITH sh AS ({_SIMHASH_SQL}),
 bands AS (
@@ -2471,6 +2591,7 @@ QUERIES = {
     "pipe_containment": q_containment,
     "pipe_simhash_neardup": q_simhash_neardup,
     "pipe_leakage_split": q_leakage_split,
+    "pipe_heldout_ppl": q_heldout_ppl,
     "pipe_lsh_recall": q_lsh_recall,
     "pipe_vocab_coverage": q_vocab_coverage,
     "pipe_dup_inflation": q_dup_inflation,
