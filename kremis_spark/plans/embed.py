@@ -1184,6 +1184,76 @@ FROM a ORDER BY dim
 """
 
 
+def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding second-moment (Gram) matrix — the Σ xᵢxⱼ statistics a
+    whitening/OPQ-rotation step calibrates from (means come from
+    pipe_embed_dim_stats; covariance = gram/n − mean·meanᵀ downstream).
+    Output: upper-triangle (dim_i ≤ dim_j) rows with n_vecs and the
+    signed cross-moment sum, UNDIVIDED (repo rule for signed values).
+
+    This is the one aggregation here that is genuinely not
+    SQL-friendly at scale — per-row pair expansion is a 2080×
+    explode — so the Spark side is the Arrow path: mapInPandas
+    computes one int64 numpy MᵀM partial per batch (vectorized
+    matmul, exact integer arithmetic) and a 2080-group agg merges the
+    per-partition partials. Bytes crossing Python are O(partitions ×
+    dim²), not O(rows). Intermediates fit int64 to ~5e6 vectors at the
+    1e-6 fixed point; past that the merge runs on DECIMAL(38).
+    The DuckDB oracle is the explicit pairwise-unnest join — same
+    integers, different (test-scale-only) plan."""
+    import numpy as np
+    import pandas as pd
+
+    prep = _prepared(spark, sf_dir)
+    dim = EMB_DIM
+
+    def part(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                m = np.array(pdf["ivec"].tolist(), dtype=np.int64)
+                acc += m.T @ m
+                n += len(m)
+        iu = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "dim_i": iu[0].astype("int64"),
+                "dim_j": iu[1].astype("int64"),
+                "n": np.full(len(iu[0]), n, dtype="int64"),
+                "s": acc[iu],
+            }
+        )
+
+    partials = prep.select("ivec").mapInPandas(
+        part, "dim_i LONG, dim_j LONG, n LONG, s LONG"
+    )
+    return (
+        partials.groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.sum("s").cast("long").alias("sum_cross"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+ORACLE_SQL["pipe_embed_gram"] = f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+px AS (
+  SELECT vec_id, t.i - 1 AS di, prep.ivec[t.i] AS x
+  FROM prep, LATERAL unnest(generate_series(1, len(prep.ivec))) AS t(i)
+)
+SELECT a.di AS dim_i, b.di AS dim_j,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(a.x * b.x) AS BIGINT) AS sum_cross
+FROM px a JOIN px b ON b.vec_id = a.vec_id AND b.di >= a.di
+GROUP BY a.di, b.di ORDER BY dim_i, dim_j
+"""
+
+
 QUERIES = {
     "pipe_ann_sq8": q_ann_sq8,
     "pipe_ann_mips": q_ann_mips,
@@ -1193,4 +1263,5 @@ QUERIES = {
     "pipe_kmeans_train": q_kmeans_train,
     "pipe_semdedup": q_semdedup,
     "pipe_embed_dim_stats": q_embed_dim_stats,
+    "pipe_embed_gram": q_embed_gram,
 }
