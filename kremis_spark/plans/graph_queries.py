@@ -1059,7 +1059,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node_id")
 
 
-def _lp_oracle_sql() -> str:
+def _lp_chain_sql() -> str:
+    """The label-propagation CTE chain only (ends defining l{LP_ITERS}),
+    shared by the LP oracle and the modularity oracle."""
     parts = [
         """
 , und AS (
@@ -1080,12 +1082,72 @@ l{i + 1} AS (
   ) m ON m.v = l.v
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _lp_oracle_sql() -> str:
+    return (
+        _lp_chain_sql()
+        + f"""
 SELECT v AS node_id, CAST(label AS BIGINT) AS label
 FROM l{LP_ITERS} ORDER BY node_id"""
     )
-    return "".join(parts)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the bounded-round label-propagation communities
+    (Newman & Girvan 2004), integer-exact: with m undirected edges,
+    e_c intra-community edges and d_c the community degree sum,
+    Q = Σ_c [e_c/m − (d_c/2m)²], so Q·4m² = Σ_c (4m·e_c − d_c²) — a
+    pure integer. Output: one row (n_communities, m_edges, q_num);
+    Q = q_num / 4m² downstream. Signed q_num is reported UNDIVIDED
+    (repo rule). Intermediates fit int64 to ~1e9 edges.
+
+    Scale shape: two node-sized label joins onto the edge list (AQE
+    broadcasts while the label table fits), per-community partial aggs,
+    and a scalar rollup — the standard community-quality audit run
+    after every LP round at scale."""
+    und = undirected_edges(spark, sf_dir)
+    m = und.count()
+    labels = q_label_propagation(spark, sf_dir)
+    if m == 0:
+        nc = labels.select("label").distinct().count()
+        return spark.createDataFrame(
+            [(nc, 0, 0)], "n_communities BIGINT, m_edges BIGINT, q_num BIGINT"
+        )
+    la = labels.select(F.col("node_id").alias("a"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("node_id").alias("b"), F.col("label").alias("cb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    inc = und.select(F.col("a").alias("n")).unionAll(
+        und.select(F.col("b").alias("n"))
+    )
+    deg = inc.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dsum = (
+        labels.join(deg, labels["node_id"] == deg["n"])
+        .groupBy(F.col("label").alias("c"))
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    terms = dsum.join(intra, "c", "left").select(
+        (
+            F.lit(4 * m) * F.coalesce("ec", F.lit(0))
+            - F.col("dc") * F.col("dc")
+        ).alias("t")
+    )
+    qsum = terms.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("q_num")
+    )
+    nc = labels.agg(
+        F.countDistinct("label").cast("long").alias("n_communities")
+    )
+    return nc.crossJoin(
+        spark.createDataFrame([(m,)], "m_edges BIGINT")
+    ).crossJoin(qsum).select("n_communities", "m_edges", "q_num")
 
 
 HC_ANCHORS = 8
@@ -1614,6 +1676,35 @@ ORDER BY ra_millionths DESC, u, v
 LIMIT {RA_TOPN}
 """,
     "graph_label_propagation": GRAPH_CTE + _lp_oracle_sql(),
+    "graph_modularity": GRAPH_CTE
+    + _lp_chain_sql()
+    + f""",
+lab AS (SELECT v, label FROM l{LP_ITERS}),
+mm AS (SELECT COUNT(*) AS m FROM und),
+degm AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY n
+),
+intra AS (
+  SELECT la.label AS c, COUNT(*) AS ec
+  FROM und JOIN lab la ON la.v = und.a JOIN lab lb ON lb.v = und.b
+  WHERE la.label = lb.label GROUP BY la.label
+),
+dsum AS (
+  SELECT l.label AS c, SUM(d.d) AS dc
+  FROM lab l JOIN degm d ON d.n = l.v GROUP BY l.label
+),
+terms AS (
+  SELECT 4 * mm.m * COALESCE(i.ec, 0) - ds.dc * ds.dc AS t
+  FROM dsum ds LEFT JOIN intra i ON i.c = ds.c CROSS JOIN mm
+)
+SELECT CAST((SELECT COUNT(DISTINCT label) FROM lab) AS BIGINT)
+         AS n_communities,
+       CAST(mm.m AS BIGINT) AS m_edges,
+       CAST(COALESCE((SELECT SUM(t) FROM terms), 0) AS BIGINT) AS q_num
+FROM mm
+""",
     "graph_sssp": GRAPH_CTE + _sssp_oracle_sql(),
     "graph_harmonic_centrality": GRAPH_CTE
     + f"""
@@ -1948,5 +2039,6 @@ QUERIES = {
     "graph_jaccard_neighbors": q_jaccard_neighbors,
     "graph_harmonic_centrality": q_harmonic_centrality,
     "graph_label_propagation": q_label_propagation,
+    "graph_modularity": q_modularity,
     "graph_sssp": q_sssp_bellman_ford,
 }
