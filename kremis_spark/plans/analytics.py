@@ -481,6 +481,35 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_power_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration moments (the Gini audit of per-user event
+    counts — how head-heavy the workload is, the number that decides
+    skew strategy before anyone picks a partitioning): with x_i the
+    i-th SMALLEST per-user count (ties by user_id) over n users and
+    total T, report n_users, total_events, and W = Σ i·x_i UNDIVIDED —
+    Gini = 2W/(nT) − (n+1)/n downstream, so the row stays integer-exact
+    (repo rule: no signed/fractional division in outputs).
+
+    Scale shape: one user-key group-agg, then the global rank comes
+    from the two-phase distributed prefix scan (operators/prefix.py) —
+    never an unpartitioned window over the user dimension — and one
+    scalar rollup."""
+    from kremis_spark.operators.prefix import exclusive_prefix_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    ).withColumn("one", F.lit(1).cast("long"))
+    ranked = exclusive_prefix_sum(uc, ["x", "user_id"], "one", out_col="r0")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(F.expr("(r0 + 1L) * x")).cast("long").alias(
+            "weighted_rank_sum"
+        ),
+    )
+
+
 def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day activity streak per user — the classic
     gaps-and-islands sequence statistic (engagement scoring, habit
@@ -561,6 +590,16 @@ SELECT p.prev_type, p.next_type,
        CAST(p.n * 1000 // o.out_total AS BIGINT) AS share_millis
 FROM pairs p JOIN outs o USING (prev_type)
 ORDER BY p.prev_type, p.next_type
+""",
+    "events_power_gini": """
+WITH uc AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id),
+r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM uc
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS total_events,
+       CAST(SUM(i * x) AS BIGINT) AS weighted_rank_sum
+FROM r
 """,
     "events_user_streaks": """
 WITH ud AS (
@@ -864,5 +903,6 @@ QUERIES = {
     "events_hourly_anomaly": q_hourly_anomaly,
     "events_retention": q_retention,
     "events_user_streaks": q_user_streaks,
+    "events_power_gini": q_power_gini,
     "events_type_transitions": q_type_transitions,
 }

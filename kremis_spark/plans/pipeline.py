@@ -2045,6 +2045,50 @@ def q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard matrix (millis): for every
+    source pair a<b, |Va ∩ Vb| · 1000 div |Va ∪ Vb| over the sources'
+    DISTINCT token vocabularies — the inter-source redundancy audit
+    that tells a mixing policy which sources are near-interchangeable
+    (high overlap → depress one) vs complementary.
+
+    Distributed shape: one distinct (source, token) projection (map-side
+    array_distinct bounds the explode), per-source vocab sizes
+    (output-sized), and the intersection via a token-key self-join —
+    co-partitioned on the token, never a source×source cross of
+    documents. Output is O(sources²) rows."""
+    st = (
+        _docs_parallel(spark, sf_dir)
+        .select("source", F.explode(F.array_distinct(T.tokens("text"))).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("v").alias("va"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("v").alias("vb"))
+    pairs = sa.crossJoin(sb).filter(F.col("src_a") < F.col("src_b"))
+    return (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "coalesce(n_common, 0L) * 1000L"
+                " div greatest(va + vb - coalesce(n_common, 0L), 1L)"
+            ).cast("long").alias("jaccard_millis"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the two near-dup candidate generators against the
     pooled truth set — the quality number a dedup index is judged by.
@@ -2484,6 +2528,30 @@ WHERE v.is_val = 1 ORDER BY v.doc_id
 """
 )
 
+ORACLE_SQL["pipe_source_jaccard"] = rf"""
+WITH st AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, UNNEST({_TOKS}) AS tok FROM documents)
+),
+sizes AS (SELECT source, COUNT(*) AS v FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+pairs AS (
+  SELECT sa.source AS src_a, sb.source AS src_b, sa.v AS va, sb.v AS vb
+  FROM sizes sa CROSS JOIN sizes sb WHERE sa.source < sb.source
+)
+SELECT p.src_a, p.src_b,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(i.n_common, 0) * 1000
+            // GREATEST(p.va + p.vb - COALESCE(i.n_common, 0), 1) AS BIGINT)
+         AS jaccard_millis
+FROM pairs p LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+ORDER BY p.src_a, p.src_b
+"""
+
 ORACLE_SQL["pipe_simhash_neardup"] = rf"""
 WITH sh AS ({_SIMHASH_SQL}),
 bands AS (
@@ -2592,6 +2660,7 @@ QUERIES = {
     "pipe_simhash_neardup": q_simhash_neardup,
     "pipe_leakage_split": q_leakage_split,
     "pipe_heldout_ppl": q_heldout_ppl,
+    "pipe_source_jaccard": q_source_jaccard,
     "pipe_lsh_recall": q_lsh_recall,
     "pipe_vocab_coverage": q_vocab_coverage,
     "pipe_dup_inflation": q_dup_inflation,
