@@ -481,6 +481,37 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂ histogram of per-user inter-event gaps (seconds) — the
+    distribution a session-timeout threshold is read off of (the knee
+    between within-session and between-session modes). The bucket is
+    floor(log2(gap_s + 1)), but no float log is involved: both engines
+    evaluate the SAME generated CASE chain of power-of-two integer
+    compares (largest k with gap_s + 1 >= 2^k), so the histogram is
+    bit-exact by construction.
+
+    Scale shape: one lag window on the user key (the single-shuffle
+    shape of sessionization/transitions) and a bounded ~40-group agg."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            F.expr("(ts - prev_ts) div 1000000000").cast("long").alias("gap_s")
+        )
+    )
+    cases = " ".join(
+        f"WHEN gap_s + 1 >= {1 << k} THEN {k}" for k in range(40, -1, -1)
+    )
+    return (
+        gaps.select(F.expr(f"CASE {cases} END").cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        .orderBy("bucket")
+    )
+
+
 def q_power_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity-concentration moments (the Gini audit of per-user event
     counts — how head-heavy the workload is, the number that decides
@@ -590,6 +621,23 @@ SELECT p.prev_type, p.next_type,
        CAST(p.n * 1000 // o.out_total AS BIGINT) AS share_millis
 FROM pairs p JOIN outs o USING (prev_type)
 ORDER BY p.prev_type, p.next_type
+""",
+    "events_session_gap_hist": """
+WITH g AS (
+  SELECT (epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY epoch_ns(ts),
+                                                          event_id))
+           // 1000000000 AS gap_s
+  FROM events
+),
+b AS (
+  SELECT CASE """
+    + " ".join(f"WHEN gap_s + 1 >= {1 << k} THEN {k}" for k in range(40, -1, -1))
+    + """ END AS bucket
+  FROM g WHERE gap_s IS NOT NULL
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM b GROUP BY bucket ORDER BY bucket
 """,
     "events_power_gini": """
 WITH uc AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id),
@@ -904,5 +952,6 @@ QUERIES = {
     "events_retention": q_retention,
     "events_user_streaks": q_user_streaks,
     "events_power_gini": q_power_gini,
+    "events_session_gap_hist": q_session_gap_hist,
     "events_type_transitions": q_type_transitions,
 }

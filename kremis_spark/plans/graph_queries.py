@@ -627,6 +627,22 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wcc_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram (size → how many components): the
+    one-glance fragmentation picture of the graph — a giant component
+    plus a dust tail is the expected social shape; many mid-size
+    components means the ingest sources are disconnected silos. Pure
+    rollup of q_components (min-label propagation with pointer
+    jumping); adds one bounded group-agg on the output-sized component
+    table."""
+    return (
+        q_components(spark, sf_dir)
+        .groupBy(F.col("n_nodes").alias("component_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .orderBy("component_size")
+    )
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree histogram — the first thing to look at before choosing
     a partitioning/skew strategy for any graph workload (a heavy tail
@@ -2004,6 +2020,26 @@ reach AS (
 SELECT label AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM reach GROUP BY label ORDER BY component
 """,
+    "graph_wcc_size_hist": GRAPH_CTE
+    + """
+, und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+reach AS (
+  WITH RECURSIVE r(n, m) AS (
+    SELECT node_id, node_id FROM nodes
+    UNION
+    SELECT r.n, u.b FROM r JOIN und u ON r.m = u.a
+  )
+  SELECT n, MIN(m) AS label FROM r GROUP BY n
+),
+comps AS (SELECT label, COUNT(*) AS n_nodes FROM reach GROUP BY label)
+SELECT CAST(n_nodes AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM comps GROUP BY n_nodes ORDER BY component_size
+""",
 }
 
 
@@ -2028,6 +2064,7 @@ QUERIES = {
     "graph_traverse_dfs": q_traverse_dfs,  # rows-only (no SQL pre-order)
     "graph_path_confidence": q_path_confidence,
     "graph_components": q_components,
+    "graph_wcc_size_hist": q_wcc_size_hist,
     "graph_triangles": q_triangles,
     "graph_clustering_coeff": q_clustering_coeff,
     "graph_assortativity": q_assortativity,

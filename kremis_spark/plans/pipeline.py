@@ -2045,6 +2045,43 @@ def q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SWEEP_BAND_MILLIS = 100  # threshold-sweep bucket width (0.1 Jaccard)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve: the LSH-verified candidate pairs
+    bucketed by Jaccard band (width 0.1), with each band's pair count
+    and the CUMULATIVE pairs-at-or-above count — the curve
+    CLUSTER_JACCARD_MIN is actually chosen from (how many more pairs a
+    lower cut would merge). Purely a rollup of the session-shared
+    verified-pairs table: at 100 TB this audit costs one
+    O(candidate-pairs) group-agg plus a 10-row running sum — nothing
+    new is joined or rescanned."""
+    bands = (
+        _verified_pairs(spark, sf_dir)
+        .select(
+            F.expr(f"jaccard_millis div {SWEEP_BAND_MILLIS}").cast("long")
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bands.select(
+            "band",
+            (F.col("band") * SWEEP_BAND_MILLIS).cast("long").alias(
+                "band_min_millis"
+            ),
+            "n_pairs",
+            F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+        )
+        .orderBy("band")
+    )
+
+
 def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary Jaccard matrix (millis): for every
     source pair a<b, |Va ∩ Vb| · 1000 div |Va ∪ Vb| over the sources'
@@ -2528,6 +2565,24 @@ WHERE v.is_val = 1 ORDER BY v.doc_id
 """
 )
 
+ORACLE_SQL["pipe_dedup_threshold_sweep"] = (
+    _MINHASH_CORE
+    + f"""
+, jbands AS (
+  SELECT jaccard_millis // {SWEEP_BAND_MILLIS} AS band, COUNT(*) AS n_pairs
+  FROM jpairs GROUP BY 1
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(band * {SWEEP_BAND_MILLIS} AS BIGINT) AS band_min_millis,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT)
+         AS n_pairs_at_or_above
+FROM jbands ORDER BY band
+"""
+)
+
 ORACLE_SQL["pipe_source_jaccard"] = rf"""
 WITH st AS (
   SELECT DISTINCT source, tok
@@ -2661,6 +2716,7 @@ QUERIES = {
     "pipe_leakage_split": q_leakage_split,
     "pipe_heldout_ppl": q_heldout_ppl,
     "pipe_source_jaccard": q_source_jaccard,
+    "pipe_dedup_threshold_sweep": q_dedup_threshold_sweep,
     "pipe_lsh_recall": q_lsh_recall,
     "pipe_vocab_coverage": q_vocab_coverage,
     "pipe_dup_inflation": q_dup_inflation,
