@@ -35,6 +35,7 @@ from kremis_spark.functions.similarity import (
     # Testdata embedding width; oracle SQL is generated for it. Shared
     # with the LSH hyperplane generator so both sides track one constant.
     EMB_DIM,
+    IVF_K,
     IVF_NPROBE,
     cosine_col,
     fps_seeds_cte,
@@ -1254,6 +1255,179 @@ GROUP BY a.di, b.di ORDER BY dim_i, dim_j
 """
 
 
+def q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label purity audit: assign every vector to its IVF
+    cell (the shared farthest-point centroids), cross-tabulate cells
+    against the ground-truth label column, and report each cell's size,
+    majority label (ties → smallest label), and purity in millis — the
+    standard external-validation check that learned structure tracks
+    known classes (a low-purity cell is where the index mixes classes
+    and recall audits should concentrate).
+
+    Scale shape: the assignment is the existing one-pass Arrow matmul
+    (no shuffle); the contingency is a (cells × labels)-bounded
+    group-agg with map-side partials; majority/purity come from the
+    output-sized contingency table."""
+    cents = fps_seed_vectors(spark, sf_dir, IVF_K)
+    assigned = with_ivf_cell(_prepared(spark, sf_dir), cents)
+    ct = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per = (
+        ct.groupBy("cell")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.max(
+                F.struct(
+                    F.col("n"),
+                    (-F.col("label")).cast("long").alias("negl"),
+                )
+            ).alias("mx"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vecs",
+            (-F.col("mx.negl")).cast("long").alias("majority_label"),
+            F.expr("mx.n * 1000L div n_vecs").cast("long").alias(
+                "purity_millis"
+            ),
+        )
+    )
+    return per.orderBy("cell")
+
+
+ORACLE_SQL["pipe_label_purity"] = f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+{fps_seeds_cte(IVF_K, src="prep", name="fps")},
+cents AS (SELECT cell AS cid, cvec FROM fps),
+dots AS (
+  SELECT e.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(e.ivec)),
+              i -> e.ivec[i] * c.cvec[i])) AS BIGINT) AS dot
+  FROM prep e, cents c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cid) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+ct AS (
+  SELECT a.cid AS cell, emb0.label, COUNT(*) AS n
+  FROM assign a JOIN embeddings emb0 ON emb0.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT cell, label, n,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn,
+         SUM(n) OVER (PARTITION BY cell) AS tot
+  FROM ct
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(tot AS BIGINT) AS n_vecs,
+       CAST(label AS BIGINT) AS majority_label,
+       CAST(n * 1000 // tot AS BIGINT) AS purity_millis
+FROM r WHERE rn = 1 ORDER BY cell
+"""
+
+
+OUTLIER_K = 5  # farthest vectors reported per label
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-aware embedding outliers — the mislabeled-sample / corrupt-
+    vector QC pass (confident-learning-lite): per class label, the
+    integer centroid (per-dim mean over +DIM_OFFSET-shifted components,
+    so the division is nonnegative — same trick as dim_stats), then
+    every vector's exact integer squared distance to ITS label's
+    centroid, reporting the OUTLIER_K farthest per label. A vector far
+    from its own class centroid is the first candidate for a label
+    error or a corrupt embedding.
+
+    Scale shape: one posexplode → (label × dim)-group partial agg for
+    the centroid table (labels × 64 rows — broadcast), centroids
+    re-assembled into arrays, one broadcast join back onto the vectors,
+    distance via map-side zip_with fold, and a per-label top-K window
+    (partitioned by label, never global)."""
+    prep = _prepared(spark, sf_dir)
+    d = prep.select(
+        "vec_id", "label", F.posexplode("ivec").alias("dim", "x")
+    )
+    means = d.groupBy("label", "dim").agg(
+        F.expr(
+            f"(sum(x) + count(*) * {DIM_OFFSET}L) div count(*)"
+        ).cast("long").alias("m")
+    )
+    mv = (
+        means.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms")
+        )
+        .select(
+            "label",
+            F.transform("ms", lambda s: s["m"]).alias("mvec"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "ivec",
+            "mvec",
+            lambda x, m: (x + DIM_OFFSET - m) * (x + DIM_OFFSET - m),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    scored = prep.join(F.broadcast(mv), "label").select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        dist.cast("long").alias("dist"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), "vec_id")
+    return (
+        scored.withColumn("out_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("out_rank") <= OUTLIER_K)
+        .orderBy("label", "out_rank")
+    )
+
+
+ORACLE_SQL["pipe_embed_outliers"] = f"""
+WITH prep AS (
+  SELECT vec_id, label, {_IVEC} AS ivec FROM embeddings
+),
+d AS (
+  SELECT vec_id, label, t.i - 1 AS dim, prep.ivec[t.i] AS x
+  FROM prep, LATERAL unnest(generate_series(1, len(prep.ivec))) AS t(i)
+),
+m AS (
+  SELECT label, dim,
+         (SUM(x) + COUNT(*) * {DIM_OFFSET}) // COUNT(*) AS mv
+  FROM d GROUP BY label, dim
+),
+dist AS (
+  SELECT d.vec_id, d.label,
+         SUM((d.x + {DIM_OFFSET} - m.mv) * (d.x + {DIM_OFFSET} - m.mv))
+           AS dist
+  FROM d JOIN m ON m.label = d.label AND m.dim = d.dim
+  GROUP BY d.vec_id, d.label
+),
+r AS (
+  SELECT label, vec_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id) AS out_rank
+  FROM dist
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id,
+       CAST(dist AS BIGINT) AS dist, CAST(out_rank AS BIGINT) AS out_rank
+FROM r WHERE out_rank <= {OUTLIER_K} ORDER BY label, out_rank
+"""
+
+
 QUERIES = {
     "pipe_ann_sq8": q_ann_sq8,
     "pipe_ann_mips": q_ann_mips,
@@ -1264,4 +1438,6 @@ QUERIES = {
     "pipe_semdedup": q_semdedup,
     "pipe_embed_dim_stats": q_embed_dim_stats,
     "pipe_embed_gram": q_embed_gram,
+    "pipe_embed_outliers": q_embed_outliers,
+    "pipe_label_purity": q_label_purity,
 }
