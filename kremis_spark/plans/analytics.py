@@ -481,6 +481,34 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active-user split — the growth
+    dashboard's first decomposition: per epoch-day, distinct active
+    users, of which how many are on their FIRST-ever active day vs
+    returning. Same single-shuffle shape as retention: distinct
+    (user, day) once, per-user min-day via a user-key window, bounded
+    per-day group-agg."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts div 86400000000000").alias("d")
+    ).distinct()
+    c = ud.withColumn(
+        "first_d", F.min("d").over(Window.partitionBy("user_id"))
+    )
+    isnew = (F.col("d") == F.col("first_d")).cast("long")
+    return (
+        c.groupBy(F.col("d").cast("long").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(isnew).cast("long").alias("n_new"),
+            (F.count(F.lit(1)) - F.sum(isnew)).cast("long").alias(
+                "n_returning"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
 def q_session_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log₂ histogram of per-user inter-event gaps (seconds) — the
     distribution a session-timeout threshold is read off of (the knee
@@ -621,6 +649,20 @@ SELECT p.prev_type, p.next_type,
        CAST(p.n * 1000 // o.out_total AS BIGINT) AS share_millis
 FROM pairs p JOIN outs o USING (prev_type)
 ORDER BY p.prev_type, p.next_type
+""",
+    "events_new_vs_returning": """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events
+),
+c AS (
+  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS first_d FROM ud
+)
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN d = first_d THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_returning
+FROM c GROUP BY d ORDER BY d
 """,
     "events_session_gap_hist": """
 WITH g AS (
@@ -953,5 +995,6 @@ QUERIES = {
     "events_user_streaks": q_user_streaks,
     "events_power_gini": q_power_gini,
     "events_session_gap_hist": q_session_gap_hist,
+    "events_new_vs_returning": q_new_vs_returning,
     "events_type_transitions": q_type_transitions,
 }

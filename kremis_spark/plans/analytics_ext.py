@@ -455,6 +455,114 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step latencies: for users completing the ordered
+    view → click → purchase funnel (exact q_funnel semantics), the
+    EXACT median seconds from first view to first qualifying click and
+    from that click to first qualifying purchase — the conversion-speed
+    number next to the conversion-rate funnel. Medians are exact
+    (rank (n+1) div 2, ties by user_id), ranked via the distributed
+    prefix scan — no unpartitioned window over the converted-user set.
+
+    Scale shape: same monotone-shrinking per-user stage dims as
+    q_funnel, then two prefix-scan ranks over the (already small)
+    converted set and one scalar rollup."""
+    from kremis_spark.operators.prefix import exclusive_prefix_sum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").alias("t")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    conv = p.select(
+        "user_id",
+        F.expr("(t_click - t_view) div 1000000000").cast("long").alias("d1"),
+        F.expr("(t_purchase - t_click) div 1000000000").cast("long").alias(
+            "d2"
+        ),
+        F.lit(1).cast("long").alias("one"),
+    ).localCheckpoint(eager=True)
+    n = conv.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None, None)],
+            "n_converted BIGINT, med_view_to_click_s BIGINT, "
+            "med_click_to_purchase_s BIGINT",
+        )
+    r1 = exclusive_prefix_sum(conv, ["d1", "user_id"], "one", out_col="r0")
+    r2 = exclusive_prefix_sum(conv, ["d2", "user_id"], "one", out_col="r0")
+    med = f"(r0 + 1L) = ({n}L + 1L) div 2"
+    m1 = r1.agg(
+        F.max(F.when(F.expr(med), F.col("d1"))).cast("long").alias(
+            "med_view_to_click_s"
+        )
+    )
+    m2 = r2.agg(
+        F.max(F.when(F.expr(med), F.col("d2"))).cast("long").alias(
+            "med_click_to_purchase_s"
+        )
+    )
+    return (
+        spark.createDataFrame([(n,)], "n_converted BIGINT")
+        .crossJoin(m1)
+        .crossJoin(m2)
+    )
+
+
+LTV_CENT = 100  # money fixed point (cents)
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort (LTV) triangle over orders: customers grouped by
+    first-order month, revenue accumulated at each months-since-cohort
+    offset — the (cohort × age → revenue) matrix LTV curves are read
+    from, in exact cents. The retention triangle's shape applied to
+    money.
+
+    Scale shape: per-customer first-month via one min-agg on the
+    customer key, joined back (same key — co-partitioned), then a
+    bounded (months²)-cell group-agg with map-side partials."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mi"),
+        F.expr(
+            f"CAST(ROUND(CAST(o_totalprice AS DOUBLE) * {LTV_CENT}) AS LONG)"
+        ).alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("cohort_mi").cast("long").alias("cohort_month"),
+            (F.col("mi") - F.col("cohort_mi")).cast("long").alias(
+                "months_since"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
 def q_docs_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language length percentiles (p50/p90/p99) via rank
     windows — the distributed-exact alternative to approx_percentile
@@ -680,6 +788,54 @@ SELECT {_HOUR_SQL} AS hour_of_day,
        {_PIVOT_COLS}
 FROM events
 GROUP BY 1
+""",
+    "events_funnel_latency": """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id, v.t_view
+),
+p AS (
+  SELECT e.user_id, c.t_view, c.t_click, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id, c.t_view, c.t_click
+),
+conv AS (
+  SELECT user_id,
+         (epoch_ns(t_click) - epoch_ns(t_view)) // 1000000000 AS d1,
+         (epoch_ns(t_purchase) - epoch_ns(t_click)) // 1000000000 AS d2
+  FROM p
+),
+r1 AS (SELECT d1, ROW_NUMBER() OVER (ORDER BY d1, user_id) AS rn,
+              COUNT(*) OVER () AS n FROM conv),
+r2 AS (SELECT d2, ROW_NUMBER() OVER (ORDER BY d2, user_id) AS rn,
+              COUNT(*) OVER () AS n FROM conv)
+SELECT CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
+       CAST((SELECT MAX(CASE WHEN rn = (n + 1) // 2 THEN d1 END) FROM r1)
+            AS BIGINT) AS med_view_to_click_s,
+       CAST((SELECT MAX(CASE WHEN rn = (n + 1) // 2 THEN d2 END) FROM r2)
+            AS BIGINT) AS med_click_to_purchase_s
+""",
+    "orders_cohort_ltv": """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT o_custkey, MIN(mi) AS cohort_mi FROM o GROUP BY o_custkey)
+SELECT CAST(f.cohort_mi AS BIGINT) AS cohort_month,
+       CAST(o.mi - f.cohort_mi AS BIGINT) AS months_since,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN f USING (o_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "events_funnel": """
 WITH v AS (
@@ -983,6 +1139,8 @@ QUERIES = {
     "events_cube_summary": q_cube_summary,
     "events_pivot_hourly": q_pivot_hourly,
     "events_funnel": q_funnel,
+    "events_funnel_latency": q_funnel_latency,
+    "orders_cohort_ltv": q_cohort_ltv,
     "docs_length_percentiles": q_docs_percentiles,
     "win_rolling_revenue": q_rolling_revenue,
     "tpch_q7_volume": q_q7_volume,
