@@ -219,6 +219,28 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_docs_parallel(spark, sf_dir))
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the corpus's ground-truth
+    ``lang`` column: (actual, predicted, count) — the accuracy audit of
+    the marker-based classifier (pipe_lang_id), same role as
+    pipe_label_purity for the embedding index. Diagonal mass over total
+    is the classifier's accuracy; off-diagonal cells say WHICH
+    languages it confuses, which is what drives marker-set fixes.
+
+    Scale shape: the prediction is the map-side argmax projection
+    (zero shuffles), so the audit costs one doc-key join against the
+    ground-truth column and a (langs²)-bounded group-agg."""
+    docs = _docs_parallel(spark, sf_dir)
+    pred = T.lang_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_actual"))
+        .join(pred, "doc_id")
+        .groupBy("lang_actual", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang_actual", "lang_guess")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.with_fingerprint(_docs_parallel(spark, sf_dir)).select(
         "doc_id", "content_md5", "shingle_min_md5"
@@ -1665,6 +1687,12 @@ FROM t
 """,
     "pipe_quality": _QUALITY_SQL,
     "pipe_lang_id": _LANG_SQL,
+    "pipe_langid_confusion": f"""
+SELECT d.lang AS lang_actual, p.lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN ({_LANG_SQL}) p ON p.doc_id = d.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "pipe_tfidf_top_terms": rf"""
 WITH tok AS (
   SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
@@ -2689,6 +2717,7 @@ QUERIES = {
     "pipe_subword_tokens": q_subword_tokens,
     "pipe_quality": q_quality,
     "pipe_lang_id": q_lang_id,
+    "pipe_langid_confusion": q_langid_confusion,
     "pipe_fingerprint": q_fingerprint,
     "pipe_tfidf_top_terms": q_tfidf_top_terms,
     "pipe_dedup_exact": q_dedup_exact,
