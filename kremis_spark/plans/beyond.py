@@ -625,6 +625,58 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_SET_A = "click"
+HLL_SET_B = "purchase"
+
+
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA: two HLLs (users who click, users who purchase)
+    merged by per-register max → union estimate, intersection by
+    inclusion–exclusion (est_a + est_b − est_union; subtraction only —
+    no signed division), next to the exact intersection. This is the
+    operation that makes sketches useful at 100 TB: per-segment HLLs
+    are built once in one pass and any audience overlap is answered
+    from 256-register tables without rescanning events. The register
+    merge is the HLL mergeability property the per-sketch tests pin;
+    here it is exercised end-to-end under the oracle gate."""
+    from kremis_spark.functions.sketch import hll_estimate, hll_registers
+
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == HLL_SET_A)
+    b = ev.filter(F.col("event_type") == HLL_SET_B)
+    ra = hll_registers(a, "user_id")
+    rb = hll_registers(b, "user_id")
+    ru = (
+        ra.alias("x")
+        .join(rb.alias("y"), "bucket")
+        .select(
+            "bucket", F.greatest(F.col("x.r"), F.col("y.r")).alias("r")
+        )
+    )
+    ea = hll_estimate(ra).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(rb).select(F.col("est_distinct").alias("est_b"))
+    eu = hll_estimate(ru).select(F.col("est_distinct").alias("est_union"))
+    exact = (
+        a.select("user_id")
+        .distinct()
+        .join(b.select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_intersect"),
+        )
+        .crossJoin(exact)
+    )
+
+
 HIST_NBINS = 32
 
 
@@ -933,6 +985,59 @@ SELECT est.user_id, CAST(est.est_count AS BIGINT) AS est_count,
        CAST(exact.exact_count AS BIGINT) AS exact_count
 FROM est JOIN exact USING (user_id)
 """,
+    "events_hll_intersect": f"""
+WITH va AS (
+  SELECT ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+           AS bucket,
+         ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 3, 8))::BIGINT
+           AS w
+  FROM events WHERE event_type = '{HLL_SET_A}'
+),
+vb AS (
+  SELECT ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+           AS bucket,
+         ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 3, 8))::BIGINT
+           AS w
+  FROM events WHERE event_type = '{HLL_SET_B}'
+),
+gs AS (SELECT UNNEST(generate_series(0, 255)) AS bucket),
+ra AS (
+  SELECT gs.bucket, COALESCE(r.r, 0) AS r FROM gs
+  LEFT JOIN (SELECT bucket,
+                    MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END)
+                      AS r
+             FROM va GROUP BY bucket) r ON r.bucket = gs.bucket
+),
+rb AS (
+  SELECT gs.bucket, COALESCE(r.r, 0) AS r FROM gs
+  LEFT JOIN (SELECT bucket,
+                    MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END)
+                      AS r
+             FROM vb GROUP BY bucket) r ON r.bucket = gs.bucket
+),
+ru AS (
+  SELECT a.bucket, GREATEST(a.r, b.r) AS r FROM ra a JOIN rb b USING (bucket)
+),
+ea AS (SELECT 404351525737988096
+                // (SUM(1::BIGINT << (33 - r)) * 1000) AS e FROM ra),
+eb AS (SELECT 404351525737988096
+                // (SUM(1::BIGINT << (33 - r)) * 1000) AS e FROM rb),
+eu AS (SELECT 404351525737988096
+                // (SUM(1::BIGINT << (33 - r)) * 1000) AS e FROM ru),
+ex AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = '{HLL_SET_A}'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = '{HLL_SET_B}'
+  )
+)
+SELECT CAST(ea.e AS BIGINT) AS est_a,
+       CAST(eb.e AS BIGINT) AS est_b,
+       CAST(eu.e AS BIGINT) AS est_union,
+       CAST(ea.e + eb.e - eu.e AS BIGINT) AS est_intersect,
+       CAST(ex.n AS BIGINT) AS exact_intersect
+FROM ea, eb, eu, ex
+""",
     "events_hll_distinct": """
 WITH vals AS (
   SELECT ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
@@ -1026,6 +1131,7 @@ QUERIES = {
     "events_cms_user_counts": q_cms_user_counts,
     "events_bloom_membership": q_bloom_membership,
     "events_hll_distinct": q_hll_distinct,
+    "events_hll_intersect": q_hll_intersect,
     "events_value_histogram": q_value_histogram,
     "events_skew_safe_reach": q_skew_safe_reach,
 }
