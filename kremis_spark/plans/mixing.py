@@ -554,6 +554,63 @@ def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QD_BANDS = 3  # quality tertiles for the quality-vs-dup contingency
+
+
+def q_quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality × duplication contingency: global quality tertiles
+    crossed with near-dup-cluster membership (any doc in a verified
+    cluster counts as dup; singletons are unique). This is the audit
+    that justifies pipeline ORDERING — if duplicates concentrate in the
+    low-quality band, quality filtering before dedup wastes the
+    expensive LSH pass on docs the gate would drop anyway, and vice
+    versa. Output: (quality_band, is_dup, n_docs), 6 rows.
+
+    Scale shape: quality is map-side; the global tertile rank comes
+    from the two-phase prefix scan (no unpartitioned window); dup
+    membership is one gated-broadcast label join; final agg is 6
+    groups."""
+    docs = _docs_parallel(spark, sf_dir)
+    strong = _verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
+    )
+    labels = connected_components(strong).withColumnRenamed("n", "doc_id")
+    if labels.count() <= DEDUP_LABELS_BCAST_MAX:
+        labels = F.broadcast(labels)
+    base = (
+        T.with_quality_score(docs)
+        .select(
+            "doc_id",
+            F.col("quality").cast("long").alias("q"),
+            F.lit(1).cast("long").alias("one"),
+        )
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "q",
+            "one",
+            F.col("label").isNotNull().cast("long").alias("is_dup"),
+        )
+    )
+    n_total = base.count()
+    if n_total == 0:
+        return spark.createDataFrame(
+            [], "quality_band BIGINT, is_dup BIGINT, n_docs BIGINT"
+        )
+    ranked = exclusive_prefix_sum(base, ["q", "doc_id"], "one", out_col="r0")
+    return (
+        ranked.select(
+            F.expr(f"(r0 * {QD_BANDS}L) div {n_total}L").cast("long").alias(
+                "quality_band"
+            ),
+            "is_dup",
+        )
+        .groupBy("quality_band", "is_dup")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("quality_band", "is_dup")
+    )
+
+
 ZORDER_FILES = 16  # target output files for the layout plan
 ZORDER_BITS = 10  # interleaved bits per dimension (len capped at 1023)
 
@@ -810,6 +867,35 @@ FROM sq ORDER BY source
 """
 )
 
+def _quality_vs_dup_sql() -> str:
+    from kremis_spark.plans.pipeline import _CC_SQL_BLOCK
+
+    return (
+        _MINHASH_CORE
+        + _CC_SQL_BLOCK
+        + f""",
+q AS ({_QUALITY_EXPR}),
+base AS (
+  SELECT q.doc_id, q.quality AS qv,
+         CASE WHEN c.n IS NULL THEN 0 ELSE 1 END AS is_dup
+  FROM q LEFT JOIN comp c ON c.n = q.doc_id
+),
+ranked AS (
+  SELECT qv, is_dup,
+         ROW_NUMBER() OVER (ORDER BY qv, doc_id) - 1 AS r0,
+         COUNT(*) OVER () AS n
+  FROM base
+)
+SELECT CAST((r0 * {QD_BANDS}) // n AS BIGINT) AS quality_band,
+       CAST(is_dup AS BIGINT) AS is_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+ORACLE_SQL["pipe_quality_vs_dup"] = _quality_vs_dup_sql()
+
 ORACLE_SQL["docs_zorder_layout"] = rf"""
 WITH q AS ({_QUALITY_EXPR}),
 feat AS (
@@ -855,4 +941,5 @@ QUERIES = {
     "pipe_stratified_sample": q_stratified_sample,
     "docs_zorder_layout": q_zorder_layout,
     "pipe_e2e_curation": q_e2e_curation,
+    "pipe_quality_vs_dup": q_quality_vs_dup,
 }
