@@ -15,25 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The grading driver runs CORRECTNESS verdicts for the FIRST 50 entries in
-# queries() dict order. Rounds 1-4 verified a fixed window (50/50 green in
-# CORRECTNESS_r04.json); round 5 ROTATES the window: one already-green
-# sentinel per operator family stays (regression canary), and the
-# remaining ~33 slots go to queries that have never received a driver
-# verdict (all of extended TPC-H, window/funnel/retention analytics,
-# k-core, k-means, mixing, ...). The remaining queries keep their original
-# relative order after these — prior-round green rows are still exercised
-# by tests/test_analytics_oracle.py at sf0.001 every pytest run.
+# queries() dict order. Rounds 1-4 verified a fixed window; round 5
+# rotated 32 never-checked queries in (50/50 green in CORRECTNESS_r05).
+# Round 6 rotates again: 12 family sentinels stay as regression canaries,
+# and 38 slots go to queries that have never received a driver verdict
+# (graph analytics, events audits, the dedup/recall/containment family,
+# heldout-ppl, ...). Every rotated-in query was pre-verified against its
+# DuckDB oracle at sf0.01 with tools/check_oracle.py before this edit.
+# Queries not in the window stay exercised by
+# tests/test_analytics_oracle.py at sf0.001 every pytest run; ~36 stay
+# never-driver-checked and rotate in next round.
 _PRIORITY_FIRST_50 = [
-    # --- family sentinels (driver-green in r04, kept as canaries) ---
+    # --- family sentinels (driver-green in r04+r05, kept as canaries) ---
     "graph_nodes",               # ingest family
-    "graph_lookup",              # point lookup
-    "graph_bfs_levels",          # traversal
-    "graph_traverse_dfs",        # DFS (golden-rows oracle)
+    "graph_traverse_dfs",        # traversal (golden-rows oracle)
     "graph_strongest_path",      # reference path algorithm
-    "graph_strongest_path_dist", # distributed path variant
-    "graph_metrics",             # metrics family
     "graph_pagerank",            # iterative graph algorithms
-    "graph_link_prediction",     # wedge join (hub-cap guarded this round)
     "pipe_dedup_minhash",        # dedup family
     "pipe_ann_cosine_topk",      # ANN family
     "stream_window_counts",      # streaming family
@@ -41,41 +38,46 @@ _PRIORITY_FIRST_50 = [
     "tpch_q1_pricing",           # TPC-H family
     "pipe_quality",              # text-analysis family
     "pipe_seq_pack",             # curation family
-    "events_sessionization",     # events family
     "pipe_multimodal_decode",    # multimodal plumbing
     # --- never-driver-checked rotation (first verdict this round) ---
-    "graph_kcore",
-    "tpch_q3_toporders",
-    "tpch_q5_nation_revenue",
-    "tpch_q6_forecast",
-    "tpch_q7_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returns",
-    "tpch_q12_priority_class",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_or_predicates",
-    "tpch_q22_idle_customers",
-    "events_funnel",
-    "events_retention",
-    "events_asof_attribution",
-    "win_rolling_revenue",
-    "win_top_customer_per_nation",
-    "pipe_lang_id",
-    "pipe_tfidf_top_terms",
-    "pipe_bpe_train",
-    "pipe_token_stats",
-    "pipe_dedup_incremental",
-    "pipe_semdedup",
-    "pipe_ngram_jaccard",
-    "pipe_ann_lsh_topk",
-    "pipe_kmeans_train",
-    "pipe_temperature_mix",
-    "pipe_curriculum_stages",
+    "graph_wcc_size_hist",
+    "graph_clustering_coeff",
+    "graph_assortativity",
+    "graph_reciprocity",
+    "graph_jaccard_neighbors",
+    "graph_modularity",
+    "events_hourly_anomaly",
+    "events_user_streaks",
+    "events_power_gini",
+    "events_session_gap_hist",
+    "events_new_vs_returning",
+    "events_decay_sum",
+    "events_kanon_summary",
+    "events_ab_srm",
+    "events_cube_summary",
+    "events_pivot_hourly",
+    "events_funnel_latency",
+    "events_hll_intersect",
+    "events_value_histogram",
+    "events_skew_safe_reach",
+    "orders_cohort_ltv",
+    "docs_length_percentiles",
+    "docs_zorder_layout",
+    "pipe_lm_surprisal",
+    "pipe_source_drift",
+    "pipe_langid_confusion",
+    "pipe_knn_graph",
+    "pipe_ann_filtered_topk",
+    "pipe_embed_neardup",
+    "pipe_inverted_index",
+    "pipe_pii_scrub",
+    "pipe_top_ngram",
+    "pipe_bpe_merge_step",
+    "pipe_canonical_pick",
+    "pipe_containment",
+    "pipe_simhash_neardup",
+    "pipe_leakage_split",
+    "pipe_heldout_ppl",
 ]
 
 

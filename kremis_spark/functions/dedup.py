@@ -516,14 +516,19 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     is the sign of the summed contributions (ties → 0). Integer-only and
     hash-portable across engines.
 
-    Shape: explode distinct tokens, convert the digest to four 32-bit
-    ints ONCE, then 32 bit-test conditional sums (one shuffle on doc_id;
-    the bit tests are integer shifts, far cheaper than 32 per-character
-    substring compares), recombine bits map-side. A hex digit is odd iff
-    its low bit is set, so this matches the digit-parity definition."""
+    Shape: explode ``array_distinct`` tokens (per-doc dedup happens
+    inside the array, map-side — no global distinct shuffle), then 32
+    bit-count sums. The groupBy's partial aggregation compacts each
+    partition to one row per doc before the only shuffle, so the wire
+    carries n_docs rows regardless of token volume. Doc bit j is set
+    when more than half the token contributions are 1 (2*ones > n —
+    identical to the classic ±1-sum sign rule, ties → 0). A hex digit
+    is odd iff its low bit is set, so this matches the digit-parity
+    definition."""
     tok = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).distinct()
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
     h = F.md5(F.col("tok"))  # CSE'd across the four substrings
     hashed = tok.select(
         F.col(id_col),
@@ -534,24 +539,20 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             for c in range(4)
         ],
     )
-    aggs = [
+    aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(
-            F.when(
-                F.shiftright(F.col(f"b{j // 8}"), 4 * (7 - j % 8)).bitwiseAND(
-                    F.lit(1)
-                )
-                == 1,
-                1,
-            ).otherwise(-1)
+            F.shiftright(F.col(f"b{j // 8}"), 4 * (7 - j % 8)).bitwiseAND(
+                F.lit(1)
+            )
         ).alias(f"s_{j}")
         for j in range(32)
     ]
     sums = hashed.groupBy(id_col).agg(*aggs)
     sim = None
     for j in range(32):
-        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            2 * F.col(f"s_{j}") > F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit
     return sums.select(F.col(id_col), sim.alias("simhash32"))
 

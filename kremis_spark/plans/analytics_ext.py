@@ -14,7 +14,7 @@ Plan-shape notes (the 100 TB story, mirrored from analytics.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kremis_spark.plans.analytics import _cents, _pct
@@ -460,15 +460,19 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     view → click → purchase funnel (exact q_funnel semantics), the
     EXACT median seconds from first view to first qualifying click and
     from that click to first qualifying purchase — the conversion-speed
-    number next to the conversion-rate funnel. Medians are exact
-    (rank (n+1) div 2, ties by user_id), ranked via the distributed
-    prefix scan — no unpartitioned window over the converted-user set.
+    number next to the conversion-rate funnel. Medians are exact: the
+    value at rank (n+1) div 2, found on the VALUE HISTOGRAM — the
+    element at a given rank is the same value whatever the tie order,
+    so grouping by the delta and walking the cumulative count gives
+    the identical answer to a row-level rank.
 
     Scale shape: same monotone-shrinking per-user stage dims as
-    q_funnel, then two prefix-scan ranks over the (already small)
-    converted set and one scalar rollup."""
-    from kremis_spark.operators.prefix import exclusive_prefix_sum
-
+    q_funnel, then per-delta count aggs (partial, map-side) and a
+    window over the DISTINCT delta values only — bounded by the
+    seconds-delta value domain, not the converted-user count, so the
+    single-partition cumulative walk is safe at any corpus size (the
+    earlier prefix-scan formulation was row-bounded and cost 2×4
+    chained jobs for the same two numbers)."""
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").alias("t")
     )
@@ -506,19 +510,21 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_converted BIGINT, med_view_to_click_s BIGINT, "
             "med_click_to_purchase_s BIGINT",
         )
-    r1 = exclusive_prefix_sum(conv, ["d1", "user_id"], "one", out_col="r0")
-    r2 = exclusive_prefix_sum(conv, ["d2", "user_id"], "one", out_col="r0")
-    med = f"(r0 + 1L) = ({n}L + 1L) div 2"
-    m1 = r1.agg(
-        F.max(F.when(F.expr(med), F.col("d1"))).cast("long").alias(
-            "med_view_to_click_s"
+    target = (n + 1) // 2
+
+    def hist_median(col: str, out: str) -> DataFrame:
+        h = conv.groupBy(col).agg(F.sum("one").alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
-    )
-    m2 = r2.agg(
-        F.max(F.when(F.expr(med), F.col("d2"))).cast("long").alias(
-            "med_click_to_purchase_s"
+        return (
+            h.withColumn("cum", F.sum("c").over(w))
+            .filter(F.col("cum") >= target)
+            .agg(F.min(col).cast("long").alias(out))
         )
-    )
+
+    m1 = hist_median("d1", "med_view_to_click_s")
+    m2 = hist_median("d2", "med_click_to_purchase_s")
     return (
         spark.createDataFrame([(n,)], "n_converted BIGINT")
         .crossJoin(m1)

@@ -1032,29 +1032,23 @@ FROM d{SSSP_ROUNDS} WHERE dist < {inf} ORDER BY node_id"""
 LP_ITERS = 5
 
 
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-label propagation communities (undirected, LP_ITERS
-    synchronous rounds): every node starts labeled with its own id and
-    each round adopts the minimum of its own and its neighbors' labels.
-    Deterministic (min is order-free), integer-only, and after k rounds
-    each label has flooded its k-hop neighborhood — the bounded-round
-    community detector (full convergence is q_components' job).
-
-    Scale shape: per round, one join of the static adjacency fact
-    against the node-sized label table + one min-agg — the same Pregel
-    step as PageRank; adjacency is built once and checkpointed, labels
-    are checkpointed every other round to keep lineage flat."""
-    st = graph_state(spark, sf_dir)
-    und = undirected_edges(spark, sf_dir)
+def label_propagation_distributed(
+    nodes: DataFrame, und: DataFrame, iters: int = LP_ITERS
+) -> DataFrame:
+    """Distributed min-label propagation loop (the 100 TB path). Per
+    round, one join of the static adjacency fact against the node-sized
+    label table + one min-agg — the same Pregel step as PageRank;
+    adjacency is built once and checkpointed, labels are checkpointed
+    every other round to keep lineage flat."""
     adj = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
         .localCheckpoint(eager=True)
     )
-    labels = st.nodes.select(
+    labels = nodes.select(
         F.col("node_id").alias("v"), F.col("node_id").alias("label")
     )
-    for i in range(LP_ITERS):
+    for i in range(iters):
         nbr = (
             adj.join(
                 labels.select(F.col("v").alias("u"), "label"), "u"
@@ -1073,6 +1067,49 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("node_id"), F.col("label").cast("long").alias("label")
     ).orderBy("node_id")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation communities (undirected, LP_ITERS
+    synchronous rounds): every node starts labeled with its own id and
+    each round adopts the minimum of its own and its neighbors' labels.
+    Deterministic (min is order-free), integer-only, and after k rounds
+    each label has flooded its k-hop neighborhood — the bounded-round
+    community detector (full convergence is q_components' job).
+
+    Adaptive execution (same split as q_pagerank): under the
+    PR_COLLECT bounds the graph collects once and the identical integer
+    recurrence runs on the driver (the loop is otherwise ~2 jobs ×
+    LP_ITERS of pure scheduling overhead); larger graphs run
+    ``label_propagation_distributed``, which
+    ``tests/test_analytics_oracle.py`` pins to the driver path."""
+    st = graph_state(spark, sf_dir)
+    und = undirected_edges(spark, sf_dir)
+    nodes = st.nodes.select("node_id")
+    n = nodes.count()
+    if n > PR_COLLECT_MAX_NODES or st.edge_count() > PR_COLLECT_MAX_EDGES:
+        return label_propagation_distributed(nodes, und)
+    node_ids = [int(r[0]) for r in nodes.collect()]
+    adj: dict[int, list[int]] = {}
+    for r in und.select("a", "b").collect():
+        a, b = int(r[0]), int(r[1])
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    label = {v: v for v in node_ids}
+    for _ in range(LP_ITERS):
+        # neighbor mins against the PREVIOUS round's labels (synchronous
+        # rounds — same as the join against the immutable `labels` table)
+        nl = {
+            v: min(label[u] for u in us if u in label)
+            for v, us in adj.items()
+            if any(u in label for u in us)
+        }
+        label = {
+            v: min(lv, nl.get(v, lv)) for v, lv in label.items()
+        }
+    return spark.createDataFrame(
+        sorted(label.items()), "node_id LONG, label LONG"
+    )
 
 
 def _lp_chain_sql() -> str:
@@ -1175,17 +1212,13 @@ HC_DEPTH = 3
 HC_BCAST_MAX_FRONTIER = 5_000_000
 
 
-def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Harmonic centrality (depth-bounded, directed): from the HC_ANCHORS
-    lowest node_ids (the same deterministic sampling rule as
-    GraphMetrics' max-depth probe, system/stage.rs:224-261), multi-source
-    BFS out to HC_DEPTH hops; each anchor scores Σ floor(1e6 / dist)
-    over the nodes it reaches (min-dist semantics), plus the raw reach
-    count. Integer-exact — no float harmonic terms.
-
-    Scale shape: ONE BFS loop for all anchors at once — the frontier
-    carries (anchor, node) pairs so the per-hop work is a single join
-    of the frontier against the edge fact, a distinct, and an anti-join
+def harmonic_centrality_distributed(
+    spark: SparkSession, nodes: DataFrame, edges_df: DataFrame
+) -> DataFrame:
+    """Distributed multi-source BFS harmonic centrality (the 100 TB
+    path): ONE BFS loop for all anchors at once — the frontier carries
+    (anchor, node) pairs so the per-hop work is a single join of the
+    frontier against the edge fact, a distinct, and an anti-join
     against the visited set; HC_DEPTH iterations total, independent of
     anchor count. The edge fact never re-shuffles. The frontier is NOT
     force-broadcast: it grows as O(anchors x nodes-reached) pairs,
@@ -1195,10 +1228,9 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join falls back to shuffle and AQE picks the strategy."""
     import functools
 
-    st = graph_state(spark, sf_dir)
-    edges = st.edges.select("src", "dst")
+    edges = edges_df.select("src", "dst")
     anchors = (
-        st.nodes.select(F.col("node_id").alias("anchor"))
+        nodes.select(F.col("node_id").alias("anchor"))
         .orderBy("anchor")
         .limit(HC_ANCHORS)
         .localCheckpoint(eager=True)
@@ -1239,6 +1271,52 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("harmonic_millionths"),
         )
         .orderBy("anchor")
+    )
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (depth-bounded, directed): from the HC_ANCHORS
+    lowest node_ids (the same deterministic sampling rule as
+    GraphMetrics' max-depth probe, system/stage.rs:224-261), multi-source
+    BFS out to HC_DEPTH hops; each anchor scores Σ floor(1e6 / dist)
+    over the nodes it reaches (min-dist semantics), plus the raw reach
+    count. Integer-exact — no float harmonic terms.
+
+    Adaptive execution (same split as q_pagerank): under the PR_COLLECT
+    bounds the edge list collects once and the identical BFS runs on
+    the driver (the distributed loop is HC_DEPTH chained
+    checkpoint+count jobs of pure overhead at that size); larger graphs
+    run ``harmonic_centrality_distributed``, pinned to the driver path
+    by ``tests/test_analytics_oracle.py``."""
+    st = graph_state(spark, sf_dir)
+    nodes = st.nodes.select("node_id")
+    n = nodes.count()
+    if n > PR_COLLECT_MAX_NODES or st.edge_count() > PR_COLLECT_MAX_EDGES:
+        return harmonic_centrality_distributed(spark, nodes, st.edges)
+    node_ids = sorted(int(r[0]) for r in nodes.collect())
+    anchors = node_ids[:HC_ANCHORS]
+    succ: dict[int, list[int]] = {}
+    for r in st.edges.select("src", "dst").collect():
+        succ.setdefault(int(r[0]), []).append(int(r[1]))
+    rows = []
+    for a in anchors:
+        seen = {a}
+        frontier = [a]
+        n_reached = 0
+        harmonic = 0
+        for dist in range(1, HC_DEPTH + 1):
+            nxt = []
+            for v in frontier:
+                for u in succ.get(v, ()):
+                    if u not in seen:
+                        seen.add(u)
+                        nxt.append(u)
+            n_reached += len(nxt)
+            harmonic += len(nxt) * (1_000_000 // dist)
+            frontier = nxt
+        rows.append((a, n_reached, harmonic))
+    return spark.createDataFrame(
+        rows, "anchor LONG, n_reached LONG, harmonic_millionths LONG"
     )
 
 

@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kremis_spark.functions import text as T
-from kremis_spark.functions.dedup import connected_components
 from kremis_spark.operators.prefix import exclusive_prefix_sum
 from kremis_spark.plans.pipeline import (
     _MINHASH_CORE,
@@ -43,6 +42,7 @@ from kremis_spark.plans.pipeline import (
     _TOKS,
     CLUSTER_JACCARD_MIN,
     _docs_parallel,
+    _strong_labels,
     _verified_pairs,
 )
 
@@ -229,10 +229,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern as the path/pagerank broadcast thresholds); past the gate the
     left join shuffles on doc_id."""
     docs = _docs_parallel(spark, sf_dir)
-    strong = _verified_pairs(spark, sf_dir).filter(
-        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
-    )
-    labels = connected_components(strong).withColumnRenamed("n", "doc_id")
+    labels = _strong_labels(spark, sf_dir)
     # connected_components returns a localCheckpoint-ed table: counting
     # it costs one scan of materialized rows, not a lineage replay.
     if labels.count() <= DEDUP_LABELS_BCAST_MAX:
@@ -461,10 +458,7 @@ def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the tiny source dimension. Nothing new shuffles; at 100 TB the
     funnel costs what its stages cost."""
     docs = _docs_parallel(spark, sf_dir)
-    strong = _verified_pairs(spark, sf_dir).filter(
-        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
-    )
-    labels = connected_components(strong).withColumnRenamed("n", "doc_id")
+    labels = _strong_labels(spark, sf_dir)
     if labels.count() <= DEDUP_LABELS_BCAST_MAX:
         labels = F.broadcast(labels)
     base = T.with_quality_score(docs).select(
@@ -571,10 +565,7 @@ def q_quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership is one gated-broadcast label join; final agg is 6
     groups."""
     docs = _docs_parallel(spark, sf_dir)
-    strong = _verified_pairs(spark, sf_dir).filter(
-        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
-    )
-    labels = connected_components(strong).withColumnRenamed("n", "doc_id")
+    labels = _strong_labels(spark, sf_dir)
     if labels.count() <= DEDUP_LABELS_BCAST_MAX:
         labels = F.broadcast(labels)
     base = (

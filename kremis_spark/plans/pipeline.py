@@ -45,7 +45,7 @@ def clear_pipeline_caches() -> None:
     """Drop every session memo in this module (docs, signatures, verified
     pairs, embeddings, FPS seeds)."""
     for c in (_DOCS_CACHE, _VERIFIED_CACHE, _HASHED_CACHE, _SIGS_CACHE,
-              _EMB_CACHE, _SEED_CACHE):
+              _EMB_CACHE, _SEED_CACHE, _LABELS_CACHE):
         c.clear()
 
 
@@ -643,6 +643,29 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _strong_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels (doc_id, label) — the connected components
+    of the verified Jaccard >= CLUSTER_JACCARD_MIN pair graph —
+    materialized once per session. Eight consumers (dup clusters,
+    leakage split, heldout ppl, dup inflation, dedup-keep, temperature
+    mix, quality-vs-dup, e2e curation) previously re-ran the iterative
+    min-label loop (~6-10 chained jobs each); the memo runs it once.
+    connected_components already returns a localCheckpoint-ed table, so
+    the memo holds materialized rows, not lineage."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _LABELS_CACHE.get(key)
+    if out is None:
+        strong = _verified_pairs(spark, sf_dir).filter(
+            F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
+        ).select("doc_a", "doc_b")
+        out = D.connected_components(strong).withColumnRenamed("n", "doc_id")
+        _LABELS_CACHE[key] = out
+    return out
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _verified_pairs(spark, sf_dir)
@@ -655,10 +678,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over verified pairs with
     Jaccard >= 0.5; one row per multi-doc cluster with the min-id doc as
     the deterministic representative to keep."""
-    strong = _verified_pairs(spark, sf_dir).filter(
-        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
-    )
-    labels = D.connected_components(strong)
+    labels = _strong_labels(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1942,7 +1962,7 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong = _verified_pairs(spark, sf_dir).filter(
         F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
     ).select("doc_a", "doc_b")
-    labels = D.connected_components(strong).withColumnRenamed("n", "doc_id")
+    labels = _strong_labels(spark, sf_dir)
     lab = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("grp")
     )
@@ -2012,10 +2032,7 @@ def q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned on the bigram key (same co-partitioned shape as
     lm_surprisal). Train total is one scalar readback."""
     docs = _docs_parallel(spark, sf_dir)
-    strong = _verified_pairs(spark, sf_dir).filter(
-        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
-    ).select("doc_a", "doc_b")
-    labels = D.connected_components(strong).withColumnRenamed("n", "doc_id")
+    labels = _strong_labels(spark, sf_dir)
     val = (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")
@@ -2364,10 +2381,7 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded into a single partial agg (the md5 keep-mark is a window
     over the md5 key, partitioned — no global sort)."""
     docs = _docs_parallel(spark, sf_dir)
-    strong = _verified_pairs(spark, sf_dir).filter(
-        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
-    )
-    labels = D.connected_components(strong).withColumnRenamed("n", "doc_id")
+    labels = _strong_labels(spark, sf_dir)
     w = Window.partitionBy("md5").orderBy("doc_id")
     marked = (
         docs.select(

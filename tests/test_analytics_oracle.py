@@ -71,6 +71,34 @@ def test_pagerank_distributed_matches_driver_path(spark, bcast_max_nodes):
     assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
 
 
+def test_label_propagation_distributed_matches_driver_path(spark):
+    """q_label_propagation adaptively collects small graphs to the
+    driver; the distributed Pregel loop (the path taken past the
+    PR_COLLECT bounds) must produce identical labels."""
+    from kremis_spark.plans import graph_queries as gq
+
+    st = gq.graph_state(spark, SF_DIR)
+    und = gq.undirected_edges(spark, SF_DIR)
+    dist = gq.label_propagation_distributed(
+        st.nodes.select("node_id"), und
+    ).collect()
+    drv = gq.q_label_propagation(spark, SF_DIR).collect()
+    assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
+
+
+def test_harmonic_centrality_distributed_matches_driver_path(spark):
+    """Same pin for the multi-anchor BFS: distributed loop == local BFS
+    on the same graph (it is the path taken past the collect bounds)."""
+    from kremis_spark.plans import graph_queries as gq
+
+    st = gq.graph_state(spark, SF_DIR)
+    dist = gq.harmonic_centrality_distributed(
+        spark, st.nodes.select("node_id"), st.edges
+    ).collect()
+    drv = gq.q_harmonic_centrality(spark, SF_DIR).collect()
+    assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
+
+
 def test_no_duplicate_query_keys_across_plan_modules():
     """queries() merges per-module QUERIES dicts with dict.update — a
     duplicate key silently shadows an earlier module's query (and its
