@@ -45,7 +45,7 @@ def clear_pipeline_caches() -> None:
     """Drop every session memo in this module (docs, signatures, verified
     pairs, embeddings, FPS seeds)."""
     for c in (_DOCS_CACHE, _VERIFIED_CACHE, _HASHED_CACHE, _SIGS_CACHE,
-              _EMB_CACHE, _SEED_CACHE, _LABELS_CACHE):
+              _EMB_CACHE, _SEED_CACHE, _LABELS_CACHE, _ASSIGN_CACHE):
         c.clear()
 
 
@@ -128,7 +128,14 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.explode(D.word_shingles("text", 2)).alias("g")
     )
-    counts = sh.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # model table is vocabulary-sized — materialize it once so the total
+    # readback and the per-doc re-join both scan it instead of re-running
+    # the corpus explode+agg
+    counts = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("c")).first()[0]
     if total is None:
         base = _docs_parallel(spark, sf_dir)
@@ -182,7 +189,13 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs_parallel(spark, sf_dir).select(
         "source", F.explode(T.tokens("text")).alias("tok")
     )
-    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary-sized — materialize so the total readback and the top-100
+    # head reuse it rather than re-running the corpus explode+agg
+    corpus = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = corpus.agg(F.sum("c")).first()[0]
     if total is None:
         return spark.createDataFrame(
@@ -873,6 +886,26 @@ def fps_seed_vectors(
     return seeds[:k]
 
 
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prepared embeddings with their IVF cell (max-dot centroid over
+    the shared IVF_K farthest-point seeds), materialized once per
+    session — the index-build pass of the IVF family. Consumers
+    (ivf_topk, the recall audit) previously re-ran the Arrow matmul
+    assignment per call; the index is built once in production too."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ASSIGN_CACHE.get(key)
+    if df is None:
+        cents = fps_seed_vectors(spark, sf_dir, S.IVF_K)
+        df = S.with_ivf_cell(_prepared(spark, sf_dir), cents).localCheckpoint(
+            eager=True
+        )
+        _ASSIGN_CACHE[key] = df
+    return df
+
+
 def _query_ivec(spark: SparkSession, sf_dir: str) -> list[int]:
     row = (
         _prepared(spark, sf_dir)
@@ -924,10 +957,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_ivec(spark, sf_dir)
     if not q:
         return spark.createDataFrame([], "vec_id BIGINT, cosine DOUBLE")
-    prepared = _prepared(spark, sf_dir)
     cents = fps_seed_vectors(spark, sf_dir, S.IVF_K)
     probe = S.ivf_probe_cells(q, cents)
-    assigned = S.with_ivf_cell(prepared, cents)
+    assigned = _ivf_assigned(spark, sf_dir)
     return S.cosine_topk(
         assigned.filter(F.col("cell").isin(probe)),
         q,
@@ -2050,10 +2082,14 @@ def q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(D.word_shingles("text", 2)).alias("g")
     ).join(val, "doc_id")
+    # train model table is vocabulary-sized — materialize it once so the
+    # train-total readback and the val-side re-join scan it instead of
+    # re-running the split + explode + agg
     tcounts = (
         sh.filter(~F.col("is_val"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     tt = int(tcounts.agg(F.sum("c")).first()[0] or 0)
     per = (
@@ -2143,6 +2179,10 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_parallel(spark, sf_dir)
         .select("source", F.explode(F.array_distinct(T.tokens("text"))).alias("tok"))
         .distinct()
+        # (source, token) vocab is Zipf-bounded; materialize once for its
+        # three consumers (sizes + both self-join sides) instead of three
+        # explode+distinct passes over the corpus
+        .localCheckpoint(eager=True)
     )
     sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
     a = st.select(F.col("source").alias("src_a"), "tok")
@@ -2213,6 +2253,9 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.jaccard_verify(docs, bpairs, hashed=hashed)
         .filter(F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN)
         .select("doc_a", "doc_b")
+        # strong-pair list (tiny); its three consumers (pool union, hit
+        # count, recall) otherwise re-run the blocked jaccard_verify
+        .localCheckpoint(eager=True)
     )
     pooled = strong_lsh.union(strong_blk).distinct()
     n_all = pooled.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
@@ -2303,24 +2346,27 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover. The knee of this curve is how vocab sizes are actually
     chosen; its tail is the OOV rate a fixed vocab ships with.
 
-    Scale shape: one token-frequency partial agg; the global frequency
-    rank comes from the two-phase distributed prefix scan (range
-    partition on (-freq, tok) — never a single-partition window over
-    the vocabulary); each type then joins the (4-row, broadcast)
-    checkpoint dim on rank < V and collapses into one partial agg per
-    checkpoint. Vocabulary is Zipf-bounded, far smaller than the
-    corpus."""
-    from kremis_spark.operators.prefix import exclusive_prefix_sum
-
+    Scale shape: one token-frequency partial agg, then ONLY the top
+    max(VOCAB_CHECKPOINTS) types matter — a TakeOrdered (per-partition
+    top-V + driver merge, never a global sort) bounds everything after
+    it to a constant ≤10k rows, where the row_number window is a
+    single trivially-small partition. Ranks past the largest checkpoint
+    can never join, so this is exactly the full-rank result. Vocabulary
+    is Zipf-bounded, far smaller than the corpus; the only full-vocab
+    pass is the total-occurrences agg."""
     docs = _docs_parallel(spark, sf_dir)
     tf = (
         docs.select(F.explode(T.tokens()).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
-        .withColumn("negf", -F.col("f"))
-        .withColumn("one", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
     )
-    ranked = exclusive_prefix_sum(tf, ["negf", "tok"], "one", out_col="rank0")
+    vmax = max(VOCAB_CHECKPOINTS)
+    top = tf.orderBy(F.desc("f"), "tok").limit(vmax)
+    ranked = top.withColumn(
+        "rank0",
+        F.row_number().over(Window.orderBy(F.desc("f"), "tok")) - 1,
+    )
     cps = spark.createDataFrame(
         [(v,) for v in VOCAB_CHECKPOINTS], "vocab_size LONG"
     )
