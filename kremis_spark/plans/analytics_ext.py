@@ -601,6 +601,184 @@ DECAY_MAX_SHIFT = 40  # cents >> 40 is 0 for any real value — safe clamp
 KANON_K = 5  # minimum distinct users for a group to be releasable
 
 
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem stands in for partsupp, as in Q16/Q17):
+    for LARGE parts supplied from EUROPE, the supplier(s) offering each
+    part's minimum unit cost — the correlated MIN subquery becomes a
+    per-part aggregate joined back to the supply fact. Unit cost is
+    integer cents div whole quantity (exact on both engines). Output
+    ordered by account balance desc (cents), supplier, part; top 10.
+
+    Plan: supply fact aggregates per (part, supplier) with map-side
+    partials; the per-part MIN is a second output-sized agg broadcast
+    back; dims (supplier⋈nation⋈region, part) broadcast — one shuffle
+    on the supply key, everything after is output-sized."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 1)
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sre = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    unit = F.expr(
+        "cast(round(cast(l_extendedprice as double) * 100) as bigint)"
+        " div cast(l_quantity as bigint)"
+    )
+    supply = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sre), li["l_suppkey"] == sre["s_suppkey"])
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit).alias("cost_cents"))
+    )
+    best = supply.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("cost_cents").alias("best_cost")
+    )
+    return (
+        supply.join(
+            F.broadcast(best),
+            (supply["p_partkey"] == best["bp"])
+            & (supply["cost_cents"] == best["best_cost"]),
+        )
+        .select(
+            _cents(F.col("s_acctbal")).alias("s_acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "cost_cents",
+        )
+        .orderBy(F.desc("s_acctbal_cents"), "s_name", "p_partkey")
+        .limit(10)
+    )
+
+
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem stands in for partsupp): the parts
+    whose total supplied value from the first five nations exceeds 1.2×
+    the MEAN part value of that group — Q11's fixed-fraction threshold
+    made scale-free so the result is non-trivial at any SF (a fraction
+    of the total divides away as the part count grows). The correlated
+    scalar threshold becomes one broadcast scalar; the comparison stays
+    integral (value · n_parts · 10 > total · 12).
+
+    Plan: one shuffle aggregating value per part (map-side partials),
+    one scalar agg broadcast back — the same two-agg shape Q11's
+    HAVING subquery compiles to."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(0, 1, 2, 3, 4)
+    )
+    val = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = val.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.col("n_parts") * 10
+            > F.col("total_cents") * 12
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+def q_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (lineitem stands in for partsupp availability):
+    suppliers who shipped MORE THAN HALF of some red part's 1997 volume
+    — the available-quantity EXISTS subquery becomes a per-part total
+    joined to the per-(supplier, part) total, and the supplier list is
+    a semi join. Output (s_suppkey, s_name) ordered.
+
+    Plan: two aggregates over the same filtered supply fact (per-pair,
+    then per-part — the second is a rollup of the first), an
+    output-sized threshold join, then a broadcast semi join into the
+    supplier dim. One fact shuffle total."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    qty = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    )
+    per_part = qty.groupBy(F.col("l_partkey").alias("pp")).agg(
+        F.sum("sq").alias("pq")
+    )
+    dominant = (
+        qty.join(F.broadcast(per_part), qty["l_partkey"] == per_part["pp"])
+        .filter(F.col("sq") * 2 > F.col("pq"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(dominant, supp["s_suppkey"] == dominant["l_suppkey"], "semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+KMV_K = 64  # k-minimum-values sketch size
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type, next
+    to the exact count — the third sketch in the cardinality toolbox
+    (events_hll_distinct is the bit-pattern estimator; KMV is the
+    order-statistics one, trivially mergeable by keeping the k smallest
+    across shards). Hash = first 8 md5 hex digits of the user id (a
+    32-bit draw); estimate = (k−1) · 2³² div kth_min — integer-exact
+    and engine-portable. Types with fewer than KMV_K distinct users
+    report the exact count as the estimate (the sketch IS the set).
+
+    Plan: distinct (type, user) pairs → map-side hash → per-type TOP-K
+    smallest via a window over each type's partition (state bounded by
+    k per type, never a global sort) → one output-sized rollup."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    du = ev.distinct().withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    topk = du.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    per = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("kth_min"),
+    )
+    exact = ev.distinct().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_exact")
+    ).otherwise(
+        F.expr(f"({KMV_K} - 1) * 4294967296L div greatest(kth_min, 1L)")
+    )
+    return (
+        exact.join(per, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("kth_min").cast("long").alias("kth_min"),
+            est.cast("long").alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decayed engagement score per user — the feature-store
     "recency-weighted activity" aggregate: each event contributes its
@@ -1138,8 +1316,109 @@ FROM agg
 """,
 }
 
+ORACLE_SQL["tpch_q2_min_cost_supplier"] = f"""
+WITH sre AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+supply AS (
+  SELECT p.p_partkey, sre.s_suppkey, sre.s_name, sre.s_acctbal, sre.n_name,
+         MIN({_CENTS.format(c='l.l_extendedprice')}
+             // CAST(l.l_quantity AS BIGINT)) AS cost_cents
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'LARGE'
+  JOIN sre ON l.l_suppkey = sre.s_suppkey
+  WHERE l.l_quantity >= 1
+  GROUP BY 1, 2, 3, 4, 5
+),
+best AS (
+  SELECT p_partkey AS bp, MIN(cost_cents) AS best_cost
+  FROM supply GROUP BY 1
+)
+SELECT {_CENTS.format(c='s.s_acctbal')} AS s_acctbal_cents,
+       s.s_name, s.n_name, s.p_partkey, s.cost_cents
+FROM supply s JOIN best b
+  ON s.p_partkey = b.bp AND s.cost_cents = b.best_cost
+ORDER BY s_acctbal_cents DESC, s.s_name, s.p_partkey
+LIMIT 10
+"""
+
+ORACLE_SQL["tpch_q11_important_stock"] = f"""
+WITH val AS (
+  SELECT l.l_partkey,
+         CAST(SUM({_CENTS.format(c='l.l_extendedprice')}) AS BIGINT)
+           AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey IN (0, 1, 2, 3, 4)
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, value_cents
+FROM val
+WHERE value_cents * (SELECT COUNT(*) FROM val) * 10
+      > (SELECT SUM(value_cents) FROM val) * 12
+ORDER BY value_cents DESC, p_partkey
+"""
+
+ORACLE_SQL["tpch_q20_dominant_supplier"] = """
+WITH qty AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+per_part AS (SELECT l_partkey AS pp, SUM(sq) AS pq FROM qty GROUP BY 1)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT q.l_suppkey FROM qty q JOIN per_part t ON q.l_partkey = t.pp
+  WHERE q.sq * 2 > t.pq
+)
+ORDER BY s.s_suppkey
+"""
+
+ORACLE_SQL["events_kmv_distinct"] = f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM du
+),
+topk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY h, user_id) AS rn
+  FROM hashed
+),
+per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS kth_min
+  FROM topk WHERE rn <= {KMV_K} GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM du GROUP BY 1
+)
+SELECT e.event_type, e.n_exact, CAST(p.kth_min AS BIGINT) AS kth_min,
+       CAST(CASE WHEN p.n_kept < {KMV_K} THEN e.n_exact
+                 ELSE ({KMV_K} - 1) * 4294967296
+                      // GREATEST(p.kth_min, 1) END AS BIGINT)
+         AS kmv_estimate
+FROM exact e JOIN per p USING (event_type)
+ORDER BY e.event_type
+"""
+
 QUERIES = {
     "events_decay_sum": q_decay_sum,
+    "events_kmv_distinct": q_kmv_distinct,
     "events_kanon_summary": q_kanon_summary,
     "events_ab_srm": q_ab_srm,
     "events_cube_summary": q_cube_summary,
@@ -1161,4 +1440,7 @@ QUERIES = {
     "tpch_q19_or_predicates": q_q19_or_predicates,
     "tpch_q21_waiting_supplier": q_q21_waiting_supplier,
     "tpch_q22_idle_customers": q_q22_idle_customers,
+    "tpch_q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "tpch_q11_important_stock": q_q11_important_stock,
+    "tpch_q20_dominant_supplier": q_q20_dominant_supplier,
 }
