@@ -549,23 +549,31 @@ def q_power_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gini = 2W/(nT) − (n+1)/n downstream, so the row stays integer-exact
     (repo rule: no signed/fractional division in outputs).
 
-    Scale shape: one user-key group-agg, then the global rank comes
-    from the two-phase distributed prefix scan (operators/prefix.py) —
-    never an unpartitioned window over the user dimension — and one
-    scalar rollup."""
-    from kremis_spark.operators.prefix import exclusive_prefix_sum
-
+    Scale shape: one user-key group-agg, then the rank-weighted sum
+    comes from the COUNT-VALUE HISTOGRAM — users tied at the same count
+    x occupy consecutive ranks C+1..C+c and all carry the same x, so
+    their contribution is the closed form x·(c·C + c(c+1)/2); the
+    cumulative C walks the DISTINCT count values only (bounded by the
+    per-user count domain, not the user dimension), so the single-
+    partition window is safe at any user count. Replaces a row-bounded
+    prefix scan (4 chained jobs) with one tiny window."""
     ev = read_table(spark, sf_dir, "events")
     uc = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("x")
-    ).withColumn("one", F.lit(1).cast("long"))
-    ranked = exclusive_prefix_sum(uc, ["x", "user_id"], "one", out_col="r0")
-    return ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("x").cast("long").alias("total_events"),
-        F.sum(F.expr("(r0 + 1L) * x")).cast("long").alias(
-            "weighted_rank_sum"
-        ),
+    )
+    h = uc.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = h.withColumn(
+        "cbefore", F.coalesce(F.sum("c").over(w), F.lit(0).cast("long"))
+    )
+    return cum.agg(
+        F.sum("c").cast("long").alias("n_users"),
+        F.sum(F.expr("x * c")).cast("long").alias("total_events"),
+        F.sum(
+            F.expr("x * (c * cbefore + c * (c + 1L) div 2)")
+        ).cast("long").alias("weighted_rank_sum"),
     )
 
 
