@@ -700,6 +700,46 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup contamination matrix: the strong verified
+    pairs (Jaccard >= CLUSTER_JACCARD_MIN) bucketed by their documents'
+    source pair (unordered — LEAST/GREATEST normalize the key). The
+    provenance audit behind source-level dedup policy: a heavy
+    off-diagonal cell means two feeds syndicate the same content (dedup
+    across them before mixing); a heavy diagonal means a feed re-crawls
+    itself (dedup within, or down-weight).
+
+    Scale shape: reuses the session-shared verified-pairs table; two
+    broadcast-able joins of the (doc_id, source) dim onto the pair
+    list; the rollup is O(sources²) groups."""
+    docs = _docs_parallel(spark, sf_dir).select("doc_id", "source")
+    strong = _verified_pairs(spark, sf_dir).filter(
+        F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
+    ).select("doc_a", "doc_b")
+    j = (
+        strong.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(_docs_parallel(spark, sf_dir))
 
@@ -1787,6 +1827,17 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_dup_source_matrix": _MINHASH_CORE
+    + f"""
+SELECT LEAST(da.source, db.source) AS src_lo,
+       GREATEST(da.source, db.source) AS src_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM jpairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+WHERE p.jaccard_millis >= {CLUSTER_JACCARD_MIN}
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "pipe_dedup_incremental": _INCR_SQL,
     "pipe_bpe_train": _bpe_train_sql(),
     "pipe_ngram_jaccard": _NGRAM_SQL,
@@ -2787,6 +2838,7 @@ QUERIES = {
     "pipe_ngram_jaccard": q_ngram_jaccard,
     "pipe_clean_sample": q_clean_sample,
     "pipe_dup_clusters": q_dup_clusters,
+    "pipe_dup_source_matrix": q_dup_source_matrix,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
     "pipe_knn_graph": q_knn_graph,
