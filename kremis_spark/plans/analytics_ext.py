@@ -729,6 +729,62 @@ def q_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAU_DAYS = 7
+MAU_DAYS = 28
+
+
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU engagement rollup: per observed epoch-day, the count
+    of users active that day, in the trailing 7 days, and in the
+    trailing 28 days, plus DAU/MAU stickiness in millis — the
+    product-health dashboard row. Exact (not sketched): a user active
+    on day d is in-window for target days d..d+k−1, so the trailing
+    count is a DISTINCT over a bounded forward explode.
+
+    Scale shape: one distinct (user, day) fact (single shuffle on the
+    composite key); each window is a constant-bounded explode (7×/28×)
+    followed by a distinct + per-day count with map-side partials —
+    never a self-join of the activity fact against a date range, and
+    state never exceeds window_days × the daily-active fact. Targets
+    join the observed-day dim so no phantom tail days emit."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("ts div 86400000000000").alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+
+    def trailing(n_days: int, out: str) -> DataFrame:
+        tgt = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + F.lit(n_days - 1))
+            ).alias("t"),
+        ).distinct()
+        return (
+            tgt.join(days, tgt["t"] == days["d"], "semi")
+            .groupBy(F.col("t").alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    wau = trailing(WAU_DAYS, "wau")
+    mau = trailing(MAU_DAYS, "mau")
+    return (
+        dau.join(wau, "d")
+        .join(mau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.expr("dau * 1000 div mau").cast("long").alias(
+                "stickiness_millis"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 KMV_K = 64  # k-minimum-values sketch size
 
 
@@ -1383,6 +1439,34 @@ WHERE s.s_suppkey IN (
 ORDER BY s.s_suppkey
 """
 
+ORACLE_SQL["events_dau_wau_mau"] = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+wspan AS (
+  SELECT DISTINCT user_id, d + o.o AS t
+  FROM ud, UNNEST(generate_series(0, {WAU_DAYS - 1})) AS o(o)
+),
+wau AS (
+  SELECT t AS d, CAST(COUNT(*) AS BIGINT) AS wau FROM wspan
+  WHERE t IN (SELECT d FROM days) GROUP BY 1
+),
+mspan AS (
+  SELECT DISTINCT user_id, d + o.o AS t
+  FROM ud, UNNEST(generate_series(0, {MAU_DAYS - 1})) AS o(o)
+),
+mau AS (
+  SELECT t AS d, CAST(COUNT(*) AS BIGINT) AS mau FROM mspan
+  WHERE t IN (SELECT d FROM days) GROUP BY 1
+)
+SELECT CAST(dau.d AS BIGINT) AS day, dau.dau, wau.wau, mau.mau,
+       CAST(dau.dau * 1000 // mau.mau AS BIGINT) AS stickiness_millis
+FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+ORDER BY day
+"""
+
 ORACLE_SQL["events_kmv_distinct"] = f"""
 WITH du AS (
   SELECT DISTINCT event_type, user_id FROM events
@@ -1419,6 +1503,7 @@ ORDER BY e.event_type
 QUERIES = {
     "events_decay_sum": q_decay_sum,
     "events_kmv_distinct": q_kmv_distinct,
+    "events_dau_wau_mau": q_dau_wau_mau,
     "events_kanon_summary": q_kanon_summary,
     "events_ab_srm": q_ab_srm,
     "events_cube_summary": q_cube_summary,

@@ -596,6 +596,7 @@ _VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _HASHED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 CLUSTER_JACCARD_MIN = 500  # 0.5 in millis
+SWEEP_BAND_MILLIS = 100  # threshold-sweep bucket width (0.1 Jaccard)
 
 
 def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +698,67 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
         .select(F.col("label").alias("cluster_rep"), "n_docs")
+    )
+
+
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: on the verified candidate pairs,
+    compare the signature-agreement ESTIMATE of Jaccard (matching
+    components × 1000 div NUM_HASHES — the number LSH banding actually
+    thresholds on) against the exact shingle-set Jaccard, bucketed by
+    exact-Jaccard band. Mean absolute error per band is the estimator's
+    resolution curve: it says how many signature components the dedup
+    threshold can actually distinguish, which is what NUM_HASHES is
+    sized from (16 components → ~62-milli quantization).
+
+    Scale shape: reuses the session-shared verified-pairs and signature
+    tables; two signature joins on the pair list (pair-sized, not
+    corpus-sized) and a ~10-group rollup."""
+    vp = _verified_pairs(spark, sf_dir)
+    sigs = _sigs(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{k}").alias(f"xa{k}") for k in range(D.NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{k}").alias(f"xb{k}") for k in range(D.NUM_HASHES)],
+    )
+    agree_sql = " + ".join(
+        f"(case when xa{k} = xb{k} then 1L else 0L end)"
+        for k in range(D.NUM_HASHES)
+    )
+    j = (
+        vp.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr(f"jaccard_millis div {SWEEP_BAND_MILLIS}").alias("band"),
+            "jaccard_millis",
+            F.expr(
+                f"cast(({agree_sql}) * 1000 div {D.NUM_HASHES} as long)"
+            ).alias("est"),
+        )
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.abs(F.col("est") - F.col("jaccard_millis")))
+            .cast("long")
+            .alias("sum_abs_err_millis"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"),
+            (F.col("band") * SWEEP_BAND_MILLIS).cast("long").alias(
+                "band_min_millis"
+            ),
+            "n_pairs",
+            "sum_abs_err_millis",
+            F.expr("sum_abs_err_millis div n_pairs").cast("long").alias(
+                "mean_abs_err_millis"
+            ),
+        )
+        .orderBy("band")
     )
 
 
@@ -1827,6 +1889,24 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_minhash_est_error": _MINHASH_CORE
+    + f"""
+, est AS (
+  SELECT p.jaccard_millis // {SWEEP_BAND_MILLIS} AS band,
+         p.jaccard_millis,
+         CAST({_SIG_MATCH_EXPR} * 1000 // {D.NUM_HASHES} AS BIGINT) AS est
+  FROM jpairs p
+  JOIN sigs x ON x.doc_id = p.doc_a
+  JOIN sigs y ON y.doc_id = p.doc_b
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(band * {SWEEP_BAND_MILLIS} AS BIGINT) AS band_min_millis,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ABS(est - jaccard_millis)) AS BIGINT) AS sum_abs_err_millis,
+       CAST(SUM(ABS(est - jaccard_millis)) // COUNT(*) AS BIGINT)
+         AS mean_abs_err_millis
+FROM est GROUP BY band ORDER BY band
+""",
     "pipe_dup_source_matrix": _MINHASH_CORE
     + f"""
 SELECT LEAST(da.source, db.source) AS src_lo,
@@ -2175,9 +2255,6 @@ def q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-
-
-SWEEP_BAND_MILLIS = 100  # threshold-sweep bucket width (0.1 Jaccard)
 
 
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2839,6 +2916,7 @@ QUERIES = {
     "pipe_clean_sample": q_clean_sample,
     "pipe_dup_clusters": q_dup_clusters,
     "pipe_dup_source_matrix": q_dup_source_matrix,
+    "pipe_minhash_est_error": q_minhash_est_error,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
     "pipe_knn_graph": q_knn_graph,
