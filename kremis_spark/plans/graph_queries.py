@@ -51,7 +51,8 @@ def clear_query_caches() -> None:
     """Drop every session memo in this module (graph state, strongest-path
     intermediates, anchors, canonical undirected edges). For tests/tools
     that regenerate data under an sf_dir within one Spark application."""
-    for c in (_STATE_CACHE, _PATH_CACHE, _ANCHORS_CACHE, _UND_CACHE):
+    for c in (_STATE_CACHE, _PATH_CACHE, _ANCHORS_CACHE, _UND_CACHE,
+              _WCC_CACHE):
         c.clear()
 
 
@@ -482,19 +483,69 @@ def q_traverse_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step BIGINT, node_id BIGINT")
 
 
-def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weakly-connected components of the co-occurrence graph via
-    distributed min-label propagation (functions/dedup.connected_components
-    — the same operator that powers near-dup clustering). Isolated nodes
-    are their own component. Output: (component, n_nodes), where the
-    component id is the minimum node_id in the component."""
-    from kremis_spark.functions.dedup import connected_components
+_WCC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+
+def _wcc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component labels (n, label) for every edge-endpoint node of the
+    co-occurrence graph, memoized per session (q_components and
+    q_wcc_size_hist otherwise each re-run the iterative min-label
+    loop). Adaptive (the q_pagerank split): under the PR_COLLECT bounds
+    a driver-side union-find with min representatives produces the
+    IDENTICAL labels (converged min-label propagation labels every
+    component with its minimum node id, which is exactly what union-find
+    with min representatives computes); larger graphs run the
+    distributed pointer-jumping loop, which the parity test pins."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _WCC_CACHE.get(key)
+    if out is not None:
+        return out
     st = graph_state(spark, sf_dir)
     und = st.edges.select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
-    labels = connected_components(und)
+    if (
+        st.nodes.count() > PR_COLLECT_MAX_NODES
+        or st.edge_count() > PR_COLLECT_MAX_EDGES
+    ):
+        from kremis_spark.functions.dedup import connected_components
+
+        out = connected_components(und)
+    else:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in und.collect():
+            a, b = int(row[0]), int(row[1])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min representative = the converged min-label result
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = sorted((x, find(x)) for x in parent)
+        out = spark.createDataFrame(rows, "n LONG, label LONG")
+    _WCC_CACHE[key] = out
+    return out
+
+
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the co-occurrence graph via
+    min-label propagation (functions/dedup.connected_components — the
+    same operator that powers near-dup clustering), adaptive-local via
+    the session-shared ``_wcc_labels`` memo. Isolated nodes are their
+    own component. Output: (component, n_nodes), where the component id
+    is the minimum node_id in the component."""
+    st = graph_state(spark, sf_dir)
+    labels = _wcc_labels(spark, sf_dir)
     lab = (
         st.nodes.select(F.col("node_id").alias("n"))
         .join(labels, "n", "left")

@@ -99,6 +99,23 @@ def test_harmonic_centrality_distributed_matches_driver_path(spark):
     assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
 
 
+def test_wcc_local_union_find_matches_distributed(spark):
+    """_wcc_labels' driver-side union-find (the path taken under the
+    collect bounds) must produce the same (n, label) rows as the
+    distributed min-label loop — both label a component with its
+    minimum node id."""
+    from kremis_spark.functions.dedup import connected_components
+    from kremis_spark.plans import graph_queries as gq
+
+    st = gq.graph_state(spark, SF_DIR)
+    und = st.edges.selectExpr("src AS doc_a", "dst AS doc_b")
+    dist = sorted(
+        tuple(r) for r in connected_components(und).collect()
+    )
+    local = sorted(tuple(r) for r in gq._wcc_labels(spark, SF_DIR).collect())
+    assert dist == local
+
+
 def test_no_duplicate_query_keys_across_plan_modules():
     """queries() merges per-module QUERIES dicts with dict.update — a
     duplicate key silently shadows an earlier module's query (and its
