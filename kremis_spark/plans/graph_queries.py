@@ -1210,8 +1210,47 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two node-sized label joins onto the edge list (AQE
     broadcasts while the label table fits), per-community partial aggs,
     and a scalar rollup — the standard community-quality audit run
-    after every LP round at scale."""
+    after every LP round at scale. Under the PR_COLLECT bounds (where
+    q_label_propagation already collected the graph) the same integer
+    rollup runs on the driver — the distributed join chain is ~6 jobs
+    of overhead on a graph that is already in driver memory."""
+    st = graph_state(spark, sf_dir)
     und = undirected_edges(spark, sf_dir)
+    if (
+        st.nodes.count() <= PR_COLLECT_MAX_NODES
+        and st.edge_count() <= PR_COLLECT_MAX_EDGES
+    ):
+        edges = [(int(r[0]), int(r[1])) for r in und.select("a", "b").collect()]
+        m = len(edges)
+        lab = {
+            int(r[0]): int(r[1])
+            for r in q_label_propagation(spark, sf_dir).collect()
+        }
+        if m == 0:
+            nc = len(set(lab.values()))
+            return spark.createDataFrame(
+                [(nc, 0, 0)],
+                "n_communities BIGINT, m_edges BIGINT, q_num BIGINT",
+            )
+        ec: dict[int, int] = {}
+        dc: dict[int, int] = {}
+        for a, b in edges:
+            # an endpoint absent from the label table is dropped exactly
+            # as the distributed inner joins drop it
+            ca, cb = lab.get(a), lab.get(b)
+            if ca is not None and ca == cb:
+                ec[ca] = ec.get(ca, 0) + 1
+            if ca is not None:
+                dc[ca] = dc.get(ca, 0) + 1
+            if cb is not None:
+                dc[cb] = dc.get(cb, 0) + 1
+        q_num = sum(
+            4 * m * ec.get(c, 0) - d * d for c, d in dc.items()
+        )
+        return spark.createDataFrame(
+            [(len(set(lab.values())), m, q_num)],
+            "n_communities BIGINT, m_edges BIGINT, q_num BIGINT",
+        )
     m = und.count()
     labels = q_label_propagation(spark, sf_dir)
     if m == 0:

@@ -99,6 +99,18 @@ def test_harmonic_centrality_distributed_matches_driver_path(spark):
     assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
 
 
+def test_modularity_distributed_matches_driver_path(spark, monkeypatch):
+    """Force the distributed modularity branch (collect bounds → 0) and
+    pin it to the driver-local rollup."""
+    from kremis_spark.plans import graph_queries as gq
+
+    drv = [tuple(r) for r in gq.q_modularity(spark, SF_DIR).collect()]
+    monkeypatch.setattr(gq, "PR_COLLECT_MAX_NODES", 0)
+    monkeypatch.setattr(gq, "PR_COLLECT_MAX_EDGES", 0)
+    dist = [tuple(r) for r in gq.q_modularity(spark, SF_DIR).collect()]
+    assert dist == drv
+
+
 def test_wcc_local_union_find_matches_distributed(spark):
     """_wcc_labels' driver-side union-find (the path taken under the
     collect bounds) must produce the same (n, label) rows as the
