@@ -363,6 +363,65 @@ def test_surprisal_prune_window_is_source_partitioned(spark):
     ), txt
 
 
+def test_simhash_single_shuffle(spark):
+    """simhash32 dedups tokens inside the array (map-side) — the only
+    exchange in the whole plan is the per-doc aggregation. A second
+    exchange means the global distinct shuffle crept back."""
+    from kremis_spark.functions.dedup import simhash32
+    from kremis_spark.plans.pipeline import _docs_parallel
+
+    txt = plan_text(simhash32(_docs_parallel(spark, SF_DIR)), "simple")
+    own = txt.split("InMemoryRelation")[0]
+    n_hash = own.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 shuffle, got {n_hash}:\n{txt}"
+
+
+def test_vocab_coverage_takeordered_bounds_the_window(spark):
+    """The coverage curve bounds everything after the frequency agg to
+    the top max(checkpoint) types via TakeOrdered — never a global sort
+    or an unbounded rank of the whole vocabulary."""
+    from kremis_spark.plans.pipeline import q_vocab_coverage
+
+    txt = plan_text(q_vocab_coverage(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in txt, txt
+
+
+def test_dau_wau_mau_hash_joins_only(spark):
+    """The trailing-window explode joins must stay equi-hash — a date
+    range self-join would be quadratic in active days."""
+    from kremis_spark.plans.analytics_ext import q_dau_wau_mau
+
+    txt = plan_text(q_dau_wau_mau(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_kmv_window_partitioned_by_type(spark):
+    """The KMV top-k window partitions by event_type — per-type state is
+    bounded by k; a single-partition window would serialize all users."""
+    from kremis_spark.plans.analytics_ext import q_kmv_distinct
+
+    txt = plan_text(q_kmv_distinct(spark, SF_DIR), "simple")
+    assert "Exchange SinglePartition" not in txt.replace(
+        "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
+    ), txt
+
+
+def test_q2_q20_broadcast_dimensions(spark):
+    """The TPC-H supply-fact adaptations broadcast their dims (part,
+    supplier chain) — the lineitem fact shuffles only on the supply
+    aggregation key."""
+    from kremis_spark.plans.analytics_ext import (
+        q_q2_min_cost_supplier,
+        q_q20_dominant_supplier,
+    )
+
+    for fn in (q_q2_min_cost_supplier, q_q20_dominant_supplier):
+        txt = plan_text(fn(spark, SF_DIR), "simple")
+        assert "BroadcastHashJoin" in txt, txt
+        assert "CartesianProduct" not in txt, txt
+
+
 def test_stratified_sample_broadcasts_alloc(spark):
     """Stratified sampling: the Hamilton quota table (one row per
     source) joins the per-doc rank fact as a broadcast, and the pick
