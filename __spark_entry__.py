@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 # heldout-ppl, ...). Every rotated-in query was pre-verified against its
 # DuckDB oracle at sf0.01 with tools/check_oracle.py before this edit.
 # Queries not in the window stay exercised by
-# tests/test_analytics_oracle.py at sf0.001 every pytest run; ~36 stay
-# never-driver-checked and rotate in next round.
+# tests/test_analytics_oracle.py at sf0.001 every pytest run; ~36 from
+# earlier rounds plus the 7 added this round stay never-driver-checked
+# and rotate in next round (all pre-verified at sf0.01 already).
 _PRIORITY_FIRST_50 = [
     # --- family sentinels (driver-green in r04+r05, kept as canaries) ---
     "graph_nodes",               # ingest family

@@ -701,6 +701,47 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card — the datasheet summary every corpus
+    release ships (Gebru et al., "Datasheets for Datasets"): document
+    and token counts, language/source breadth, exact- and near-dup
+    document counts, and mean quality in millis. One number per axis a
+    consumer checks before training on the corpus.
+
+    Scale shape: one scan with map-side token/quality expressions into
+    a single partial agg; the near-dup count reads the session-shared
+    cluster-label memo (every doc in a strong pair is by construction
+    in a ≥2-doc component, so the label table's row count IS the
+    near-dup doc count). Nothing new shuffles."""
+    docs = _docs_parallel(spark, sf_dir)
+    labels = _strong_labels(spark, sf_dir)
+    scored = T.with_quality_score(docs)
+    base = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(T.tokens())).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.sum("quality").alias("sum_q"),
+    )
+    near = labels.agg(
+        F.count(F.lit(1)).cast("long").alias("near_dup_docs")
+    )
+    return base.crossJoin(near).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_sources",
+        (F.col("n_docs") - F.col("n_distinct_texts"))
+        .cast("long")
+        .alias("exact_dup_docs"),
+        "near_dup_docs",
+        F.expr("sum_q * 1000 div n_docs").cast("long").alias(
+            "mean_quality_millis"
+        ),
+    )
+
+
 def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator calibration: on the verified candidate pairs,
     compare the signature-agreement ESTIMATE of Jaccard (matching
@@ -1889,6 +1930,39 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_dataset_card": _MINHASH_CORE
+    + _CC_SQL_BLOCK
+    + rf"""
+, qm AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sumc,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS BIGINT)
+           AS stops
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+q2 AS (
+  SELECT doc_id, n,
+         CAST((LEAST(n, 100) * 30) // 100
+              + CASE WHEN n > 0 AND stops * 1000 // n BETWEEN 50 AND 600
+                     THEN 35 ELSE 0 END
+              + CASE WHEN n > 0 AND sumc * 1000 // n BETWEEN 3000 AND 8000
+                     THEN 35 ELSE 0 END AS BIGINT) AS quality
+  FROM qm
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents)
+         AS n_langs,
+       (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+         AS n_sources,
+       CAST(COUNT(*) - (SELECT COUNT(DISTINCT md5(text)) FROM documents)
+            AS BIGINT) AS exact_dup_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM comp) AS near_dup_docs,
+       CAST(SUM(quality) * 1000 // COUNT(*) AS BIGINT)
+         AS mean_quality_millis
+FROM q2
+""",
     "pipe_minhash_est_error": _MINHASH_CORE
     + f"""
 , est AS (
@@ -2917,6 +2991,7 @@ QUERIES = {
     "pipe_dup_clusters": q_dup_clusters,
     "pipe_dup_source_matrix": q_dup_source_matrix,
     "pipe_minhash_est_error": q_minhash_est_error,
+    "pipe_dataset_card": q_dataset_card,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
     "pipe_knn_graph": q_knn_graph,
