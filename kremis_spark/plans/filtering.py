@@ -568,8 +568,101 @@ FROM banded GROUP BY source ORDER BY source
 
 ORACLE_SQL["pipe_surprisal_prune"] = _surprisal_prune_sql()
 
+NOVELTY_BUCKETS = 10
+
+
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diminishing-returns curve: docs bucketed into
+    NOVELTY_BUCKETS deciles of ingestion order (doc_id), each bucket
+    reporting what fraction (permille) of its distinct 8-grams are
+    NOVEL — first seen in that document rather than any earlier one.
+    This is the scaling-laws question asked of a crawl ("how much new
+    text does the next shard actually add?") answered exactly at the
+    substring grain; a flattening curve is the signal to stop crawling
+    a source or tighten dedup.
+
+    Distributed shape: the same distinct (doc, gram-md5) fact and
+    first-seen agg as pipe_dup_ngram_coverage (co-partitioned join on
+    the gram key), then a 10-group rollup keyed by a map-side bucket
+    expression. The max-id scalar is one output-sized readback."""
+    docs = _docs(spark, sf_dir)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is None:
+        return spark.createDataFrame(
+            [],
+            "bucket BIGINT, n_docs BIGINT, n_grams BIGINT, n_novel BIGINT,"
+            " novelty_permille BIGINT",
+        )
+    toks = docs.select("doc_id", _toks().alias("w"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(w) - {NGRAM_N - 1}, 0)),"
+                    f" i -> md5(concat_ws(' ', slice(w, i, {NGRAM_N}))))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    bucket = F.least(
+        F.expr(f"doc_id * {NOVELTY_BUCKETS} div {int(max_id) + 1}"),
+        F.lit(NOVELTY_BUCKETS - 1),
+    ).cast("long")
+    return (
+        grams.join(firsts, "g")
+        .select(
+            bucket.alias("bucket"),
+            "doc_id",
+            (F.col("first_doc") == F.col("doc_id")).cast("long").alias("nov"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("nov").cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_permille",
+            F.expr("n_novel * 1000 div greatest(n_grams, 1)").cast("long"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_SQL["pipe_ngram_novelty_curve"] = rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(w[i:i + {NGRAM_N - 1}], 'string_agg', ' ')) AS g
+  FROM t, UNNEST(range(1, len(w) - {NGRAM_N - 2})) AS u(i)
+  WHERE len(w) >= {NGRAM_N}
+),
+f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g),
+mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+b AS (
+  SELECT LEAST(g.doc_id * {NOVELTY_BUCKETS} // (SELECT m FROM mx),
+               {NOVELTY_BUCKETS - 1}) AS bucket,
+         g.doc_id,
+         CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END AS nov
+  FROM g JOIN f USING (g)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(nov) AS BIGINT) AS n_novel,
+       CAST(SUM(nov) * 1000 // GREATEST(COUNT(*), 1) AS BIGINT)
+         AS novelty_permille
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "pipe_dup_ngram_coverage": q_dup_ngram_coverage,
+    "pipe_ngram_novelty_curve": q_ngram_novelty_curve,
     "pipe_hash_classifier": q_hash_classifier,
     "pipe_importance_weights": q_importance_weights,
     "pipe_winnowing": q_winnowing,
