@@ -588,6 +588,79 @@ def q_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stream_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: per-event-type distinct-user estimates
+    where the SKETCH STATE lives in the stream — register-max is a
+    plain streaming max aggregation (mergeable, order- and
+    batch-independent), so the stream's register table is bit-identical
+    to the batch sketch no matter how micro-batches split the data.
+    The estimate readout is a batch rollup over the materialized
+    register state, exactly how a production dashboard reads a sketch
+    out of the state store.
+
+    Scale shape: stream state is (types × 256) register rows — constant
+    per type regardless of event volume; the readout fills empty
+    buckets from a generated dim and is output-sized."""
+    from kremis_spark.functions.sketch import (
+        _HLL_EST_NUM,
+        HLL_BUCKETS,
+        HLL_MAXR,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("h:"), F.col("user_id").cast("string")))
+    parsed = ev.select(
+        "event_type",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring(h, 3, 8), 16, 10).cast("long").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(HLL_MAXR))
+        .otherwise(F.lit(HLL_MAXR) - F.length(F.bin(F.col("w"))))
+        .cast("long")
+    )
+    agg = (
+        parsed.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    regs = _run_stream(agg, f"gate_stream_hll_{next(_qid)}", "complete")
+    # rename one side: types and regs both read the same memory-sink
+    # view, and a bare self-join would carry conflicting attribute ids
+    types = (
+        regs.select(F.col("event_type").alias("et")).distinct()
+    )
+    allb = spark.range(HLL_BUCKETS).select(
+        F.col("id").cast("long").alias("b")
+    )
+    grid = types.crossJoin(F.broadcast(allb))
+    full = grid.join(
+        regs,
+        (grid["et"] == regs["event_type"]) & (grid["b"] == regs["bucket"]),
+        "left",
+    ).select(
+        F.col("et").alias("event_type"),
+        F.coalesce(F.col("r"), F.lit(0)).cast("long").alias("r"),
+    )
+    return (
+        full.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_MAXR} - r)")
+            ).alias("s"),
+            F.sum(F.when(F.col("r") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("empty_buckets"),
+        )
+        .select(
+            "event_type",
+            F.expr(f"{_HLL_EST_NUM} div (s * 1000)").alias("est_distinct"),
+            "empty_buckets",
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates vs exact counts for the
     lowest probe user ids (functions/sketch.py). The md5-derived hash
@@ -1038,6 +1111,36 @@ SELECT CAST(ea.e AS BIGINT) AS est_a,
        CAST(ex.n AS BIGINT) AS exact_intersect
 FROM ea, eb, eu, ex
 """,
+    "stream_hll_by_type": """
+WITH vals AS (
+  SELECT event_type,
+         ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+           AS bucket,
+         ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 3, 8))::BIGINT
+           AS w
+  FROM events
+),
+rhos AS (
+  SELECT event_type, bucket,
+         CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END AS rho
+  FROM vals
+),
+regs0 AS (
+  SELECT event_type, bucket, MAX(rho) AS r FROM rhos GROUP BY 1, 2
+),
+regs AS (
+  SELECT t.event_type, gs.bucket, COALESCE(r.r, 0) AS r
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 255)) AS bucket) gs
+  LEFT JOIN regs0 r ON r.event_type = t.event_type AND r.bucket = gs.bucket
+)
+SELECT event_type,
+       CAST(404351525737988096
+            // (SUM(1::BIGINT << (33 - r)) * 1000) AS BIGINT) AS est_distinct,
+       CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS empty_buckets
+FROM regs GROUP BY event_type ORDER BY event_type
+""",
     "events_hll_distinct": """
 WITH vals AS (
   SELECT ('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
@@ -1131,6 +1234,7 @@ QUERIES = {
     "events_cms_user_counts": q_cms_user_counts,
     "events_bloom_membership": q_bloom_membership,
     "events_hll_distinct": q_hll_distinct,
+    "stream_hll_by_type": q_stream_hll_by_type,
     "events_hll_intersect": q_hll_intersect,
     "events_value_histogram": q_value_histogram,
     "events_skew_safe_reach": q_skew_safe_reach,
