@@ -701,6 +701,84 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subword pre-tokens per
+    whitespace word (millis), per lang — the table a multilingual
+    tokenizer is judged by (high fertility = that language pays more
+    sequence positions per word, the classic under-resourced-language
+    tax; Ács 2019, Rust et al. 2021). Uses the same BPE-style
+    pre-tokenizer rule as pipe_subword_tokens.
+
+    Scale shape: both token counts are map-side array expressions over
+    the shared corpus cache; one partial-agg rollup keyed by the tiny
+    lang dimension."""
+    docs = _docs_parallel(spark, sf_dir)
+    ws = F.size(T.tokens("text")).cast("long")
+    sub = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_SUBWORD_PAT), 0)
+    ).cast("long")
+    return (
+        docs.select("lang", ws.alias("w"), sub.alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("ws_tokens"),
+            F.sum("s").cast("long").alias("subword_tokens"),
+        )
+        .withColumn(
+            "fertility_millis",
+            F.expr("subword_tokens * 1000 div greatest(ws_tokens, 1)")
+            .cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
+SHARD_COUNT = 32  # write-path shard fan-out for the skew audit
+
+
+def q_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path shard-skew audit: assign every document to one of
+    SHARD_COUNT output shards by md5(doc_id) (the hash-partitioned
+    write a training-data lake actually does), and report each shard's
+    doc and token counts plus its token deviation from the ideal even
+    share in permille (|tokens·S − total| · 1000 div total — permille,
+    not ppm, keeps the int64 product under 2⁶³ even at 100 TB token
+    counts). The pre-write check that catches a hot shard before it
+    becomes a straggler file.
+
+    Scale shape: one map-side hash + one partial-agg rollup onto
+    SHARD_COUNT groups; the ideal share is a broadcast scalar."""
+    docs = _docs_parallel(spark, sf_dir)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SHARD_COUNT
+    )
+    per = (
+        docs.select(shard.alias("shard"), F.size(T.tokens()).cast("long").alias("t"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"abs(n_tokens * {SHARD_COUNT} - total_tokens) * 1000"
+                f" div greatest(total_tokens, 1)"
+            ).cast("long").alias("skew_permille"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-row dataset card — the datasheet summary every corpus
     release ships (Gebru et al., "Datasheets for Datasets"): document
@@ -1930,6 +2008,37 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_fertility_by_lang": rf"""
+WITH t AS (
+  SELECT lang,
+         CAST(len({_TOKS}) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS s
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS ws_tokens,
+       CAST(SUM(s) AS BIGINT) AS subword_tokens,
+       CAST(SUM(s) * 1000 // GREATEST(SUM(w), 1) AS BIGINT)
+         AS fertility_millis
+FROM t GROUP BY lang ORDER BY lang
+""",
+    "pipe_shard_skew": rf"""
+WITH per AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {SHARD_COUNT} AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per)
+SELECT shard, n_docs, n_tokens,
+       CAST(ABS(n_tokens * {SHARD_COUNT} - (SELECT total_tokens FROM tot))
+            * 1000 // GREATEST((SELECT total_tokens FROM tot), 1) AS BIGINT)
+         AS skew_permille
+FROM per ORDER BY shard
+""",
     "pipe_dataset_card": _MINHASH_CORE
     + _CC_SQL_BLOCK
     + rf"""
@@ -2992,6 +3101,8 @@ QUERIES = {
     "pipe_dup_source_matrix": q_dup_source_matrix,
     "pipe_minhash_est_error": q_minhash_est_error,
     "pipe_dataset_card": q_dataset_card,
+    "pipe_fertility_by_lang": q_fertility_by_lang,
+    "pipe_shard_skew": q_shard_skew,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
     "pipe_knn_graph": q_knn_graph,
