@@ -1428,7 +1428,84 @@ FROM r WHERE out_rank <= {OUTLIER_K} ORDER BY label, out_rank
 """
 
 
+def q_ann_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN method comparison in one table: recall@k of every index
+    variant (hyperplane LSH, IVF, 8-bit scalar quantization, product
+    quantization, IVF+PQ residual) against the exact brute-force top-k
+    — the recall column of the speed/recall Pareto frontier every
+    vector-index benchmark publishes (the cost column is the fraction
+    of the corpus each method scans, a constant of its design). One
+    glance says which index tier a workload can afford.
+
+    Scale shape: each method's top-k is its already-audited plan; the
+    comparison is k-row semi-joins unioned into a 5-row table."""
+    from kremis_spark.plans.pipeline import (
+        TOPK,
+        q_ann_cosine_topk,
+        q_ann_ivf_topk,
+        q_ann_lsh_topk,
+    )
+
+    exact = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    methods = [
+        ("ivf", q_ann_ivf_topk),
+        ("ivfpq", q_ann_ivfpq),
+        ("lsh", q_ann_lsh_topk),
+        ("pq", q_ann_pq),
+        ("sq8", q_ann_sq8),
+    ]
+    parts = []
+    for name, fn in methods:
+        hits = (
+            exact.join(fn(spark, sf_dir).select("vec_id"), "vec_id", "semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(name).alias("method"), "hits")
+        )
+        parts.append(hits)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "method",
+        "hits",
+        F.expr(f"hits * 1000 div {TOPK}").cast("long").alias("recall_millis"),
+    ).orderBy("method")
+
+
+def _ann_pareto_sql() -> str:
+    """Assemble the Pareto oracle from the already-verified per-method
+    oracles: each method's full WITH-query runs as a subquery joined to
+    the exact top-k subquery on vec_id."""
+    from kremis_spark.plans.pipeline import (
+        ORACLE_SQL as PIPE_ORACLES,
+        TOPK,
+    )
+
+    exact_sql = PIPE_ORACLES["pipe_ann_cosine_topk"]
+    method_sql = {
+        "ivf": PIPE_ORACLES["pipe_ann_ivf_topk"],
+        "ivfpq": ORACLE_SQL["pipe_ann_ivfpq"],
+        "lsh": PIPE_ORACLES["pipe_ann_lsh_topk"],
+        "pq": ORACLE_SQL["pipe_ann_pq"],
+        "sq8": ORACLE_SQL["pipe_ann_sq8"],
+    }
+    parts = [
+        f"""
+SELECT '{name}' AS method, CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(*) * 1000 // {TOPK} AS BIGINT) AS recall_millis
+FROM ({exact_sql}) e
+WHERE e.vec_id IN (SELECT vec_id FROM ({sql}) m)
+"""
+        for name, sql in method_sql.items()
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY method"
+
+
+ORACLE_SQL["pipe_ann_pareto"] = _ann_pareto_sql()
+
+
 QUERIES = {
+    "pipe_ann_pareto": q_ann_pareto,
     "pipe_ann_sq8": q_ann_sq8,
     "pipe_ann_mips": q_ann_mips,
     "pipe_ann_pq": q_ann_pq,
