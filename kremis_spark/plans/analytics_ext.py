@@ -729,6 +729,67 @@ def q_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_TILES = 3
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: every ordering customer scored on
+    Recency (last order day), Frequency (order count), and Monetary
+    (total spend, cents), each cut into RFM_TILES exact tertiles
+    (rank·3 div n, ties by custkey — higher tertile = more recent /
+    more frequent / higher spend), then rolled up to segment counts and
+    spend. The classic warehouse segmentation behind churn/VIP
+    targeting — 'tertile 0-0-0' is the lapsed tail, '2-2-2' the core.
+
+    Scale shape: one shuffle aggregating per-customer RFM from orders;
+    each tertile rank comes from the two-phase distributed prefix scan
+    (operators/prefix.py — never an unpartitioned window over the
+    customer dimension); the rollup is ≤27 groups."""
+    from kremis_spark.operators.prefix import exclusive_prefix_sum
+
+    o = read_table(spark, sf_dir, "orders")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+            .cast("long")
+            .alias("r_day"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("money"),
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n = per.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "r_tertile BIGINT, f_tertile BIGINT, m_tertile BIGINT,"
+            " n_customers BIGINT, sum_money_cents BIGINT",
+        )
+    cur = per
+    for dim, out in (("r_day", "rt"), ("freq", "ft"), ("money", "mt")):
+        ranked = exclusive_prefix_sum(
+            cur, [dim, "o_custkey"], "one", out_col="rank0"
+        )
+        cur = ranked.withColumn(
+            out,
+            F.expr(f"rank0 * {RFM_TILES} div {n}").cast("long"),
+        ).drop("rank0")
+    return (
+        cur.groupBy(
+            F.col("rt").alias("r_tertile"),
+            F.col("ft").alias("f_tertile"),
+            F.col("mt").alias("m_tertile"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("money").cast("long").alias("sum_money_cents"),
+        )
+        .orderBy("r_tertile", "f_tertile", "m_tertile")
+    )
+
+
 WAU_DAYS = 7
 MAU_DAYS = 28
 
@@ -1439,6 +1500,34 @@ WHERE s.s_suppkey IN (
 ORDER BY s.s_suppkey
 """
 
+ORACLE_SQL["tpch_rfm_segments"] = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(MAX(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE))) AS BIGINT) AS r_day,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM({_CENTS.format(c='o_totalprice')}) AS BIGINT) AS money
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT COUNT(*) AS n FROM per),
+t AS (
+  SELECT o_custkey, money,
+         (ROW_NUMBER() OVER (ORDER BY r_day, o_custkey) - 1)
+           * {RFM_TILES} // (SELECT n FROM n) AS rt,
+         (ROW_NUMBER() OVER (ORDER BY freq, o_custkey) - 1)
+           * {RFM_TILES} // (SELECT n FROM n) AS ft,
+         (ROW_NUMBER() OVER (ORDER BY money, o_custkey) - 1)
+           * {RFM_TILES} // (SELECT n FROM n) AS mt
+  FROM per
+)
+SELECT CAST(rt AS BIGINT) AS r_tertile,
+       CAST(ft AS BIGINT) AS f_tertile,
+       CAST(mt AS BIGINT) AS m_tertile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(money) AS BIGINT) AS sum_money_cents
+FROM t GROUP BY rt, ft, mt ORDER BY r_tertile, f_tertile, m_tertile
+"""
+
 ORACLE_SQL["events_dau_wau_mau"] = f"""
 WITH ud AS (
   SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events
@@ -1504,6 +1593,7 @@ QUERIES = {
     "events_decay_sum": q_decay_sum,
     "events_kmv_distinct": q_kmv_distinct,
     "events_dau_wau_mau": q_dau_wau_mau,
+    "tpch_rfm_segments": q_rfm_segments,
     "events_kanon_summary": q_kanon_summary,
     "events_ab_srm": q_ab_srm,
     "events_cube_summary": q_cube_summary,

@@ -701,6 +701,68 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_PAIR = 5  # ignore pairs seen fewer times (PMI noise floor)
+PMI_TOPN = 20
+
+
+def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information word associations: the PMI_TOPN
+    adjacent word pairs most over-represented vs their unigrams'
+    independence baseline — collocation mining (Church & Hanks 1990),
+    the lexical-association table phrase detection and tokenizer merge
+    heuristics read. Score is the integer ratio
+    c_ab · N · 1000 div (c_a · c_b) (monotone in PMI; pairs under
+    PMI_MIN_PAIR occurrences are noise-floored out). c_ab·N·1000 fits
+    int64 to ~10⁹-bigram corpora; past that the score needs
+    DECIMAL(38) widening (same note as the Gram-matrix audit).
+
+    Scale shape: two partial-agg token facts (bigram, unigram), two
+    broadcast-able unigram joins keyed on each side of the pair, and a
+    TakeOrdered — never a global sort."""
+    docs = _docs_parallel(spark, sf_dir)
+    bg = (
+        docs.select(F.explode(D.word_shingles("text", 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_PAIR)
+        .select(
+            F.split(F.col("g"), " ").getItem(0).alias("a"),
+            F.split(F.col("g"), " ").getItem(1).alias("b"),
+            "c_ab",
+        )
+    )
+    ug = (
+        docs.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_bigrams = int(
+        docs.agg(
+            F.sum(F.greatest(F.size(T.tokens()) - 1, F.lit(0))).alias("n")
+        ).first()[0]
+        or 0
+    )
+    if n_bigrams == 0:
+        return spark.createDataFrame(
+            [], "a STRING, b STRING, c_ab BIGINT, pmi_score_millis BIGINT"
+        )
+    return (
+        bg.join(ug.select(F.col("tok").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(ug.select(F.col("tok").alias("b"), F.col("c").alias("c_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.expr(f"c_ab * {n_bigrams}L * 1000 div (c_a * c_b)")
+            .cast("long")
+            .alias("pmi_score_millis"),
+        )
+        .orderBy(F.desc("pmi_score_millis"), "a", "b")
+        .limit(PMI_TOPN)
+    )
+
+
 def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language: subword pre-tokens per
     whitespace word (millis), per lang — the table a multilingual
@@ -2008,6 +2070,26 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_pmi_top_pairs": rf"""
+WITH {_DOC_SH.strip()},
+occ AS (SELECT doc_id, UNNEST(shingles) AS g FROM doc_sh),
+counts AS (SELECT g, COUNT(*) AS c_ab FROM occ GROUP BY g),
+tot AS (SELECT SUM(c_ab) AS n FROM counts),
+ug AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT UNNEST({_TOKS}) AS tok FROM documents) GROUP BY tok
+),
+bg AS (
+  SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b, c_ab
+  FROM counts WHERE c_ab >= {PMI_MIN_PAIR}
+)
+SELECT bg.a, bg.b, CAST(bg.c_ab AS BIGINT) AS c_ab,
+       CAST(bg.c_ab * (SELECT n FROM tot) * 1000 // (ca.c * cb.c) AS BIGINT)
+         AS pmi_score_millis
+FROM bg JOIN ug ca ON ca.tok = bg.a JOIN ug cb ON cb.tok = bg.b
+ORDER BY pmi_score_millis DESC, bg.a, bg.b
+LIMIT {PMI_TOPN}
+""",
     "pipe_fertility_by_lang": rf"""
 WITH t AS (
   SELECT lang,
@@ -3102,6 +3184,7 @@ QUERIES = {
     "pipe_minhash_est_error": q_minhash_est_error,
     "pipe_dataset_card": q_dataset_card,
     "pipe_fertility_by_lang": q_fertility_by_lang,
+    "pipe_pmi_top_pairs": q_pmi_top_pairs,
     "pipe_shard_skew": q_shard_skew,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
