@@ -19,7 +19,7 @@ from __future__ import annotations
 import logging
 from dataclasses import replace
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -691,6 +691,75 @@ def q_wcc_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_nodes").alias("component_size"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
         .orderBy("component_size")
+    )
+
+
+def q_stable_edge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable-edge threshold curve: per distinct edge weight, the edge
+    count and the cumulative count at-or-above — the tuning curve
+    behind the reference's stage thresholds (stable = weight ≥ 10,
+    system/stage.rs:46; stages S1/S2/S3 at 100/1000/5000 stable edges).
+    Reading this curve says where the stage boundaries actually sit for
+    a given corpus and whether the threshold is on a cliff or a
+    plateau.
+
+    Scale shape: one weight-histogram partial agg; the cumulative walks
+    the DISTINCT weight values only (bounded by the max co-occurrence
+    count, not the edge count), so the single-partition window is safe
+    at any graph size — the same value-domain argument as the
+    dedup threshold sweep and funnel medians."""
+    st = graph_state(spark, sf_dir)
+    h = st.edges.groupBy("weight").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    w = Window.orderBy(F.desc("weight")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        h.withColumn(
+            "n_at_or_above", F.sum("n_edges").over(w).cast("long")
+        )
+        .select(
+            F.col("weight").cast("long").alias("weight"),
+            "n_edges",
+            "n_at_or_above",
+        )
+        .orderBy("weight")
+    )
+
+
+def q_attr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-attribute property-table statistics: node coverage, distinct
+    values, total pairs, and the maximum pairs a single node holds —
+    the early-warning audit for the reference's 4096-pairs-per-node cap
+    (graph.rs:726-769): an attribute whose max_pairs_per_node trends
+    toward the cap will start aborting ingest batches.
+
+    Scale shape: one (attribute, node) partial agg, then an
+    attribute-keyed rollup plus a distinct-value count — all map-side
+    combinable, output bounded by the attribute vocabulary."""
+    st = graph_state(spark, sf_dir)
+    per_node = st.properties.groupBy("attribute", "node_id").agg(
+        F.count(F.lit(1)).alias("pairs")
+    )
+    rolled = per_node.groupBy("attribute").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("pairs").cast("long").alias("n_pairs"),
+        F.max("pairs").cast("long").alias("max_pairs_per_node"),
+    )
+    vals = st.properties.groupBy("attribute").agg(
+        F.countDistinct("value").cast("long").alias("n_distinct_values")
+    )
+    return (
+        rolled.join(vals, "attribute")
+        .select(
+            "attribute",
+            "n_nodes",
+            "n_distinct_values",
+            "n_pairs",
+            "max_pairs_per_node",
+        )
+        .orderBy("attribute")
     )
 
 
@@ -1948,6 +2017,40 @@ ORDER BY a.anchor
 SELECT outdeg, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM od GROUP BY outdeg
 """,
+    "graph_stable_edge_curve": GRAPH_CTE
+    + """
+, h AS (
+  SELECT weight, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM edges GROUP BY weight
+)
+SELECT CAST(weight AS BIGINT) AS weight, n_edges,
+       CAST(SUM(n_edges) OVER (ORDER BY weight DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n_at_or_above
+FROM h ORDER BY weight
+""",
+    "graph_attr_stats": GRAPH_CTE
+    + """
+, pn AS (
+  SELECT attribute, node_id, COUNT(*) AS pairs
+  FROM properties GROUP BY 1, 2
+),
+r AS (
+  SELECT attribute,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(pairs) AS BIGINT) AS n_pairs,
+         CAST(MAX(pairs) AS BIGINT) AS max_pairs_per_node
+  FROM pn GROUP BY attribute
+),
+v AS (
+  SELECT attribute, CAST(COUNT(DISTINCT value) AS BIGINT)
+           AS n_distinct_values
+  FROM properties GROUP BY attribute
+)
+SELECT r.attribute, r.n_nodes, v.n_distinct_values, r.n_pairs,
+       r.max_pairs_per_node
+FROM r JOIN v USING (attribute) ORDER BY r.attribute
+""",
     "graph_nodes": GRAPH_CTE + "SELECT node_id, entity_id FROM nodes",
     "graph_edges": GRAPH_CTE + "SELECT src, dst, weight FROM edges",
     # Pre-order DFS is not SQL-expressible (path-dependent visited set),
@@ -2238,6 +2341,8 @@ QUERIES = {
     "graph_assortativity": q_assortativity,
     "graph_pagerank": q_pagerank,
     "graph_degree_hist": q_degree_hist,
+    "graph_stable_edge_curve": q_stable_edge_curve,
+    "graph_attr_stats": q_attr_stats,
     "graph_link_prediction": q_link_prediction,
     "graph_kcore": q_kcore,
     "graph_reciprocity": q_reciprocity,
