@@ -381,6 +381,52 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue per nation: weekly order totals with the
+    previous week's total and the signed delta — the growth dashboard
+    row. The delta is reported UNDIVIDED (signed cents): the repo's
+    no-signed-division rule (Spark div truncates toward zero, DuckDB //
+    floors — they disagree on negatives), so growth rates divide
+    downstream where float policy is the consumer's.
+
+    Scale shape: one shuffle aggregating (nation, week) with map-side
+    partials over the orders⋈customer⋈nation broadcast chain; the lag
+    window partitions by nation — 25 partitions of week-count rows."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    weekly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.expr(
+                "cast(datediff(o_orderdate, '1995-01-01') div 7 as long)"
+            ).alias("week"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("week")
+    return (
+        weekly.withColumn(
+            "prev_revenue_cents", F.lag("revenue_cents").over(w)
+        )
+        .select(
+            "n_name",
+            "week",
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.col("prev_revenue_cents").cast("long").alias(
+                "prev_revenue_cents"
+            ),
+            (F.col("revenue_cents") - F.coalesce("prev_revenue_cents",
+                                                 F.col("revenue_cents")))
+            .cast("long")
+            .alias("delta_cents"),
+        )
+        .orderBy("n_name", "week")
+    )
+
+
 _HOUR_EXPR_NS = 3_600_000_000_000  # ns per hour
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -1500,6 +1546,28 @@ WHERE s.s_suppkey IN (
 ORDER BY s.s_suppkey
 """
 
+ORACLE_SQL["win_weekly_growth"] = f"""
+WITH weekly AS (
+  SELECT n.n_name,
+         CAST(date_diff('day', DATE '1995-01-01',
+                        CAST(o.o_orderdate AS DATE)) // 7 AS BIGINT) AS week,
+         CAST(SUM({_CENTS.format(c='o.o_totalprice')}) AS BIGINT)
+           AS revenue_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, week, revenue_cents,
+       CAST(LAG(revenue_cents) OVER (PARTITION BY n_name ORDER BY week)
+            AS BIGINT) AS prev_revenue_cents,
+       CAST(revenue_cents
+            - COALESCE(LAG(revenue_cents)
+                       OVER (PARTITION BY n_name ORDER BY week),
+                       revenue_cents) AS BIGINT) AS delta_cents
+FROM weekly ORDER BY n_name, week
+"""
+
 ORACLE_SQL["tpch_rfm_segments"] = f"""
 WITH per AS (
   SELECT o_custkey,
@@ -1594,6 +1662,7 @@ QUERIES = {
     "events_kmv_distinct": q_kmv_distinct,
     "events_dau_wau_mau": q_dau_wau_mau,
     "tpch_rfm_segments": q_rfm_segments,
+    "win_weekly_growth": q_weekly_growth,
     "events_kanon_summary": q_kanon_summary,
     "events_ab_srm": q_ab_srm,
     "events_cube_summary": q_cube_summary,
