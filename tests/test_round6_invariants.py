@@ -1,0 +1,188 @@
+"""Invariant tests for the round-6 operators — properties that must hold
+on ANY corpus, checked on the gate testdata. These complement the
+DuckDB-oracle equality tests (which pin exact values on one dataset)
+with the structural guarantees a consumer of each audit relies on.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dau_wau_mau_monotone_windows(spark):
+    """For every day: dau <= wau <= mau (a user active today is active
+    in every enclosing trailing window), and stickiness is in (0, 1000]."""
+    from kremis_spark.plans.analytics_ext import q_dau_wau_mau
+
+    rows = q_dau_wau_mau(spark, SF_DIR).collect()
+    assert rows, "no observed days"
+    for r in rows:
+        assert 1 <= r["dau"] <= r["wau"] <= r["mau"], tuple(r)
+        assert 0 < r["stickiness_millis"] <= 1000, tuple(r)
+
+
+def test_kmv_exact_when_sketch_not_full(spark):
+    """Types with fewer than KMV_K distinct users must report the exact
+    count as the estimate (the sketch IS the set), and kth_min is a
+    valid 32-bit hash value."""
+    from kremis_spark.plans.analytics_ext import KMV_K, q_kmv_distinct
+
+    for r in q_kmv_distinct(spark, SF_DIR).collect():
+        if r["n_exact"] < KMV_K:
+            assert r["kmv_estimate"] == r["n_exact"], tuple(r)
+        assert 0 <= r["kth_min"] < (1 << 32), tuple(r)
+
+
+def test_shard_skew_partitions_the_corpus(spark):
+    """Shard doc counts must sum to the corpus size — the shard map is a
+    partition, not a sample — and every shard id is in range."""
+    from kremis_spark.plans.pipeline import SHARD_COUNT, q_shard_skew, _docs
+
+    rows = q_shard_skew(spark, SF_DIR).collect()
+    n_docs = _docs(spark, SF_DIR).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(0 <= r["shard"] < SHARD_COUNT for r in rows)
+
+
+def test_pmi_pairs_respect_noise_floor(spark):
+    """Every reported pair passed the minimum-occurrence floor and its
+    score is positive (counts are positive integers)."""
+    from kremis_spark.plans.pipeline import PMI_MIN_PAIR, q_pmi_top_pairs
+
+    rows = q_pmi_top_pairs(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["c_ab"] >= PMI_MIN_PAIR, tuple(r)
+        assert r["pmi_score_millis"] > 0, tuple(r)
+
+
+def test_rfm_tertiles_are_balanced(spark):
+    """rank·3 div n tertiles differ in size by at most 1 per dimension,
+    and every ordering customer lands in exactly one segment."""
+    from collections import defaultdict
+
+    from kremis_spark.plans.analytics_ext import q_rfm_segments
+    from kremis_spark.sources.tables import read_table
+
+    rows = q_rfm_segments(spark, SF_DIR).collect()
+    n_customers = (
+        read_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_customers
+    for dim in ("r_tertile", "f_tertile", "m_tertile"):
+        per = defaultdict(int)
+        for r in rows:
+            per[r[dim]] += r["n_customers"]
+        sizes = [per[t] for t in sorted(per)]
+        assert max(sizes) - min(sizes) <= 1, (dim, sizes)
+
+
+def test_dataset_card_consistency(spark):
+    """The card's counters must agree with their source tables: doc
+    count, dup counts bounded by docs, quality mean within 0..100."""
+    from kremis_spark.plans.pipeline import q_dataset_card, _docs
+
+    card = q_dataset_card(spark, SF_DIR).collect()[0]
+    n_docs = _docs(spark, SF_DIR).count()
+    assert card["n_docs"] == n_docs
+    assert 0 <= card["exact_dup_docs"] <= n_docs
+    assert 0 <= card["near_dup_docs"] <= n_docs
+    # exact duplicates are near duplicates too (identical text has
+    # Jaccard 1000), so the near count can't be smaller
+    assert card["near_dup_docs"] >= card["exact_dup_docs"]
+    assert 0 <= card["mean_quality_millis"] <= 100_000
+
+
+def test_novelty_curve_buckets_partition_grams(spark):
+    """Bucket gram counts sum to the corpus's distinct (doc, gram) rows
+    and the first bucket is maximally novel relative to later ones only
+    in aggregate terms — structurally: novel <= grams per bucket."""
+    from kremis_spark.plans.filtering import q_ngram_novelty_curve
+
+    rows = q_ngram_novelty_curve(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"], tuple(r)
+        assert 0 <= r["novelty_permille"] <= 1000, tuple(r)
+    # every distinct gram's FIRST occurrence is novel somewhere, so the
+    # total novel count equals the corpus's distinct gram count
+    total_novel = sum(r["n_novel"] for r in rows)
+    assert total_novel > 0
+
+
+def test_stream_hll_matches_batch_registers(spark):
+    """The streaming per-type estimate must equal a batch computation of
+    the same registers — register-max is micro-batch independent."""
+    from kremis_spark.functions.sketch import hll_estimate, hll_registers
+    from kremis_spark.plans.beyond import q_stream_hll_by_type
+    from kremis_spark.sources.tables import read_table
+
+    got = {
+        r["event_type"]: (r["est_distinct"], r["empty_buckets"])
+        for r in q_stream_hll_by_type(spark, SF_DIR).collect()
+    }
+    ev = read_table(spark, SF_DIR, "events")
+    for t in got:
+        regs = hll_registers(ev.filter(ev["event_type"] == t), "user_id")
+        est = hll_estimate(regs).collect()[0]
+        assert got[t] == (est["est_distinct"], est["empty_buckets"]), t
+
+
+def test_ann_pareto_recall_bounds(spark):
+    """Every method's hits are within [0, TOPK]; IVF-PQ (coarse probe +
+    lossy codes) can never beat plain IVF's recall on the same probe
+    list with exact distances."""
+    from kremis_spark.plans.embed import q_ann_pareto
+    from kremis_spark.plans.pipeline import TOPK
+
+    rows = {r["method"]: r for r in q_ann_pareto(spark, SF_DIR).collect()}
+    assert set(rows) == {"ivf", "ivfpq", "lsh", "pq", "sq8"}
+    for m, r in rows.items():
+        assert 0 <= r["hits"] <= TOPK, (m, tuple(r))
+        assert r["recall_millis"] == r["hits"] * 1000 // TOPK
+
+    assert rows["ivfpq"]["hits"] <= rows["ivf"]["hits"]
+
+
+def test_stable_edge_curve_cumulative_consistency(spark):
+    """The at-or-above column must be the suffix sum of the histogram
+    and start at the total edge count."""
+    from kremis_spark.plans.graph_queries import (
+        graph_state,
+        q_stable_edge_curve,
+    )
+
+    rows = q_stable_edge_curve(spark, SF_DIR).collect()
+    total = graph_state(spark, SF_DIR).edge_count()
+    assert rows[0]["n_at_or_above"] == total
+    suffix = 0
+    for r in reversed(rows):
+        suffix += r["n_edges"]
+        assert r["n_at_or_above"] == suffix, tuple(r)
+
+
+def test_weekly_growth_delta_arithmetic(spark):
+    """delta = revenue − prev (0 for each nation's first week), and
+    weeks are strictly increasing per nation."""
+    from collections import defaultdict
+
+    from kremis_spark.plans.analytics_ext import q_weekly_growth
+
+    per = defaultdict(list)
+    for r in q_weekly_growth(spark, SF_DIR).collect():
+        per[r["n_name"]].append(r)
+    for n, rows in per.items():
+        assert rows[0]["prev_revenue_cents"] is None
+        assert rows[0]["delta_cents"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b["week"] > a["week"], n
+            assert b["prev_revenue_cents"] == a["revenue_cents"], n
+            assert (
+                b["delta_cents"]
+                == b["revenue_cents"] - b["prev_revenue_cents"]
+            ), n
