@@ -701,6 +701,71 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_DOC_TOKENS = 16  # length floor for the provenance audit
+
+
+def q_curation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation provenance: for EVERY document, one row of
+    independent filter verdicts — exact-duplicate drop (not the min-id
+    copy of its byte-identical text), near-duplicate drop (in a strong
+    cluster but not its representative), quality gate (< QUALITY_MIN),
+    length floor (< MIN_DOC_TOKENS tokens) — plus the composed kept
+    flag. This is the explainability table a curation pipeline ships
+    next to the cleaned corpus: "why is doc X missing" is one lookup,
+    and each filter's blast radius is one group-agg away. Flags are
+    INDEPENDENT verdicts (a doc can fail several), which is what makes
+    the table useful for tuning one gate at a time.
+
+    Scale shape: the md5 keep-mark is a partitioned window over the
+    content-hash key; near-dup membership is the session-shared label
+    memo (gated-broadcast join); quality/length are map-side. One row
+    per doc, no new shuffles beyond the md5 window."""
+    docs = _docs_parallel(spark, sf_dir)
+    labels = _strong_labels(spark, sf_dir)
+    w = Window.partitionBy("md5").orderBy("doc_id")
+    scored = (
+        T.with_quality_score(docs)
+        .select(
+            "doc_id",
+            F.md5("text").alias("md5"),
+            F.col("quality").cast("long").alias("quality"),
+            F.size(T.tokens()).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "exact_dup_drop",
+            (F.row_number().over(w) != 1).cast("long"),
+        )
+        .join(labels, "doc_id", "left")
+        .withColumn(
+            "near_dup_drop",
+            (
+                F.col("label").isNotNull()
+                & (F.col("label") != F.col("doc_id"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "quality_drop", (F.col("quality") < QUALITY_MIN).cast("long")
+        )
+        .withColumn(
+            "length_drop", (F.col("n_tokens") < MIN_DOC_TOKENS).cast("long")
+        )
+    )
+    kept = (
+        (F.col("exact_dup_drop") == 0)
+        & (F.col("near_dup_drop") == 0)
+        & (F.col("quality_drop") == 0)
+        & (F.col("length_drop") == 0)
+    ).cast("long")
+    return scored.select(
+        "doc_id",
+        "exact_dup_drop",
+        "near_dup_drop",
+        "quality_drop",
+        "length_drop",
+        kept.alias("kept"),
+    ).orderBy("doc_id")
+
+
 PMI_MIN_PAIR = 5  # ignore pairs seen fewer times (PMI noise floor)
 PMI_TOPN = 20
 
@@ -2070,6 +2135,53 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_curation_provenance": _MINHASH_CORE
+    + _CC_SQL_BLOCK
+    + rf"""
+, qm AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sumc,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS BIGINT)
+           AS stops
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+q2 AS (
+  SELECT doc_id, n,
+         CAST((LEAST(n, 100) * 30) // 100
+              + CASE WHEN n > 0 AND stops * 1000 // n BETWEEN 50 AND 600
+                     THEN 35 ELSE 0 END
+              + CASE WHEN n > 0 AND sumc * 1000 // n BETWEEN 3000 AND 8000
+                     THEN 35 ELSE 0 END AS BIGINT) AS quality
+  FROM qm
+),
+ek AS (
+  SELECT doc_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) <> 1
+              THEN 1 ELSE 0 END AS exact_dup_drop
+  FROM documents
+),
+flags AS (
+  SELECT d.doc_id,
+         CAST(ek.exact_dup_drop AS BIGINT) AS exact_dup_drop,
+         CAST(CASE WHEN comp.lbl IS NOT NULL AND comp.lbl <> d.doc_id
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_dup_drop,
+         CAST(CASE WHEN q2.quality < {QUALITY_MIN} THEN 1 ELSE 0 END
+              AS BIGINT) AS quality_drop,
+         CAST(CASE WHEN q2.n < {MIN_DOC_TOKENS} THEN 1 ELSE 0 END
+              AS BIGINT) AS length_drop
+  FROM documents d
+  JOIN ek USING (doc_id)
+  JOIN q2 USING (doc_id)
+  LEFT JOIN comp ON comp.n = d.doc_id
+)
+SELECT doc_id, exact_dup_drop, near_dup_drop, quality_drop, length_drop,
+       CAST(CASE WHEN exact_dup_drop = 0 AND near_dup_drop = 0
+                 AND quality_drop = 0 AND length_drop = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM flags ORDER BY doc_id
+""",
     "pipe_pmi_top_pairs": rf"""
 WITH {_DOC_SH.strip()},
 occ AS (SELECT doc_id, UNNEST(shingles) AS g FROM doc_sh),
@@ -3185,6 +3297,7 @@ QUERIES = {
     "pipe_dataset_card": q_dataset_card,
     "pipe_fertility_by_lang": q_fertility_by_lang,
     "pipe_pmi_top_pairs": q_pmi_top_pairs,
+    "pipe_curation_provenance": q_curation_provenance,
     "pipe_shard_skew": q_shard_skew,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
