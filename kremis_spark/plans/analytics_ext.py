@@ -775,6 +775,54 @@ def q_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_TOPN = 20
+
+
+def q_skew_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting-decision table: the SKEW_TOPN heaviest user keys with
+    each key's share of all events in permille and the cumulative share
+    — the first thing to read before keying any 100 TB shuffle on
+    user_id (a top key holding >1/partitions of the data is the
+    straggler; these are the keys AQE skew-split or a salt prefix must
+    handle). Integer permille; rank ties break by user_id.
+
+    Scale shape: one user-key partial agg, a TakeOrdered top-N (never a
+    global sort), and a ≤N-row cumulative window."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    total = int(per.agg(F.sum("n_events")).first()[0] or 0)
+    if total == 0:
+        return spark.createDataFrame(
+            [],
+            "rank BIGINT, user_id BIGINT, n_events BIGINT,"
+            " share_permille BIGINT, cum_share_permille BIGINT",
+        )
+    top = per.orderBy(F.desc("n_events"), "user_id").limit(SKEW_TOPN)
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum", F.sum("n_events").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        )
+        .select(
+            "rank",
+            "user_id",
+            "n_events",
+            F.expr(f"n_events * 1000 div {total}").cast("long").alias(
+                "share_permille"
+            ),
+            F.expr(f"cum * 1000 div {total}").cast("long").alias(
+                "cum_share_permille"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
 RFM_TILES = 3
 
 
@@ -1546,6 +1594,28 @@ WHERE s.s_suppkey IN (
 ORDER BY s.s_suppkey
 """
 
+ORACLE_SQL["events_skew_top_keys"] = f"""
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT SUM(n_events) AS t FROM per),
+top AS (
+  SELECT user_id, n_events,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id)
+              AS BIGINT) AS rank
+  FROM per ORDER BY n_events DESC, user_id LIMIT {SKEW_TOPN}
+)
+SELECT rank, user_id, n_events,
+       CAST(n_events * 1000 // (SELECT t FROM tot) AS BIGINT)
+         AS share_permille,
+       CAST(SUM(n_events) OVER (ORDER BY rank
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+            * 1000 // (SELECT t FROM tot) AS BIGINT) AS cum_share_permille
+FROM top ORDER BY rank
+"""
+
 ORACLE_SQL["win_weekly_growth"] = f"""
 WITH weekly AS (
   SELECT n.n_name,
@@ -1663,6 +1733,7 @@ QUERIES = {
     "events_dau_wau_mau": q_dau_wau_mau,
     "tpch_rfm_segments": q_rfm_segments,
     "win_weekly_growth": q_weekly_growth,
+    "events_skew_top_keys": q_skew_top_keys,
     "events_kanon_summary": q_kanon_summary,
     "events_ab_srm": q_ab_srm,
     "events_cube_summary": q_cube_summary,
