@@ -763,6 +763,49 @@ def q_attr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOCALITY_BUCKETS = (8, 32, 128)
+
+
+def q_edge_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing pay-off audit: for each candidate bucket count B, the
+    fraction (permille) of edges whose endpoints land in the same
+    node_id-modulo bucket — exactly the edges a bucketed-by-id layout
+    co-locates, i.e. the traversal/join traffic that would never cross
+    executors. Read before choosing the bucket count for a persisted
+    edge table: locality falls as ~1/B, so the curve says where extra
+    buckets stop being free.
+
+    Scale shape: one map-side modulo comparison per candidate B folded
+    into a single partial agg over the edge fact — one scan, three
+    output rows."""
+    st = graph_state(spark, sf_dir)
+    aggs = []
+    for b in LOCALITY_BUCKETS:
+        aggs.append(
+            F.sum(
+                (F.col("src") % b == F.col("dst") % b).cast("long")
+            ).alias(f"local_{b}")
+        )
+    row = st.edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"), *aggs
+    )
+    parts = [
+        row.select(
+            F.lit(b).cast("long").alias("n_buckets"),
+            "n_edges",
+            F.col(f"local_{b}").cast("long").alias("n_colocated"),
+            F.expr(
+                f"local_{b} * 1000 div greatest(n_edges, 1)"
+            ).cast("long").alias("colocated_permille"),
+        )
+        for b in LOCALITY_BUCKETS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n_buckets")
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree histogram — the first thing to look at before choosing
     a partitioning/skew strategy for any graph workload (a heavy tail
@@ -2017,6 +2060,20 @@ ORDER BY a.anchor
 SELECT outdeg, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM od GROUP BY outdeg
 """,
+    "graph_edge_locality": GRAPH_CTE
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT CAST({b} AS BIGINT) AS n_buckets,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN src % {b} = dst % {b} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_colocated,
+       CAST(SUM(CASE WHEN src % {b} = dst % {b} THEN 1 ELSE 0 END) * 1000
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS colocated_permille
+FROM edges
+"""
+        for b in LOCALITY_BUCKETS
+    )
+    + "ORDER BY n_buckets",
     "graph_stable_edge_curve": GRAPH_CTE
     + """
 , h AS (
@@ -2342,6 +2399,7 @@ QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_degree_hist": q_degree_hist,
     "graph_stable_edge_curve": q_stable_edge_curve,
+    "graph_edge_locality": q_edge_locality,
     "graph_attr_stats": q_attr_stats,
     "graph_link_prediction": q_link_prediction,
     "graph_kcore": q_kcore,

@@ -701,6 +701,45 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-tuning audit, one row per band: bucket count, hot
+    buckets dropped by the cap, candidate pairs generated from the
+    surviving buckets, and pairs the hot-cap discarded — the table that
+    says whether BANDS×ROWS_PER_BAND and HOT_BUCKET_CAP are sized right
+    for a corpus (a band generating orders more candidates than its
+    siblings has degenerate signature slices; large dropped mass means
+    the cap is eating recall).
+
+    Scale shape: one group-agg on the shared band projection to bucket
+    sizes, then an 8-group rollup with closed-form n·(n−1)/2 pair
+    counts — the quadratic term is never materialized, only counted."""
+    bands, key_cols = D._banded(_sigs(spark, sf_dir), "doc_id")
+    sizes = bands.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    pair_cnt = F.expr("n * (n - 1) div 2")
+    hot = F.col("n") > D.HOT_BUCKET_CAP
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(hot.cast("long")).cast("long").alias("n_hot_buckets"),
+            F.sum(F.when(~hot, pair_cnt).otherwise(0))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+            F.sum(F.when(hot, pair_cnt).otherwise(0))
+            .cast("long")
+            .alias("n_dropped_pairs"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"),
+            "n_buckets",
+            "n_hot_buckets",
+            "n_candidate_pairs",
+            "n_dropped_pairs",
+        )
+        .orderBy("band")
+    )
+
+
 MIN_DOC_TOKENS = 16  # length floor for the provenance audit
 
 
@@ -2135,6 +2174,20 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_lsh_band_audit": _MINHASH_CORE
+    + f"""
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN n > {D.HOT_BUCKET_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hot_buckets,
+       CAST(SUM(CASE WHEN n <= {D.HOT_BUCKET_CAP}
+                THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+         AS n_candidate_pairs,
+       CAST(SUM(CASE WHEN n > {D.HOT_BUCKET_CAP}
+                THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+         AS n_dropped_pairs
+FROM bcount GROUP BY band ORDER BY band
+""",
     "pipe_curation_provenance": _MINHASH_CORE
     + _CC_SQL_BLOCK
     + rf"""
@@ -3298,6 +3351,7 @@ QUERIES = {
     "pipe_fertility_by_lang": q_fertility_by_lang,
     "pipe_pmi_top_pairs": q_pmi_top_pairs,
     "pipe_curation_provenance": q_curation_provenance,
+    "pipe_lsh_band_audit": q_lsh_band_audit,
     "pipe_shard_skew": q_shard_skew,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
