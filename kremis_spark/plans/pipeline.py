@@ -701,6 +701,90 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus composition table every dataset paper prints: doc and
+    token counts per (source, language) cell, with each cell's token
+    share of the corpus in ppm — the table mixing policies, language
+    targets, and license audits all start from.
+
+    Scale shape: one map-side token count folded into a single partial
+    agg keyed by the tiny (source, lang) grid; the corpus total is a
+    broadcast scalar."""
+    docs = _docs_parallel(spark, sf_dir)
+    per = (
+        docs.select(
+            "source", "lang", F.size(T.tokens()).cast("long").alias("t")
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "n_tokens * 1000000 div greatest(total_tokens, 1)"
+            ).cast("long").alias("token_share_ppm"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+QUALITY_PCTS = (250, 500, 750, 900)  # quartiles + p90, in millis
+
+
+def q_quality_percentiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact quality-score percentiles per source (p25/p50/p75/p90):
+    the distribution table behind per-source quality gates — a source
+    whose p75 sits under another's p25 should be mixed down, not
+    filtered doc-by-doc. Percentile = the value at rank
+    (n·p) div 1000 + 1 (ties irrelevant: the rank-k element is the same
+    value whatever the tie order).
+
+    Scale shape: quality is map-side; the rank walk runs on the
+    per-source VALUE HISTOGRAM — the quality domain is 0..100, so the
+    cumulative window is bounded by 101 rows per source regardless of
+    corpus size (the same value-domain argument as the funnel medians
+    and the Gini rank sum)."""
+    docs = _docs_parallel(spark, sf_dir)
+    h = (
+        T.with_quality_score(docs)
+        .groupBy("source", F.col("quality").cast("long").alias("q"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("cum", F.sum("c").over(w))
+    tot = h.groupBy("source").agg(F.sum("c").alias("n_docs"))
+    j = cum.join(tot, "source")
+    pcts = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n_docs * {p}) div 1000 + 1"),
+                F.col("q"),
+            )
+        ).cast("long").alias(f"p{p}")
+        for p in QUALITY_PCTS
+    ]
+    return (
+        j.groupBy("source")
+        .agg(F.max("n_docs").cast("long").alias("n_docs"), *pcts)
+        .orderBy("source")
+    )
+
+
 def q_lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH index-tuning audit, one row per band: bucket count, hot
     buckets dropped by the cap, candidate pairs generated from the
@@ -2174,6 +2258,54 @@ SELECT md5(text) AS text_md5,
 FROM documents GROUP BY 1
 """,
     "pipe_dedup_minhash": _MINHASH_SQL,
+    "pipe_source_lang_matrix": f"""
+WITH per AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens * 1000000
+            // GREATEST((SELECT SUM(n_tokens) FROM per), 1) AS BIGINT)
+         AS token_share_ppm
+FROM per ORDER BY source, lang
+""",
+    "pipe_quality_percentiles_by_source": rf"""
+WITH qm AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sumc,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS BIGINT)
+           AS stops
+  FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+),
+q2 AS (
+  SELECT source,
+         CAST((LEAST(n, 100) * 30) // 100
+              + CASE WHEN n > 0 AND stops * 1000 // n BETWEEN 50 AND 600
+                     THEN 35 ELSE 0 END
+              + CASE WHEN n > 0 AND sumc * 1000 // n BETWEEN 3000 AND 8000
+                     THEN 35 ELSE 0 END AS BIGINT) AS q
+  FROM qm
+),
+h AS (SELECT source, q, CAST(COUNT(*) AS BIGINT) AS c FROM q2 GROUP BY 1, 2),
+cum AS (
+  SELECT source, q, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS n_docs
+  FROM h
+)
+SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       {", ".join(
+           f"CAST(MIN(CASE WHEN cum >= (n_docs * {p}) // 1000 + 1"
+           f" THEN q END) AS BIGINT) AS p{p}"
+           for p in QUALITY_PCTS
+       )}
+FROM cum GROUP BY source ORDER BY source
+""",
     "pipe_lsh_band_audit": _MINHASH_CORE
     + f"""
 SELECT CAST(band AS BIGINT) AS band,
@@ -3352,6 +3484,8 @@ QUERIES = {
     "pipe_pmi_top_pairs": q_pmi_top_pairs,
     "pipe_curation_provenance": q_curation_provenance,
     "pipe_lsh_band_audit": q_lsh_band_audit,
+    "pipe_source_lang_matrix": q_source_lang_matrix,
+    "pipe_quality_percentiles_by_source": q_quality_percentiles_by_source,
     "pipe_shard_skew": q_shard_skew,
     "pipe_simhash": q_simhash,
     "pipe_ann_cosine_topk": q_ann_cosine_topk,
