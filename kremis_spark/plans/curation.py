@@ -420,6 +420,52 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "seq_id")
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-waste audit of the concat-and-chunk layout: sequence
+    count, full sequences, the last sequence's fill, documents split
+    across sequence boundaries (they pay cross-sequence attention
+    masking or truncation), and overall fill permille — the numbers
+    that decide SEQ_LEN and whether padding-free packing is worth its
+    complexity for a given corpus.
+
+    Scale shape: two output-bounded rollups of the span table (per
+    sequence and per doc) crossJoined into one row — the span table
+    itself is the audited q_seq_pack plan."""
+    spans = q_seq_pack(spark, sf_dir)
+    per_seq = spans.groupBy("seq_id").agg(
+        F.sum("span_len").alias("tot")
+    )
+    a = per_seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sequences"),
+        F.sum((F.col("tot") == SEQ_LEN).cast("long"))
+        .cast("long")
+        .alias("n_full_sequences"),
+        F.sum("tot").cast("long").alias("total_tokens"),
+    )
+    b = (
+        spans.groupBy("doc_id")
+        .agg(F.count_distinct("seq_id").alias("nseq"))
+        .agg(
+            F.sum((F.col("nseq") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_split_docs")
+        )
+    )
+    return a.crossJoin(b).select(
+        "n_sequences",
+        "n_full_sequences",
+        (
+            F.col("total_tokens")
+            - (F.col("n_sequences") - 1) * SEQ_LEN
+        ).cast("long").alias("last_fill_tokens"),
+        "n_split_docs",
+        "total_tokens",
+        F.expr(
+            f"total_tokens * 1000 div greatest(n_sequences * {SEQ_LEN}, 1)"
+        ).cast("long").alias("fill_permille"),
+    )
+
+
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
 def _cdc_terms_duck() -> str:
@@ -621,8 +667,54 @@ QUERIES = {
     "pipe_cdc_chunks": q_cdc_chunks,
     "pipe_token_budget_mix": q_token_budget_mix,
     "pipe_seq_pack": q_seq_pack,
+    "pipe_packing_efficiency": q_packing_efficiency,
     "pipe_chunk_overlap": q_chunk_overlap,
     "pipe_mixture_sample": q_mixture_sample,
     "pipe_decontaminate": q_decontaminate,
     "pipe_repetition": q_repetition,
 }
+
+
+ORACLE_SQL["pipe_packing_efficiency"] = f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS st
+  FROM t
+),
+s AS (
+  SELECT doc_id, n, st,
+         unnest(generate_series(st // {SEQ_LEN}, (st + n - 1) // {SEQ_LEN}))
+           AS seq_id
+  FROM c WHERE n > 0
+),
+spans AS (
+  SELECT seq_id, doc_id,
+         LEAST(st + n, (seq_id + 1) * {SEQ_LEN})
+           - GREATEST(st, seq_id * {SEQ_LEN}) AS span_len
+  FROM s
+),
+per_seq AS (SELECT seq_id, SUM(span_len) AS tot FROM spans GROUP BY 1),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sequences,
+         CAST(SUM(CASE WHEN tot = {SEQ_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full_sequences,
+         CAST(SUM(tot) AS BIGINT) AS total_tokens
+  FROM per_seq
+),
+b AS (
+  SELECT CAST(SUM(CASE WHEN nseq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_split_docs
+  FROM (SELECT doc_id, COUNT(DISTINCT seq_id) AS nseq FROM spans GROUP BY 1)
+)
+SELECT a.n_sequences, a.n_full_sequences,
+       CAST(a.total_tokens - (a.n_sequences - 1) * {SEQ_LEN} AS BIGINT)
+         AS last_fill_tokens,
+       b.n_split_docs, a.total_tokens,
+       CAST(a.total_tokens * 1000
+            // GREATEST(a.n_sequences * {SEQ_LEN}, 1) AS BIGINT)
+         AS fill_permille
+FROM a CROSS JOIN b
+"""
