@@ -420,6 +420,43 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "seq_id")
 
 
+
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination accountability by source: per source, the
+    train-doc count, how many carry any benchmark 8-gram overlap, the
+    total overlapping shingles, and the contaminated-doc rate permille
+    — the table that says WHICH feed leaks eval data (a source with an
+    outsized rate scraped the benchmark's distribution and needs
+    source-level decontamination, not per-doc patching).
+
+    Scale shape: the per-doc flags are the audited decontaminate plan;
+    this adds one broadcast-able (doc_id, source) dim join and a
+    source-keyed partial agg."""
+    flagged = q_decontaminate(spark, sf_dir).select("doc_id", "n_overlap")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum(F.col("n_overlap").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(F.coalesce("n_overlap", F.lit(0)))
+            .cast("long")
+            .alias("total_overlap_shingles"),
+        )
+        .withColumn(
+            "contaminated_permille",
+            F.expr(
+                "n_contaminated * 1000 div greatest(n_train_docs, 1)"
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-waste audit of the concat-and-chunk layout: sequence
     count, full sequences, the last sequence's fill, documents split
@@ -718,3 +755,21 @@ SELECT a.n_sequences, a.n_full_sequences,
          AS fill_permille
 FROM a CROSS JOIN b
 """
+
+
+ORACLE_SQL["pipe_contamination_by_source"] = f"""
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(CASE WHEN f.n_overlap IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(COALESCE(f.n_overlap, 0)) AS BIGINT)
+         AS total_overlap_shingles,
+       CAST(SUM(CASE WHEN f.n_overlap IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS contaminated_permille
+FROM documents d
+LEFT JOIN ({ORACLE_SQL["pipe_decontaminate"]}) f ON f.doc_id = d.doc_id
+WHERE d.doc_id % {BENCH_MOD} <> 0
+GROUP BY d.source ORDER BY d.source
+"""
+
+QUERIES["pipe_contamination_by_source"] = q_contamination_by_source
