@@ -1428,6 +1428,33 @@ FROM r WHERE out_rank <= {OUTLIER_K} ORDER BY label, out_rank
 """
 
 
+def q_embed_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector norm histogram (log2 buckets of the integer squared
+    norm, zero vectors in their own bucket) — the one-glance QC for an
+    embedding batch: truncated/zeroed vectors pile into the low
+    buckets, a normalization bug shifts the whole mass, and a healthy
+    unit-normalized batch is one tight spike. Complements the
+    per-DIMENSION stats table with the per-VECTOR view.
+
+    Scale shape: norms are already materialized in the shared prepared
+    table; the bucket is a map-side length-of-binary expression and the
+    rollup is bounded by 64 log2 buckets."""
+    from kremis_spark.plans.pipeline import prepared_cached
+
+    prep = prepared_cached(spark, sf_dir)
+    bucket = (
+        F.when(F.col("norm") <= 0, F.lit(-1))
+        .otherwise(F.length(F.bin(F.col("norm"))) - 1)
+        .cast("long")
+    )
+    return (
+        prep.select(bucket.alias("log2_norm_bucket"))
+        .groupBy("log2_norm_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("log2_norm_bucket")
+    )
+
+
 def q_ann_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN method comparison in one table: recall@k of every index
     variant (hyperplane LSH, IVF, 8-bit scalar quantization, product
@@ -1518,3 +1545,21 @@ QUERIES = {
     "pipe_embed_outliers": q_embed_outliers,
     "pipe_label_purity": q_label_purity,
 }
+
+
+ORACLE_SQL["pipe_embed_norm_hist"] = f"""
+WITH prep AS (
+  SELECT vec_id, {_IVEC} AS ivec FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(ivec, x -> x * x)) AS BIGINT) AS norm
+  FROM prep
+)
+SELECT CAST(CASE WHEN norm <= 0 THEN -1
+            ELSE len(bin(norm)) - 1 END AS BIGINT) AS log2_norm_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM norms GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["pipe_embed_norm_hist"] = q_embed_norm_hist
