@@ -422,6 +422,36 @@ def test_q2_q20_broadcast_dimensions(spark):
         assert "CartesianProduct" not in txt, txt
 
 
+def test_quality_percentiles_window_is_source_partitioned(spark):
+    """The percentile rank walk runs on the per-source value histogram —
+    partitioned by source, never a single-partition window."""
+    from kremis_spark.plans.pipeline import q_quality_percentiles_by_source
+
+    txt = plan_text(q_quality_percentiles_by_source(spark, SF_DIR), "simple")
+    assert "Exchange SinglePartition" not in txt.replace(
+        "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
+    ), txt
+
+
+def test_source_lang_matrix_single_fact_scan(spark):
+    """The composition table is one partial-agg rollup plus a broadcast
+    scalar — no joins beyond the total broadcast, no cartesian blowup."""
+    from kremis_spark.plans.pipeline import q_source_lang_matrix
+
+    txt = plan_text(q_source_lang_matrix(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in txt, txt
+
+
+def test_contamination_by_source_broadcasts_flags(spark):
+    """The per-source rollup joins the (tiny) flagged-doc table into the
+    doc dim as a hash/broadcast equi-join — never nested-loop."""
+    from kremis_spark.plans.curation import q_contamination_by_source
+
+    txt = plan_text(q_contamination_by_source(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+
+
 def test_stratified_sample_broadcasts_alloc(spark):
     """Stratified sampling: the Hamilton quota table (one row per
     source) joins the per-doc rank fact as a broadcast, and the pick
