@@ -85,3 +85,72 @@ def exclusive_prefix_sum(
         .withColumn(out_col, (local + F.col("__scan_off")).cast("long"))
         .drop(_PID, "__scan_off")
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    out_col: str = "rank",
+    group_count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based rank of each row within its group (ordered by
+    ``order_cols`` ascending, which must be unique per group) — computed
+    WITHOUT a per-group window.
+
+    ``Window.partitionBy(group).orderBy(...)`` + ``row_number`` funnels
+    every row of a group through ONE task; when one group is 80% of a
+    100 TB corpus (the normal case for a "source" dimension) that group's
+    rank serializes the job. Here instead:
+
+    1. a GLOBAL exclusive prefix count ordered by (group, order) via the
+       two-phase scan above — range partitioning splits even a dominant
+       group across many contiguous partitions;
+    2. each group's start offset (its position in that global order) is
+       just the running sum of group sizes — an output-sized aggregate,
+       ordered by the group key over the bounded group domain and
+       broadcast back.
+
+    rank = global_prefix − group_start + 1. Optionally also emits the
+    group size as ``group_count_col`` (band/quota arithmetic usually
+    needs n alongside the rank, and the starts table already has it)."""
+    all_order: list[str | Column] = [*group_cols, *order_cols]
+    ranked = exclusive_prefix_sum(
+        df.withColumn("__gr_one", F.lit(1).cast("long")),
+        all_order,
+        "__gr_one",
+        out_col="__gr_pref",
+        num_partitions=num_partitions,
+    )
+    sizes = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__gr_n")
+    )
+    # Running sum over the GROUP domain (output-sized — #sources, not
+    # #docs), matching the ascending group order of the global scan.
+    wg = (
+        Window.orderBy(*group_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = sizes.select(
+        *group_cols,
+        "__gr_n",
+        F.coalesce(F.sum("__gr_n").over(wg), F.lit(0).cast("long")).alias(
+            "__gr_start"
+        ),
+    )
+    out = (
+        ranked.join(F.broadcast(starts), group_cols)
+        .withColumn(
+            out_col,
+            (F.col("__gr_pref") - F.col("__gr_start") + F.lit(1)).cast(
+                "long"
+            ),
+        )
+        .drop("__gr_one", "__gr_pref", "__gr_start")
+    )
+    if group_count_col is not None:
+        out = out.withColumnRenamed("__gr_n", group_count_col)
+    else:
+        out = out.drop("__gr_n")
+    return out

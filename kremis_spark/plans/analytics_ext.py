@@ -941,6 +941,7 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMV_K = 64  # k-minimum-values sketch size
+KMV_SALTS = 32  # phase-1 fan-out for the two-phase per-type K-smallest
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -953,17 +954,33 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engine-portable. Types with fewer than KMV_K distinct users
     report the exact count as the estimate (the sketch IS the set).
 
-    Plan: distinct (type, user) pairs → map-side hash → per-type TOP-K
-    smallest via a window over each type's partition (state bounded by
-    k per type, never a global sort) → one output-sized rollup."""
+    Plan: distinct (type, user) pairs → map-side hash → TWO-PHASE
+    per-type K-smallest: phase 1 takes each (type, salt)'s K smallest
+    (KMV_SALTS salts split even a type holding most of the corpus
+    across that many parallel sort tasks), phase 2 re-merges the
+    ≤ K·KMV_SALTS survivors per type — the global K smallest are
+    always contained in the union of per-salt K smallest, so the
+    result is exact while no single task ever sorts a whole hot type
+    (the shape a per-type window would force) → output-sized rollup."""
     ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
     du = ev.distinct().withColumn(
         "h",
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
         .cast("long"),
     )
-    w = Window.partitionBy("event_type").orderBy("h", "user_id")
-    topk = du.withColumn("rn", F.row_number().over(w)).filter(
+    salted = du.withColumn(
+        "__kmv_salt", F.pmod(F.xxhash64("user_id"), F.lit(KMV_SALTS))
+    )
+    w1 = Window.partitionBy("event_type", "__kmv_salt").orderBy(
+        "h", "user_id"
+    )
+    part = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn", "__kmv_salt")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h", "user_id")
+    topk = part.withColumn("rn", F.row_number().over(w2)).filter(
         F.col("rn") <= KMV_K
     )
     per = topk.groupBy("event_type").agg(

@@ -317,10 +317,12 @@ def q_surprisal_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape: the surprisal signal is the lm_surprisal plan
     (explode → co-partitioned self-join on the bigram key); the banding
-    window is PARTITIONED by source (parallel across sources, no global
-    sort — at 100 TB a single source's rank would instead come from the
-    two-phase prefix scan in operators/prefix.py, same exact band
-    arithmetic). Final agg is one tiny per-source row set."""
+    rank comes from the grouped two-phase prefix scan
+    (operators/prefix.grouped_rank) — range-partitioned on
+    (source, surp_millis, doc_id), so even a source holding most of a
+    100 TB corpus ranks across many tasks instead of serializing
+    through one per-source window task. Final agg is one tiny
+    per-source row set."""
     from kremis_spark.functions import text as T
     from kremis_spark.plans.pipeline import _docs_parallel, q_lm_surprisal
 
@@ -342,19 +344,21 @@ def q_surprisal_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("surp_millis"),
     )
-    w = Window.partitionBy("source").orderBy("surp_millis", "doc_id")
-    wn = Window.partitionBy("source")
-    banded = d.select(
+    from kremis_spark.operators.prefix import grouped_rank
+
+    ranked = grouped_rank(
+        d,
+        ["source"],
+        ["surp_millis", "doc_id"],
+        out_col="_rn",
+        group_count_col="_n",
+    )
+    banded = ranked.select(
         "source",
         "n_tokens",
-        (
-            (F.row_number().over(w).cast("long") - 1) * SURPRISAL_BANDS
-        ).alias("_rn3"),
-        F.count(F.lit(1)).over(wn).cast("long").alias("_n"),
-    ).select(
-        "source",
-        "n_tokens",
-        F.expr("_rn3 div _n").cast("long").alias("band"),
+        F.expr(f"(_rn - 1) * {SURPRISAL_BANDS} div _n")
+        .cast("long")
+        .alias("band"),
     )
     keep = F.col("band") < SURPRISAL_KEEP_BANDS
     return (

@@ -258,31 +258,46 @@ def q_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept counts — the domain-adaptive threshold that a fixed global
     cutoff gets wrong when sources differ in style.
 
-    Distributed shape: all windows are PARTITIONED by source, so every
-    source ranks in parallel and no global sort exists; the median rows
-    (one per source) broadcast back onto the per-source aggregate."""
+    Distributed shape: NO window touches the document dimension. The
+    quality domain is bounded (0..100 integers), so the median is read
+    off the per-source VALUE HISTOGRAM: one group-agg with map-side
+    partials builds (source, q, count); the cumulative walk runs over
+    ≤101 rows per source regardless of corpus size; the median rows
+    (one per source) broadcast back onto the histogram — never a rank
+    of the docs themselves (a per-source row_number serializes a
+    dominant source through one task at 100 TB). Same technique as
+    pipe_quality_percentiles_by_source; the median at ascending rank
+    ceil(n/2) is the smallest q whose cumulative count reaches it."""
     docs = T.with_quality_score(_docs_parallel(spark, sf_dir))
-    w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    ranked = docs.select(
-        "source",
-        "quality",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    h = docs.groupBy(
+        "source", F.col("quality").cast("long").alias("q")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    medians = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
-        "source", F.col("quality").alias("median_q")
-    )
-    per = docs.select("source", "quality").join(
-        F.broadcast(medians), "source"
+    cum = h.withColumn("cum", F.sum("c").over(wcum))
+    tot = h.groupBy("source").agg(F.sum("c").alias("n"))
+    medians = (
+        cum.join(F.broadcast(tot), "source")
+        .filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("source")
+        .agg(F.min("q").alias("median_q"))
     )
     return (
-        per.groupBy("source")
+        h.join(F.broadcast(medians), "source")
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.first("median_q").cast("long").alias("median_q"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.min("median_q").cast("long").alias("median_q"),
             F.sum(
-                (F.col("quality") >= F.col("median_q")).cast("long")
-            ).alias("n_kept"),
+                F.when(F.col("q") >= F.col("median_q"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_kept"),
         )
         .orderBy("source")
     )
@@ -454,9 +469,11 @@ def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed shape: strictly a composition of the audited stage
     shapes — the session-shared verified-pairs materialization and
     min-label components (never all-pairs), a gated-broadcast label
-    join, source-partitioned median windows, and scalar mix arithmetic
-    over the tiny source dimension. Nothing new shuffles; at 100 TB the
-    funnel costs what its stages cost."""
+    join, the bounded-domain HISTOGRAM median (quality is 0..100, so
+    the median walk runs over ≤101 rows per source — no window ever
+    ranks the doc dimension), and scalar mix arithmetic over the tiny
+    source dimension. Nothing new shuffles; at 100 TB the funnel costs
+    what its stages cost."""
     docs = _docs_parallel(spark, sf_dir)
     labels = _strong_labels(spark, sf_dir)
     if labels.count() <= DEDUP_LABELS_BCAST_MAX:
@@ -472,29 +489,42 @@ def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("label").isNull() | (F.col("label") == F.col("doc_id")))
         .drop("label")
     )
-    w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    wn = Window.partitionBy("source")
-    r = surv.select(
-        "source",
-        "quality",
-        "nt",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("nsrc"),
+    # Bounded-domain histogram median over the survivors: quality is
+    # 0..100, so every per-source structure below is ≤101 rows — the
+    # doc dimension is never ranked (same shape as
+    # q_quality_median_filter / pipe_quality_percentiles_by_source).
+    h = surv.groupBy("source", "quality").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("nt").cast("long").alias("tok"),
     )
-    med = r.filter(F.expr("rn = (nsrc + 1) div 2")).select(
-        "source", F.col("quality").alias("median_q")
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("cum", F.sum("c").over(wcum))
+    tot = h.groupBy("source").agg(F.sum("c").alias("nsrc"))
+    med = (
+        cum.join(F.broadcast(tot), "source")
+        .filter(F.expr("cum >= (nsrc + 1) div 2"))
+        .groupBy("source")
+        .agg(F.min("quality").alias("median_q"))
     )
     per = (
-        r.join(F.broadcast(med), "source")
+        h.join(F.broadcast(med), "source")
         .groupBy("source")
         .agg(
-            F.max("nsrc").cast("long").alias("n_after_dedup"),
-            F.sum((F.col("quality") >= F.col("median_q")).cast("long"))
+            F.sum("c").cast("long").alias("n_after_dedup"),
+            F.sum(
+                F.when(
+                    F.col("quality") >= F.col("median_q"), F.col("c")
+                ).otherwise(F.lit(0))
+            )
             .cast("long")
             .alias("n_after_quality"),
             F.sum(
                 F.when(
-                    F.col("quality") >= F.col("median_q"), F.col("nt")
+                    F.col("quality") >= F.col("median_q"), F.col("tok")
                 ).otherwise(F.lit(0))
             )
             .cast("long")
@@ -690,9 +720,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape: the source histogram is output-sized, so the
     Hamilton windows run on a broadcast-scale dim; the per-source pick
-    is one window PARTITIONED by source over the md5 rank (parallel
-    across sources) joined against the broadcast quota table. Nothing
-    global except the tiny allocation table."""
+    rank comes from the grouped two-phase prefix scan
+    (operators/prefix.grouped_rank) — range-partitioned on
+    (source, md5, doc_id), so a source holding 80% of a 100 TB corpus
+    still ranks across many tasks (a per-source row_number window would
+    serialize it through one) — joined against the broadcast quota
+    table. Nothing global except the tiny allocation table."""
     docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", "source", F.size(T.tokens("text")).cast("long").alias("nt")
     )
@@ -727,13 +760,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("quota"),
         )
     )
-    wpick = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    from kremis_spark.operators.prefix import grouped_rank
+
+    ranked = grouped_rank(
+        docs.withColumn("_pick", F.md5(F.col("doc_id").cast("string"))),
+        ["source"],
+        ["_pick", "doc_id"],
+        out_col="rn",
     )
     picked = (
-        docs.select(
-            "source", "nt", F.row_number().over(wpick).cast("long").alias("rn")
-        )
+        ranked.select("source", "nt", "rn")
         .join(F.broadcast(alloc), "source")
         .select("source", "n", "quota", "nt", (F.col("rn") <= F.col("quota")).alias("take"))
     )

@@ -278,7 +278,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences) → a single group-agg on term with partial aggregation →
     global top-N. Posting lists are capped so no group's state grows
     with corpus size; a full index build would instead sink the same
-    aggregate partitioned by term prefix."""
+    aggregate partitioned by term prefix. The posting list is emitted as
+    a comma-joined STRING: the driver contract is scalar-only output
+    columns (__spark_entry__ docstring) — same information, hashable."""
     docs = _docs_parallel(spark, sf_dir)
     t = docs.select(
         "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("term")
@@ -287,8 +289,11 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(
-                F.sort_array(F.collect_set("doc_id")), 1, POSTING_CAP
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, POSTING_CAP
+                ).cast("array<string>"),
+                ",",
             ).alias("postings"),
         )
         .orderBy(F.desc("df"), "term")
@@ -2548,7 +2553,8 @@ WITH t AS (
 )
 SELECT term,
        COUNT(*) AS df,
-       (list_sort(list(doc_id)))[1:{POSTING_CAP}] AS postings
+       array_to_string((list_sort(list(doc_id)))[1:{POSTING_CAP}], ',')
+         AS postings
 FROM t GROUP BY term
 ORDER BY df DESC, term LIMIT {INDEX_TOPN}
 """,

@@ -41,6 +41,18 @@ def duck():
 @pytest.mark.parametrize("name", _NAMES)
 def test_oracle_match(spark, duck, name):
     sdf = _QS[name](spark, SF_DIR)
+    # Driver-canonicalizer contract: every output column must be a
+    # SCALAR type — the driver's pandas-based value hasher sorts all
+    # columns and throws `unhashable type` on arrays/maps/structs
+    # (round-6 red row pipe_inverted_index). Emit lists as joined
+    # strings instead.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in sdf.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}.{f.name} is non-scalar ({f.dataType.simpleString()}): "
+            "the driver canonicalizer cannot hash it — join to a string"
+        )
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 

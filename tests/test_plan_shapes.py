@@ -351,16 +351,30 @@ def test_bm25_broadcast_idf_and_topk(spark):
     assert "TakeOrderedAndProject" in txt, txt
 
 
-def test_surprisal_prune_window_is_source_partitioned(spark):
-    """Perplexity-band pruning: the banding window must be partitioned
-    by source (parallel across sources), not a global single-partition
-    sort of the corpus."""
+import re
+
+# A window PARTITIONED by source prints its partition key bare
+# ("windowspecdefinition(source#12, ..."), while ORDER keys carry a sort
+# direction ("source#12 ASC ..."). A per-source partition window over the
+# document dimension is the 100 TB skew hazard: one dominant source =
+# one serialized task. The bounded-domain exceptions (histogram walks
+# over quality 0..100) never rank docs, so plans may contain source-
+# partitioned SUMS over ≤101-row histograms but never a source-
+# partitioned row_number over docs.
+_SRC_PART_WINDOW = re.compile(r"windowspecdefinition\(source#\d+,")
+
+
+def test_surprisal_prune_rank_is_grouped_prefix_scan(spark):
+    """Perplexity-band pruning: the banding rank must come from the
+    grouped two-phase prefix scan — partitioned by the physical scan
+    partition id, never a per-source window over the doc dimension
+    (one dominant source would serialize through one task)."""
     from kremis_spark.plans.filtering import q_surprisal_prune
 
     txt = plan_text(q_surprisal_prune(spark, SF_DIR), "simple")
-    assert "Exchange SinglePartition" not in txt.replace(
-        "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
-    ), txt
+    assert not _SRC_PART_WINDOW.search(txt), txt
+    assert "__scan_pid" in txt, txt
+    assert "row_number" not in txt, txt
 
 
 def test_simhash_single_shuffle(spark):
@@ -396,15 +410,69 @@ def test_dau_wau_mau_hash_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in txt, txt
 
 
-def test_kmv_window_partitioned_by_type(spark):
-    """The KMV top-k window partitions by event_type — per-type state is
-    bounded by k; a single-partition window would serialize all users."""
+def test_kmv_two_phase_salted_topk(spark):
+    """The KMV K-smallest is two-phase: phase 1 partitions by
+    (event_type, salt) so a hot type sorts across KMV_SALTS parallel
+    tasks; the only event_type-only window is the phase-2 merge over
+    the ≤ K·KMV_SALTS survivors. No single-partition window."""
     from kremis_spark.plans.analytics_ext import q_kmv_distinct
 
     txt = plan_text(q_kmv_distinct(spark, SF_DIR), "simple")
+    assert "__kmv_salt" in txt, txt
     assert "Exchange SinglePartition" not in txt.replace(
         "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
     ), txt
+
+
+def test_kmv_two_phase_matches_single_window(spark):
+    """Exactness of the salted two-phase K-smallest: the global K
+    smallest are contained in the union of per-salt K smallest, so the
+    result must be IDENTICAL to the naive single per-type window — at
+    any salt count, including 1 (degenerate = the naive shape)."""
+    from pyspark.sql import Window as W
+
+    from kremis_spark.plans import analytics_ext as AE
+    from kremis_spark.sources.tables import read_table
+
+    ev = read_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    du = ev.distinct().withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    w = W.partitionBy("event_type").orderBy("h", "user_id")
+    naive = (
+        du.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= AE.KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").cast("long").alias("kth_min"),
+        )
+        .orderBy("event_type")
+    )
+    expected_kth = {
+        r["event_type"]: r["kth_min"] for r in naive.collect()
+    }
+    import pytest as _pytest
+
+    baseline = None
+    for salts in (1, 4, AE.KMV_SALTS):
+        _mp = _pytest.MonkeyPatch()
+        try:
+            _mp.setattr(AE, "KMV_SALTS", salts)
+            rows = [
+                tuple(r) for r in AE.q_kmv_distinct(spark, SF_DIR).collect()
+            ]
+        finally:
+            _mp.undo()
+        got_kth = {t: k for t, _exact, k, _est in rows}
+        assert got_kth == expected_kth, f"salts={salts}"
+        if baseline is None:
+            baseline = rows
+        else:
+            assert rows == baseline, f"salts={salts}"
 
 
 def test_q2_q20_broadcast_dimensions(spark):
@@ -455,8 +523,67 @@ def test_contamination_by_source_broadcasts_flags(spark):
 def test_stratified_sample_broadcasts_alloc(spark):
     """Stratified sampling: the Hamilton quota table (one row per
     source) joins the per-doc rank fact as a broadcast, and the pick
-    window is partitioned by source."""
+    rank comes from the grouped prefix scan — never a per-source
+    window over the doc dimension."""
     from kremis_spark.plans.mixing import q_stratified_sample
 
     txt = plan_text(q_stratified_sample(spark, SF_DIR), "simple")
     assert "BroadcastHashJoin" in txt, txt
+    assert not _SRC_PART_WINDOW.search(txt), txt
+    assert "__scan_pid" in txt, txt
+
+
+def test_quality_median_filter_histogram_no_doc_rank(spark):
+    """The per-source median comes from the bounded 0..100 quality
+    histogram — the plan must contain NO rank at all (row_number over a
+    per-source window would serialize a dominant source)."""
+    from kremis_spark.plans.mixing import q_quality_median_filter
+
+    txt = plan_text(q_quality_median_filter(spark, SF_DIR), "simple")
+    assert "row_number" not in txt, txt
+
+
+def test_e2e_curation_histogram_no_doc_rank(spark):
+    """The e2e funnel's quality gate uses the survivor histogram
+    median — no row_number anywhere in the composed plan."""
+    from kremis_spark.plans.mixing import q_e2e_curation
+
+    txt = plan_text(q_e2e_curation(spark, SF_DIR), "simple")
+    assert "row_number" not in txt, txt
+
+
+def test_grouped_rank_matches_window_rank(spark):
+    """grouped_rank == the naive per-group row_number for every
+    partition count, including ones that split a group across many
+    range partitions and ones that leave partitions empty."""
+    import random
+
+    from kremis_spark.operators.prefix import grouped_rank
+
+    rng = random.Random(13)
+    groups = ["a", "b", "bb", "c"]
+    # group "b" dominant (the skew case the operator exists for)
+    rows = [
+        (groups[min(rng.randrange(8), 3)] if rng.randrange(8) > 0 else "b",
+         i, rng.randrange(0, 40))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, id LONG, v LONG")
+
+    expected = {}
+    by_g: dict[str, list] = {}
+    for g, i, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    for g, items in by_g.items():
+        for rk, (v, i) in enumerate(sorted(items), start=1):
+            expected[(g, i)] = (rk, len(items))
+
+    for parts in (1, 3, 8, 64):
+        got = {
+            (r["g"], r["id"]): (r["rk"], r["n"])
+            for r in grouped_rank(
+                df, ["g"], ["v", "id"], out_col="rk",
+                group_count_col="n", num_partitions=parts,
+            ).collect()
+        }
+        assert got == expected, f"mismatch at num_partitions={parts}"
