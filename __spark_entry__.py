@@ -5,6 +5,20 @@
 (spark, sf_dir) → DataFrame.
 ``oracle_sql()`` — matching DuckDB SQL per query (same column names; the
 driver compares row-count + schema + order-insensitive value hash).
+
+DESIGN CONTRACT for every queries() entry (enforced by
+tests/test_analytics_oracle.py::test_oracle_match):
+
+- **Scalar-only output columns.** The driver's canonicalizer sorts and
+  hashes results with pandas; array/map/struct columns throw
+  ``unhashable type`` (round-6 red row ``pipe_inverted_index``). Emit
+  lists as deterministic joined strings (``array_join`` /
+  ``array_to_string``) — same information, driver-hashable.
+- **Identical column names on both sides.** Alias every aggregate in
+  the Spark plan AND the oracle SQL to the same name; the compare sorts
+  columns by name before hashing.
+- **Integer-exact values.** Float math diverges between engines; keep
+  user-visible metrics in integer/fixed-point arithmetic.
 """
 
 from __future__ import annotations
@@ -16,18 +30,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The grading driver runs CORRECTNESS verdicts for the FIRST 50 entries in
 # queries() dict order. Rounds 1-4 verified a fixed window; round 5
-# rotated 32 never-checked queries in (50/50 green in CORRECTNESS_r05).
-# Round 6 rotates again: 12 family sentinels stay as regression canaries,
-# and 38 slots go to queries that have never received a driver verdict
-# (graph analytics, events audits, the dedup/recall/containment family,
-# heldout-ppl, ...). Every rotated-in query was pre-verified against its
-# DuckDB oracle at sf0.01 with tools/check_oracle.py before this edit.
-# Queries not in the window stay exercised by
-# tests/test_analytics_oracle.py at sf0.001 every pytest run; ~36 from
-# earlier rounds plus the 7 added this round stay never-driver-checked
-# and rotate in next round (all pre-verified at sf0.01 already).
+# rotated 32 never-checked queries in; round 6 rotated 38 more (49/50
+# green — pipe_inverted_index red on the canonicalizer's array handling,
+# fixed this round and kept in the window for its green verdict).
+# Round 7 rotates again: the 12 family sentinels stay as regression
+# canaries, pipe_inverted_index re-runs post-fix, and 37 slots go to
+# queries that have never received a driver verdict (TPC-H supply
+# adaptations, RFM, the streaming family, the ANN audit family, the
+# embedding-QC family, curation/mixing audits — including the five
+# round-7 skew-hardened plans). Every rotated-in query was pre-verified
+# against its DuckDB oracle at sf0.01 with tools/check_oracle.py before
+# this edit. Queries not in the window stay exercised by
+# tests/test_analytics_oracle.py at sf0.001 every pytest run; 26 remain
+# never-driver-checked and rotate in next round (all in-suite green).
 _PRIORITY_FIRST_50 = [
-    # --- family sentinels (driver-green in r04+r05, kept as canaries) ---
+    # --- family sentinels (driver-green in r04-r06, kept as canaries) ---
     "graph_nodes",               # ingest family
     "graph_traverse_dfs",        # traversal (golden-rows oracle)
     "graph_strongest_path",      # reference path algorithm
@@ -40,45 +57,46 @@ _PRIORITY_FIRST_50 = [
     "pipe_quality",              # text-analysis family
     "pipe_seq_pack",             # curation family
     "pipe_multimodal_decode",    # multimodal plumbing
-    # --- never-driver-checked rotation (first verdict this round) ---
-    "graph_wcc_size_hist",
-    "graph_clustering_coeff",
-    "graph_assortativity",
-    "graph_reciprocity",
-    "graph_jaccard_neighbors",
-    "graph_modularity",
-    "events_hourly_anomaly",
-    "events_user_streaks",
-    "events_power_gini",
-    "events_session_gap_hist",
-    "events_new_vs_returning",
-    "events_decay_sum",
-    "events_kanon_summary",
-    "events_ab_srm",
-    "events_cube_summary",
-    "events_pivot_hourly",
-    "events_funnel_latency",
-    "events_hll_intersect",
-    "events_value_histogram",
-    "events_skew_safe_reach",
-    "orders_cohort_ltv",
-    "docs_length_percentiles",
-    "docs_zorder_layout",
-    "pipe_lm_surprisal",
-    "pipe_source_drift",
-    "pipe_langid_confusion",
-    "pipe_knn_graph",
-    "pipe_ann_filtered_topk",
-    "pipe_embed_neardup",
+    # --- round-6 red row, fixed this round (scalar postings string) ---
     "pipe_inverted_index",
-    "pipe_pii_scrub",
-    "pipe_top_ngram",
-    "pipe_bpe_merge_step",
-    "pipe_canonical_pick",
-    "pipe_containment",
-    "pipe_simhash_neardup",
-    "pipe_leakage_split",
-    "pipe_heldout_ppl",
+    # --- never-driver-checked rotation (first verdict this round) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_dominant_supplier",
+    "tpch_rfm_segments",
+    "win_weekly_growth",
+    "events_kmv_distinct",
+    "events_dau_wau_mau",
+    "stream_hll_by_type",
+    "stream_neardup_flags",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_dedup_counts",
+    "pipe_ann_pareto",
+    "pipe_ann_mips",
+    "pipe_ann_sq8",
+    "pipe_ann_ivfpq",
+    "pipe_kmeans_step",
+    "pipe_embed_dim_stats",
+    "pipe_embed_gram",
+    "pipe_embed_outliers",
+    "pipe_label_purity",
+    "pipe_embed_norm_hist",
+    "pipe_winnowing",
+    "pipe_surprisal_prune",
+    "pipe_quality_median_filter",
+    "pipe_stratified_sample",
+    "pipe_e2e_curation",
+    "pipe_quality_percentiles_by_source",
+    "pipe_cdc_chunks",
+    "pipe_token_budget_mix",
+    "pipe_packing_efficiency",
+    "pipe_mixture_sample",
+    "pipe_epoch_schedule",
+    "pipe_dedup_keep",
+    "pipe_bm25_topk",
+    "pipe_hybrid_rrf",
+    "graph_stable_edge_curve",
 ]
 
 

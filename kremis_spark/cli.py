@@ -248,12 +248,19 @@ def cmd_run_query(args) -> int:
 
 
 def cmd_server(args) -> int:  # pragma: no cover
-    import os
-
+    from kremis_spark.config import AppConfig
     from kremis_spark.server import create_app
 
     eng = _engine(args)
-    app = create_app(eng.engine, api_key=os.environ.get("KREMIS_API_KEY"))
+    # Layered config: env > kremis.toml > defaults (config.rs:142-180).
+    cfg, report = AppConfig.load()
+    app = create_app(
+        eng.engine,
+        api_key=cfg.security.api_key,
+        rate_per_sec=(cfg.api.rate_limit or None),
+        cors_origins=cfg.cors.origins,
+        config_report=report,
+    )
     app.run(host=args.host, port=args.port)
     return 0
 

@@ -1,0 +1,189 @@
+"""Layered application configuration, mirroring the reference loader
+(``apps/kremis/src/config.rs:142-240``).
+
+Priority (highest to lowest), documented at ``config.rs:7-10``:
+
+1. Environment variables
+2. ``kremis.toml`` in the current working directory
+3. Compiled-in defaults
+
+``AppConfig.load()`` NEVER fails: a missing or malformed ``kremis.toml``
+logs a warning and falls back to defaults (``config.rs:176-186``). It
+returns the config together with a :class:`ConfigReport` recording which
+sources were active — the file's presence and the NAMES of applied env
+overrides, never their values (``config.rs:118-130``: sensitive fields
+are only reported as present/absent).
+
+Env override table (``config.rs:11-19``):
+
+| Env var               | Config key            |
+|-----------------------|-----------------------|
+| ``KREMIS_LOG_FORMAT`` | ``[logging] format``  |
+| ``KREMIS_LOG_LEVEL``  | ``[logging] level`` (the reference reads
+|                       | ``RUST_LOG``; accepted here too for parity) |
+| ``KREMIS_RATE_LIMIT`` | ``[api] rate_limit``  |
+| ``KREMIS_API_KEY``    | ``[security] api_key``|
+| ``KREMIS_CORS_ORIGINS`` | ``[cors] origins``  |
+| ``KREMIS_URL``        | ``[mcp] url``         |
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tomllib
+from dataclasses import dataclass, field
+
+_LOG = logging.getLogger(__name__)
+
+DEFAULT_LOG_FORMAT = "text"
+DEFAULT_LOG_LEVEL = "kremis=info"
+DEFAULT_RATE_LIMIT = 100  # config.rs:66 — 0 disables rate limiting
+DEFAULT_MCP_URL = "http://localhost:8080"  # config.rs:103
+
+
+@dataclass
+class LoggingConfig:
+    format: str = DEFAULT_LOG_FORMAT  # "text" | "json"
+    level: str = DEFAULT_LOG_LEVEL
+
+
+@dataclass
+class ApiConfig:
+    rate_limit: int = DEFAULT_RATE_LIMIT
+
+
+@dataclass
+class SecurityConfig:
+    api_key: str | None = None  # None disables auth
+
+
+@dataclass
+class CorsConfig:
+    # Empty list defaults to localhost-only; ["*"] allows all
+    # (resolved by server.resolve_cors_origins, api/mod.rs:100-155).
+    origins: list[str] = field(default_factory=list)
+
+
+@dataclass
+class McpConfig:
+    url: str = DEFAULT_MCP_URL
+
+
+@dataclass
+class ConfigReport:
+    """Provenance of the loaded config (``config.rs:118-130``): which
+    sources were ACTIVE, never any value."""
+
+    toml_loaded: bool = False
+    env_overrides: list[str] = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {
+            "toml_loaded": self.toml_loaded,
+            "env_overrides": list(self.env_overrides),
+        }
+
+
+@dataclass
+class AppConfig:
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    api: ApiConfig = field(default_factory=ApiConfig)
+    security: SecurityConfig = field(default_factory=SecurityConfig)
+    cors: CorsConfig = field(default_factory=CorsConfig)
+    mcp: McpConfig = field(default_factory=McpConfig)
+
+    @classmethod
+    def _from_toml(cls, raw: str) -> AppConfig:
+        """Parse a TOML document; unknown keys ignored, unset sections
+        keep defaults (serde's ``#[serde(default)]`` behavior)."""
+        data = tomllib.loads(raw)
+        cfg = cls()
+        log = data.get("logging", {})
+        if isinstance(log.get("format"), str):
+            cfg.logging.format = log["format"]
+        if isinstance(log.get("level"), str):
+            cfg.logging.level = log["level"]
+        api = data.get("api", {})
+        if isinstance(api.get("rate_limit"), int) and not isinstance(
+            api.get("rate_limit"), bool
+        ):
+            cfg.api.rate_limit = api["rate_limit"]
+        sec = data.get("security", {})
+        if isinstance(sec.get("api_key"), str):
+            cfg.security.api_key = sec["api_key"]
+        cors = data.get("cors", {})
+        if isinstance(cors.get("origins"), list):
+            cfg.cors.origins = [
+                o for o in cors["origins"] if isinstance(o, str)
+            ]
+        mcp = data.get("mcp", {})
+        if isinstance(mcp.get("url"), str):
+            cfg.mcp.url = mcp["url"]
+        return cfg
+
+    @classmethod
+    def load(
+        cls,
+        toml_path: str = "kremis.toml",
+        env: dict[str, str] | None = None,
+    ) -> tuple[AppConfig, ConfigReport]:
+        """Load with priority env > ``kremis.toml`` > defaults
+        (``config.rs:163-240``). Never raises: parse errors warn and
+        fall back to the lower layer."""
+        if env is None:
+            env = dict(os.environ)
+        config = cls()
+        report = ConfigReport()
+
+        # Layer 1: kremis.toml (if present; config.rs:176-188)
+        try:
+            with open(toml_path, encoding="utf-8") as f:
+                raw = f.read()
+        except OSError:
+            raw = None
+        if raw is not None:
+            try:
+                config = cls._from_toml(raw)
+                report.toml_loaded = True
+            except (tomllib.TOMLDecodeError, TypeError) as e:
+                _LOG.warning(
+                    "kremis.toml parse error (using defaults): %s", e
+                )
+
+        # Layer 2: env overrides, each tracked by NAME (config.rs:190-238)
+        v = env.get("KREMIS_LOG_FORMAT", "")
+        if v:
+            config.logging.format = v
+            report.env_overrides.append("KREMIS_LOG_FORMAT")
+        for var in ("KREMIS_LOG_LEVEL", "RUST_LOG"):
+            v = env.get(var, "")
+            if v:
+                config.logging.level = v
+                report.env_overrides.append(var)
+                break
+        v = env.get("KREMIS_RATE_LIMIT", "")
+        if v:
+            try:
+                config.api.rate_limit = int(v)
+                report.env_overrides.append("KREMIS_RATE_LIMIT")
+            except ValueError:
+                pass  # unparsable numeric: keep lower layer (config.rs:207-212)
+        if "KREMIS_API_KEY" in env:
+            v = env["KREMIS_API_KEY"]
+            # Explicit empty string CLEARS the key — auth disabled
+            # (config.rs:213-221).
+            config.security.api_key = v if v else None
+            report.env_overrides.append("KREMIS_API_KEY")
+        v = env.get("KREMIS_CORS_ORIGINS", "")
+        if v:
+            config.cors.origins = [
+                s.strip() for s in v.split(",") if s.strip()
+            ]
+            report.env_overrides.append("KREMIS_CORS_ORIGINS")
+        v = env.get("KREMIS_URL", "")
+        if v:
+            config.mcp.url = v
+            report.env_overrides.append("KREMIS_URL")
+
+        return config, report

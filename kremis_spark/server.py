@@ -27,6 +27,7 @@ import time
 from flask import Flask, jsonify, request
 
 from kremis_spark import api as A
+from kremis_spark.config import AppConfig, ConfigReport
 from kremis_spark.engine import GraphEngine
 from kremis_spark.ingest import InvalidSignalError, SequenceTooLongError
 from kremis_spark.schema import SIGNALS_SCHEMA
@@ -114,6 +115,7 @@ def create_app(
     api_key: str | None = None,
     rate_per_sec: float | None = DEFAULT_RATE_PER_SEC,
     cors_origins: list[str] | None = None,
+    config_report: "ConfigReport | None" = None,
 ) -> Flask:
     app = Flask("kremis_spark")
     app.config["MAX_CONTENT_LENGTH"] = MAX_BODY_BYTES
@@ -175,7 +177,12 @@ def create_app(
 
     @app.get("/status")
     def status():
-        return jsonify(A.status_response(engine))
+        body = A.status_response(engine)
+        if config_report is not None:
+            # Config provenance (config.rs:118-130): which sources were
+            # active — file presence + override NAMES, never values.
+            body["config"] = config_report.as_dict()
+        return jsonify(body)
 
     @app.get("/stage")
     def stage():
@@ -286,12 +293,14 @@ def main() -> None:  # pragma: no cover
     from kremis_spark.session import get_spark
 
     engine = GraphEngine(get_spark("kremis_server"))
-    cors_env = os.environ.get("KREMIS_CORS_ORIGINS", "")
+    # Layered config: env > kremis.toml > defaults (config.rs:142-180).
+    cfg, report = AppConfig.load()
     app = create_app(
         engine,
-        api_key=os.environ.get("KREMIS_API_KEY"),
-        rate_per_sec=float(os.environ.get("KREMIS_RATE_LIMIT", DEFAULT_RATE_PER_SEC)),
-        cors_origins=[o.strip() for o in cors_env.split(",") if o.strip()],
+        api_key=cfg.security.api_key,
+        rate_per_sec=(cfg.api.rate_limit or None),
+        cors_origins=cfg.cors.origins,
+        config_report=report,
     )
     app.run(
         host=os.environ.get("KREMIS_HOST", "127.0.0.1"),

@@ -1,0 +1,178 @@
+"""Layered config loading (config.rs:142-240 parity): priority
+env > kremis.toml > defaults, never-fail parse, and the ConfigReport
+provenance (file presence + override NAMES, never values) surfaced in
+/status."""
+
+from __future__ import annotations
+
+from kremis_spark.config import (
+    DEFAULT_LOG_FORMAT,
+    DEFAULT_LOG_LEVEL,
+    DEFAULT_MCP_URL,
+    DEFAULT_RATE_LIMIT,
+    AppConfig,
+)
+
+FULL_TOML = """
+[logging]
+format = "json"
+level  = "debug"
+
+[api]
+rate_limit = 50
+
+[security]
+api_key = "secret"
+
+[cors]
+origins = ["https://example.com"]
+
+[mcp]
+url = "http://kremis:9090"
+"""
+
+
+def test_defaults_when_no_file_no_env(tmp_path):
+    cfg, report = AppConfig.load(str(tmp_path / "kremis.toml"), env={})
+    assert cfg.logging.format == DEFAULT_LOG_FORMAT
+    assert cfg.logging.level == DEFAULT_LOG_LEVEL
+    assert cfg.api.rate_limit == DEFAULT_RATE_LIMIT
+    assert cfg.security.api_key is None
+    assert cfg.cors.origins == []
+    assert cfg.mcp.url == DEFAULT_MCP_URL
+    assert report.toml_loaded is False
+    assert report.env_overrides == []
+
+
+def test_toml_full_parse(tmp_path):
+    p = tmp_path / "kremis.toml"
+    p.write_text(FULL_TOML)
+    cfg, report = AppConfig.load(str(p), env={})
+    assert report.toml_loaded is True
+    assert cfg.logging.format == "json"
+    assert cfg.logging.level == "debug"
+    assert cfg.api.rate_limit == 50
+    assert cfg.security.api_key == "secret"
+    assert cfg.cors.origins == ["https://example.com"]
+    assert cfg.mcp.url == "http://kremis:9090"
+
+
+def test_toml_partial_keeps_defaults(tmp_path):
+    # config.rs test_toml_parse_partial: unset fields keep defaults.
+    p = tmp_path / "kremis.toml"
+    p.write_text('[logging]\nformat = "json"\n')
+    cfg, report = AppConfig.load(str(p), env={})
+    assert report.toml_loaded is True
+    assert cfg.logging.format == "json"
+    assert cfg.logging.level == DEFAULT_LOG_LEVEL
+    assert cfg.api.rate_limit == DEFAULT_RATE_LIMIT
+
+
+def test_malformed_toml_never_fails(tmp_path):
+    # config.rs:182-186: parse error -> warn, use defaults.
+    p = tmp_path / "kremis.toml"
+    p.write_text("this is [[ not toml = =")
+    cfg, report = AppConfig.load(str(p), env={})
+    assert report.toml_loaded is False
+    assert cfg.api.rate_limit == DEFAULT_RATE_LIMIT
+
+
+def test_env_overrides_file(tmp_path):
+    # Priority: env > file (config.rs:7-10).
+    p = tmp_path / "kremis.toml"
+    p.write_text(FULL_TOML)
+    env = {
+        "KREMIS_LOG_FORMAT": "text",
+        "KREMIS_RATE_LIMIT": "7",
+        "KREMIS_CORS_ORIGINS": "https://a.example.com, https://b.example.com , ",
+        "KREMIS_URL": "http://other:1234",
+    }
+    cfg, report = AppConfig.load(str(p), env=env)
+    assert report.toml_loaded is True
+    assert cfg.logging.format == "text"
+    assert cfg.api.rate_limit == 7
+    # CSV split + trim + drop-empty (config.rs:223-231).
+    assert cfg.cors.origins == [
+        "https://a.example.com",
+        "https://b.example.com",
+    ]
+    assert cfg.mcp.url == "http://other:1234"
+    assert sorted(report.env_overrides) == [
+        "KREMIS_CORS_ORIGINS",
+        "KREMIS_LOG_FORMAT",
+        "KREMIS_RATE_LIMIT",
+        "KREMIS_URL",
+    ]
+    # file value survives where no env override exists
+    assert cfg.security.api_key == "secret"
+
+
+def test_env_empty_api_key_clears_auth(tmp_path):
+    # config.rs:213-221: explicit empty string disables auth.
+    p = tmp_path / "kremis.toml"
+    p.write_text(FULL_TOML)
+    cfg, report = AppConfig.load(str(p), env={"KREMIS_API_KEY": ""})
+    assert cfg.security.api_key is None
+    assert "KREMIS_API_KEY" in report.env_overrides
+
+
+def test_env_bad_rate_limit_ignored(tmp_path):
+    # config.rs:207-212: unparsable numeric keeps the lower layer.
+    cfg, report = AppConfig.load(
+        str(tmp_path / "absent.toml"), env={"KREMIS_RATE_LIMIT": "lots"}
+    )
+    assert cfg.api.rate_limit == DEFAULT_RATE_LIMIT
+    assert "KREMIS_RATE_LIMIT" not in report.env_overrides
+
+
+def test_rust_log_parity(tmp_path):
+    # The reference reads RUST_LOG for [logging] level; accepted here
+    # too, with KREMIS_LOG_LEVEL taking precedence when both are set.
+    cfg, report = AppConfig.load(
+        str(tmp_path / "absent.toml"), env={"RUST_LOG": "warn"}
+    )
+    assert cfg.logging.level == "warn"
+    assert report.env_overrides == ["RUST_LOG"]
+    cfg, report = AppConfig.load(
+        str(tmp_path / "absent.toml"),
+        env={"RUST_LOG": "warn", "KREMIS_LOG_LEVEL": "debug"},
+    )
+    assert cfg.logging.level == "debug"
+    assert report.env_overrides == ["KREMIS_LOG_LEVEL"]
+
+
+def test_report_never_contains_values(tmp_path):
+    p = tmp_path / "kremis.toml"
+    p.write_text(FULL_TOML)
+    _, report = AppConfig.load(
+        str(p), env={"KREMIS_API_KEY": "supersecret"}
+    )
+    d = report.as_dict()
+    assert "supersecret" not in str(d)
+    assert "secret" not in str(d)
+
+
+def test_status_surfaces_config_report(spark, tmp_path):
+    """/status carries the provenance report when the app is built from
+    a loaded config (the deployer's first debugging question: which
+    layer set this?)."""
+    from kremis_spark.engine import GraphEngine
+    from kremis_spark.server import create_app
+
+    p = tmp_path / "kremis.toml"
+    p.write_text('[api]\nrate_limit = 0\n')
+    cfg, report = AppConfig.load(str(p), env={"KREMIS_LOG_FORMAT": "json"})
+    engine = GraphEngine(spark)
+    app = create_app(
+        engine,
+        api_key=cfg.security.api_key,
+        rate_per_sec=(cfg.api.rate_limit or None),
+        cors_origins=cfg.cors.origins,
+        config_report=report,
+    )
+    client = app.test_client()
+    body = client.get("/status").get_json()
+    assert body["config"] == {
+        "toml_loaded": True,
+        "env_overrides": ["KREMIS_LOG_FORMAT"],
+    }
