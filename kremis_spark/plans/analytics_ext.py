@@ -616,31 +616,42 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-language length percentiles (p50/p90/p99) via rank
-    windows — the distributed-exact alternative to approx_percentile
-    (whose sketch output would never hash-match an oracle). One shuffle
-    on lang; rank targets use pure integer ceil math so both engines
-    agree bit-for-bit."""
+    """Exact per-language length percentiles (p50/p90/p99) — the
+    distributed-exact alternative to approx_percentile (whose sketch
+    output would never hash-match an oracle). Rank targets use pure
+    integer ceil math so both engines agree bit-for-bit.
+
+    Scale shape: the rank walk runs on the per-language VALUE HISTOGRAM
+    (lang, n_chars, count) — its size is bounded by the n_chars domain
+    (max document length), not by corpus size, so a language holding
+    80% of a 100 TB corpus never serializes through one window task
+    (the per-lang row_number this replaces would). The value at rank k
+    is the smallest n_chars whose cumulative count reaches k — ties
+    irrelevant, same value either way."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "lang",
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    h = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("cum", F.sum("c").over(wcum))
+    tot = h.groupBy("lang").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), "lang")
     picks = [
-        F.max(
+        F.min(
             F.when(
-                F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+                F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"),
                 F.col("n_chars"),
             )
         ).alias(f"p{p}")
         for p in (50, 90, 99)
     ]
-    return ranked.groupBy("lang").agg(*picks).orderBy("lang")
+    return j.groupBy("lang").agg(*picks).orderBy("lang")
 
 
 DECAY_MAX_SHIFT = 40  # cents >> 40 is 0 for any real value — safe clamp

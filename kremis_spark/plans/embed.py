@@ -1336,6 +1336,7 @@ FROM r WHERE rn = 1 ORDER BY cell
 
 
 OUTLIER_K = 5  # farthest vectors reported per label
+OUTLIER_SALTS = 16  # phase-1 fan-out for the two-phase per-label top-K
 
 
 def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,8 +1352,13 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one posexplode → (label × dim)-group partial agg for
     the centroid table (labels × 64 rows — broadcast), centroids
     re-assembled into arrays, one broadcast join back onto the vectors,
-    distance via map-side zip_with fold, and a per-label top-K window
-    (partitioned by label, never global)."""
+    distance via map-side zip_with fold, and a TWO-PHASE per-label
+    top-K: phase 1 keeps each (label, salt)'s K farthest (a label
+    holding most of the corpus sorts across OUTLIER_SALTS parallel
+    tasks), phase 2 re-merges the ≤ K·SALTS survivors per label — the
+    global K farthest are always inside the union of per-salt K
+    farthest, so it is exact while no task ever sorts a whole hot
+    label (same shape as the KMV K-smallest)."""
     prep = _prepared(spark, sf_dir)
     d = prep.select(
         "vec_id", "label", F.posexplode("ivec").alias("dim", "x")
@@ -1388,9 +1394,20 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         dist.cast("long").alias("dist"),
     )
+    salted = scored.withColumn(
+        "__out_salt", F.pmod(F.xxhash64("vec_id"), F.lit(OUTLIER_SALTS))
+    )
+    w1 = Window.partitionBy("label", "__out_salt").orderBy(
+        F.desc("dist"), "vec_id"
+    )
+    part = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= OUTLIER_K)
+        .drop("rn", "__out_salt")
+    )
     w = Window.partitionBy("label").orderBy(F.desc("dist"), "vec_id")
     return (
-        scored.withColumn("out_rank", F.row_number().over(w).cast("long"))
+        part.withColumn("out_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("out_rank") <= OUTLIER_K)
         .orderBy("label", "out_rank")
     )

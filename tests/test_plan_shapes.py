@@ -552,6 +552,44 @@ def test_e2e_curation_histogram_no_doc_rank(spark):
     assert "row_number" not in txt, txt
 
 
+def test_docs_percentiles_histogram_no_doc_rank(spark):
+    """Per-language length percentiles come from the (lang, n_chars)
+    value histogram — bounded by the length domain, not corpus size.
+    No row_number over the doc dimension."""
+    from kremis_spark.plans.analytics_ext import q_docs_percentiles
+
+    txt = plan_text(q_docs_percentiles(spark, SF_DIR), "simple")
+    assert "row_number" not in txt, txt
+
+
+def test_embed_outliers_two_phase_matches_single_window(spark):
+    """The salted two-phase per-label top-K must be identical to the
+    naive single per-label window at any salt count (the global K
+    farthest are contained in the union of per-salt K farthest)."""
+    import pytest as _pytest
+
+    from kremis_spark.plans import embed as E
+
+    txt = plan_text(E.q_embed_outliers(spark, SF_DIR), "simple")
+    assert "__out_salt" in txt, txt
+
+    baseline = None
+    for salts in (1, 4, E.OUTLIER_SALTS):
+        _mp = _pytest.MonkeyPatch()
+        try:
+            _mp.setattr(E, "OUTLIER_SALTS", salts)
+            rows = [
+                tuple(r)
+                for r in E.q_embed_outliers(spark, SF_DIR).collect()
+            ]
+        finally:
+            _mp.undo()
+        if baseline is None:
+            baseline = rows
+        else:
+            assert rows == baseline, f"salts={salts}"
+
+
 def test_grouped_rank_matches_window_rank(spark):
     """grouped_rank == the naive per-group row_number for every
     partition count, including ones that split a group across many
