@@ -114,16 +114,37 @@ def grouped_rank(
 
     rank = global_prefix − group_start + 1. Optionally also emits the
     group size as ``group_count_col`` (band/quota arithmetic usually
-    needs n alongside the rank, and the starts table already has it)."""
+    needs n alongside the rank, and the starts table already has it).
+
+    Fused rather than composed over :func:`exclusive_prefix_sum` so the
+    input lineage runs ONCE: the range-partitioned checkpoint feeds all
+    three consumers (partition totals, group sizes, local window) —
+    composing would replay the caller's (often expensive) lineage a
+    second time for the group-size aggregate."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 1)
     all_order: list[str | Column] = [*group_cols, *order_cols]
-    ranked = exclusive_prefix_sum(
-        df.withColumn("__gr_one", F.lit(1).cast("long")),
-        all_order,
-        "__gr_one",
-        out_col="__gr_pref",
-        num_partitions=num_partitions,
+
+    ranged = df.repartitionByRange(num_partitions, *all_order).withColumn(
+        _PID, F.spark_partition_id()
     )
-    sizes = df.groupBy(*group_cols).agg(
+    ranged = ranged.localCheckpoint(eager=True)
+
+    totals = {
+        int(r[0]): int(r[1])
+        for r in ranged.groupBy(_PID).count().collect()
+    }
+    acc = 0
+    offset_rows = []
+    for pid in range(num_partitions):
+        offset_rows.append((pid, acc))
+        acc += totals.get(pid, 0)
+    offsets = spark.createDataFrame(
+        offset_rows, f"{_PID} INT, __scan_off LONG"
+    )
+
+    sizes = ranged.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("__gr_n")
     )
     # Running sum over the GROUP domain (output-sized — #sources, not
@@ -139,15 +160,25 @@ def grouped_rank(
             "__gr_start"
         ),
     )
+
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*all_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(
+        F.count(F.lit(1)).over(w).cast("long"), F.lit(0).cast("long")
+    )
     out = (
-        ranked.join(F.broadcast(starts), group_cols)
+        ranged.join(F.broadcast(offsets), _PID)
+        .join(F.broadcast(starts), group_cols)
         .withColumn(
             out_col,
-            (F.col("__gr_pref") - F.col("__gr_start") + F.lit(1)).cast(
-                "long"
-            ),
+            (
+                local + F.col("__scan_off") - F.col("__gr_start") + F.lit(1)
+            ).cast("long"),
         )
-        .drop("__gr_one", "__gr_pref", "__gr_start")
+        .drop(_PID, "__scan_off", "__gr_start")
     )
     if group_count_col is not None:
         out = out.withColumnRenamed("__gr_n", group_count_col)
