@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from kremis_spark.functions import text as T
 from kremis_spark.operators.prefix import exclusive_prefix_sum
 from kremis_spark.plans.pipeline import (
+    _DOC_SH,
     _MINHASH_CORE,
     _STOP_LIST,
     _TOKS,
@@ -54,6 +55,10 @@ N_STAGES = 4  # curriculum tiles
 # left join must shuffle instead.
 DEDUP_LABELS_BCAST_MAX = 5_000_000
 MIX_SCALE = 1_000_000  # ppm
+DOREMI_BASE = 1000  # linearized exp(η·excess) with η = 1/1000 per milli
+DOREMI_EXCESS_CAP = 100_000  # clamp: keeps score ≤ share_ppm·101000, no
+# overflow at any corpus size, and bounds a single pathological domain's
+# upweighting — the same role as Group DRO's step size
 
 
 def _isqrt_col(n: str) -> F.Column:
@@ -923,6 +928,49 @@ FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
 
 ORACLE_SQL["pipe_quality_vs_dup"] = _quality_vs_dup_sql()
 
+# `//` == Spark `div` on the nonnegative operands used here.
+ORACLE_SQL["pipe_doremi_weights"] = rf"""
+WITH {_DOC_SH.strip()},
+occ AS (SELECT doc_id, UNNEST(shingles) AS g FROM doc_sh),
+counts AS (SELECT g, COUNT(*) AS c FROM occ GROUP BY g),
+tot AS (SELECT SUM(c) AS n FROM counts),
+per AS (
+  SELECT o.doc_id, COUNT(*) AS nb, SUM(t.n // c.c) AS s
+  FROM occ o JOIN counts c USING (g) CROSS JOIN tot t
+  GROUP BY o.doc_id
+),
+d AS (SELECT doc_id, source, len({_TOKS}) AS nt FROM documents),
+j AS (
+  SELECT d.source, d.nt, COALESCE(p.nb, 0) AS nb, COALESCE(p.s, 0) AS s
+  FROM d LEFT JOIN per p USING (doc_id)
+),
+src AS (
+  SELECT source, SUM(nt) AS n_tokens, SUM(nb) AS nb, SUM(s) AS s
+  FROM j GROUP BY source
+),
+r AS (
+  SELECT source, n_tokens,
+         s * 1000 // GREATEST(nb, 1) AS src_millis,
+         LEAST(GREATEST(
+             s * 1000 // GREATEST(nb, 1)
+             - (SUM(s) OVER ()) * 1000 // GREATEST(SUM(nb) OVER (), 1),
+             0), {DOREMI_EXCESS_CAP}) AS excess_millis,
+         n_tokens * {MIX_SCALE} // GREATEST(SUM(n_tokens) OVER (), 1)
+           AS share_ppm
+  FROM src
+),
+sc AS (
+  SELECT *, share_ppm * ({DOREMI_BASE} + excess_millis) AS score FROM r
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(src_millis AS BIGINT) AS surprisal_millis,
+       CAST(excess_millis AS BIGINT) AS excess_millis,
+       CAST(score * {MIX_SCALE} // GREATEST(SUM(score) OVER (), 1)
+            AS BIGINT) AS weight_ppm
+FROM sc ORDER BY source
+"""
+
 ORACLE_SQL["docs_zorder_layout"] = rf"""
 WITH q AS ({_QUALITY_EXPR}),
 feat AS (
@@ -959,8 +1007,82 @@ SELECT CAST(file_id AS BIGINT) AS file_id,
 FROM f GROUP BY file_id ORDER BY file_id
 """
 
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429): Group DRO upweights domains whose proxy-model
+    loss exceeds the reference model's. One exponentiated-gradient
+    step, integer-exact: per source, the mean bigram-surprisal proxy
+    (plans/pipeline.q_lm_surprisal — the corpus-as-model stand-in for
+    the reference LM) in millis; excess over the corpus-wide mean,
+    clamped to [0, CAP]; the token-share baseline is scaled by
+    (BASE + excess) — the first-order expansion of share·exp(η·excess)
+    — and normalized to ppm. Sources the model finds harder than
+    average are mixed UP (the DRO signal); at-or-below-reference
+    sources keep their share. Output: one audit row per source
+    (tokens, surprisal, excess, final weight).
+
+    Scale shape: the surprisal signal is the lm_surprisal plan
+    (explode → co-partitioned self-join on the bigram key, Zipf-bounded
+    model table); everything after is ONE per-source partial agg plus
+    scalar window arithmetic over the output-sized source dim. Shares
+    are normalized to ppm BEFORE the multiplicative step so no product
+    exceeds 10^6·(BASE+CAP) ≈ 10^11 at any corpus size."""
+    from kremis_spark.plans.pipeline import q_lm_surprisal
+
+    per = q_lm_surprisal(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir).select(
+        "doc_id", "source", F.size(T.tokens("text")).cast("long").alias("nt")
+    )
+    src = (
+        docs.join(per, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("n_bigrams").cast("long").alias("nb"),
+            F.sum("lm_surprisal").cast("long").alias("s"),
+        )
+    )
+    wall = Window.partitionBy()
+    r = src.select(
+        "source",
+        "n_tokens",
+        F.expr("s * 1000 div greatest(nb, 1)").alias("src_millis"),
+        (F.sum("s").over(wall) * F.lit(1000)).alias("_ts"),
+        F.greatest(F.sum("nb").over(wall), F.lit(1)).alias("_tb"),
+        F.sum("n_tokens").over(wall).alias("_tt"),
+    ).select(
+        "source",
+        "n_tokens",
+        "src_millis",
+        F.expr(
+            f"least(greatest(src_millis - _ts div _tb, 0L),"
+            f" {DOREMI_EXCESS_CAP}L)"
+        ).alias("excess_millis"),
+        F.expr(f"n_tokens * {MIX_SCALE}L div greatest(_tt, 1L)").alias(
+            "share_ppm"
+        ),
+    )
+    sc = r.withColumn(
+        "score", F.expr(f"share_ppm * ({DOREMI_BASE}L + excess_millis)")
+    )
+    return (
+        sc.select(
+            "source",
+            "n_tokens",
+            F.col("src_millis").cast("long").alias("surprisal_millis"),
+            F.col("excess_millis").cast("long").alias("excess_millis"),
+            F.expr(
+                f"cast(score * {MIX_SCALE}L"
+                " div greatest(sum(score) over (), 1L) as long)"
+            ).alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "pipe_temperature_mix": q_temperature_mix,
+    "pipe_doremi_weights": q_doremi_weights,
     "pipe_epoch_schedule": q_epoch_schedule,
     "pipe_curriculum_stages": q_curriculum_stages,
     "pipe_dedup_keep": q_dedup_keep,

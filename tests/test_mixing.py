@@ -105,6 +105,31 @@ def test_quality_median_filter_bounds(spark):
         assert n - (n + 1) // 2 + 1 <= kept <= n
 
 
+def test_doremi_weights_invariants(spark):
+    """DoReMi reweighting: ppm weights nearly sum to 1e6 (floor-div
+    slack < #sources), every weight positive, zero-excess sources keep
+    (approximately) their token share, and any positive-excess source
+    is weighted ABOVE its baseline share — the Group-DRO direction."""
+    rows = mixing.q_doremi_weights(spark, SF_DIR).collect()
+    assert rows
+    total_w = sum(int(r["weight_ppm"]) for r in rows)
+    assert 1_000_000 - len(rows) <= total_w <= 1_000_000
+    total_tokens = sum(int(r["n_tokens"]) for r in rows)
+    for r in rows:
+        share = int(r["n_tokens"]) * 1_000_000 // total_tokens
+        assert int(r["weight_ppm"]) > 0
+        assert 0 <= int(r["excess_millis"]) <= mixing.DOREMI_EXCESS_CAP
+        if int(r["excess_millis"]) > 0:
+            # upweighted relative to baseline share unless everyone has
+            # even larger excess — check the weaker direction vs the
+            # minimum-excess source's scaled share
+            assert int(r["weight_ppm"]) >= share * mixing.DOREMI_BASE // (
+                mixing.DOREMI_BASE + mixing.DOREMI_EXCESS_CAP
+            )
+    # at least one source must sit at-or-below reference (excess == 0)
+    assert any(int(r["excess_millis"]) == 0 for r in rows)
+
+
 def test_epoch_schedule_invariants(spark):
     rows = mixing.q_epoch_schedule(spark, SF_DIR).collect()
     assert rows
