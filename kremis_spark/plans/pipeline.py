@@ -106,6 +106,9 @@ def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SURPRISAL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style language-model filtering signal (Wenzek et al. 2020,
     arXiv:1911.00359): CCNet buckets documents by the perplexity of a
@@ -124,7 +127,24 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single scalar readback (output-sized). At 100 TB the model table
     (distinct bigrams) is Zipf-bounded and the join key is the natural
     partitioning — no broadcast needed, no skew beyond the head words
-    that AQE splits."""
+    that AQE splits.
+
+    The per-doc signal table is MATERIALIZED once per session (same
+    memo pattern as _strong_labels): four consumers — this gate query,
+    perplexity-band pruning, held-out ppl's scoring side, and DoReMi
+    reweighting — previously each re-ran the bigram explode + model
+    self-join; production computes a signal column once too."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _SURPRISAL_CACHE.get(key)
+    if out is None:
+        out = _doc_surprisal_build(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        _SURPRISAL_CACHE[key] = out
+    return out.orderBy("doc_id")
+
+
+def _doc_surprisal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.explode(D.word_shingles("text", 2)).alias("g")
     )
