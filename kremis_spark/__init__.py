@@ -21,12 +21,15 @@ LLM-training-data pipeline operators (dedup, similarity search, text
 analysis, multimodal plumbing) that a 100 TB corpus pipeline needs.
 """
 
+from kremis_spark.config import AppConfig, ConfigReport
 from kremis_spark.engine import GraphEngine, GraphState
 from kremis_spark.ingest import ingest_batch, signals_from_events, validate_signals
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AppConfig",
+    "ConfigReport",
     "GraphEngine",
     "GraphState",
     "ingest_batch",

@@ -228,6 +228,59 @@ def test_prefix_sum_empty_input(spark):
     assert exclusive_prefix_sum(df, ["k"], "v").collect() == []
 
 
+def test_grouped_rank_empty_input(spark):
+    from kremis_spark.operators.prefix import grouped_rank
+
+    df = spark.createDataFrame([], "g STRING, id LONG")
+    out = grouped_rank(df, ["g"], ["id"], out_col="rk")
+    assert out.collect() == []
+    assert "rk" in out.columns
+
+
+def test_grouped_rank_property(spark):
+    """Hypothesis hardening: grouped_rank == the serial per-group rank
+    for arbitrary group shapes (dominant groups, singletons, duplicate
+    order values disambiguated by a unique id)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kremis_spark.operators.prefix import grouped_rank
+
+    rows_st = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 5),  # order value with many ties
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @given(rows=rows_st, parts=st.sampled_from([1, 4, 16]))
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def check(rows, parts):
+        data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "g STRING, id LONG, v LONG")
+        expected = {}
+        by_g: dict[str, list] = {}
+        for g, i, v in data:
+            by_g.setdefault(g, []).append((v, i))
+        for g, items in by_g.items():
+            for rk, (v, i) in enumerate(sorted(items), start=1):
+                expected[(g, i)] = rk
+        got = {
+            (r["g"], r["id"]): r["rk"]
+            for r in grouped_rank(
+                df, ["g"], ["v", "id"], out_col="rk", num_partitions=parts
+            ).collect()
+        }
+        assert got == expected
+
+    check()
+
+
 def test_seq_pack_invariants(spark):
     """Packing must partition the concatenated token stream exactly:
     per-document spans sum to the document's token count, every sequence
