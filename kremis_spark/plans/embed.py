@@ -1548,8 +1548,88 @@ WHERE e.vec_id IN (SELECT vec_id FROM ({sql}) m)
 ORACLE_SQL["pipe_ann_pareto"] = _ann_pareto_sql()
 
 
+HN_K = 3  # hard negatives mined per anchor
+HN_TOPN = 20  # global audit head: the hardest mined pairs corpus-wide
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining — the DPR/SimCSE training-prep
+    step (Karpukhin et al. 2020, arXiv:2004.04906): for each anchor
+    vector, the HN_K most-similar vectors carrying a DIFFERENT label.
+    These are the negatives an embedding model is most likely to
+    confuse, mined from the ANN index instead of sampled at random
+    (random negatives are too easy to teach a margin). Candidates come
+    from the anchor's hyperplane-LSH bucket — the same approximation
+    and hot-bucket cull as pipe_knn_graph. Output: the global HN_TOPN
+    hardest mined pairs with both labels, the audit head of the set.
+
+    Scale shape: bounded LSH-bucket self-join (≤ KNN_BUCKET_CAP
+    candidates per row, hot non-discriminative buckets culled); the
+    label-inequality filter evaluates inside the join; the per-anchor
+    window is bucket-bounded (≤ cap rows per anchor — never a full-
+    corpus partition); the global head is TakeOrdered. A full mining
+    run writes the O(N·K) pair set; the gate output stays tiny."""
+    from kremis_spark.plans.pipeline import KNN_BUCKET_CAP
+    from pyspark.sql import Window
+
+    prep = with_lsh_bucket(_prepared(spark, sf_dir)).filter(
+        F.col("norm") > 0
+    )
+    sizes = (
+        prep.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= KNN_BUCKET_CAP))
+        .select("bucket")
+    )
+    inb = prep.join(sizes, "bucket")
+    a = inb.select(
+        "bucket",
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("ivec").alias("iv_a"),
+        F.col("norm").alias("n_a"),
+    )
+    b = inb.select(
+        "bucket",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("ivec").alias("iv_b"),
+        F.col("norm").alias("n_b"),
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("anchor_id") != F.col("negative_id"))
+        & (F.col("anchor_label") != F.col("negative_label"))
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        cosine_col(
+            int_dot(F.col("iv_a"), F.col("iv_b")),
+            F.col("n_a"),
+            F.col("n_b"),
+        ),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), "negative_id"
+    )
+    mined = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= HN_K
+    )
+    return (
+        mined.select(
+            "anchor_id",
+            "negative_id",
+            F.col("anchor_label").cast("long").alias("anchor_label"),
+            F.col("negative_label").cast("long").alias("negative_label"),
+            "cosine",
+        )
+        .orderBy(F.desc("cosine"), "anchor_id", "negative_id")
+        .limit(HN_TOPN)
+    )
+
+
 QUERIES = {
     "pipe_ann_pareto": q_ann_pareto,
+    "pipe_hard_negatives": q_hard_negatives,
     "pipe_ann_sq8": q_ann_sq8,
     "pipe_ann_mips": q_ann_mips,
     "pipe_ann_pq": q_ann_pq,
@@ -1580,3 +1660,53 @@ FROM norms GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["pipe_embed_norm_hist"] = q_embed_norm_hist
+
+
+def _hard_negatives_sql() -> str:
+    from kremis_spark.plans.pipeline import (
+        _BUCKETS_CTE,
+        _EMB_CTE,
+        KNN_BUCKET_CAP,
+    )
+
+    return f"""
+WITH {_EMB_CTE.strip()},
+{_BUCKETS_CTE.strip()},
+nb AS (
+  SELECT b.vec_id, b.bucket, e.ivec, e.norm, l.label
+  FROM buckets b
+  JOIN norms e ON e.vec_id = b.vec_id
+  JOIN embeddings l ON l.vec_id = b.vec_id
+  WHERE e.norm > 0
+),
+bsz AS (
+  SELECT bucket FROM (SELECT bucket, COUNT(*) AS n FROM nb GROUP BY 1)
+  WHERE n BETWEEN 2 AND {KNN_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         a.label AS anchor_label, b.label AS negative_label,
+         CAST(CAST(list_sum(list_transform(
+               generate_series(1, len(a.ivec)),
+               i -> a.ivec[i] * b.ivec[i])) AS BIGINT) AS DOUBLE)
+         / (SQRT(CAST(a.norm AS DOUBLE)) * SQRT(CAST(b.norm AS DOUBLE)))
+           AS cosine
+  FROM nb a JOIN bsz USING (bucket)
+  JOIN nb b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+       AND b.label <> a.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, negative_id) AS rn
+  FROM pairs
+)
+SELECT anchor_id, negative_id,
+       CAST(anchor_label AS BIGINT) AS anchor_label,
+       CAST(negative_label AS BIGINT) AS negative_label,
+       cosine
+FROM ranked WHERE rn <= {HN_K}
+ORDER BY cosine DESC, anchor_id, negative_id LIMIT {HN_TOPN}
+"""
+
+
+ORACLE_SQL["pipe_hard_negatives"] = _hard_negatives_sql()

