@@ -87,6 +87,71 @@ def exclusive_prefix_sum(
     )
 
 
+def exclusive_prefix_max(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "prefix_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = MAX of ``value_col`` (LongType) over all rows
+    strictly before this one in ``order_cols`` order — NULL when no
+    prior row exists. Rows must be unique on ``order_cols``.
+
+    The same two-phase scan as the sum variant with max as the
+    associative merge: per-partition local prefix max in parallel, the
+    per-partition offset is the running max of earlier partitions'
+    maxima (one tiny row each). The global running max ordered by
+    arrival is exactly the WATERMARK recurrence of a streaming engine —
+    expressed this way the seemingly sequential operator stays
+    parallel: a naive ``max().over(Window.orderBy(...))`` would drag
+    the whole dataset through ONE task."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 1)
+
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)
+
+    maxima = {
+        int(r[0]): r[1]
+        for r in ranged.groupBy(_PID)
+        .agg(F.max(value_col).alias("m"))
+        .collect()
+    }
+    acc = None
+    offset_rows = []
+    for pid in range(num_partitions):
+        offset_rows.append((pid, acc))
+        m = maxima.get(pid)
+        if m is not None:
+            acc = int(m) if acc is None else max(acc, int(m))
+    offsets = spark.createDataFrame(
+        offset_rows, f"{_PID} INT, __scan_maxoff LONG"
+    )
+
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # greatest() ignores NULLs (returns the largest non-null operand),
+    # which is exactly the empty-prefix semantics we need on both the
+    # first row of a partition and the first partition overall.
+    return (
+        ranged.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.max(value_col).over(w), F.col("__scan_maxoff")
+            ).cast("long"),
+        )
+        .drop(_PID, "__scan_maxoff")
+    )
+
+
 def grouped_rank(
     df: DataFrame,
     group_cols: list[str],

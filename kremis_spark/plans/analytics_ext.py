@@ -1755,8 +1755,82 @@ FROM exact e JOIN per p USING (event_type)
 ORDER BY e.event_type
 """
 
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: per event in ARRIVAL order, how far its
+    event time lags the maximum event time already seen — the
+    distribution a streaming deployment reads its watermark delay off
+    of (`withWatermark("ts", X)` drops exactly the rows whose lateness
+    exceeds X; this table says what any X costs). Arrival is modeled as
+    the backfill replay of user-bucket-partitioned storage: shards
+    (md5 of user id) are read sequentially, each shard time-ordered —
+    the worst-case but completely standard way history re-enters a
+    streaming job (the testdata's event_id order is perfectly
+    time-sorted, i.e. lateness-free, so THAT order audits nothing).
+    Output: a log₂-bucket histogram of lateness seconds, with bucket
+    −1 = in-order (sub-second) arrivals. No float log: both engines
+    evaluate the same power-of-two CASE chain.
+
+    Scale shape: the running event-time maximum is the two-phase
+    distributed prefix-MAX scan (operators/prefix.exclusive_prefix_max)
+    — the watermark recurrence itself, computed WITHOUT dragging the
+    event fact through one ordered task; the histogram agg is a
+    bounded ~40-group rollup."""
+    from kremis_spark.operators.prefix import exclusive_prefix_max
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.md5(F.col("user_id").cast("string")).alias("shard"),
+        "event_id",
+        F.col("ts").alias("tsn"),
+    )
+    pm = exclusive_prefix_max(
+        ev, ["shard", "tsn", "event_id"], "tsn", out_col="pmax"
+    )
+    late = pm.select(
+        F.expr(
+            "greatest(coalesce(pmax, tsn) - tsn, 0L) div 1000000000"
+        ).cast("long").alias("late_s")
+    )
+    cases = " ".join(
+        f"WHEN late_s + 1 >= {1 << k} THEN {k}" for k in range(40, 0, -1)
+    )
+    return (
+        late.select(
+            F.expr(
+                f"CASE WHEN late_s = 0 THEN -1 {cases} END"
+            ).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_SQL["events_lateness_audit"] = (
+    """
+WITH e AS (SELECT md5(CAST(user_id AS VARCHAR)) AS shard, event_id,
+                  epoch_ns(ts) AS tsn FROM events),
+l AS (
+  SELECT GREATEST(COALESCE(MAX(tsn) OVER (ORDER BY shard, tsn, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tsn)
+             - tsn, 0) // 1000000000 AS late_s
+  FROM e
+),
+b AS (
+  SELECT CASE WHEN late_s = 0 THEN -1 """
+    + " ".join(f"WHEN late_s + 1 >= {1 << k} THEN {k}" for k in range(40, 0, -1))
+    + """ END AS bucket
+  FROM l
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+)
+
+
 QUERIES = {
     "events_decay_sum": q_decay_sum,
+    "events_lateness_audit": q_lateness_audit,
     "events_kmv_distinct": q_kmv_distinct,
     "events_dau_wau_mau": q_dau_wau_mau,
     "tpch_rfm_segments": q_rfm_segments,

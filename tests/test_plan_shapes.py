@@ -228,6 +228,44 @@ def test_prefix_sum_empty_input(spark):
     assert exclusive_prefix_sum(df, ["k"], "v").collect() == []
 
 
+def test_exclusive_prefix_max_matches_serial(spark):
+    """The distributed prefix-MAX scan equals the serial running max
+    for every partition count, including NULL-prefix first rows."""
+    import random
+
+    from kremis_spark.operators.prefix import exclusive_prefix_max
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 1000)) for i in range(257)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k LONG, v LONG")
+
+    expected = {}
+    acc = None
+    for k, v in sorted(rows):
+        expected[k] = acc
+        acc = v if acc is None else max(acc, v)
+
+    for parts in (1, 3, 8, 64):
+        got = {
+            r["k"]: r["pm"]
+            for r in exclusive_prefix_max(
+                df, ["k"], "v", "pm", num_partitions=parts
+            ).collect()
+        }
+        assert got == expected, f"mismatch at num_partitions={parts}"
+
+
+def test_lateness_audit_uses_distributed_scan(spark):
+    """The watermark recurrence must come from the two-phase prefix-MAX
+    scan — never an unpartitioned ordered window over the event fact."""
+    from kremis_spark.plans.analytics_ext import q_lateness_audit
+
+    txt = plan_text(q_lateness_audit(spark, SF_DIR), "simple")
+    assert "__scan_pid" in txt, txt
+    assert "row_number" not in txt, txt
+
+
 def test_grouped_rank_empty_input(spark):
     from kremis_spark.operators.prefix import grouped_rank
 
