@@ -41,11 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 # round-7 skew-hardened plans). Every rotated-in query was pre-verified
 # against its DuckDB oracle at sf0.01 with tools/check_oracle.py before
 # this edit. Queries not in the window stay exercised by
-# tests/test_analytics_oracle.py at sf0.001 every pytest run; 29 remain
-# never-driver-checked — 26 from the rotation arithmetic plus the three
+# tests/test_analytics_oracle.py at sf0.001 every pytest run; 30 remain
+# never-driver-checked — 26 from the rotation arithmetic plus the four
 # added this round (pipe_doremi_weights, pipe_hard_negatives,
-# events_lateness_audit) — and all 29 fit the next rotation's 38 slots
-# (each already driver-mimic green at sf0.001/0.01/0.1).
+# events_lateness_audit, pipe_span_corruption) — and all 30 fit the
+# next rotation's 38 slots (each already driver-mimic green at
+# sf0.001/0.01/0.1).
 _PRIORITY_FIRST_50 = [
     # --- family sentinels (driver-green in r04-r06, kept as canaries) ---
     "graph_nodes",               # ingest family

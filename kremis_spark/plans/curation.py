@@ -700,8 +700,84 @@ FROM g WHERE len(grams) > 0
 """,
 }
 
+SPAN_BLOCK = 20  # one corruption span per 20-token block ...
+SPAN_LEN = 3  # ... of mean/exact length 3 = the T5 15% / mean-3 defaults
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption masking PLAN (Raffel et al. 2020,
+    arXiv:1910.10683: corrupt ~15% of tokens in spans of mean length 3):
+    the deterministic per-document mask layout a denoising-pretraining
+    data builder materializes. Spans are placed one per SPAN_BLOCK-token
+    block at an md5-derived offset — non-overlapping BY CONSTRUCTION
+    (the block partition replaces the usual sample-then-merge-overlaps
+    loop, which is order-dependent and engine-divergent), clipped at
+    the document end. Output per doc: token/span/masked counts and the
+    realized mask permille — the audit that the corruption rate holds
+    corpus-wide.
+
+    Scale shape: NO token explode — spans are computed arithmetically
+    from the token COUNT, so the explode is one row per 20-token block
+    (n/20 fan-out) followed by a per-doc partial agg; everything is
+    map-side integer hashing inside codegen. At 100 TB the same plan
+    emits (doc_id, span_start, span_len) triples instead of the audit
+    rollup — identical shape, one extra projection."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n")
+    )
+    blocks = d.filter(F.col("n") > 0).select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.expr(f"(n - 1) div {SPAN_BLOCK}").cast("long")
+            )
+        ).alias("blk"),
+    )
+    off = F.expr(
+        f"conv(substring(md5(concat(cast(doc_id as string), ':',"
+        f" cast(blk as string))), 1, 8), 16, 10)"
+        f" % {SPAN_BLOCK - SPAN_LEN + 1}"
+    ).cast("long")
+    spans = blocks.select(
+        "doc_id",
+        "n",
+        (F.col("blk") * F.lit(SPAN_BLOCK) + off).alias("start"),
+    ).select(
+        "doc_id",
+        "n",
+        F.expr(f"greatest(least(n - start, {SPAN_LEN}L), 0L)").alias(
+            "masked"
+        ),
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.sum((F.col("masked") > 0).cast("long")).cast("long").alias(
+            "n_spans"
+        ),
+        F.sum("masked").cast("long").alias("n_masked"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.expr(
+                "coalesce(n_masked, 0) * 1000"
+                " div greatest(coalesce(n_tokens, 0), 1)"
+            ).cast("long").alias("mask_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "pipe_cdc_chunks": q_cdc_chunks,
+    "pipe_span_corruption": q_span_corruption,
     "pipe_token_budget_mix": q_token_budget_mix,
     "pipe_seq_pack": q_seq_pack,
     "pipe_packing_efficiency": q_packing_efficiency,
@@ -711,6 +787,40 @@ QUERIES = {
     "pipe_repetition": q_repetition,
 }
 
+
+ORACLE_SQL["pipe_span_corruption"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+),
+blocks AS (
+  SELECT doc_id, n, CAST(t.b AS BIGINT) AS blk
+  FROM d, LATERAL UNNEST(range(0, (n - 1) // {SPAN_BLOCK} + 1)) AS t(b)
+  WHERE n > 0
+),
+spans AS (
+  SELECT doc_id, n,
+         GREATEST(LEAST(n - (blk * {SPAN_BLOCK}
+             + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(blk AS VARCHAR)), 1, 8))::BIGINT
+               % {SPAN_BLOCK - SPAN_LEN + 1}), {SPAN_LEN}), 0) AS masked
+  FROM blocks
+),
+per AS (
+  SELECT doc_id, MAX(n) AS n_tokens,
+         SUM(CASE WHEN masked > 0 THEN 1 ELSE 0 END) AS n_spans,
+         SUM(masked) AS n_masked
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(COALESCE(p.n_masked, 0) * 1000
+            // GREATEST(COALESCE(p.n_tokens, 0), 1) AS BIGINT)
+         AS mask_permille
+FROM d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 ORACLE_SQL["pipe_packing_efficiency"] = f"""
 WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),

@@ -681,6 +681,31 @@ def test_embed_outliers_two_phase_matches_single_window(spark):
             assert rows == baseline, f"salts={salts}"
 
 
+def test_span_corruption_invariants(spark):
+    """The masking plan realizes the T5 defaults: every doc masks at
+    most one SPAN_LEN-span per SPAN_BLOCK block, never more tokens than
+    it has, and long docs sit at exactly SPAN_LEN/SPAN_BLOCK permille
+    (150) since every full block contributes a full span."""
+    from kremis_spark.plans.curation import (
+        SPAN_BLOCK,
+        SPAN_LEN,
+        q_span_corruption,
+    )
+
+    rows = q_span_corruption(spark, SF_DIR).collect()
+    assert rows
+    target = SPAN_LEN * 1000 // SPAN_BLOCK
+    for r in rows:
+        n, spans, masked = r["n_tokens"], r["n_spans"], r["n_masked"]
+        assert masked <= n
+        assert spans <= (n - 1) // SPAN_BLOCK + 1 if n > 0 else spans == 0
+        assert masked <= spans * SPAN_LEN
+        if n > 0 and n % SPAN_BLOCK == 0:
+            # whole-block docs can only fall short via end-clipping of
+            # the LAST block's span; rate is within one span of target
+            assert abs(r["mask_permille"] - target) * n <= SPAN_LEN * 1000
+
+
 def test_hard_negatives_invariants(spark):
     """Mined hard negatives: every pair crosses labels, at most HN_K
     negatives per anchor, cosine non-increasing in output order, and
