@@ -99,25 +99,35 @@ class AppConfig:
         keep defaults (serde's ``#[serde(default)]`` behavior)."""
         data = tomllib.loads(raw)
         cfg = cls()
-        log = data.get("logging", {})
+
+        def section(name: str) -> dict:
+            # A non-table value (`logging = true`) must not crash load()
+            # — the reference treats ANY deserialization failure as
+            # warn-and-use-defaults (config.rs:182-190).
+            s = data.get(name, {})
+            return s if isinstance(s, dict) else {}
+
+        log = section("logging")
         if isinstance(log.get("format"), str):
             cfg.logging.format = log["format"]
         if isinstance(log.get("level"), str):
             cfg.logging.level = log["level"]
-        api = data.get("api", {})
-        if isinstance(api.get("rate_limit"), int) and not isinstance(
-            api.get("rate_limit"), bool
+        api = section("api")
+        if (
+            isinstance(api.get("rate_limit"), int)
+            and not isinstance(api.get("rate_limit"), bool)
+            and api["rate_limit"] >= 0  # u32 in the reference: no negatives
         ):
             cfg.api.rate_limit = api["rate_limit"]
-        sec = data.get("security", {})
+        sec = section("security")
         if isinstance(sec.get("api_key"), str):
             cfg.security.api_key = sec["api_key"]
-        cors = data.get("cors", {})
+        cors = section("cors")
         if isinstance(cors.get("origins"), list):
             cfg.cors.origins = [
                 o for o in cors["origins"] if isinstance(o, str)
             ]
-        mcp = data.get("mcp", {})
+        mcp = section("mcp")
         if isinstance(mcp.get("url"), str):
             cfg.mcp.url = mcp["url"]
         return cfg
@@ -146,7 +156,7 @@ class AppConfig:
             try:
                 config = cls._from_toml(raw)
                 report.toml_loaded = True
-            except (tomllib.TOMLDecodeError, TypeError) as e:
+            except (tomllib.TOMLDecodeError, TypeError, AttributeError) as e:
                 _LOG.warning(
                     "kremis.toml parse error (using defaults): %s", e
                 )
@@ -165,10 +175,14 @@ class AppConfig:
         v = env.get("KREMIS_RATE_LIMIT", "")
         if v:
             try:
-                config.api.rate_limit = int(v)
-                report.env_overrides.append("KREMIS_RATE_LIMIT")
+                limit = int(v)
             except ValueError:
-                pass  # unparsable numeric: keep lower layer (config.rs:207-212)
+                limit = -1  # unparsable: keep lower layer (config.rs:207-212)
+            # The reference parses u32, so negatives are equally
+            # unparsable and the lower layer is kept.
+            if limit >= 0:
+                config.api.rate_limit = limit
+                report.env_overrides.append("KREMIS_RATE_LIMIT")
         if "KREMIS_API_KEY" in env:
             v = env["KREMIS_API_KEY"]
             # Explicit empty string CLEARS the key — auth disabled

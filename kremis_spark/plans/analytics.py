@@ -100,7 +100,15 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window top-1 per group: single shuffle on the partition key."""
+    """Top-1 per group WITHOUT a window: nations are a bounded (~25)
+    dimension while customers grow with scale, so
+    ``row_number().over(partitionBy(c_nationkey))`` would serialize every
+    nation's full customer list through one of ~25 tasks at 100 TB.
+    Top-1 only needs a one-row-per-group partial aggregate: ``max`` over
+    a (spend_cents, -custkey) struct gives argmax-with-tiebreak
+    (smallest custkey among spend ties) with map-side combine — each
+    task keeps ONE row of state per nation and the shuffle moves ≤
+    #nations·#tasks rows. Oracle keeps the equivalent ROW_NUMBER form."""
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     spend = (
@@ -108,16 +116,19 @@ def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"))
     )
     joined = cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.desc("spend_cents"), "c_custkey"
-    )
+    best = F.max(
+        F.struct(
+            F.col("spend_cents").alias("spend_cents"),
+            (-F.col("c_custkey")).cast("long").alias("neg_custkey"),
+        )
+    ).alias("best")
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(best)
         .select(
-            F.col("c_nationkey").cast("long").alias("nationkey"),
-            F.col("c_custkey").alias("custkey"),
-            "spend_cents",
+            "nationkey",
+            (-F.col("best.neg_custkey")).cast("long").alias("custkey"),
+            F.col("best.spend_cents").alias("spend_cents"),
         )
     )
 

@@ -125,6 +125,36 @@ def test_env_bad_rate_limit_ignored(tmp_path):
     assert "KREMIS_RATE_LIMIT" not in report.env_overrides
 
 
+def test_env_negative_rate_limit_ignored(tmp_path):
+    # The reference parses u32: a negative is unparsable, not applied —
+    # otherwise it would flow into TokenBucket as truthy and 429 every
+    # request.
+    cfg, report = AppConfig.load(
+        str(tmp_path / "absent.toml"), env={"KREMIS_RATE_LIMIT": "-5"}
+    )
+    assert cfg.api.rate_limit == DEFAULT_RATE_LIMIT
+    assert "KREMIS_RATE_LIMIT" not in report.env_overrides
+
+
+def test_toml_negative_rate_limit_ignored(tmp_path):
+    p = tmp_path / "kremis.toml"
+    p.write_text("[api]\nrate_limit = -5\n")
+    cfg, _ = AppConfig.load(str(p), env={})
+    assert cfg.api.rate_limit == DEFAULT_RATE_LIMIT
+
+
+def test_non_table_section_never_fails(tmp_path):
+    # Valid TOML whose section is not a table (`logging = true`) must
+    # behave like any other deserialization failure: warn + defaults
+    # (config.rs:182-190), never an exception out of load().
+    p = tmp_path / "kremis.toml"
+    p.write_text('logging = true\n[api]\nrate_limit = 7\n')
+    cfg, report = AppConfig.load(str(p), env={})
+    assert cfg.logging.format == "text"
+    assert cfg.api.rate_limit == 7  # the well-formed section still applies
+    assert report.toml_loaded is True
+
+
 def test_rust_log_parity(tmp_path):
     # The reference reads RUST_LOG for [logging] level; accepted here
     # too, with KREMIS_LOG_LEVEL taking precedence when both are set.

@@ -727,6 +727,133 @@ def test_hard_negatives_invariants(spark):
     assert max(per_anchor.values()) <= HN_K
 
 
+def test_inverted_index_bounded_postings(spark):
+    """The posting-list cap must bind BEFORE aggregation: the plan keys
+    phase 1 on (term, __post_salt) and contains NO collect_set — a
+    collect_set-then-slice buffers every doc of a stopword term in one
+    corpus-sized aggregation buffer."""
+    from kremis_spark.plans.pipeline import q_inverted_index
+
+    txt = plan_text(q_inverted_index(spark, SF_DIR), "simple")
+    assert "__post_salt" in txt, txt
+    assert "collect_set" not in txt, txt
+    # collect_list is fine: it runs on the ≤ POSTING_CAP survivors.
+
+
+def test_inverted_index_two_phase_matches_collect_set(spark):
+    """Exactness of the salted two-phase min-K postings: identical to
+    the naive collect_set-then-slice at any salt count, including 1."""
+    import pytest as _pytest
+
+    from kremis_spark.functions import text as T
+    from kremis_spark.plans import pipeline as P
+
+    docs = P._docs_parallel(spark, SF_DIR)
+    t = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("term")
+    )
+    naive = (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, P.POSTING_CAP
+                ).cast("array<string>"),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(P.INDEX_TOPN)
+    )
+    expected = [tuple(r) for r in naive.collect()]
+    for salts in (1, 4, P.POSTING_SALTS):
+        _mp = _pytest.MonkeyPatch()
+        try:
+            _mp.setattr(P, "POSTING_SALTS", salts)
+            got = [
+                tuple(r) for r in P.q_inverted_index(spark, SF_DIR).collect()
+            ]
+        finally:
+            _mp.undo()
+        assert got == expected, f"salts={salts}"
+
+
+def test_top_customer_per_nation_no_window(spark):
+    """Top-1 per nation must be a one-row-per-group partial aggregate —
+    no Window at all (nations are ~25 values; a per-nation row_number
+    serializes every nation's customer list through one task)."""
+    from kremis_spark.plans.analytics import q_top_customer_per_nation
+
+    txt = plan_text(q_top_customer_per_nation(spark, SF_DIR), "simple")
+    assert "row_number" not in txt, txt
+    assert "windowspecdefinition" not in txt, txt
+    assert "partial_max" in txt, txt  # map-side combine visible
+
+
+# Bounded "dimension" columns: domains that do NOT grow with corpus
+# size (a handful of sources/langs/labels/event types, 25 nations).
+# Ranking a corpus-sized input inside a window partitioned ONLY by
+# these serializes a dominant group through one task at 100 TB — the
+# family the round-7/8 skew passes purged (last instances:
+# win_top_customer_per_nation's per-nation row_number, fixed round 8).
+_BOUNDED_DIMS = {
+    "source", "lang", "label", "event_type",
+    "nationkey", "c_nationkey", "n_nationkey", "s_nationkey",
+}
+_WINDOW_NODE = re.compile(
+    r"Window \[([^\]]*)\], \[([^\]]*)\](?:, \[([^\]]*)\])?"
+)
+_RANKING_FNS = ("row_number", "rank(", "dense_rank", "ntile")
+
+
+def test_no_ranking_window_over_bounded_dimension(spark):
+    """Sweep EVERY queries() plan: no Window computing a ranking
+    function may partition exclusively by bounded-dimension keys.
+
+    Two allowed exceptions, both size-bounded by construction:
+    - non-ranking windows over bounded keys (histogram running-sums
+      walk ≤101-row value histograms, not docs);
+    - the phase-2 merge of a salted two-phase top-K, recognized by a
+      companion phase-1 window in the SAME plan over the same keys plus
+      a ``__*salt`` column — phase 1 caps each group at K·SALTS rows
+      before phase 2 ranks them."""
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        try:
+            txt = plan_text(fn(spark, SF_DIR), "simple")
+        except Exception as e:  # pragma: no cover - surface as failure
+            offenders.append(f"{name}: plan build failed: {e}")
+            continue
+        windows = []
+        for m in _WINDOW_NODE.finditer(txt):
+            fns, parts = m.group(1), m.group(2)
+            keys = frozenset(
+                k.strip().split("#")[0]
+                for k in parts.split(",")
+                if k.strip()
+            )
+            windows.append((fns, keys))
+        for fns, keys in windows:
+            if not any(r in fns for r in _RANKING_FNS):
+                continue
+            if not keys or not keys <= _BOUNDED_DIMS:
+                continue
+            salted_phase1 = any(
+                other_keys > keys
+                and all(
+                    re.fullmatch(r"__\w*salt", extra)
+                    for extra in other_keys - keys
+                )
+                for _fns, other_keys in windows
+            )
+            if not salted_phase1:
+                offenders.append(f"{name}: ranking window over {sorted(keys)}")
+    assert not offenders, "\n".join(offenders)
+
+
 def test_grouped_rank_matches_window_rank(spark):
     """grouped_rank == the naive per-group row_number for every
     partition count, including ones that split a group across many
