@@ -43,6 +43,7 @@ from kremis_spark.plans.pipeline import (
     _TOKS,
     CLUSTER_JACCARD_MIN,
     _docs_parallel,
+    _quality_base,
     _strong_labels,
     _verified_pairs,
 )
@@ -273,10 +274,11 @@ def q_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant source through one task at 100 TB). Same technique as
     pipe_quality_percentiles_by_source; the median at ascending rank
     ceil(n/2) is the smallest q whose cumulative count reaches it."""
-    docs = T.with_quality_score(_docs_parallel(spark, sf_dir))
-    h = docs.groupBy(
-        "source", F.col("quality").cast("long").alias("q")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    h = (
+        _quality_base(spark, sf_dir)
+        .groupBy("source", F.col("quality").alias("q"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
     wcum = (
         Window.partitionBy("source")
         .orderBy("q")
@@ -479,15 +481,14 @@ def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks the doc dimension), and scalar mix arithmetic over the tiny
     source dimension. Nothing new shuffles; at 100 TB the funnel costs
     what its stages cost."""
-    docs = _docs_parallel(spark, sf_dir)
     labels = _strong_labels(spark, sf_dir)
     if labels.count() <= DEDUP_LABELS_BCAST_MAX:
         labels = F.broadcast(labels)
-    base = T.with_quality_score(docs).select(
+    base = _quality_base(spark, sf_dir).select(
         "doc_id",
         "source",
-        F.col("quality").cast("long").alias("quality"),
-        F.size(T.tokens()).cast("long").alias("nt"),
+        "quality",
+        F.col("n_tokens").alias("nt"),
     )
     surv = (
         base.join(labels, "doc_id", "left")
@@ -536,7 +537,7 @@ def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
-    tot = docs.groupBy("source").agg(
+    tot = base.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     funnel = (
@@ -599,15 +600,14 @@ def q_quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the two-phase prefix scan (no unpartitioned window); dup
     membership is one gated-broadcast label join; final agg is 6
     groups."""
-    docs = _docs_parallel(spark, sf_dir)
     labels = _strong_labels(spark, sf_dir)
     if labels.count() <= DEDUP_LABELS_BCAST_MAX:
         labels = F.broadcast(labels)
     base = (
-        T.with_quality_score(docs)
+        _quality_base(spark, sf_dir)
         .select(
             "doc_id",
-            F.col("quality").cast("long").alias("q"),
+            F.col("quality").alias("q"),
             F.lit(1).cast("long").alias("one"),
         )
         .join(labels, "doc_id", "left")
@@ -675,12 +675,11 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a ZORDER_FILES-group partial agg. At 100 TB this is the plan
     (file → rows) a compaction job would execute with a write per
     file-range."""
-    docs = _docs_parallel(spark, sf_dir)
-    base = T.with_quality_score(docs).select(
+    base = _quality_base(spark, sf_dir).select(
         "doc_id",
-        F.col("quality").cast("long").alias("q"),
+        F.col("quality").alias("q"),
         F.least(
-            F.size(T.tokens()).cast("long"), F.lit((1 << ZORDER_BITS) - 1)
+            F.col("n_tokens"), F.lit((1 << ZORDER_BITS) - 1).cast("long")
         ).alias("l"),
         F.lit(1).cast("long").alias("one"),
     )

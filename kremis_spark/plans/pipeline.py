@@ -43,10 +43,12 @@ _DOCS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def clear_pipeline_caches() -> None:
     """Drop every session memo in this module (docs, signatures, verified
-    pairs, embeddings, FPS seeds)."""
+    pairs, embeddings, FPS seeds, surprisal + quality signal tables)."""
     for c in (_DOCS_CACHE, _VERIFIED_CACHE, _HASHED_CACHE, _SIGS_CACHE,
               _EMB_CACHE, _SEED_CACHE, _LABELS_CACHE, _ASSIGN_CACHE):
         c.clear()
+    _evict_surprisal_cache()
+    _evict_quality_cache()
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,8 +266,52 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded one-entry memo, same pattern as _SURPRISAL_CACHE: the per-doc
+# quality signal table has six consumers (quality gate, per-source
+# percentiles, median filter, e2e funnel, quality-vs-dup bands, Z-order
+# layout) that each re-ran the regex token scoring over the corpus;
+# production computes a signal column once, so does this.
+_QUALITY_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _evict_quality_cache() -> None:
+    for old in _QUALITY_CACHE.values():
+        try:
+            old._jdf.rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — best-effort block release;
+            pass  # ContextCleaner reclaims on GC either way
+    _QUALITY_CACHE.clear()
+
+
+def _quality_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, lang, quality, n_tokens) — the per-doc quality
+    signal table, materialized once per (session, dataset). Quality is
+    the integer 0..100 heuristic from T.with_quality_score; n_tokens the
+    whitespace-token count both packing and Z-order keys reuse. The
+    localCheckpoint holds rows (5 narrow columns per doc), not lineage —
+    the regex scoring scan runs once per session instead of once per
+    consumer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _QUALITY_CACHE.get(key)
+    if out is None:
+        _evict_quality_cache()
+        out = (
+            T.with_quality_score(_docs_parallel(spark, sf_dir))
+            .select(
+                "doc_id",
+                "source",
+                "lang",
+                F.col("quality").cast("long").alias("quality"),
+                F.size(T.tokens()).cast("long").alias("n_tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _QUALITY_CACHE[key] = out
+    return out
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.with_quality_score(_docs_parallel(spark, sf_dir)).select("doc_id", "quality")
+    return _quality_base(spark, sf_dir).select("doc_id", "quality")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,10 +868,9 @@ def q_quality_percentiles_by_source(
     cumulative window is bounded by 101 rows per source regardless of
     corpus size (the same value-domain argument as the funnel medians
     and the Gini rank sum)."""
-    docs = _docs_parallel(spark, sf_dir)
     h = (
-        T.with_quality_score(docs)
-        .groupBy("source", F.col("quality").cast("long").alias("q"))
+        _quality_base(spark, sf_dir)
+        .groupBy("source", F.col("quality").alias("q"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     w = (
