@@ -661,6 +661,72 @@ def q_stream_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filtering applied AT INGEST — the streaming
+    deployment shape of the Gopher funnel (plans/scrub.q_gopher_rules):
+    documents arrive on a file stream, the four rule booleans are
+    computed map-side per row, and per-source pass/fail counters
+    aggregate in the stream. Streamed totals equal the batch SQL over
+    the same corpus (the oracle) because counts of row-local predicates
+    are order- and micro-batch-split independent.
+
+    Scale shape: the rules are one whole-stage-codegen projection per
+    micro-batch (zero joins, zero extra shuffles beyond the agg);
+    streaming state is one counter row per source — bounded by the
+    source dimension regardless of volume. The batch funnel answers
+    "which rule loses how much, in order"; this gate emits the
+    per-source independent verdicts a live ingest dashboard watches."""
+    from kremis_spark.functions.text import STOPWORDS
+    from kremis_spark.plans.scrub import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_PERMILLE,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI,
+        GOPHER_MWL_LO,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size("t").cast("long")
+    sum_chars = F.aggregate(
+        F.col("t"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    stops = F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS))).cast(
+        "long"
+    )
+    ndis = F.size(F.array_distinct("t")).cast("long")
+    b1 = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    b2 = (sum_chars * 1000 >= n * GOPHER_MWL_LO) & (
+        sum_chars * 1000 <= n * GOPHER_MWL_HI
+    )
+    b3 = stops >= GOPHER_MIN_STOP_HITS
+    b4 = ndis * 1000 >= n * GOPHER_MIN_DISTINCT_PERMILLE
+    flags = stream.select("source", t.alias("t")).select(
+        "source",
+        (~b1).cast("long").alias("f1"),
+        (~b2).cast("long").alias("f2"),
+        (~b3).cast("long").alias("f3"),
+        (~b4).cast("long").alias("f4"),
+        (b1 & b2 & b3 & b4).cast("long").alias("ok"),
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_pass"),
+        F.sum("f1").cast("long").alias("n_fail_word_count"),
+        F.sum("f2").cast("long").alias("n_fail_mean_word_len"),
+        F.sum("f3").cast("long").alias("n_fail_stopword_hits"),
+        F.sum("f4").cast("long").alias("n_fail_distinct_ratio"),
+    )
+    return _run_stream(
+        agg, f"gate_stream_quality_{next(_qid)}", "complete"
+    ).orderBy("source")
+
+
 def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates vs exact counts for the
     lowest probe user ids (functions/sketch.py). The md5-derived hash
@@ -1220,6 +1286,58 @@ from kremis_spark.plans.pipeline import _INCR_SQL as _INCR_SQL_SHARED  # noqa: E
 
 ORACLE_SQL["stream_neardup_flags"] = _INCR_SQL_SHARED
 
+
+def _stream_quality_gate_sql() -> str:
+    from kremis_spark.plans.scrub import (
+        _GOPHER_STOPS_SQL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_PERMILLE,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI,
+        GOPHER_MWL_LO,
+    )
+
+    return rf"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+s AS (
+  SELECT source, len(w) AS n,
+         (SELECT SUM(length(x)) FROM UNNEST(w) AS u(x)) AS chars,
+         (SELECT COUNT(*) FROM UNNEST(w) AS u(x)
+          WHERE x IN {_GOPHER_STOPS_SQL}) AS stops,
+         (SELECT COUNT(DISTINCT x) FROM UNNEST(w) AS u(x)) AS ndis
+  FROM t
+),
+flags AS (
+  SELECT source,
+         (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AS b1,
+         (chars * 1000 >= n * {GOPHER_MWL_LO}
+          AND chars * 1000 <= n * {GOPHER_MWL_HI}) AS b2,
+         (stops >= {GOPHER_MIN_STOP_HITS}) AS b3,
+         (ndis * 1000 >= n * {GOPHER_MIN_DISTINCT_PERMILLE}) AS b4
+  FROM s
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN b1 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_word_count,
+       CAST(SUM(CASE WHEN b2 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_mean_word_len,
+       CAST(SUM(CASE WHEN b3 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_stopword_hits,
+       CAST(SUM(CASE WHEN b4 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_distinct_ratio
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_SQL["stream_quality_gate"] = _stream_quality_gate_sql()
+
 QUERIES = {
     "pipe_multimodal_decode": q_multimodal_decode,
     "stream_neardup_flags": q_stream_neardup_flags,
@@ -1235,6 +1353,7 @@ QUERIES = {
     "events_bloom_membership": q_bloom_membership,
     "events_hll_distinct": q_hll_distinct,
     "stream_hll_by_type": q_stream_hll_by_type,
+    "stream_quality_gate": q_stream_quality_gate,
     "events_hll_intersect": q_hll_intersect,
     "events_value_histogram": q_value_histogram,
     "events_skew_safe_reach": q_skew_safe_reach,

@@ -64,7 +64,9 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side `slice` — no shuffle anywhere; chunk identity is the md5 of
     the space-joined window so downstream chunk-level dedup needs only
     the 32-byte hash, never the text."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     d = (
         docs.select("doc_id", tokens().alias("toks"))
         .withColumn("n", F.size("toks"))

@@ -37,8 +37,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kremis_spark.sources.tables import read_table
-
 NGRAM_N = 8  # ExactSubstr-approximation shingle width (words)
 CLS_BUCKETS = 2001  # hashed-weight table size → weights in [-1000, 1000]
 DSIR_TARGET_SOURCE = "src0"  # stand-in "target domain" for the gate
@@ -46,7 +44,15 @@ DSIR_TOP_K = 20
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents")
+    # the shared parallel+cached docs table (plans/pipeline.py): the
+    # testdata is one parquet row group → 2 input splits, which would
+    # run this module's CPU-heavy explode/hash stages nearly
+    # single-threaded (measured: pipe_hash_classifier 10.8 s → ~1 s at
+    # sf1). On a real cluster maxPartitionBytes provides the splits and
+    # the repartition is a no-op cost next to the hash work.
+    from kremis_spark.plans.pipeline import _docs_parallel
+
+    return _docs_parallel(spark, sf_dir)
 
 
 def _toks() -> F.Column:
