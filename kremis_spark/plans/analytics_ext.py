@@ -1828,8 +1828,91 @@ FROM b GROUP BY bucket ORDER BY bucket
 )
 
 
+BOT_MIN_GAPS = 10  # screen only users with enough inter-event gaps
+BOT_RELVAR_MAX_PPM = 700_000  # flag the suspiciously-regular tail (CV²·1e6)
+
+
+def q_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time regularity screen — the classic bot/automation
+    detector: humans produce bursty (high-variance) gaps, scripted
+    traffic produces metronome gaps. Per user with ≥ BOT_MIN_GAPS gaps:
+    gap count, undivided integer moments (Σgap, Σgap²), the relative
+    variance in ppm (CV²·10⁶ = (n·Σx² − (Σx)²) / ((Σx)²/10⁶), exact
+    nonnegative floor arithmetic — Cauchy-Schwarz keeps the numerator
+    ≥ 0), and the flag relvar ≤ BOT_RELVAR_MAX_PPM. The threshold marks
+    the regular tail of this corpus's gap distribution (median ≈
+    950k ppm); production tunes it against labeled traffic — the TABLE,
+    not the cut, is the operator.
+
+    Scale shape: one lag window on the user key (the sessionization
+    shuffle) then one user group-agg with map-side combine; no joins.
+    Overflow-safe by telescoping: Σgap per user is bounded by the time
+    span, so n·Σx² fits int64 at any realistic event count."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(ts - prev_ts) div 1000000000").cast("long").alias("g"),
+        )
+    )
+    per = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("gap_sum_s"),
+            F.sum(F.expr("g * g")).cast("long").alias("gap_sumsq"),
+        )
+        .filter(F.col("n_gaps") >= BOT_MIN_GAPS)
+    )
+    relvar = F.expr(
+        "(n_gaps * gap_sumsq - gap_sum_s * gap_sum_s)"
+        " div greatest(gap_sum_s * gap_sum_s div 1000000, 1L)"
+    ).cast("long")
+    return per.select(
+        "user_id",
+        "n_gaps",
+        "gap_sum_s",
+        "gap_sumsq",
+        relvar.alias("relvar_ppm"),
+        (relvar <= BOT_RELVAR_MAX_PPM).cast("long").alias("is_bot"),
+    ).orderBy("user_id")
+
+
+ORACLE_SQL["events_bot_regularity"] = f"""
+WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events),
+g AS (
+  SELECT user_id,
+         (tsn - LAG(tsn) OVER (PARTITION BY user_id
+                               ORDER BY tsn, event_id)) // 1000000000 AS g
+  FROM e
+),
+per AS (
+  SELECT user_id, COUNT(*) AS n_gaps, SUM(g) AS gap_sum_s,
+         SUM(g * g) AS gap_sumsq
+  FROM g WHERE g IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= {BOT_MIN_GAPS}
+)
+SELECT user_id,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(gap_sum_s AS BIGINT) AS gap_sum_s,
+       CAST(gap_sumsq AS BIGINT) AS gap_sumsq,
+       CAST((n_gaps * gap_sumsq - gap_sum_s * gap_sum_s)
+            // GREATEST(gap_sum_s * gap_sum_s // 1000000, 1) AS BIGINT)
+         AS relvar_ppm,
+       CAST(CASE WHEN (n_gaps * gap_sumsq - gap_sum_s * gap_sum_s)
+                      // GREATEST(gap_sum_s * gap_sum_s // 1000000, 1)
+                      <= {BOT_RELVAR_MAX_PPM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+FROM per ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_decay_sum": q_decay_sum,
+    "events_bot_regularity": q_bot_regularity,
     "events_lateness_audit": q_lateness_audit,
     "events_kmv_distinct": q_kmv_distinct,
     "events_dau_wau_mau": q_dau_wau_mau,

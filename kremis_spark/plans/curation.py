@@ -777,8 +777,151 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_order_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-order ablation for domain contiguity: concat-and-chunk
+    packing (pipe_seq_pack) fills every SEQ_LEN sequence completely, so
+    boundary-split counts are order-invariant (~one split per boundary);
+    what the ORDER controls is how many training sequences mix text from
+    multiple SOURCES — the signal behind domain-contiguous / in-context
+    packing (Shi et al. 2023, arXiv:2310.10638: grouping related docs in
+    a sequence beats shuffled packing). Same layout under three
+    orderings — ingestion (doc_id), source-grouped, md5-shuffled —
+    reporting per strategy: sequences, boundary-split docs, sequences
+    mixing >1 source, and pure-sequence permille. Source-grouped order
+    bounds mixed sequences by (n_sources − 1); shuffled order mixes
+    nearly all of them — the table quantifies that gap on this corpus
+    before anyone reorders 100 TB.
+
+    Scale shape: three two-phase distributed prefix scans
+    (operators/prefix.exclusive_prefix_sum — range partition, local
+    window prefix, per-partition offsets), each one shuffle; the
+    per-sequence source-mix is a map-side span explode into one
+    (seq_id)-keyed agg; rollups are scalar. Nothing serializes through
+    one task; output is 3 rows."""
+    from kremis_spark.operators.prefix import exclusive_prefix_sum
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    )
+    strategies = {
+        "1_doc_order": (docs, ["doc_id"]),
+        "2_source_grouped": (docs, ["source", "doc_id"]),
+        "3_hash_shuffled": (
+            docs.withColumn("h", F.md5(F.col("doc_id").cast("string"))),
+            ["h", "doc_id"],
+        ),
+    }
+    outs = []
+    for name, (d, order) in strategies.items():
+        pref = exclusive_prefix_sum(d, order, "n_toks", "tok_start")
+        spans = pref.filter(F.col("n_toks") > 0).select(
+            "source",
+            F.expr(f"tok_start div {SEQ_LEN}").alias("first"),
+            F.expr(f"(tok_start + n_toks - 1) div {SEQ_LEN}").alias("last"),
+        )
+        per_seq = (
+            spans.select(
+                "source", F.explode(F.sequence("first", "last")).alias("seq")
+            )
+            .groupBy("seq")
+            .agg(F.countDistinct("source").alias("n_src"))
+        )
+        seq_stats = per_seq.agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum((F.col("n_src") > 1).cast("long"))
+            .cast("long")
+            .alias("n_mixed_seqs"),
+        )
+        split_stats = spans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("first") != F.col("last")).cast("long"))
+            .cast("long")
+            .alias("n_split_docs"),
+        )
+        outs.append(
+            split_stats.crossJoin(seq_stats).select(
+                F.lit(name).alias("strategy"),
+                "n_docs",
+                "n_seqs",
+                "n_split_docs",
+                "n_mixed_seqs",
+                F.expr(
+                    "(n_seqs - n_mixed_seqs) * 1000 div greatest(n_seqs, 1)"
+                )
+                .cast("long")
+                .alias("pure_seq_permille"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("strategy")
+
+
+def _pack_ablation_oracle() -> str:
+    def arm(name: str, order: str) -> str:
+        return f"""
+  SELECT '{name}' AS strategy, sp.n_docs, sq.n_seqs, sp.n_split_docs,
+         sq.n_mixed_seqs,
+         (sq.n_seqs - sq.n_mixed_seqs) * 1000
+           // GREATEST(sq.n_seqs, 1) AS pure_seq_permille
+  FROM (
+    SELECT COUNT(*) AS n_docs,
+           SUM(CASE WHEN tok_start // {SEQ_LEN}
+                     != (tok_start + n - 1) // {SEQ_LEN}
+               THEN 1 ELSE 0 END) AS n_split_docs
+    FROM (
+      SELECT n, COALESCE(SUM(n) OVER (ORDER BY {order}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_start
+      FROM d
+    ) WHERE n > 0
+  ) sp CROSS JOIN (
+    SELECT COUNT(*) AS n_seqs,
+           SUM(CASE WHEN n_src > 1 THEN 1 ELSE 0 END) AS n_mixed_seqs
+    FROM (
+      SELECT seq, COUNT(DISTINCT source) AS n_src
+      FROM (
+        SELECT source,
+               UNNEST(range(CAST(tok_start // {SEQ_LEN} AS BIGINT),
+                 CAST((tok_start + n - 1) // {SEQ_LEN} + 1 AS BIGINT))) AS seq
+        FROM (
+          SELECT source, n, COALESCE(SUM(n) OVER (ORDER BY {order}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tok_start
+          FROM d
+        ) WHERE n > 0
+      ) GROUP BY seq
+    )
+  ) sq"""
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT strategy,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_seqs AS BIGINT) AS n_seqs,
+       CAST(n_split_docs AS BIGINT) AS n_split_docs,
+       CAST(n_mixed_seqs AS BIGINT) AS n_mixed_seqs,
+       CAST(pure_seq_permille AS BIGINT) AS pure_seq_permille
+FROM (
+{arm("1_doc_order", "doc_id")}
+  UNION ALL
+{arm("2_source_grouped", "source, doc_id")}
+  UNION ALL
+{arm("3_hash_shuffled", "h, doc_id")}
+) ORDER BY strategy
+"""
+
+
 QUERIES = {
     "pipe_cdc_chunks": q_cdc_chunks,
+    "pipe_pack_order_ablation": q_pack_order_ablation,
     "pipe_span_corruption": q_span_corruption,
     "pipe_token_budget_mix": q_token_budget_mix,
     "pipe_seq_pack": q_seq_pack,
@@ -885,3 +1028,5 @@ GROUP BY d.source ORDER BY d.source
 """
 
 QUERIES["pipe_contamination_by_source"] = q_contamination_by_source
+
+ORACLE_SQL["pipe_pack_order_ablation"] = _pack_ablation_oracle()

@@ -1,0 +1,86 @@
+"""Invariant tests for the round-8 additions outside the scrub family
+(events_bot_regularity, pipe_pack_order_ablation, stream_quality_gate).
+Oracle hash-equality is covered by test_analytics_oracle.py; these pin
+the semantics a hash can't explain when it breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bot_regularity_moments_consistent(spark):
+    """Cauchy-Schwarz: n·Σx² ≥ (Σx)² for every user (the relvar
+    numerator is nonnegative), counts respect the min-gaps floor, and
+    the flag is exactly the threshold compare."""
+    from kremis_spark.plans.analytics_ext import (
+        BOT_MIN_GAPS,
+        BOT_RELVAR_MAX_PPM,
+        q_bot_regularity,
+    )
+
+    rows = q_bot_regularity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        n, s, s2 = int(r["n_gaps"]), int(r["gap_sum_s"]), int(r["gap_sumsq"])
+        assert n >= BOT_MIN_GAPS
+        assert n * s2 - s * s >= 0, r
+        expect = (n * s2 - s * s) // max(s * s // 1_000_000, 1)
+        assert int(r["relvar_ppm"]) == expect
+        assert int(r["is_bot"]) == (1 if expect <= BOT_RELVAR_MAX_PPM else 0)
+
+
+def test_pack_order_ablation_invariants(spark):
+    """The concat-and-chunk theory the docstring claims: sequence count
+    is identical across orders (the layout always fills completely),
+    boundary splits differ by at most the boundary count, and
+    source-grouped order bounds mixed sequences by (n_sources - 1)
+    while covering the same corpus."""
+    from kremis_spark.plans.curation import q_pack_order_ablation
+    from kremis_spark.sources.tables import read_table
+
+    rows = {r["strategy"]: r for r in
+            q_pack_order_ablation(spark, SF_DIR).collect()}
+    assert set(rows) == {"1_doc_order", "2_source_grouped",
+                         "3_hash_shuffled"}
+    n_sources = (
+        read_table(spark, SF_DIR, "documents").select("source").distinct()
+        .count()
+    )
+    seqs = {int(r["n_seqs"]) for r in rows.values()}
+    assert len(seqs) == 1, f"sequence count must be order-invariant: {seqs}"
+    docs = {int(r["n_docs"]) for r in rows.values()}
+    assert len(docs) == 1
+    for r in rows.values():
+        assert 0 <= int(r["n_mixed_seqs"]) <= int(r["n_seqs"])
+        assert int(r["n_split_docs"]) <= int(r["n_seqs"])  # ≤ one per boundary
+    grouped = rows["2_source_grouped"]
+    assert int(grouped["n_mixed_seqs"]) <= n_sources - 1
+    assert int(grouped["n_mixed_seqs"]) <= int(
+        rows["3_hash_shuffled"]["n_mixed_seqs"]
+    )
+
+
+def test_stream_quality_gate_matches_batch_counts(spark):
+    """Streamed per-source counters == the same booleans computed in
+    batch (micro-batch splits must not change counts), and the
+    column arithmetic is internally consistent."""
+    from kremis_spark.plans.beyond import q_stream_quality_gate
+    from kremis_spark.plans.scrub import q_gopher_rules
+
+    rows = q_stream_quality_gate(spark, SF_DIR).collect()
+    assert rows
+    total_docs = sum(int(r["n_docs"]) for r in rows)
+    total_pass = sum(int(r["n_pass"]) for r in rows)
+    for r in rows:
+        assert 0 <= int(r["n_pass"]) <= int(r["n_docs"])
+        for c in ("n_fail_word_count", "n_fail_mean_word_len",
+                  "n_fail_stopword_hits", "n_fail_distinct_ratio"):
+            assert 0 <= int(r[c]) <= int(r["n_docs"])
+    # the batch funnel's final survivor count equals the gate's total
+    # pass count (same rules, conjunctive)
+    funnel = q_gopher_rules(spark, SF_DIR).collect()
+    assert total_pass == int(funnel[-1]["n_survive"])
+    assert total_docs == int(funnel[0]["n_checked"])
