@@ -181,6 +181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(SCRUB_QUERIES)
     except ImportError:
         pass
+    try:
+        from kremis_spark.plans.sampling import QUERIES as SAMPLING_QUERIES
+
+        out.update(SAMPLING_QUERIES)
+    except ImportError:
+        pass
     return _family_interleaved(out)
 
 
@@ -247,6 +253,12 @@ def oracle_sql() -> dict[str, str]:
         from kremis_spark.plans.scrub import ORACLE_SQL as SCRUB_ORACLES
 
         out.update(SCRUB_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from kremis_spark.plans.sampling import ORACLE_SQL as SAMPLING_ORACLES
+
+        out.update(SAMPLING_ORACLES)
     except ImportError:
         pass
     return _family_interleaved(out)

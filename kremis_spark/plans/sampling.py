@@ -1,0 +1,147 @@
+"""Weighted corpus sampling — the subsample-100-TB-to-an-eval-slice
+primitive:
+
+- ``pipe_pps_sample`` — probability-proportional-to-size sampling
+  WITHOUT replacement via sequential Poisson / priority sampling
+  (Ohlsson 1998; the order-sampling family behind production PPS
+  samplers): each document draws a deterministic 48-bit uniform from
+  md5(doc_id), its priority is uniform ÷ weight (weight = token count,
+  integer floor division), and the sample is the K smallest priorities.
+  Heavier documents get proportionally smaller priorities, so inclusion
+  probability tracks token mass — the property that makes a K-document
+  sample token-representative. The output is the per-source audit: how
+  the sample's token shares line up against the corpus's (both in ppm),
+  which is exactly the acceptance check an eval-slice cut from a 100 TB
+  corpus ships with.
+
+Determinism/oracle parity: the uniform is the first 12 md5 hex digits
+(48 bits — small enough that ÷weight stays exact in int64 in any
+engine); ties break on doc_id; all shares are integer ppm floor
+divisions of nonnegative counts.
+
+Scale shape: priority is a map-side projection; the K-smallest set is
+TakeOrderedAndProject (per-partition heaps + driver merge — never a
+global sort); the audit is two source-bounded aggs joined on the
+source key. At 100 TB the only data movement is K rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PPS_K = 200  # sample size (documents)
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kremis_spark.functions.text import tokens
+    from kremis_spark.plans.pipeline import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    )
+    weighted = docs.filter(F.col("n_toks") > 0)
+    u48 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    pri = weighted.withColumn("u48", u48).select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.expr("u48 div n_toks").cast("long").alias("priority"),
+    )
+    sample = pri.orderBy("priority", "doc_id").limit(PPS_K)
+    corpus = weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_corpus"),
+        F.sum("n_toks").cast("long").alias("toks_corpus"),
+    )
+    samp = sample.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_sampled"),
+        F.sum("n_toks").cast("long").alias("toks_sampled"),
+    )
+    joined = corpus.join(samp, "source", "left").select(
+        "source",
+        "n_docs_corpus",
+        "toks_corpus",
+        F.coalesce("n_docs_sampled", F.lit(0)).cast("long").alias(
+            "n_docs_sampled"
+        ),
+        F.coalesce("toks_sampled", F.lit(0)).cast("long").alias(
+            "toks_sampled"
+        ),
+    )
+    tot = joined.agg(
+        F.sum("toks_corpus").alias("tc"), F.sum("toks_sampled").alias("ts")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs_corpus",
+            "toks_corpus",
+            "n_docs_sampled",
+            "toks_sampled",
+            F.expr("toks_corpus * 1000000 div greatest(tc, 1L)")
+            .cast("long")
+            .alias("corpus_token_ppm"),
+            F.expr("toks_sampled * 1000000 div greatest(ts, 1L)")
+            .cast("long")
+            .alias("sample_token_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "pipe_pps_sample": rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_toks
+  FROM documents
+),
+w AS (SELECT * FROM d WHERE n_toks > 0),
+pri AS (
+  SELECT doc_id, source, n_toks,
+         ('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 12))
+           ::BIGINT // n_toks AS priority
+  FROM w
+),
+sample AS (
+  SELECT * FROM pri ORDER BY priority, doc_id LIMIT {PPS_K}
+),
+corpus AS (
+  SELECT source, COUNT(*) AS n_docs_corpus, SUM(n_toks) AS toks_corpus
+  FROM w GROUP BY source
+),
+samp AS (
+  SELECT source, COUNT(*) AS n_docs_sampled, SUM(n_toks) AS toks_sampled
+  FROM sample GROUP BY source
+),
+joined AS (
+  SELECT c.source, c.n_docs_corpus, c.toks_corpus,
+         COALESCE(s.n_docs_sampled, 0) AS n_docs_sampled,
+         COALESCE(s.toks_sampled, 0) AS toks_sampled
+  FROM corpus c LEFT JOIN samp s USING (source)
+),
+tot AS (SELECT SUM(toks_corpus) AS tc, SUM(toks_sampled) AS ts FROM joined)
+SELECT source,
+       CAST(n_docs_corpus AS BIGINT) AS n_docs_corpus,
+       CAST(toks_corpus AS BIGINT) AS toks_corpus,
+       CAST(n_docs_sampled AS BIGINT) AS n_docs_sampled,
+       CAST(toks_sampled AS BIGINT) AS toks_sampled,
+       CAST(toks_corpus * 1000000 // GREATEST(tc, 1) AS BIGINT)
+         AS corpus_token_ppm,
+       CAST(toks_sampled * 1000000 // GREATEST(ts, 1) AS BIGINT)
+         AS sample_token_ppm
+FROM joined, tot ORDER BY source
+""",
+}
+
+QUERIES = {
+    "pipe_pps_sample": q_pps_sample,
+}

@@ -63,6 +63,48 @@ def test_pack_order_ablation_invariants(spark):
     )
 
 
+def test_pps_sample_is_k_smallest_priorities(spark):
+    """The sample is exactly PPS_K docs, every source row reconciles,
+    and the sampled set equals the K smallest (priority, doc_id) pairs
+    recomputed independently."""
+    from kremis_spark.plans.sampling import PPS_K, q_pps_sample
+    from kremis_spark.sources.tables import read_table
+
+    rows = q_pps_sample(spark, SF_DIR).collect()
+    assert rows
+    assert sum(int(r["n_docs_sampled"]) for r in rows) == PPS_K
+    total_corpus_ppm = sum(int(r["corpus_token_ppm"]) for r in rows)
+    total_sample_ppm = sum(int(r["sample_token_ppm"]) for r in rows)
+    # floor division loses at most (n_sources - 1) ppm per column
+    assert 1_000_000 - len(rows) < total_corpus_ppm <= 1_000_000
+    assert 1_000_000 - len(rows) < total_sample_ppm <= 1_000_000
+    for r in rows:
+        assert int(r["n_docs_sampled"]) <= int(r["n_docs_corpus"])
+        assert int(r["toks_sampled"]) <= int(r["toks_corpus"])
+    # independent recomputation of the K smallest priorities
+    import hashlib
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    ).collect()
+    pri = sorted(
+        (
+            int(hashlib.md5(f"pps:{d['doc_id']}".encode()).hexdigest()[:12], 16)
+            // int(d["n"]),
+            int(d["doc_id"]),
+            d["source"],
+        )
+        for d in docs
+        if int(d["n"]) > 0
+    )[:PPS_K]
+    from collections import Counter
+
+    expect = Counter(s for _, _, s in pri)
+    got = {r["source"]: int(r["n_docs_sampled"]) for r in rows}
+    for src, n in expect.items():
+        assert got.get(src, 0) == n, (src, n, got.get(src))
+
+
 def test_stream_quality_gate_matches_batch_counts(spark):
     """Streamed per-source counters == the same booleans computed in
     batch (micro-batch splits must not change counts), and the
