@@ -661,6 +661,50 @@ def q_stream_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bot-regularity screen as a STREAM: per-user inter-event-gap
+    moments accumulate in custom state (applyInPandasWithState,
+    streaming/stream.running_gap_moments) and the verdict columns are
+    computed map-side over the emitted state — identical output (and
+    the SAME oracle SQL) as the batch events_bot_regularity. The gate's
+    file source delivers ts-ordered batches, so the carried last_ts
+    stitches batch boundaries exactly; a production deployment keyed by
+    ingest time instead tolerates the same reordering the batch
+    operator's lag window would.
+
+    Scale shape: state is five int64s per user; emitted rows are one
+    per user per batch; the verdict projection adds zero shuffles."""
+    from kremis_spark.plans.analytics_ext import (
+        BOT_MIN_GAPS,
+        BOT_RELVAR_MAX_PPM,
+    )
+    from kremis_spark.streaming.stream import running_gap_moments
+
+    ev = _events_stream(spark, sf_dir)
+    moments = _run_stream(
+        running_gap_moments(ev),
+        f"gate_stream_bot_{next(_qid)}",
+        "update",
+        eager_emit=True,
+    )
+    relvar = F.expr(
+        "(n_gaps * gap_sumsq - gap_sum_s * gap_sum_s)"
+        " div greatest(gap_sum_s * gap_sum_s div 1000000, 1L)"
+    ).cast("long")
+    return (
+        moments.filter(F.col("n_gaps") >= BOT_MIN_GAPS)
+        .select(
+            "user_id",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.col("gap_sum_s").cast("long").alias("gap_sum_s"),
+            F.col("gap_sumsq").cast("long").alias("gap_sumsq"),
+            relvar.alias("relvar_ppm"),
+            (relvar <= BOT_RELVAR_MAX_PPM).cast("long").alias("is_bot"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based quality filtering applied AT INGEST — the streaming
     deployment shape of the Gopher funnel (plans/scrub.q_gopher_rules):
@@ -1338,6 +1382,16 @@ FROM flags GROUP BY source ORDER BY source
 
 ORACLE_SQL["stream_quality_gate"] = _stream_quality_gate_sql()
 
+
+def _stream_bot_sql() -> str:
+    # identical semantics to the batch screen — share its oracle
+    from kremis_spark.plans.analytics_ext import ORACLE_SQL as _EXT_SQL
+
+    return _EXT_SQL["events_bot_regularity"]
+
+
+ORACLE_SQL["stream_bot_flags"] = _stream_bot_sql()
+
 QUERIES = {
     "pipe_multimodal_decode": q_multimodal_decode,
     "stream_neardup_flags": q_stream_neardup_flags,
@@ -1354,6 +1408,7 @@ QUERIES = {
     "events_hll_distinct": q_hll_distinct,
     "stream_hll_by_type": q_stream_hll_by_type,
     "stream_quality_gate": q_stream_quality_gate,
+    "stream_bot_flags": q_stream_bot_flags,
     "events_hll_intersect": q_hll_intersect,
     "events_value_histogram": q_value_histogram,
     "events_skew_safe_reach": q_skew_safe_reach,

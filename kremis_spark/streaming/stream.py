@@ -104,6 +104,78 @@ def windowed_event_counts(
     )
 
 
+GAP_STATE_SCHEMA = StructType(
+    [
+        StructField("n_gaps", LongType()),
+        StructField("gap_sum_s", LongType()),
+        StructField("gap_sumsq", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("has_last", LongType()),
+    ]
+)
+GAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("gap_sum_s", LongType()),
+        StructField("gap_sumsq", LongType()),
+    ]
+)
+
+
+def running_gap_moments(events: DataFrame) -> DataFrame:
+    """Stateful per-user inter-event-gap moments
+    (applyInPandasWithState): carries (count, Σgap, Σgap², last_ts)
+    across micro-batches, so the emitted moments after any batch split
+    equal the batch computation over everything seen so far — the
+    streaming half of the bot-regularity screen
+    (plans/analytics_ext.q_bot_regularity). Rows are folded in
+    (ts, event_id) order inside each batch; the carried last_ts stitches
+    the first gap of the next batch, which is what makes the result
+    split-invariant. Gaps are whole seconds of the normalized
+    nanosecond `ts` (floor division), matching the batch operator
+    exactly."""
+    import pandas as pd  # noqa: F401 — required by the pandas UDF contract
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        user_id = key[0]
+        if state.exists:
+            n, s, s2, last_ts, has_last = state.get
+        else:
+            n, s, s2, last_ts, has_last = 0, 0, 0, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"].astype("int64"):
+                ts = int(ts)
+                if has_last:
+                    g = (ts - last_ts) // 1_000_000_000
+                    n += 1
+                    s += g
+                    s2 += g * g
+                last_ts, has_last = ts, 1
+        state.update((n, s, s2, last_ts, has_last))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_gaps": [n],
+                "gap_sum_s": [s],
+                "gap_sumsq": [s2],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 RUNNING_STATE_SCHEMA = StructType([StructField("total", LongType())])
 RUNNING_OUTPUT_SCHEMA = StructType(
     [

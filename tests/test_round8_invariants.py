@@ -105,6 +105,83 @@ def test_pps_sample_is_k_smallest_priorities(spark):
         assert got.get(src, 0) == n, (src, n, got.get(src))
 
 
+def test_running_gap_moments_split_invariant(tmp_path, spark):
+    """The stateful gap-moment operator must emit the same final
+    per-user moments whether the events arrive in one micro-batch or
+    two (maxFilesPerTrigger=1 forces a batch boundary mid-user): the
+    carried last_ts stitches the cross-batch gap."""
+    import json as _json
+
+    from kremis_spark.streaming.stream import (
+        EVENTS_STREAM_SCHEMA,
+        running_gap_moments,
+    )
+
+    src = tmp_path / "ev_gaps"
+    src.mkdir()
+    rows_a = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7,
+         "event_type": "c", "value": "1"},
+        {"event_id": 2, "ts": "2024-01-01T00:00:10", "user_id": 7,
+         "event_type": "c", "value": "1"},
+        {"event_id": 3, "ts": "2024-01-01T00:00:05", "user_id": 8,
+         "event_type": "c", "value": "1"},
+    ]
+    rows_b = [
+        {"event_id": 4, "ts": "2024-01-01T00:00:40", "user_id": 7,
+         "event_type": "c", "value": "1"},
+        {"event_id": 5, "ts": "2024-01-01T00:00:06", "user_id": 8,
+         "event_type": "c", "value": "1"},
+    ]
+    (src / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows_a) + "\n"
+    )
+    (src / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b) + "\n"
+    )
+    # the file source orders batches by modification time — pin it so
+    # batch 1 is a.jsonl, batch 2 is b.jsonl
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "a.jsonl", (now - 10, now - 10))
+    _os.utime(src / "b.jsonl", (now, now))
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select(
+            "user_id",
+            (F.col("ts").cast("long") * 1_000_000_000).alias("ts"),
+            "event_id",
+        )
+    )
+    q = (
+        running_gap_moments(stream)
+        .writeStream.format("memory")
+        .queryName("gap_moments")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM gap_moments").collect()
+    final = {}
+    for r in out:  # update mode: keep the most-accumulated emission
+        cur = final.get(r["user_id"])
+        if cur is None or int(r["n_gaps"]) > int(cur["n_gaps"]):
+            final[r["user_id"]] = r
+    # user 7: gaps 10s then 30s (file order == ts order)
+    assert int(final[7]["n_gaps"]) == 2
+    assert int(final[7]["gap_sum_s"]) == 40
+    assert int(final[7]["gap_sumsq"]) == 10 * 10 + 30 * 30
+    # user 8: one cross-batch gap of 1s stitched via carried last_ts
+    assert int(final[8]["n_gaps"]) == 1
+    assert int(final[8]["gap_sum_s"]) == 1
+    assert int(final[8]["gap_sumsq"]) == 1
+
+
 def test_stream_quality_gate_matches_batch_counts(spark):
     """Streamed per-source counters == the same booleans computed in
     batch (micro-batch splits must not change counts), and the
