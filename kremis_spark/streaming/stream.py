@@ -138,6 +138,7 @@ def running_gap_moments(events: DataFrame) -> DataFrame:
     import pandas as pd  # noqa: F401 — required by the pandas UDF contract
 
     def update(key, pdf_iter, state):
+        import numpy as np
         import pandas as pd
 
         user_id = key[0]
@@ -145,17 +146,20 @@ def running_gap_moments(events: DataFrame) -> DataFrame:
             n, s, s2, last_ts, has_last = state.get
         else:
             n, s, s2, last_ts, has_last = 0, 0, 0, 0, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"].astype("int64"):
-                ts = int(ts)
-                if has_last:
-                    g = (ts - last_ts) // 1_000_000_000
-                    n += 1
-                    s += g
-                    s2 += g * g
-                last_ts, has_last = ts, 1
-        state.update((n, s, s2, last_ts, has_last))
+        frames = [pdf for pdf in pdf_iter]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            ts = pdf["ts"].to_numpy(dtype="int64")
+            if len(ts):
+                # vectorized gap fold; the carried last_ts stitches the
+                # first gap of this batch (numpy // floors like Python)
+                seq = np.concatenate(([last_ts], ts)) if has_last else ts
+                gaps = np.diff(seq) // 1_000_000_000
+                n += len(gaps)
+                s += int(gaps.sum())
+                s2 += int((gaps * gaps).sum())
+                last_ts, has_last = int(ts[-1]), 1
+        state.update((int(n), int(s), int(s2), int(last_ts), int(has_last)))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
