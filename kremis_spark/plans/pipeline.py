@@ -49,6 +49,12 @@ def clear_pipeline_caches() -> None:
         c.clear()
     _evict_surprisal_cache()
     _evict_quality_cache()
+    try:  # sibling memo owned by plans/beyond (late import — no cycle)
+        from kremis_spark.plans.beyond import _evict_neardup_index_cache
+
+        _evict_neardup_index_cache()
+    except ImportError:
+        pass
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
