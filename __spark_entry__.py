@@ -46,60 +46,60 @@ from pyspark.sql import DataFrame, SparkSession
 # the window stay exercised by tests/test_analytics_oracle.py at
 # sf0.001 every pytest run.
 _PRIORITY_FIRST_50 = [
-    # --- family sentinels (driver-green in r04-r07, kept as canaries) ---
+    # --- never-driver-checked (the last 6 without any lifetime verdict;
+    #     green rows here complete driver coverage of the registry) ---
+    "events_bot_regularity",
+    "stream_quality_gate",
+    "stream_bot_flags",
+    "pipe_pack_order_ablation",
+    "pipe_source_diversity",
+    "pipe_pps_sample",
+    # --- round-9 re-verification: changed plans this round ---
+    # (events_bot_regularity above also re-verifies the decimal relvar fix)
+    "pipe_dedup_minhash",           # memo registry now owns its caches
+    "pipe_lm_surprisal",            # memo registry migration
+    "pipe_e2e_curation",            # memo registry migration
+    "stream_neardup_flags",         # neardup index eviction fix
+    "pipe_multimodal_decode",       # pure-Python decode fallback
+    # --- family sentinels (driver-green in r04-r08, kept as canaries) ---
     "graph_nodes",               # ingest family
     "graph_traverse_dfs",        # traversal (golden-rows oracle)
     "graph_strongest_path",      # reference path algorithm
     "graph_pagerank",            # iterative graph algorithms
-    "pipe_dedup_minhash",        # dedup family
+    "graph_attr_stats",          # perf-watch query (r8 regression)
+    "graph_label_propagation",   # perf-watch query (r8 regression)
+    "graph_modularity",          # perf-watch query (r8 regression)
+    "graph_sssp",                # perf-watch query (r8 regression)
     "pipe_ann_cosine_topk",      # ANN family
     "stream_window_counts",      # streaming family
     "events_hll_distinct",       # sketch family
     "tpch_q1_pricing",           # TPC-H family
+    "tpch_q3_toporders",         # perf-watch (r8 warm regression)
+    "tpch_q5_nation_revenue",    # perf-watch (r8 warm regression)
+    "tpch_q18_large_orders",     # perf-watch (r8 warm regression)
     "pipe_quality",              # text-analysis family
     "pipe_seq_pack",             # curation family
-    "pipe_multimodal_decode",    # multimodal plumbing
-    # --- never-driver-checked rotation (first verdict this round) ---
-    "graph_edge_locality",
-    "graph_attr_stats",
-    "pipe_dup_source_matrix",
-    "pipe_minhash_est_error",
-    "pipe_dataset_card",
-    "pipe_fertility_by_lang",
-    "pipe_pmi_top_pairs",
-    "pipe_curation_provenance",
-    "pipe_lsh_band_audit",
-    "pipe_source_lang_matrix",
-    "pipe_shard_skew",
-    "pipe_source_jaccard",
-    "pipe_dedup_threshold_sweep",
-    "pipe_lsh_recall",
-    "pipe_vocab_coverage",
-    "pipe_dup_inflation",
-    "events_skew_top_keys",
-    "pipe_media_phash_bands",
-    "pipe_media_shard_manifest",
-    "pipe_chunk_overlap",
-    "pipe_repetition",
-    "pipe_contamination_by_source",
-    "pipe_ngram_novelty_curve",
-    "pipe_hash_classifier",
-    "pipe_importance_weights",
-    "pipe_quality_vs_dup",
-    "pipe_doremi_weights",
-    "pipe_hard_negatives",
-    "events_lateness_audit",
-    "pipe_span_corruption",
-    # --- round-8 re-verification: changed plans ---
-    "pipe_inverted_index",          # salted two-phase min-K postings
-    "win_top_customer_per_nation",  # window -> max_by partial agg
-    "pipe_lm_surprisal",            # memo now bounded + evicting
-    "pipe_e2e_curation",            # shares the survivor histogram memo
-    "pipe_quality_median_filter",   # other consumer of that memo
-    # --- round-8 additions (first driver verdict) ---
-    "pipe_block_scrub",             # duplicated-block removal audit
-    "pipe_gopher_rules",            # rule-funnel attrition
-    "pipe_bloom_decontaminate",     # broadcast-bloom decon + FP audit
+    # --- stale-verdict refresh: oldest green verdicts first ---
+    "graph_edges",
+    "graph_bfs_levels",
+    "graph_bfs_filtered",
+    "graph_traverse_subgraph",
+    "graph_intersect",
+    "graph_lookup",
+    "graph_properties",
+    "graph_topk_edges",
+    "graph_status",
+    "graph_metrics",
+    "graph_stage",
+    "graph_extract_path",
+    "graph_wcc_size_hist",
+    "graph_triangles",
+    "graph_kcore",
+    "pipe_dedup_exact",
+    "pipe_simhash_neardup",
+    "pipe_ngram_jaccard",
+    "pipe_lang_id",
+    "pipe_fingerprint",
 ]
 
 

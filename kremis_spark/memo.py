@@ -1,0 +1,238 @@
+"""Central session-memo registry — ONE home for every per-(application,
+dataset) cached or checkpointed table in the engine.
+
+Before this module each plan family kept its own module-level dicts of
+``.cache()``/``localCheckpoint`` DataFrames (docs, MinHash signatures,
+verified pairs, embeddings, IVF assignments, the graph state, the
+streaming corpus index, ...). Two operational problems followed:
+
+1. **Release was a no-op.** The best-effort evictors called
+   ``df._jdf.rdd().unpersist(False)`` — but ``Dataset.rdd()`` builds a
+   NEW RDD derived from the plan, so unpersisting it never touched the
+   blocks actually pinned by a ``localCheckpoint``; reclamation fell
+   back to JVM GC, and blocks from a previous ``sf_dir`` lingered after
+   a dataset switch.
+2. **No global lifecycle.** Ten independent dicts meant no single bound
+   on executor-storage footprint across a long bench session, and no
+   one call that demonstrably drops everything.
+
+This registry fixes both:
+
+- :func:`checkpoint` snapshots the SparkContext's persistent-RDD id set
+  around the ``localCheckpoint`` call and records the NEW ids, so its
+  release callback unpersists the real checkpointed RDD (verified by a
+  unit test that watches ``getPersistentRDDs`` shrink).
+- :func:`memo` is the one build-once-per-(app, dataset) entry point.
+  Entries are grouped by dataset; when memos for more than
+  ``MAX_DATASETS`` distinct ``(applicationId, sf_dir)`` pairs are live,
+  the least-recently-used dataset's entries are released wholesale —
+  the common test pattern of sweeping sf0.001 → sf0.01 → sf0.1 in one
+  session keeps only the tail datasets pinned.
+- :func:`clear_all` releases everything (tests that rewrite an sf_dir
+  in place call this through the existing ``clear_*_caches`` shims).
+
+At cluster scale the same discipline applies unchanged: memo blocks are
+MEMORY_AND_DISK on executors, the registry bounds how many datasets'
+working sets stay pinned, and release is an O(#blocks) unpersist, not a
+wait for GC.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+# How many distinct (applicationId, sf_dir) datasets may hold live memos
+# at once. 2, not 1: correctness runs interleave a tiny warmup dataset
+# with the real one, and evicting the real one on every warmup touch
+# would thrash.
+MAX_DATASETS = 2
+
+_LOCK = threading.RLock()
+
+# (name, app_id, sf_dir) -> (value, [release callables])
+_ENTRIES: dict[tuple[str, str, str], tuple[Any, list[Callable[[], None]]]] = {}
+# LRU over datasets: (app_id, sf_dir) -> None (OrderedDict as an LRU set)
+_DATASETS: OrderedDict[tuple[str, str], None] = OrderedDict()
+
+# Stack of release-collector lists; checkpoint()/cache()/on_release()
+# append to the innermost collector while a memo build is running.
+_BUILDING: list[list[Callable[[], None]]] = []
+
+
+def _persistent_ids(sc) -> set[int]:
+    jmap = sc._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` with a WORKING release path: the persistent
+    RDD ids created by the checkpoint are recorded, and the release
+    callback unpersists those ids via the JVM's persistent-RDD map (the
+    naive ``df.rdd.unpersist()`` unpersists a fresh derived RDD and
+    releases nothing)."""
+    sc = df.sparkSession.sparkContext
+    with _LOCK:
+        before = _persistent_ids(sc)
+        out = df.localCheckpoint(eager=eager)
+        new_ids = _persistent_ids(sc) - before
+
+    def release(sc=sc, ids=frozenset(new_ids)) -> None:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — context may already be stopped
+            pass
+
+    _register_release(release)
+    return out
+
+
+def cache(df: DataFrame) -> DataFrame:
+    """``.cache()`` with its release (``Dataset.unpersist`` — which DOES
+    work for CacheManager entries, non-cascading) registered on the
+    enclosing memo build."""
+    out = df.cache()
+
+    def release(d=out) -> None:
+        try:
+            d.unpersist(False)
+        except Exception:  # noqa: BLE001
+            pass
+
+    _register_release(release)
+    return out
+
+
+def on_release(fn: Callable[[], None]) -> None:
+    """Attach an arbitrary cleanup to the memo currently being built
+    (e.g. unpersisting the member DataFrames of a composite object)."""
+    _register_release(fn)
+
+
+def _register_release(fn: Callable[[], None]) -> None:
+    with _LOCK:
+        if _BUILDING:
+            _BUILDING[-1].append(fn)
+        # outside a memo build: the caller owns the lifecycle
+
+
+def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
+    """Return the memoized value for ``name`` under the current
+    (application, dataset), building it once via ``build()``. Any
+    :func:`checkpoint`/:func:`cache`/:func:`on_release` performed inside
+    ``build`` is owned by the entry and released on eviction.
+
+    Additionally, every persistent RDD that APPEARS during the build
+    (e.g. ``localCheckpoint`` calls inside library helpers that don't
+    know about this registry) is released with the entry — the id-set
+    diff around the build catches eagerly-materialized internal
+    checkpoints. (Lazy ``.cache()`` marks materialized after the build
+    are NOT caught by the diff; route those through :func:`cache`.)
+    Assumes memo builds don't race concurrent foreign persists in other
+    threads — true for the single-threaded driver/bench/test sessions."""
+    app = spark.sparkContext.applicationId
+    key = (name, app, sf_dir)
+    ds = (app, sf_dir)
+    with _LOCK:
+        hit = _ENTRIES.get(key)
+        if hit is not None:
+            _DATASETS.move_to_end(ds)
+            return hit[0]
+
+    # Build OUTSIDE the lock (Spark jobs run here); collector appended
+    # under the lock so nested memo builds stay correctly scoped.
+    sc = spark.sparkContext
+    releasables: list[Callable[[], None]] = []
+    with _LOCK:
+        nested = bool(_BUILDING)
+        _BUILDING.append(releasables)
+        ids_before = _persistent_ids(sc)
+    try:
+        value = build()
+    finally:
+        with _LOCK:
+            _BUILDING.remove(releasables)
+    # Nested memo builds: the inner entry owns its own diff; the outer
+    # diff would double-claim the inner ids, so only the OUTERMOST build
+    # records the sweep (double-unpersist is harmless but pointless).
+    if not nested:
+        new_ids = _persistent_ids(sc) - ids_before
+
+        def _sweep(sc=sc, ids=frozenset(new_ids)) -> None:
+            try:
+                jmap = sc._jsc.getPersistentRDDs()
+                for rid in ids:
+                    jrdd = jmap.get(rid)
+                    if jrdd is not None:
+                        jrdd.unpersist(False)
+            except Exception:  # noqa: BLE001 — context may be stopped
+                pass
+
+        releasables.append(_sweep)
+
+    with _LOCK:
+        # lost race: another thread built it meanwhile — keep theirs
+        hit = _ENTRIES.get(key)
+        if hit is not None:
+            for fn in releasables:
+                fn()
+            _DATASETS.move_to_end(ds)
+            return hit[0]
+        _ENTRIES[key] = (value, releasables)
+        _DATASETS[ds] = None
+        _DATASETS.move_to_end(ds)
+        evict = []
+        while len(_DATASETS) > MAX_DATASETS:
+            old_ds, _ = _DATASETS.popitem(last=False)
+            evict.append(old_ds)
+    for old_ds in evict:
+        _release_dataset(old_ds)
+    return value
+
+
+def peek(name: str, spark, sf_dir: str) -> Any | None:
+    """Return the memoized value if present, else None (no build)."""
+    key = (name, spark.sparkContext.applicationId, sf_dir)
+    with _LOCK:
+        hit = _ENTRIES.get(key)
+        return hit[0] if hit is not None else None
+
+
+def _release_dataset(ds: tuple[str, str]) -> None:
+    app, sf_dir = ds
+    with _LOCK:
+        doomed = [k for k in _ENTRIES if k[1] == app and k[2] == sf_dir]
+        entries = [_ENTRIES.pop(k) for k in doomed]
+        _DATASETS.pop(ds, None)
+    for _, releasables in entries:
+        for fn in releasables:
+            fn()
+
+
+def clear_all() -> None:
+    """Release EVERY live memo (all datasets). The one hook tests and
+    long-lived sessions need between dataset rewrites."""
+    with _LOCK:
+        entries = list(_ENTRIES.values())
+        _ENTRIES.clear()
+        _DATASETS.clear()
+    for _, releasables in entries:
+        for fn in releasables:
+            fn()
+
+
+def stats() -> dict[str, Any]:
+    """Registry introspection for bench telemetry: live entry count and
+    dataset keys."""
+    with _LOCK:
+        return {
+            "entries": len(_ENTRIES),
+            "datasets": ["::".join(ds) for ds in _DATASETS],
+        }

@@ -1846,8 +1846,12 @@ def q_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one lag window on the user key (the sessionization
     shuffle) then one user group-agg with map-side combine; no joins.
-    Overflow-safe by telescoping: Σgap per user is bounded by the time
-    span, so n·Σx² fits int64 at any realistic event count."""
+    Overflow-safe: the numerator n·Σx² − (Σx)² is computed in
+    DECIMAL(38,0) — under a skewed gap distribution one span-sized gap
+    puts Σx² near (span)² ≈ 9e14, and with ≥1e4 gaps the int64 product
+    would wrap silently while the DuckDB oracle promotes to HUGEINT.
+    The QUOTIENT always fits int64 (relvar_ppm ≤ (n−1)·1e6 by
+    Cauchy-Schwarz), so only the intermediate needs widening."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
@@ -1868,7 +1872,8 @@ def q_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") >= BOT_MIN_GAPS)
     )
     relvar = F.expr(
-        "(n_gaps * gap_sumsq - gap_sum_s * gap_sum_s)"
+        "(cast(n_gaps as decimal(38,0)) * gap_sumsq"
+        " - cast(gap_sum_s as decimal(38,0)) * gap_sum_s)"
         " div greatest(gap_sum_s * gap_sum_s div 1000000, 1L)"
     ).cast("long")
     return per.select(

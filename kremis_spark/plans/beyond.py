@@ -471,68 +471,57 @@ CMS_PROBES = 5
 DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
 
 
-_NEARDUP_INDEX_CACHE: dict = {}
-
-
-def _evict_neardup_index_cache() -> None:
-    for md, side, _, _ in _NEARDUP_INDEX_CACHE.values():
-        for df in (md, side):
-            try:
-                df._jdf.rdd().unpersist(False)
-            except Exception:  # noqa: BLE001 — best-effort block release
-                pass
-    _NEARDUP_INDEX_CACHE.clear()
-
-
 def _neardup_corpus_index(spark: SparkSession, sf_dir: str):
     """The corpus-side dedup index the stream probes — exact-tier md5
     set and hot-capped LSH band/signature table — materialized ONCE per
     (session, dataset), like a production corpus index that is built
     nightly and served to every micro-batch (previously each call
     rebuilt both localCheckpoints: measured 6.3 s/rep at sf0.1 with no
-    warm benefit). Bounded to the most recent dataset with best-effort
-    unpersist on eviction, same discipline as the pipeline memos."""
+    warm benefit). Lifecycle is owned by the central memo registry,
+    whose checkpoint() release actually unpersists the checkpointed
+    RDDs (the old best-effort ``df._jdf.rdd().unpersist`` built a NEW
+    derived RDD and released nothing)."""
+    from kremis_spark import memo as M
     from kremis_spark.functions import dedup as D
     from kremis_spark.plans.pipeline import INCOMING_MOD, _docs_parallel, _sigs
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _NEARDUP_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
-    _evict_neardup_index_cache()
-    docs = _docs_parallel(spark, sf_dir)
-    is_inc = (F.col("doc_id") % INCOMING_MOD) == 0
-    corp_md = F.broadcast(
-        docs.filter(~is_inc).select(F.md5("text").alias("m")).distinct()
-        .withColumn("in_corpus", F.lit(1))
-        .localCheckpoint(eager=True)
-    )
-    corp_bands, key_cols = D._banded(
-        _sigs(spark, sf_dir).filter(~is_inc), "doc_id"
-    )
-    corp_bands = corp_bands.localCheckpoint(eager=True)
-    ok_keys = (
-        corp_bands.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= D.HOT_BUCKET_CAP)
-        .select(*key_cols)
-    )
-    sig_cols = [f"sig_{k}" for k in range(D.NUM_HASHES)]
-    corp_side = F.broadcast(
-        corp_bands.join(ok_keys, key_cols)
-        .select(
-            *key_cols,
-            *[F.col(c).alias(f"__sb{k}") for k, c in enumerate(sig_cols)],
+    def build():
+        docs = _docs_parallel(spark, sf_dir)
+        is_inc = (F.col("doc_id") % INCOMING_MOD) == 0
+        corp_md = F.broadcast(
+            M.checkpoint(
+                docs.filter(~is_inc).select(F.md5("text").alias("m"))
+                .distinct()
+                .withColumn("in_corpus", F.lit(1))
+            )
         )
-        .localCheckpoint(eager=True)
-    )
-    try:  # corp_bands only feeds the two checkpoints above — release it
-        corp_bands._jdf.rdd().unpersist(False)
-    except Exception:  # noqa: BLE001
-        pass
-    out = (corp_md, corp_side, key_cols, sig_cols)
-    _NEARDUP_INDEX_CACHE[key] = out
-    return out
+        corp_bands, key_cols = D._banded(
+            _sigs(spark, sf_dir).filter(~is_inc), "doc_id"
+        )
+        # intermediate checkpoint: also registry-owned; released with
+        # the entry (small — band keys + signatures of the corpus side)
+        corp_bands = M.checkpoint(corp_bands)
+        ok_keys = (
+            corp_bands.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= D.HOT_BUCKET_CAP)
+            .select(*key_cols)
+        )
+        sig_cols = [f"sig_{k}" for k in range(D.NUM_HASHES)]
+        corp_side = F.broadcast(
+            M.checkpoint(
+                corp_bands.join(ok_keys, key_cols).select(
+                    *key_cols,
+                    *[
+                        F.col(c).alias(f"__sb{k}")
+                        for k, c in enumerate(sig_cols)
+                    ],
+                )
+            )
+        )
+        return (corp_md, corp_side, key_cols, sig_cols)
+
+    return M.memo("stream_neardup_index", spark, sf_dir, build)
 
 
 def q_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,8 +705,14 @@ def q_stream_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest time instead tolerates the same reordering the batch
     operator's lag window would.
 
-    Scale shape: state is five int64s per user; emitted rows are one
-    per user per batch; the verdict projection adds zero shuffles."""
+    Scale shape: state is five int64s per user; the update-mode sink
+    appends one row per user PER MICRO-BATCH, so the consumer below
+    reduces to the FINAL state per user (max n_gaps — the gap count is
+    strictly increasing across a user's emissions) before computing the
+    verdict; without that reduction a multi-batch delivery (several
+    event files, maxFilesPerTrigger) would emit duplicate user rows
+    carrying stale moments. The verdict projection adds one bounded
+    user-keyed agg and zero joins."""
     from kremis_spark.plans.analytics_ext import (
         BOT_MIN_GAPS,
         BOT_RELVAR_MAX_PPM,
@@ -725,14 +720,22 @@ def q_stream_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kremis_spark.streaming.stream import running_gap_moments
 
     ev = _events_stream(spark, sf_dir)
-    moments = _run_stream(
+    emitted = _run_stream(
         running_gap_moments(ev),
         f"gate_stream_bot_{next(_qid)}",
         "update",
         eager_emit=True,
     )
+    moments = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_gaps", "gap_sum_s", "gap_sumsq")).alias("s"))
+        .select("user_id", "s.n_gaps", "s.gap_sum_s", "s.gap_sumsq")
+    )
+    # decimal numerator: same overflow guard as the batch operator
+    # (events_bot_regularity) — n·Σx² wraps int64 under gap skew
     relvar = F.expr(
-        "(n_gaps * gap_sumsq - gap_sum_s * gap_sum_s)"
+        "(cast(n_gaps as decimal(38,0)) * gap_sumsq"
+        " - cast(gap_sum_s as decimal(38,0)) * gap_sum_s)"
         " div greatest(gap_sum_s * gap_sum_s div 1000000, 1L)"
     ).cast("long")
     return (

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from kremis_spark import memo as M
 from kremis_spark.engine import GraphState
 from kremis_spark.ingest import ingest_batch, signals_from_events
 
@@ -38,22 +39,20 @@ PATH_DEPTH = 8
 TOP_K = 10
 LOOKUP_ENTITY = 7
 
-# Session memos, keyed (applicationId, sf_dir). ASSUMPTION: the parquet
-# under sf_dir is immutable for the lifetime of a Spark application —
-# true for the driver/bench setup (testdata is generated once). A test
-# that rewrites sf_dir in-place within one application must call
-# clear_query_caches() or it will be served stale state.
-_STATE_CACHE: dict[tuple[str, str], GraphState] = {}
-_UND_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Session memos live in the central registry (kremis_spark.memo), keyed
+# (applicationId, sf_dir). ASSUMPTION: the parquet under sf_dir is
+# immutable for the lifetime of a Spark application — true for the
+# driver/bench setup (testdata is generated once). A test that rewrites
+# sf_dir in-place within one application must call clear_query_caches()
+# or it will be served stale state.
 
 
 def clear_query_caches() -> None:
-    """Drop every session memo in this module (graph state, strongest-path
-    intermediates, anchors, canonical undirected edges). For tests/tools
-    that regenerate data under an sf_dir within one Spark application."""
-    for c in (_STATE_CACHE, _PATH_CACHE, _ANCHORS_CACHE, _UND_CACHE,
-              _WCC_CACHE):
-        c.clear()
+    """Drop every session memo (graph state, strongest-path
+    intermediates, anchors, canonical undirected edges — the whole
+    registry). For tests/tools that regenerate data under an sf_dir
+    within one Spark application."""
+    M.clear_all()
 
 
 def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,37 +61,43 @@ def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph algorithm here (triangles, link prediction, k-core, harmonic
     centrality, neighbor Jaccard). Before this memo each of them paid
     the same dedup shuffle + checkpoint on a cold run."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _UND_CACHE.get(key)
-    if df is None:
+
+    def build() -> DataFrame:
         st = graph_state(spark, sf_dir)
-        df = (
+        return M.checkpoint(
             st.edges.filter(F.col("src") != F.col("dst"))
             .select(
                 F.least("src", "dst").alias("a"),
                 F.greatest("src", "dst").alias("b"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        _UND_CACHE[key] = df
-    return df
+
+    return M.memo("graph_undirected", spark, sf_dir, build)
 
 
 def graph_state(spark: SparkSession, sf_dir: str) -> GraphState:
     """Build (and cache) the events-derived graph via the real ingest path."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    st = _STATE_CACHE.get(key)
-    if st is None:
+
+    def build() -> GraphState:
         signals = signals_from_events(spark, sf_dir)
         # enforce_limits=False: the 10k-signal cap is the reference's API
         # bound (primitives.rs:73); the engine itself scales past it.
         st = ingest_batch(
             GraphState.empty(spark), signals, enforce_limits=False
-        ).cache()
+        )
+        # registry-owned cache marks (release works even though .cache()
+        # materializes lazily — Dataset.unpersist hits the CacheManager)
+        st = replace(
+            st,
+            nodes=M.cache(st.nodes),
+            edges=M.cache(st.edges),
+            properties=M.cache(st.properties),
+        )
         st.edge_count()  # materialize once + seed the shared count memo
-        _STATE_CACHE[key] = st
-    return st
+        return st
+
+    return M.memo("graph_state", spark, sf_dir, build)
 
 
 # --------------------------------------------------------------------------
@@ -306,9 +311,6 @@ def _sparse_threshold(st: GraphState) -> int | None:
     return best
 
 
-_PATH_CACHE: dict[tuple[str, str], tuple[list[int] | None, GraphState | None]] = {}
-
-
 def _sparse_strongest_path(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[int] | None, GraphState | None]:
@@ -317,17 +319,10 @@ def _sparse_strongest_path(
     Returns (path, sparsified_state). Memoized per (app, sf) alongside
     graph_state — strongest_path / extract_path / path_confidence are a
     family over one intermediate, like consumers of a CTE."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _PATH_CACHE:
-        return _PATH_CACHE[key]
-    result = _sparse_strongest_path_uncached(spark, sf_dir)
-    _PATH_CACHE[key] = result
-    return result
-
-
-_ANCHORS_CACHE: dict[
-    tuple[str, str], tuple[int | None, int | None, GraphState | None]
-] = {}
+    return M.memo(
+        "graph_sparse_path", spark, sf_dir,
+        lambda: _sparse_strongest_path_uncached(spark, sf_dir),
+    )
 
 
 def _sparse_anchors(
@@ -336,12 +331,10 @@ def _sparse_anchors(
     """Memoized per (app, sf): the anchor probe (threshold scan + BFS to
     the farthest node) is invariant between commits and shared by the
     exact and the distributed strongest-path gate queries."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _ANCHORS_CACHE:
-        return _ANCHORS_CACHE[key]
-    result = _sparse_anchors_uncached(spark, sf_dir)
-    _ANCHORS_CACHE[key] = result
-    return result
+    return M.memo(
+        "graph_sparse_anchors", spark, sf_dir,
+        lambda: _sparse_anchors_uncached(spark, sf_dir),
+    )
 
 
 def _sparse_anchors_uncached(
@@ -483,9 +476,6 @@ def q_traverse_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step BIGINT, node_id BIGINT")
 
 
-_WCC_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _wcc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component labels (n, label) for every edge-endpoint node of the
     co-occurrence graph, memoized per session (q_components and
@@ -496,10 +486,13 @@ def _wcc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     component with its minimum node id, which is exactly what union-find
     with min representatives computes); larger graphs run the
     distributed pointer-jumping loop, which the parity test pins."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    out = _WCC_CACHE.get(key)
-    if out is not None:
-        return out
+    return M.memo(
+        "graph_wcc_labels", spark, sf_dir,
+        lambda: _wcc_labels_build(spark, sf_dir),
+    )
+
+
+def _wcc_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = graph_state(spark, sf_dir)
     und = st.edges.select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
@@ -533,7 +526,6 @@ def _wcc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parent[hi] = lo
         rows = sorted((x, find(x)) for x in parent)
         out = spark.createDataFrame(rows, "n LONG, label LONG")
-    _WCC_CACHE[key] = out
     return out
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
 from kremis_spark.functions import dedup as D
 from kremis_spark.functions import similarity as S
 from kremis_spark.functions import text as T
@@ -34,27 +35,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
-# Session memos, keyed (applicationId, sf_dir). ASSUMPTION: parquet under
-# sf_dir is immutable for the application's lifetime (true for the
-# driver/bench setup). Tests that rewrite an sf_dir in-place must call
-# clear_pipeline_caches() (and graph_queries.clear_query_caches()).
-_DOCS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Session memos live in the central registry (kremis_spark.memo), keyed
+# (applicationId, sf_dir). ASSUMPTION: parquet under sf_dir is immutable
+# for the application's lifetime (true for the driver/bench setup).
+# Tests that rewrite an sf_dir in-place must call
+# clear_pipeline_caches() (which drops the whole registry).
 
 
 def clear_pipeline_caches() -> None:
-    """Drop every session memo in this module (docs, signatures, verified
-    pairs, embeddings, FPS seeds, surprisal + quality signal tables)."""
-    for c in (_DOCS_CACHE, _VERIFIED_CACHE, _HASHED_CACHE, _SIGS_CACHE,
-              _EMB_CACHE, _SEED_CACHE, _LABELS_CACHE, _ASSIGN_CACHE):
-        c.clear()
-    _evict_surprisal_cache()
-    _evict_quality_cache()
-    try:  # sibling memo owned by plans/beyond (late import — no cycle)
-        from kremis_spark.plans.beyond import _evict_neardup_index_cache
-
-        _evict_neardup_index_cache()
-    except ImportError:
-        pass
+    """Drop every session memo (docs, signatures, verified pairs,
+    embeddings, FPS seeds, surprisal + quality signal tables, graph
+    state, streaming corpus index) — the registry releases the cached /
+    checkpointed blocks, not just the Python references."""
+    M.clear_all()
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,16 +61,13 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus each call (on a cluster, MEMORY_AND_DISK over the working
     set the query batch actually touches — not a 100 TB pin; Spark
     evicts cold blocks)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _DOCS_CACHE.get(key)
-    if df is None:
-        df = (
+    return M.memo(
+        "pipe_docs", spark, sf_dir,
+        lambda: M.cache(
             read_table(spark, sf_dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism)
-            .cache()
-        )
-        _DOCS_CACHE[key] = df
-    return df
+        ),
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,26 +104,10 @@ def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bounded to ONE entry: bench/test sessions sweep several sf_dirs, and an
-# unbounded memo would pin a checkpointed per-doc table in executor
-# storage for every dataset touched. Switching datasets evicts (and
-# best-effort unpersists) the previous entry.
-_SURPRISAL_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _evict_surprisal_cache() -> None:
-    for old in _SURPRISAL_CACHE.values():
-        try:
-            old._jdf.rdd().unpersist(False)
-        except Exception:  # noqa: BLE001 — best-effort block release;
-            pass  # ContextCleaner reclaims on GC either way
-    _SURPRISAL_CACHE.clear()
-
-
 def clear_surprisal_cache() -> None:
-    """Release the memoized per-doc surprisal table (call between
-    datasets in a long-lived session)."""
-    _evict_surprisal_cache()
+    """Release the memoized signal tables (call between datasets in a
+    long-lived session). Kept as a shim over the central registry."""
+    M.clear_all()
 
 
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,14 +135,10 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-band pruning, held-out ppl's scoring side, and DoReMi
     reweighting — previously each re-ran the bigram explode + model
     self-join; production computes a signal column once too."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    out = _SURPRISAL_CACHE.get(key)
-    if out is None:
-        _evict_surprisal_cache()
-        out = _doc_surprisal_build(spark, sf_dir).localCheckpoint(
-            eager=True
-        )
-        _SURPRISAL_CACHE[key] = out
+    out = M.memo(
+        "pipe_surprisal", spark, sf_dir,
+        lambda: M.checkpoint(_doc_surprisal_build(spark, sf_dir)),
+    )
     return out.orderBy("doc_id")
 
 
@@ -272,23 +242,11 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bounded one-entry memo, same pattern as _SURPRISAL_CACHE: the per-doc
-# quality signal table has six consumers (quality gate, per-source
-# percentiles, median filter, e2e funnel, quality-vs-dup bands, Z-order
-# layout) that each re-ran the regex token scoring over the corpus;
-# production computes a signal column once, so does this.
-_QUALITY_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _evict_quality_cache() -> None:
-    for old in _QUALITY_CACHE.values():
-        try:
-            old._jdf.rdd().unpersist(False)
-        except Exception:  # noqa: BLE001 — best-effort block release;
-            pass  # ContextCleaner reclaims on GC either way
-    _QUALITY_CACHE.clear()
-
-
+# Registry memo: the per-doc quality signal table has six consumers
+# (quality gate, per-source percentiles, median filter, e2e funnel,
+# quality-vs-dup bands, Z-order layout) that each re-ran the regex token
+# scoring over the corpus; production computes a signal column once, so
+# does this.
 def _quality_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, lang, quality, n_tokens) — the per-doc quality
     signal table, materialized once per (session, dataset). Quality is
@@ -297,23 +255,18 @@ def _quality_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint holds rows (5 narrow columns per doc), not lineage —
     the regex scoring scan runs once per session instead of once per
     consumer."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    out = _QUALITY_CACHE.get(key)
-    if out is None:
-        _evict_quality_cache()
-        out = (
-            T.with_quality_score(_docs_parallel(spark, sf_dir))
-            .select(
+    return M.memo(
+        "pipe_quality_base", spark, sf_dir,
+        lambda: M.checkpoint(
+            T.with_quality_score(_docs_parallel(spark, sf_dir)).select(
                 "doc_id",
                 "source",
                 "lang",
                 F.col("quality").cast("long").alias("quality"),
                 F.size(T.tokens()).cast("long").alias("n_tokens"),
             )
-            .localCheckpoint(eager=True)
-        )
-        _QUALITY_CACHE[key] = out
-    return out
+        ),
+    )
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,9 +664,6 @@ def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
-_HASHED_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 CLUSTER_JACCARD_MIN = 500  # 0.5 in millis
 SWEEP_BAND_MILLIS = 100  # threshold-sweep bucket width (0.1 Jaccard)
 
@@ -723,14 +673,14 @@ def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     session — shared by the batch self-join dedup and the incremental
     cross-join dedup. cache() (not localCheckpoint) keeps the per-doc
     partitioning for the band explodes."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    s = _SIGS_CACHE.get(key)
-    if s is None:
-        s = D.minhash_signatures(
-            _docs_parallel(spark, sf_dir), hashed=_hashed(spark, sf_dir)
-        ).cache()
-        _SIGS_CACHE[key] = s
-    return s
+    return M.memo(
+        "pipe_sigs", spark, sf_dir,
+        lambda: M.cache(
+            D.minhash_signatures(
+                _docs_parallel(spark, sf_dir), hashed=_hashed(spark, sf_dir)
+            )
+        ),
+    )
 
 
 def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,28 +688,24 @@ def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     session — the shared base of MinHash signatures, n-gram Jaccard
     blocking, and exact-Jaccard verification (the explode + md5 pass
     over the corpus is the dominant dedup cost)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _HASHED_CACHE.get(key)
-    if df is None:
-        # localCheckpoint, not cache(): a checkpoint scan drops the
-        # outputPartitioning (forcing downstream per-doc aggregates to
-        # re-shuffle), but it also frees AQE to re-plan every consumer
-        # join from ACTUAL sizes — measured here, that join-quality win
-        # beats the saved exchange 2:1 (cache() regressed ngram_jaccard
-        # 2.7s -> 10s by freezing static SMJ plans over the cached fact).
-        df = D.hashed_shingles(_docs_parallel(spark, sf_dir)).localCheckpoint(
-            eager=True
-        )
-        _HASHED_CACHE[key] = df
-    return df
+    # checkpoint, not cache(): a checkpoint scan drops the
+    # outputPartitioning (forcing downstream per-doc aggregates to
+    # re-shuffle), but it also frees AQE to re-plan every consumer
+    # join from ACTUAL sizes — measured here, that join-quality win
+    # beats the saved exchange 2:1 (cache() regressed ngram_jaccard
+    # 2.7s -> 10s by freezing static SMJ plans over the cached fact).
+    return M.memo(
+        "pipe_hashed", spark, sf_dir,
+        lambda: M.checkpoint(
+            D.hashed_shingles(_docs_parallel(spark, sf_dir))
+        ),
+    )
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs with exact Jaccard, materialized once per session
     — shared by the top-pairs query and duplicate clustering."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    out = _VERIFIED_CACHE.get(key)
-    if out is None:
+    def build() -> DataFrame:
         docs = _docs_parallel(spark, sf_dir)
         hashed = _hashed(spark, sf_dir)
         sigs = _sigs(spark, sf_dir)
@@ -768,15 +714,14 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # already-computed signatures), culling band noise ~300x before
         # the exact shingle-set intersection runs. Same rule in the
         # DuckDB oracle (_MINHASH_CORE cand CTE).
-        pairs = D.lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
-        out = D.jaccard_verify(
-            docs, pairs, hashed=hashed, n_pairs_hint=pairs.count()
-        ).localCheckpoint(eager=True)
-        _VERIFIED_CACHE[key] = out
-    return out
+        pairs = M.checkpoint(D.lsh_candidate_pairs(sigs))
+        return M.checkpoint(
+            D.jaccard_verify(
+                docs, pairs, hashed=hashed, n_pairs_hint=pairs.count()
+            )
+        )
 
-
-_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+    return M.memo("pipe_verified_pairs", spark, sf_dir, build)
 
 
 def _strong_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,16 +732,16 @@ def _strong_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix, quality-vs-dup, e2e curation) previously re-ran the iterative
     min-label loop (~6-10 chained jobs each); the memo runs it once.
     connected_components already returns a localCheckpoint-ed table, so
-    the memo holds materialized rows, not lineage."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    out = _LABELS_CACHE.get(key)
-    if out is None:
+    the memo holds materialized rows, not lineage (the registry's
+    build-scope sweep owns those internal checkpoint blocks)."""
+
+    def build() -> DataFrame:
         strong = _verified_pairs(spark, sf_dir).filter(
             F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
         ).select("doc_a", "doc_b")
-        out = D.connected_components(strong).withColumnRenamed("n", "doc_id")
-        _LABELS_CACHE[key] = out
-    return out
+        return D.connected_components(strong).withColumnRenamed("n", "doc_id")
+
+    return M.memo("pipe_strong_labels", spark, sf_dir, build)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,30 +1371,18 @@ def q_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity ------------------------------------------------------------
 
 
-_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integerized embeddings + norms, materialized once per session —
     the shared 'vector index base' of the four ANN queries (cosine, LSH,
     IVF, near-dup), mirroring the cached graph state."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _EMB_CACHE.get(key)
-    if df is None:
-        df = S.prepared_embeddings(_emb(spark, sf_dir)).localCheckpoint(
-            eager=True
-        )
-        _EMB_CACHE[key] = df
-    return df
+    return M.memo(
+        "pipe_prepared_emb", spark, sf_dir,
+        lambda: M.checkpoint(S.prepared_embeddings(_emb(spark, sf_dir))),
+    )
 
 
 prepared_cached = _prepared  # public alias for sibling plan modules
 
-# (seeds, exhausted): the prefix-consistent seed list plus whether the
-# sweep ran out of distinct vectors before MAX_FPS_SEEDS
-_SEED_CACHE: dict[
-    tuple[str, str], tuple[list[tuple[int, list[int]]], bool]
-] = {}
 MAX_FPS_SEEDS = 16  # max(IVF_K, KMEANS_K, PQ_K) — one sweep serves all
 
 
@@ -1460,22 +1393,19 @@ def fps_seed_vectors(
     ONE farthest-point sweep at MAX_FPS_SEEDS per session+SF (the sweep
     is prefix-consistent, so every consumer slices the same list). The
     cache keeps the k−1 argmax jobs out of repeated query calls."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SEED_CACHE.get(key)
-    if cached is not None:
-        seeds, exhausted = cached
-        # exhausted = the sweep consumed every vector, so a larger k
-        # cannot yield more seeds — without this marker a corpus smaller
-        # than MAX_FPS_SEEDS would re-run the sweep on every call.
-        if len(seeds) >= k or exhausted:
-            return seeds[:k]
-    want = max(k, MAX_FPS_SEEDS)
-    seeds = S.farthest_point_seeds(_prepared(spark, sf_dir), want)
-    _SEED_CACHE[key] = (seeds, len(seeds) < want)
-    return seeds[:k]
-
-
-_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+    seeds, exhausted = M.memo(
+        "pipe_fps_seeds", spark, sf_dir,
+        lambda: (
+            lambda s: (s, len(s) < MAX_FPS_SEEDS)
+        )(S.farthest_point_seeds(_prepared(spark, sf_dir), MAX_FPS_SEEDS)),
+    )
+    # exhausted = the sweep consumed every vector, so a larger k cannot
+    # yield more seeds. A k beyond MAX_FPS_SEEDS with vectors remaining
+    # falls through to a direct (un-memoized) sweep — no current caller
+    # does this.
+    if len(seeds) >= k or exhausted:
+        return seeds[:k]
+    return S.farthest_point_seeds(_prepared(spark, sf_dir), k)
 
 
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,15 +1414,12 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     session — the index-build pass of the IVF family. Consumers
     (ivf_topk, the recall audit) previously re-ran the Arrow matmul
     assignment per call; the index is built once in production too."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _ASSIGN_CACHE.get(key)
-    if df is None:
+
+    def build() -> DataFrame:
         cents = fps_seed_vectors(spark, sf_dir, S.IVF_K)
-        df = S.with_ivf_cell(_prepared(spark, sf_dir), cents).localCheckpoint(
-            eager=True
-        )
-        _ASSIGN_CACHE[key] = df
-    return df
+        return M.checkpoint(S.with_ivf_cell(_prepared(spark, sf_dir), cents))
+
+    return M.memo("pipe_ivf_assigned", spark, sf_dir, build)
 
 
 def _query_ivec(spark: SparkSession, sf_dir: str) -> list[int]:

@@ -1,0 +1,92 @@
+"""The central session-memo registry (kremis_spark.memo): real block
+release, dataset-level LRU, build-scope ownership of internal
+checkpoints. The predecessor per-module dicts released nothing — their
+evictors unpersisted a FRESH RDD derived from the plan (Dataset.rdd()),
+leaving the localCheckpoint's blocks pinned until JVM GC."""
+
+from __future__ import annotations
+
+from kremis_spark import memo as M
+
+
+def _pids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def test_checkpoint_release_actually_unpersists(spark):
+    M.clear_all()
+    before = _pids(spark)
+    df = M.memo(
+        "t_ckpt", spark, "ds_a",
+        lambda: M.checkpoint(spark.range(1000).selectExpr("id", "id*2 AS y")),
+    )
+    assert df.count() == 1000
+    created = _pids(spark) - before
+    assert created, "localCheckpoint should register persistent RDDs"
+    M.clear_all()
+    assert not (_pids(spark) & created), (
+        "release must unpersist the REAL checkpointed RDD ids "
+        "(the old df._jdf.rdd().unpersist was a no-op)"
+    )
+
+
+def test_cache_release_via_dataset_unpersist(spark):
+    M.clear_all()
+    df = M.memo(
+        "t_cache", spark, "ds_a", lambda: M.cache(spark.range(500))
+    )
+    assert df.count() == 500  # materialize the cache
+    assert df.storageLevel.useMemory
+    M.clear_all()
+    assert not df.storageLevel.useMemory, "unpersist must reach CacheManager"
+
+
+def test_build_scope_sweep_owns_internal_checkpoints(spark):
+    """A localCheckpoint made INSIDE a memo build by registry-unaware
+    library code (e.g. connected_components) is released with the entry
+    via the build-scope persistent-id sweep."""
+    M.clear_all()
+    before = _pids(spark)
+
+    def build():
+        # raw checkpoint, NOT routed through M.checkpoint
+        return spark.range(200).localCheckpoint(eager=True)
+
+    df = M.memo("t_sweep", spark, "ds_a", build)
+    assert df.count() == 200
+    created = _pids(spark) - before
+    assert created
+    M.clear_all()
+    assert not (_pids(spark) & created)
+
+
+def test_dataset_lru_bound(spark):
+    M.clear_all()
+    for i, ds in enumerate(["ds_a", "ds_b", "ds_c"]):
+        M.memo(f"t_lru_{i}", spark, ds, lambda: i)
+    live = M.stats()["datasets"]
+    assert len(live) == M.MAX_DATASETS
+    assert M.peek("t_lru_0", spark, "ds_a") is None, "LRU dataset evicted"
+    assert M.peek("t_lru_2", spark, "ds_c") == 2
+    # touching the survivor refreshes recency: ds_b is now LRU
+    M.memo("t_lru_1", spark, "ds_b", lambda: "never rebuilt")
+    M.memo("t_lru_3", spark, "ds_d", lambda: 3)
+    assert M.peek("t_lru_1", spark, "ds_b") == 1
+    assert M.peek("t_lru_2", spark, "ds_c") is None
+    M.clear_all()
+    assert M.stats()["entries"] == 0
+
+
+def test_memo_hit_returns_same_object(spark):
+    M.clear_all()
+    calls = []
+
+    def build():
+        calls.append(1)
+        return object()
+
+    a = M.memo("t_hit", spark, "ds_a", build)
+    b = M.memo("t_hit", spark, "ds_a", build)
+    assert a is b and len(calls) == 1
+    M.clear_all()

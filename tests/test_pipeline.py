@@ -540,28 +540,28 @@ def test_ann_mips_matches_local_reduction(spark):
 
 
 def test_quality_base_memo_bounded_and_evicting(spark):
-    """The quality signal memo holds at most ONE dataset: touching a
-    second sf_dir evicts the first (the unbounded version pinned a
-    checkpointed per-doc table per dataset for the session's lifetime).
-    Same contract for the surprisal memo."""
+    """Session memos live in the central registry, bounded to
+    MAX_DATASETS distinct (app, sf_dir) pairs: touching a dataset beyond
+    the bound evicts (and actually releases) the least-recently-used
+    one. The unbounded version pinned a checkpointed per-doc table per
+    dataset for the session's lifetime."""
+    from kremis_spark import memo as M
     from kremis_spark.plans import pipeline as P
 
     P.clear_pipeline_caches()
     a = P._quality_base(spark, "/root/testdata/sf0.001")
-    assert len(P._QUALITY_CACHE) == 1
     # same dir: memo hit, same object
     assert P._quality_base(spark, "/root/testdata/sf0.001") is a
+    assert M.peek("pipe_quality_base", spark, "/root/testdata/sf0.001") is a
     b = P._quality_base(spark, "/root/testdata/sf0.01")
-    assert len(P._QUALITY_CACHE) == 1
-    assert next(iter(P._QUALITY_CACHE))[1] == "/root/testdata/sf0.01"
-    # evicted entry's rows were checkpointed; the new one is usable
+    assert len(M.stats()["datasets"]) <= M.MAX_DATASETS
+    # a third dataset evicts the LRU (sf0.001) entries wholesale
+    P._quality_base(spark, "/root/testdata/sf0.1")
+    assert M.peek("pipe_quality_base", spark, "/root/testdata/sf0.001") is None
+    assert len(M.stats()["datasets"]) <= M.MAX_DATASETS
+    # survivor is usable; evicted entry's consumer would rebuild cleanly
     assert b.limit(1).count() == 1
-
-    s1 = P.q_lm_surprisal(spark, "/root/testdata/sf0.001")
-    assert len(P._SURPRISAL_CACHE) == 1
-    P.q_lm_surprisal(spark, "/root/testdata/sf0.01")
-    assert len(P._SURPRISAL_CACHE) == 1
-    assert next(iter(P._SURPRISAL_CACHE))[1] == "/root/testdata/sf0.01"
-    del s1, a, b
+    assert P._quality_base(spark, "/root/testdata/sf0.001").limit(1).count() == 1
+    del a, b
     P.clear_pipeline_caches()
-    assert not P._QUALITY_CACHE and not P._SURPRISAL_CACHE
+    assert M.stats()["entries"] == 0
