@@ -268,6 +268,13 @@ def cmd_server(args) -> int:  # pragma: no cover
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="kremis-spark")
     p.add_argument("--data-dir", default="./kremis_data")
+    # reference-binary aliases: --database is the reference's name for the
+    # store path; --backend selects its storage engine (file|redb) — here
+    # everything is parquet-file-backed, so the flag is accepted and
+    # recorded but does not change behavior.
+    p.add_argument("--database", default=None)
+    p.add_argument("--backend", choices=["file", "redb", "memory"],
+                   default="file")
     p.add_argument("--json-mode", action="store_true")
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -336,6 +343,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # Reference-CLI compat (apps/kremis: `kremis --database PATH --backend
+    # file <cmd>`): --database maps onto --data-dir so tooling written
+    # against the reference binary — e.g. its fabrication-benchmark
+    # harness, benchmark/run.py:240-247 — drives this CLI unchanged.
+    if args.database is not None:
+        args.data_dir = args.database
     return args.fn(args)
 
 

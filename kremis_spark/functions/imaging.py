@@ -1,0 +1,198 @@
+"""Pure-Python fallback image codec: uncompressed 24-bit BMP and binary
+PPM (P6), plus nearest-neighbor resize and a concatenated-PPM frame
+stream.
+
+Purpose: the container has no imaging libraries, and the multimodal
+operators' PIL branches therefore never executed in CI. These are real
+(if minimal) decoders for real formats, so the decode → transform →
+re-encode pipeline in ``functions/multimodal.py`` runs end-to-end even
+without PIL: BMP and P6 are byte-exact, spec-simple formats a few dozen
+lines can handle without dependencies. PIL remains the preferred backend
+wherever importable; this module is the honest lowest rung, not a fake.
+
+Only the subset the operators need is implemented:
+- BMP: 24 bits/pixel, BI_RGB (uncompressed), bottom-up or top-down rows.
+- PPM: binary ``P6`` with maxval 255, ``#`` comments allowed.
+- Frames: a "PPM stream" — back-to-back P6 images in one payload (what
+  ``ffmpeg -f image2pipe -c:v ppm`` emits) — stands in for an animated
+  container.
+
+All functions work on ``bytes`` in / ``bytes`` out with pixels as a flat
+RGB ``bytearray`` (len = 3·w·h), so they stay trivially Arrow/pandas
+friendly inside ``mapInPandas`` batches.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+Pixels = bytearray  # flat RGB, row-major, 3 bytes per pixel
+
+
+def sniff_format(data: bytes) -> str | None:
+    """'bmp' | 'ppm' | None (unknown)."""
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"P6":
+        return "ppm"
+    return None
+
+
+# --- BMP (24bpp BI_RGB) -----------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, Pixels]:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={compression}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = pix_off + stride * height
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(3 * width * height)
+    for row in range(height):
+        src_row = row if top_down else height - 1 - row
+        base = pix_off + src_row * stride
+        dst = row * width * 3
+        line = data[base : base + width * 3]
+        # BGR -> RGB: within each pixel triple, swap channels 0 and 2
+        out[dst : dst + width * 3] = bytes(
+            line[i - (i % 3) + (2 - i % 3)] for i in range(width * 3)
+        )
+    return width, height, out
+
+
+def encode_bmp(width: int, height: int, pixels: Pixels) -> bytes:
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixel buffer size mismatch")
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    pix_off = 54
+    header = b"BM" + struct.pack(
+        "<IHHI", pix_off + img_size, 0, 0, pix_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = bytearray(img_size)  # row padding bytes stay zero
+    for row in range(height):
+        src = row * width * 3
+        base = (height - 1 - row) * stride  # bottom-up
+        line = pixels[src : src + width * 3]
+        # RGB -> BGR: within each pixel triple, swap channels 0 and 2
+        body[base : base + width * 3] = bytes(
+            line[i - (i % 3) + (2 - i % 3)] for i in range(width * 3)
+        )
+    return bytes(header) + bytes(body)
+
+
+# --- PPM (P6, maxval 255) ---------------------------------------------------
+
+
+def _ppm_token(data: bytes, pos: int) -> tuple[bytes, int]:
+    n = len(data)
+    while pos < n:
+        c = data[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < n and data[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and not data[pos : pos + 1].isspace():
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated PPM header")
+    return data[start:pos], pos
+
+
+def decode_ppm(data: bytes, pos: int = 0) -> tuple[int, int, Pixels, int]:
+    """Decode one P6 image starting at ``pos``; returns (w, h, pixels,
+    next_pos) so concatenated streams can be walked frame by frame."""
+    magic, pos = _ppm_token(data, pos)
+    if magic != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    wtok, pos = _ppm_token(data, pos)
+    htok, pos = _ppm_token(data, pos)
+    mtok, pos = _ppm_token(data, pos)
+    width, height, maxval = int(wtok), int(htok), int(mtok)
+    if maxval != 255 or width <= 0 or height <= 0:
+        raise ValueError(f"unsupported PPM w={width} h={height} maxval={maxval}")
+    pos += 1  # exactly one whitespace byte after maxval
+    need = 3 * width * height
+    if len(data) < pos + need:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, bytearray(data[pos : pos + need]), pos + need
+
+
+def encode_ppm(width: int, height: int, pixels: Pixels) -> bytes:
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixel buffer size mismatch")
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(pixels)
+
+
+# --- shared entry points ------------------------------------------------------
+
+
+def decode_image(data: bytes) -> tuple[int, int, Pixels]:
+    """Decode BMP or PPM by magic sniff. Raises ValueError on anything
+    else — callers treat that as a poison payload, same contract as the
+    PIL branch."""
+    fmt = sniff_format(bytes(data))
+    if fmt == "bmp":
+        return decode_bmp(bytes(data))
+    if fmt == "ppm":
+        w, h, px, _ = decode_ppm(bytes(data))
+        return w, h, px
+    raise ValueError("unknown image format (fallback codec reads BMP/P6)")
+
+
+def resize_nearest(
+    width: int, height: int, pixels: Pixels, new_w: int, new_h: int
+) -> Pixels:
+    """Nearest-neighbor resample (the fallback's resampler; the PIL
+    branch uses LANCZOS — quality differs, the contract doesn't)."""
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("degenerate target size")
+    out = bytearray(3 * new_w * new_h)
+    for y in range(new_h):
+        sy = y * height // new_h
+        src_row = sy * width * 3
+        dst_row = y * new_w * 3
+        for x in range(new_w):
+            sx = x * width // new_w
+            s = src_row + sx * 3
+            d = dst_row + x * 3
+            out[d : d + 3] = pixels[s : s + 3]
+    return out
+
+
+def iter_ppm_frames(data: bytes) -> Iterator[tuple[int, int, Pixels]]:
+    """Walk a concatenated-P6 stream, yielding (w, h, pixels) per frame.
+    Raises ValueError if the payload isn't a P6 stream; a trailing
+    partial frame raises too (all-or-nothing, matching sample_frames'
+    contract that a mid-sequence failure yields zero rows)."""
+    data = bytes(data)
+    pos = 0
+    while pos < len(data):
+        w, h, px, pos = decode_ppm(data, pos)
+        yield w, h, px
+        # skip inter-frame whitespace so encoders that newline-separate work
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1

@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing here is real and tested — schema, partition-safe
-Arrow-batched transforms via ``mapInPandas``, batch shapes — while the
-actual media decoding is STUBBED: this container has no image/audio
-libraries, so ``decode`` uses a clearly-marked deterministic fake unless
-PIL/soundfile import succeeds. A production deployment swaps
-``_decode_image_real`` in without touching any plan shape.
+Arrow-batched transforms via ``mapInPandas``, batch shapes. Decoding has
+two real backends, probed per executor inside the task closure: PIL when
+importable (any PIL-readable format), else the dependency-free BMP/P6
+codec in ``functions/imaging.py`` — so resize and frame-sampling run a
+genuine decode → transform → re-encode path in every environment,
+including this container (no imaging libraries installed). Only
+``decode_features``' ENCODER is a deterministic fake (a real embedding
+model doesn't fit a unit-test container); its batch plumbing is the
+production shape.
 
 Design for 100 TB of media:
 - content stays an opaque ``binary`` column; Spark never interprets it
@@ -109,45 +113,60 @@ RESIZED_SCHEMA = MEDIA_SCHEMA
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize via PIL over Arrow-batched ``mapInPandas``: decode
-    each ``content`` payload, LANCZOS-resample to (width, height),
-    re-encode as PNG, and record the old/new dimensions in ``meta``.
+    """Image resize over Arrow-batched ``mapInPandas``: decode each
+    ``content`` payload, resample to (width, height), re-encode, and
+    record the old/new dimensions in ``meta``.
 
-    The PIL branch is real and activates wherever PIL is importable (it
-    is imported inside the task closure, so executors probe it
-    independently); in this container PIL is absent and the call raises
-    up front — the documented honest stub. Undecodable payloads pass
-    through unchanged with ``meta['decode_error']`` set rather than
-    failing the batch (at 100 TB a poison byte-string must not kill the
-    stage)."""
-    if not _have_pil():
-        raise NotImplementedError(
-            "resize_images requires PIL; not available in this environment. "
-            "The mapInPandas plumbing mirrors decode_features."
-        )
+    Backends, probed inside the task closure so every executor decides
+    independently: PIL when importable (any format PIL reads, LANCZOS
+    resample, PNG out); otherwise the pure-Python fallback codec
+    (``functions/imaging.py`` — BMP/P6 in, nearest-neighbor resample,
+    P6 out). Either way the decode path is REAL — no environment leaves
+    this operator a stub. Undecodable payloads pass through unchanged
+    with ``meta['decode_error']`` set rather than failing the batch (at
+    100 TB a poison byte-string must not kill the stage)."""
     import pandas as pd
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
+        try:
+            import io
 
-        from PIL import Image
+            from PIL import Image
+
+            def one(raw: bytes) -> tuple[bytes, dict[str, str]]:
+                with Image.open(io.BytesIO(raw)) as im:
+                    extra = {
+                        "orig_width": str(im.width),
+                        "orig_height": str(im.height),
+                    }
+                    out = io.BytesIO()
+                    im.resize(
+                        (width, height), Image.Resampling.LANCZOS
+                    ).save(out, format="PNG")
+                return out.getvalue(), {**extra, "format": "png"}
+
+        except ImportError:
+            from kremis_spark.functions import imaging as I
+
+            def one(raw: bytes) -> tuple[bytes, dict[str, str]]:
+                w0, h0, px = I.decode_image(raw)
+                resized = I.resize_nearest(w0, h0, px, width, height)
+                return I.encode_ppm(width, height, resized), {
+                    "orig_width": str(w0),
+                    "orig_height": str(h0),
+                    "format": "ppm",
+                }
 
         for pdf in batches:
             contents, metas = [], []
             for raw, meta in zip(pdf["content"], pdf["meta"]):
                 meta = dict(meta) if meta is not None else {}
                 try:
-                    with Image.open(io.BytesIO(bytes(raw))) as im:
-                        meta["orig_width"] = str(im.width)
-                        meta["orig_height"] = str(im.height)
-                        out = io.BytesIO()
-                        im.resize(
-                            (width, height), Image.Resampling.LANCZOS
-                        ).save(out, format="PNG")
-                    contents.append(bytearray(out.getvalue()))
+                    data, extra = one(bytes(raw))
+                    contents.append(bytearray(data))
+                    meta.update(extra)
                     meta["width"] = str(width)
                     meta["height"] = str(height)
-                    meta["format"] = "png"
                 except Exception as exc:  # poison payload: tag, don't fail
                     contents.append(raw)
                     meta["decode_error"] = type(exc).__name__
@@ -174,25 +193,43 @@ FRAMES_SCHEMA = StructType(
 
 
 def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Frame sampling: one output row per every_n-th frame, frames
-    re-encoded as PNG. The real branch uses PIL's multi-frame decoder
-    (GIF/APNG/TIFF sequences — a true video codec would slot into the
-    same loop via ffmpeg/av); gated on PIL like resize_images. A
-    non-animated or undecodable payload contributes zero rows — a flatMap
-    shape, which is why this is ``mapInPandas`` (row counts may change)
-    rather than a 1:1 transform."""
-    if not _have_pil():
-        raise NotImplementedError(
-            "sample_frames requires a frame decoder (PIL); not available "
-            "in this environment. Output contract: (item_id LONG, "
-            "frame_idx INT, content BINARY)."
-        )
+    """Frame sampling: one output row per every_n-th frame, re-encoded.
+    Backends, probed per executor like resize_images: PIL's multi-frame
+    decoder when importable (GIF/APNG/TIFF sequences — a true video
+    codec would slot into the same loop via ffmpeg/av, PNG frames out);
+    otherwise the fallback walks a concatenated-P6 "PPM stream" (the
+    format ``ffmpeg -f image2pipe -c:v ppm`` emits) and re-emits P6
+    frames. A non-animated or undecodable payload contributes zero rows
+    — a flatMap shape, which is why this is ``mapInPandas`` (row counts
+    may change) rather than a 1:1 transform."""
     import pandas as pd
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
+        try:
+            import io
 
-        from PIL import Image, ImageSequence
+            from PIL import Image, ImageSequence
+
+            def frames_of(raw: bytes) -> list[tuple[int, bytes]]:
+                got = []
+                with Image.open(io.BytesIO(raw)) as im:
+                    for i, frame in enumerate(ImageSequence.Iterator(im)):
+                        if i % every_n:
+                            continue
+                        out = io.BytesIO()
+                        frame.convert("RGB").save(out, format="PNG")
+                        got.append((i, out.getvalue()))
+                return got
+
+        except ImportError:
+            from kremis_spark.functions import imaging as I
+
+            def frames_of(raw: bytes) -> list[tuple[int, bytes]]:
+                return [
+                    (i, I.encode_ppm(w, h, px))
+                    for i, (w, h, px) in enumerate(I.iter_ppm_frames(raw))
+                    if i % every_n == 0
+                ]
 
         for pdf in batches:
             ids, idxs, frames = [], [], []
@@ -200,23 +237,14 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
                 # decode the whole item first, emit all-or-nothing: a
                 # mid-sequence frame failure must not leave a silently
                 # truncated sample in the output
-                item_idxs, item_frames = [], []
                 try:
-                    with Image.open(io.BytesIO(bytes(raw))) as im:
-                        for i, frame in enumerate(
-                            ImageSequence.Iterator(im)
-                        ):
-                            if i % every_n:
-                                continue
-                            out = io.BytesIO()
-                            frame.convert("RGB").save(out, format="PNG")
-                            item_idxs.append(i)
-                            item_frames.append(bytearray(out.getvalue()))
+                    got = frames_of(bytes(raw))
                 except Exception:
                     continue  # undecodable/partial payload → zero frames
-                ids.extend([item_id] * len(item_idxs))
-                idxs.extend(item_idxs)
-                frames.extend(item_frames)
+                for i, data in got:
+                    ids.append(item_id)
+                    idxs.append(i)
+                    frames.append(bytearray(data))
             yield pd.DataFrame(
                 {
                     "item_id": pd.Series(ids, dtype="int64"),
@@ -233,11 +261,46 @@ def fake_media_table(
 ) -> DataFrame:
     """Deterministic synthetic media rows for tests/benches (content is
     seeded pseudo-random bytes, NOT a decodable image — pairs with the
-    stubbed decoder)."""
+    fake feature encoder and the poison-payload paths)."""
     rows = []
     for i in range(n):
         content = hashlib.sha256(f"media:{modality}:{i}".encode()).digest() * 8
         rows.append((i, modality, bytearray(content), {"src": f"synthetic:{i}"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decodable_media_table(
+    spark: SparkSession,
+    n: int = 16,
+    modality: str = "image",
+    frames: int = 1,
+    fmt: str = "ppm",
+    size: tuple[int, int] = (8, 6),
+) -> DataFrame:
+    """Deterministic synthetic media rows whose content IS decodable by
+    the fallback codec (and by PIL where present): per item, ``frames``
+    concatenated images (P6 stream when >1) of seeded solid-ish pixels.
+    Exercises the REAL decode branches of resize_images/sample_frames
+    without any imaging dependency."""
+    from kremis_spark.functions import imaging as I
+
+    w, h = size
+    rows = []
+    for i in range(n):
+        payload = b""
+        for f in range(frames):
+            seed = hashlib.sha256(f"px:{modality}:{i}:{f}".encode()).digest()
+            px = bytearray(
+                seed[(3 * p + c) % 32] for p in range(w * h) for c in range(3)
+            )
+            payload += (
+                I.encode_bmp(w, h, px)
+                if fmt == "bmp" and frames == 1
+                else I.encode_ppm(w, h, px)
+            )
+        rows.append(
+            (i, modality, bytearray(payload), {"src": f"synthetic:{i}"})
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -1,0 +1,76 @@
+"""The pure-Python fallback image codec (functions/imaging.py): BMP and
+P6 roundtrips, resize, PPM frame streams, poison handling. No Spark —
+this is the backend the multimodal operators use when PIL is absent."""
+
+import pytest
+
+from kremis_spark.functions import imaging as I
+
+
+def _px(w: int, h: int, seed: int = 7) -> bytearray:
+    # deterministic pseudo-random pixels without random: LCG over bytes
+    x, out = seed, bytearray()
+    for _ in range(3 * w * h):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        out.append(x % 256)
+    return out
+
+
+def test_bmp_roundtrip_including_row_padding():
+    # width 13 → stride 40 ≠ 39: exercises the 4-byte row padding
+    w, h = 13, 9
+    px = _px(w, h)
+    w2, h2, px2 = I.decode_bmp(I.encode_bmp(w, h, px))
+    assert (w2, h2) == (w, h) and px2 == px
+
+
+def test_ppm_roundtrip_and_header_comments():
+    w, h = 5, 4
+    px = _px(w, h, seed=3)
+    assert I.decode_image(I.encode_ppm(w, h, px))[2] == px
+    commented = b"P6\n# c1\n5 4\n# c2\n255\n" + bytes(px)
+    assert I.decode_image(commented) == (w, h, px)
+
+
+def test_sniff_and_decode_image_dispatch():
+    px = _px(4, 4)
+    assert I.sniff_format(I.encode_bmp(4, 4, px)) == "bmp"
+    assert I.sniff_format(I.encode_ppm(4, 4, px)) == "ppm"
+    assert I.sniff_format(b"\x89PNG...") is None
+    assert I.decode_image(I.encode_bmp(4, 4, px))[2] == px
+
+
+def test_resize_nearest_identity_and_known_downscale():
+    w, h = 4, 2
+    px = _px(w, h)
+    assert I.resize_nearest(w, h, px, w, h) == px
+    half = I.resize_nearest(w, h, px, 2, 1)
+    # nearest with floor mapping: (0,0) and (0,2) of the source
+    assert half[0:3] == px[0:3]
+    assert half[3:6] == px[6:9]
+
+
+def test_ppm_frame_stream_walks_all_frames():
+    frames = [_px(3, 3, seed=s) for s in (1, 2, 3)]
+    stream = b"".join(I.encode_ppm(3, 3, f) for f in frames)
+    got = list(I.iter_ppm_frames(stream))
+    assert [g[2] for g in got] == frames
+
+
+def test_poison_and_truncation_raise_value_error():
+    px = _px(4, 4)
+    with pytest.raises(ValueError):
+        I.decode_image(b"\x00garbage not an image")
+    with pytest.raises(ValueError):
+        I.decode_image(I.encode_ppm(4, 4, px)[:-5])
+    with pytest.raises(ValueError):
+        I.decode_bmp(I.encode_bmp(4, 4, px)[:-3])
+    # mid-stream truncation: all-or-nothing iteration
+    stream = I.encode_ppm(4, 4, px) + I.encode_ppm(4, 4, px)[:-5]
+    with pytest.raises(ValueError):
+        list(I.iter_ppm_frames(stream))
+    # 32bpp BMP (unsupported variant) is rejected, not misread
+    bad = bytearray(I.encode_bmp(4, 4, px))
+    bad[28] = 32
+    with pytest.raises(ValueError):
+        I.decode_bmp(bytes(bad))

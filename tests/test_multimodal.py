@@ -29,13 +29,50 @@ def test_partition_for_decode(spark):
     assert df.count() == 16
 
 
-@pytest.mark.skipif(M._have_pil(), reason="PIL present: real branch active")
-def test_gated_stubs_raise_without_pil(spark):
-    df = M.fake_media_table(spark, n=1)
-    with pytest.raises(NotImplementedError):
-        M.resize_images(df, 224, 224)
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(df)
+def test_resize_images_any_backend(spark):
+    """resize_images decodes REAL images in every environment: PIL where
+    present, else the pure-Python BMP/P6 fallback codec. P6 input is
+    readable by both backends."""
+    from kremis_spark.functions import imaging as I
+
+    df = M.decodable_media_table(spark, n=3, size=(8, 6), fmt="ppm")
+    out = {r["item_id"]: r for r in M.resize_images(df, 4, 4).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert "decode_error" not in r["meta"]
+        assert r["meta"]["width"] == "4" and r["meta"]["height"] == "4"
+        assert r["meta"]["orig_width"] == "8"
+        assert r["meta"]["orig_height"] == "6"
+        if r["meta"]["format"] == "ppm":  # fallback backend re-encodes P6
+            w, h, px = I.decode_image(bytes(r["content"]))
+            assert (w, h) == (4, 4) and len(px) == 3 * 4 * 4
+
+
+def test_resize_poison_payload_tagged_not_fatal_any_backend(spark):
+    df = M.fake_media_table(spark, n=2)  # bytes are NOT a decodable image
+    rows = M.resize_images(df, 4, 4).collect()
+    assert len(rows) == 2
+    assert all(r["meta"]["decode_error"] for r in rows)
+
+
+@pytest.mark.skipif(M._have_pil(), reason="PIL present: PIL branch active")
+def test_sample_frames_fallback_ppm_stream(spark):
+    """The no-PIL fallback walks a concatenated-P6 stream (the ffmpeg
+    image2pipe format): 6 frames, every 2nd → idx 0,2,4 per item, each
+    emitted frame a valid P6 image."""
+    from kremis_spark.functions import imaging as I
+
+    df = M.decodable_media_table(spark, n=2, frames=6, modality="video")
+    rows = M.sample_frames(df, every_n=2).collect()
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r["item_id"], []).append(r["frame_idx"])
+        w, h, _ = I.decode_image(bytes(r["content"]))
+        assert (w, h) == (8, 6)
+    assert all(sorted(v) == [0, 2, 4] for v in by_item.values())
+    assert len(by_item) == 2
+    # undecodable payload → zero rows, not a stage failure
+    assert M.sample_frames(M.fake_media_table(spark, n=2)).count() == 0
 
 
 def _png_media_table(spark, n=4, size=(8, 6), frames=1):
@@ -76,14 +113,6 @@ def test_resize_images_real_branch(spark):
         assert r["meta"]["orig_width"] == "8"
         with Image.open(io.BytesIO(bytes(r["content"]))) as im:
             assert im.size == (4, 4)
-
-
-@pytest.mark.skipif(not M._have_pil(), reason="PIL not in this container")
-def test_resize_poison_payload_tagged_not_fatal(spark):
-    df = M.fake_media_table(spark, n=2)  # bytes are NOT a decodable image
-    rows = M.resize_images(df, 4, 4).collect()
-    assert len(rows) == 2
-    assert all(r["meta"]["decode_error"] for r in rows)
 
 
 @pytest.mark.skipif(not M._have_pil(), reason="PIL not in this container")
