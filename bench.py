@@ -185,6 +185,31 @@ def main() -> None:
         keep = {n.strip() for n in only.split(",") if n.strip()}
         qs = {k: v for k, v in qs.items() if k in keep}
     medians: dict[str, float] = {}
+    # Optional JVM-health telemetry (SPARK_GRAFT_BENCH_JVMSTATS=1):
+    # per-query deltas of JIT compilation time and GC time, plus code
+    # cache occupancy — the forensics for "a random query runs 10x slow
+    # with all reps slow, different query each run" (JIT deopt/flush and
+    # GC storms are sticky-per-class and timing-dependent, exactly that
+    # signature; plan-shape problems are neither).
+    jvmstats = os.environ.get("SPARK_GRAFT_BENCH_JVMSTATS") == "1"
+    jvm_rows: dict[str, dict] = {}
+
+    def _jvm_sample() -> dict:
+        jvm = spark.sparkContext._jvm
+        mf = jvm.java.lang.management.ManagementFactory
+        comp = mf.getCompilationMXBean().getTotalCompilationTime()
+        gc = sum(
+            b.getCollectionTime()
+            for b in mf.getGarbageCollectorMXBeans()
+        )
+        code_used = sum(
+            p.getUsage().getUsed()
+            for p in mf.getMemoryPoolMXBeans()
+            if "CodeHeap" in p.getName() or "Code Cache" in p.getName()
+        )
+        return {"comp_ms": comp, "gc_ms": gc, "code_mb": code_used / 1e6}
+
+    prev = _jvm_sample() if jvmstats else None
     for name, fn in qs.items():
         samples = []
         for _ in range(REPS):
@@ -196,6 +221,26 @@ def main() -> None:
         times[name] = round(samples[0], 3)
         samples.sort()
         medians[name] = round(samples[len(samples) // 2], 3)
+        if jvmstats:
+            cur = _jvm_sample()
+            jvm_rows[name] = {
+                "d_comp_ms": cur["comp_ms"] - prev["comp_ms"],
+                "d_gc_ms": cur["gc_ms"] - prev["gc_ms"],
+                "code_mb": round(cur["code_mb"], 1),
+            }
+            prev = cur
+
+    # Storage telemetry: live persistent-RDD blocks + registry entries at
+    # session end — the memo registry's flat-footprint claim, measured.
+    try:
+        from kremis_spark import memo as _M
+
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        extras["storage_rdds"] = len(infos)
+        extras["storage_mb"] = round(sum(i.memSize() for i in infos) / 1e6, 1)
+        extras["memo_entries"] = _M.stats()["entries"]
+    except Exception:  # noqa: BLE001 — telemetry must never fail the bench
+        pass
 
     stat_total1, stat_idle1, stat_steal1 = _proc_stat()
     d_total = max(stat_total1 - stat_total0, 1)
@@ -232,6 +277,7 @@ def main() -> None:
                     "reps": REPS,
                     "queries_cold": times,
                     "queries_median": medians,
+                    **({"jvm_stats": jvm_rows} if jvm_rows else {}),
                     **extras,
                 },
                 fh,

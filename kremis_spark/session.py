@@ -46,6 +46,20 @@ def get_spark(
         # small dim relative to edges/properties facts).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A session that runs hundreds of distinct query shapes generates
+        # thousands of whole-stage-codegen classes; at the JVM's default
+        # 240 MB ReservedCodeCacheSize the code cache fills mid-session
+        # and UseCodeCacheFlushing starts evicting warm nmethods — the
+        # flushed shapes re-run INTERPRETED until C2 recompiles them,
+        # which shows up as random queries going 5-15x slow with every
+        # rep slow (measured: 320 s of total JIT time across one bench
+        # session, code-cache occupancy sawtoothing at ~175 MB). 512 MB
+        # holds the whole workload's compiled code; on a cluster this
+        # belongs in spark.executor.extraJavaOptions too.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
