@@ -61,6 +61,9 @@ _PRIORITY_FIRST_50 = [
     "pipe_e2e_curation",            # memo registry migration
     "stream_neardup_flags",         # neardup index eviction fix
     "pipe_multimodal_decode",       # pure-Python decode fallback
+    # --- round-9 additions (first driver verdict) ---
+    "pipe_c4_rules",                # C4 structural rule funnel
+    "pipe_perceptron_step",         # distributed batch perceptron trainer
     # --- family sentinels (driver-green in r04-r08, kept as canaries) ---
     "graph_nodes",               # ingest family
     "graph_traverse_dfs",        # traversal (golden-rows oracle)

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 NGRAM_N = 8  # ExactSubstr-approximation shingle width (words)
+PERC_EPOCHS = 3  # full-batch perceptron epochs (pipe_perceptron_step)
 CLS_BUCKETS = 2001  # hashed-weight table size → weights in [-1000, 1000]
 DSIR_TARGET_SOURCE = "src0"  # stand-in "target domain" for the gate
 DSIR_TOP_K = 20
@@ -578,6 +579,86 @@ FROM banded GROUP BY source ORDER BY source
 
 ORACLE_SQL["pipe_surprisal_prune"] = _surprisal_prune_sql()
 
+
+def _perceptron_sql() -> str:
+    """Unrolled PERC_EPOCHS-epoch batch perceptron: each epoch is a
+    scalar CTE whose misclassification predicate references the previous
+    epoch's weights as scalar subqueries — the same fold-the-readback
+    pattern as the kmeans_train oracle, in pure SQL."""
+    from kremis_spark.plans.scrub import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_PERMILLE,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI,
+        GOPHER_MWL_LO,
+        _GOPHER_STOPS_SQL,
+    )
+
+    stops_in = _GOPHER_STOPS_SQL
+    parts = [rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+f AS (
+  SELECT CAST(len(w) AS BIGINT) AS x1,
+         CAST((SELECT SUM(length(x)) FROM UNNEST(w) AS u(x)) AS BIGINT)
+           AS x2,
+         CAST((SELECT COUNT(DISTINCT x) FROM UNNEST(w) AS u(x)) AS BIGINT)
+           AS x3,
+         CAST((SELECT COUNT(*) FROM UNNEST(w) AS u(x)
+               WHERE x IN {stops_in}) AS BIGINT) AS stops
+  FROM t
+),
+l AS (
+  SELECT x1, x2, x3,
+         CASE WHEN x1 >= {GOPHER_MIN_WORDS} AND x1 <= {GOPHER_MAX_WORDS}
+               AND x2 * 1000 >= x1 * {GOPHER_MWL_LO}
+               AND x2 * 1000 <= x1 * {GOPHER_MWL_HI}
+               AND stops >= {GOPHER_MIN_STOP_HITS}
+               AND x3 * 1000 >= x1 * {GOPHER_MIN_DISTINCT_PERMILLE}
+              THEN 1 ELSE -1 END AS y
+  FROM f
+)"""]
+    prev = None  # CTE name carrying (wb, w1, w2, w3)
+    for e in range(1, PERC_EPOCHS + 1):
+        if prev is None:
+            margin = "0"
+        else:
+            margin = (
+                f"(SELECT wb FROM {prev}) + (SELECT w1 FROM {prev}) * x1 "
+                f"+ (SELECT w2 FROM {prev}) * x2 "
+                f"+ (SELECT w3 FROM {prev}) * x3"
+            )
+        base = f"(SELECT {{c}} FROM {prev})" if prev else "0"
+        parts.append(f""",
+e{e} AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN y * ({margin}) <= 0 THEN 1 ELSE 0 END) AS n_mis,
+         {base.format(c='wb')}
+           + SUM(CASE WHEN y * ({margin}) <= 0 THEN y ELSE 0 END) AS wb,
+         {base.format(c='w1')}
+           + SUM(CASE WHEN y * ({margin}) <= 0 THEN y * x1 ELSE 0 END) AS w1,
+         {base.format(c='w2')}
+           + SUM(CASE WHEN y * ({margin}) <= 0 THEN y * x2 ELSE 0 END) AS w2,
+         {base.format(c='w3')}
+           + SUM(CASE WHEN y * ({margin}) <= 0 THEN y * x3 ELSE 0 END) AS w3
+  FROM l
+)""")
+        prev = f"e{e}"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({e} AS BIGINT) AS epoch, CAST(n AS BIGINT) AS n_checked,"
+        f" CAST(n_mis AS BIGINT) AS n_misclassified,"
+        f" CAST(wb AS BIGINT) AS w_bias, CAST(w1 AS BIGINT) AS w_tokens,"
+        f" CAST(w2 AS BIGINT) AS w_chars, CAST(w3 AS BIGINT) AS w_distinct"
+        f" FROM e{e}"
+        for e in range(1, PERC_EPOCHS + 1)
+    )
+    return "".join(parts) + f"\nSELECT * FROM ({selects}) ORDER BY epoch"
+
+
+ORACLE_SQL["pipe_perceptron_step"] = _perceptron_sql()
+
 NOVELTY_BUCKETS = 10
 
 
@@ -670,6 +751,106 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x0=1, x1=n_tokens, x2=sum_chars, x3=n_distinct, y) per doc.
+    The label is the Gopher-funnel verdict (plans/scrub.py rules) as
+    ±1 — so the trainer learns to approximate the rule cascade from
+    three cheap counts. The label peeks at stopword hits, which is NOT
+    a feature: the task is deliberately not separable, like a real
+    quality-classifier distillation."""
+    from kremis_spark.functions.text import STOPWORDS
+    from kremis_spark.plans.pipeline import _docs_parallel
+    from kremis_spark.plans.scrub import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_PERMILLE,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI,
+        GOPHER_MWL_LO,
+    )
+
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size("t").cast("long")
+    chars = F.aggregate(
+        F.col("t"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    stops = F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS))).cast(
+        "long"
+    )
+    ndis = F.size(F.array_distinct("t")).cast("long")
+    passed = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (chars * 1000 >= n * GOPHER_MWL_LO)
+        & (chars * 1000 <= n * GOPHER_MWL_HI)
+        & (stops >= GOPHER_MIN_STOP_HITS)
+        & (ndis * 1000 >= n * GOPHER_MIN_DISTINCT_PERMILLE)
+    )
+    return (
+        _docs_parallel(spark, sf_dir)
+        .select(t.alias("t"))
+        .select(
+            n.alias("x1"),
+            chars.alias("x2"),
+            ndis.alias("x3"),
+            F.when(passed, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+            .alias("y"),
+        )
+    )
+
+
+def q_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch perceptron training of a quality
+    classifier — the supervised sibling of pipe_kmeans_train (same
+    driver-folds-output-sized-scalars shape). PERC_EPOCHS epochs from
+    w=0; per epoch, every misclassified doc (margin y·(w·x) ≤ 0)
+    contributes y·x to the weight update, all in exact int64 so the
+    unrolled DuckDB oracle reproduces every weight bit-for-bit. Output:
+    one row per epoch with the misclassified count and the post-update
+    weights — the convergence trace a filter-training run monitors.
+
+    Scale shape per epoch: ONE scan of the feature projection (the
+    margin test is a map-side predicate against weight LITERALS — the
+    4-int driver readback is output-sized, never data-sized) and one
+    scalar partial agg of 4 sums; no shuffle wider than the agg, no
+    driver data movement. Overflow headroom: |w| ≤ epochs·Σ|x| and the
+    margin |w·x| ≤ |w|·max|x| stay under int64 even at 1e10 docs of
+    ~1e4 chars (≈1e17 < 9.2e18)."""
+    feats = _perceptron_features(spark, sf_dir)
+    w = [0, 0, 0, 0]  # bias, tokens, chars, distinct
+    out_rows = []
+    for epoch in range(1, PERC_EPOCHS + 1):
+        margin = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        ) * F.col("y")
+        mis = F.when(margin <= 0, F.lit(1)).otherwise(F.lit(0))
+        row = feats.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(mis).cast("long").alias("n_mis"),
+            F.sum(mis * F.col("y")).cast("long").alias("g0"),
+            F.sum(mis * F.col("y") * F.col("x1")).cast("long").alias("g1"),
+            F.sum(mis * F.col("y") * F.col("x2")).cast("long").alias("g2"),
+            F.sum(mis * F.col("y") * F.col("x3")).cast("long").alias("g3"),
+        ).collect()[0]
+        w = [
+            w[0] + int(row["g0"] or 0),
+            w[1] + int(row["g1"] or 0),
+            w[2] + int(row["g2"] or 0),
+            w[3] + int(row["g3"] or 0),
+        ]
+        out_rows.append(
+            (epoch, int(row["n"]), int(row["n_mis"]), w[0], w[1], w[2], w[3])
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "epoch BIGINT, n_checked BIGINT, n_misclassified BIGINT, "
+        "w_bias BIGINT, w_tokens BIGINT, w_chars BIGINT, w_distinct BIGINT",
+    )
+
+
 QUERIES = {
     "pipe_dup_ngram_coverage": q_dup_ngram_coverage,
     "pipe_ngram_novelty_curve": q_ngram_novelty_curve,
@@ -677,4 +858,5 @@ QUERIES = {
     "pipe_importance_weights": q_importance_weights,
     "pipe_winnowing": q_winnowing,
     "pipe_surprisal_prune": q_surprisal_prune,
+    "pipe_perceptron_step": q_perceptron_step,
 }

@@ -244,6 +244,71 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(row).select("r.*").orderBy("rule_id")
 
 
+C4_MIN_SENTENCES = 3
+C4_MIN_WORDS_PER_SENT = 5
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning-rule funnel (Raffel et al. 2020, arXiv:1910.10683
+    §2.2), the structural complement of the Gopher funnel: where Gopher
+    screens token statistics, C4 screens SENTENCE structure and
+    contamination markers. Rules in application order — (1) the text
+    ends in terminal punctuation, (2) at least C4_MIN_SENTENCES
+    sentences, (3) no curly brace (the code-page marker), (4) no
+    "lorem ipsum" placeholder, (5) words-per-sentence averages at least
+    C4_MIN_WORDS_PER_SENT. Same funnel contract as pipe_gopher_rules:
+    one row per rule with checked/failed/survive counts.
+
+    Scale shape: all five signals are one whole-stage-codegen projection
+    (two regexes + two substring probes + one size), the funnel is ONE
+    scalar aggregate — a single scan at any corpus size, zero joins."""
+    docs = _docs(spark, sf_dir)
+    txt = F.trim(F.col("text"))
+    n_words = F.size(F.split(txt, r"\s+")).cast("long")
+    n_sents = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)
+    ).cast("long")
+    sig = docs.select(
+        txt.rlike(r"[.!?\"]$").alias("b1"),
+        (n_sents >= C4_MIN_SENTENCES).alias("b2"),
+        (~F.col("text").contains("{")).alias("b3"),
+        (~F.lower(F.col("text")).contains("lorem ipsum")).alias("b4"),
+        (n_words >= n_sents * C4_MIN_WORDS_PER_SENT).alias("b5"),
+    )
+    keep = [F.col("b1")]
+    for b in ("b2", "b3", "b4", "b5"):
+        keep.append(keep[-1] & F.col(b))
+    agg = sig.agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        *[
+            F.sum(k.cast("long")).cast("long").alias(f"s{i + 1}")
+            for i, k in enumerate(keep)
+        ],
+    )
+    names = (
+        "terminal_punct",
+        "min_sentences",
+        "curly_brace",
+        "lorem_ipsum",
+        "words_per_sentence",
+    )
+    row = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).cast("long").alias("rule_id"),
+                    F.lit(name).alias("rule"),
+                    F.col(f"s{i}").alias("n_checked"),
+                    (F.col(f"s{i}") - F.col(f"s{i + 1}")).alias("n_failed"),
+                    F.col(f"s{i + 1}").alias("n_survive"),
+                )
+                for i, name in enumerate(names)
+            ]
+        )
+    ).alias("r")
+    return agg.select(row).select("r.*").orderBy("rule_id")
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-broadcast eval decontamination with a false-positive audit:
     the eval slice (doc_id % BENCH_MOD == 0) sets its 8-gram bits; every
@@ -527,9 +592,51 @@ GROUP BY d.source ORDER BY d.source
 
 ORACLE_SQL["pipe_bloom_decontaminate"] = _bloom_decon_sql()
 
+ORACLE_SQL["pipe_c4_rules"] = rf"""
+WITH s AS (
+  SELECT regexp_matches(trim(text), '[.!?"]$') AS b1,
+         len(regexp_extract_all(text, '[.!?]+')) >= {C4_MIN_SENTENCES} AS b2,
+         NOT contains(text, '{{') AS b3,
+         NOT contains(lower(text), 'lorem ipsum') AS b4,
+         len(regexp_split_to_array(trim(text), '\s+'))
+           >= len(regexp_extract_all(text, '[.!?]+'))
+              * {C4_MIN_WORDS_PER_SENT} AS b5
+  FROM documents
+),
+agg AS (
+  SELECT COUNT(*) AS s0,
+         SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS s1,
+         SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS s2,
+         SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS s3,
+         SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS s4,
+         SUM(CASE WHEN b1 AND b2 AND b3 AND b4 AND b5 THEN 1 ELSE 0 END)
+           AS s5
+  FROM s
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS rule_id, 'terminal_punct' AS rule,
+         CAST(s0 AS BIGINT) AS n_checked,
+         CAST(s0 - s1 AS BIGINT) AS n_failed,
+         CAST(s1 AS BIGINT) AS n_survive FROM agg
+  UNION ALL
+  SELECT 2, 'min_sentences', CAST(s1 AS BIGINT), CAST(s1 - s2 AS BIGINT),
+         CAST(s2 AS BIGINT) FROM agg
+  UNION ALL
+  SELECT 3, 'curly_brace', CAST(s2 AS BIGINT), CAST(s2 - s3 AS BIGINT),
+         CAST(s3 AS BIGINT) FROM agg
+  UNION ALL
+  SELECT 4, 'lorem_ipsum', CAST(s3 AS BIGINT), CAST(s3 - s4 AS BIGINT),
+         CAST(s4 AS BIGINT) FROM agg
+  UNION ALL
+  SELECT 5, 'words_per_sentence', CAST(s4 AS BIGINT),
+         CAST(s4 - s5 AS BIGINT), CAST(s5 AS BIGINT) FROM agg
+) ORDER BY rule_id
+"""
+
 QUERIES = {
     "pipe_block_scrub": q_block_scrub,
     "pipe_gopher_rules": q_gopher_rules,
+    "pipe_c4_rules": q_c4_rules,
     "pipe_bloom_decontaminate": q_bloom_decontaminate,
     "pipe_source_diversity": q_source_diversity,
 }

@@ -1,0 +1,120 @@
+"""Round-9 additions: the C4 rule funnel and the distributed full-batch
+perceptron trainer (both oracle-gated in the driver; these tests pin the
+semantics the hash comparison can't see)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_c4_rules_funnel_is_conservation_consistent(spark):
+    from kremis_spark.plans.scrub import q_c4_rules
+
+    rows = {int(r["rule_id"]): r for r in q_c4_rules(spark, SF_DIR).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    for rid, r in rows.items():
+        assert r["n_checked"] == r["n_failed"] + r["n_survive"]
+        if rid > 1:
+            # funnel: each rule checks exactly the previous survivors
+            assert r["n_checked"] == rows[rid - 1]["n_survive"]
+    assert rows[1]["n_checked"] > 0
+
+
+def test_c4_rules_detect_markers(spark):
+    """The curly-brace and lorem-ipsum rules fire on synthetic docs."""
+    from kremis_spark.plans.scrub import (
+        C4_MIN_SENTENCES,
+        C4_MIN_WORDS_PER_SENT,
+    )
+
+    assert C4_MIN_SENTENCES >= 1 and C4_MIN_WORDS_PER_SENT >= 1
+    rows = spark.createDataFrame(
+        [
+            (1, "This is a good first sentence right here. Another quite "
+                "long sentence follows right after it. And a third long "
+                "sentence finishes the whole document nicely.",
+             "en", "s", 150),
+            (2, "Code page { x = 1; } here. More. And more done now.",
+             "en", "s", 50),
+            (3, "Lorem ipsum dolor sit amet. Filler text. More filler.",
+             "en", "s", 53),
+            (4, "no terminal punctuation at all in this document",
+             "en", "s", 47),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    import kremis_spark.plans.scrub as S
+
+    orig = S._docs
+    S._docs = lambda sp, sf: rows  # bypasses the session memo entirely
+    try:
+        got = {int(r["rule_id"]): r for r in S.q_c4_rules(spark, "x").collect()}
+    finally:
+        S._docs = orig
+    assert got[1]["n_failed"] == 1  # doc 4: no terminal punct
+    assert got[3]["n_failed"] == 1  # doc 2: curly brace
+    assert got[4]["n_failed"] == 1  # doc 3: lorem ipsum
+    assert got[5]["n_survive"] == 1  # only doc 1 survives everything
+
+
+def test_perceptron_step_matches_local_reference(spark):
+    """The distributed epoch trace equals a plain-Python perceptron over
+    the same features — weights and misclassification counts exact."""
+    from kremis_spark.plans.filtering import (
+        PERC_EPOCHS,
+        _perceptron_features,
+        q_perceptron_step,
+    )
+
+    feats = [
+        (int(r["x1"]), int(r["x2"]), int(r["x3"]), int(r["y"]))
+        for r in _perceptron_features(spark, SF_DIR).collect()
+    ]
+    assert feats and {y for *_, y in feats} <= {1, -1}
+    w = [0, 0, 0, 0]
+    expect = []
+    for epoch in range(1, PERC_EPOCHS + 1):
+        mis = [
+            (x1, x2, x3, y)
+            for x1, x2, x3, y in feats
+            if y * (w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3) <= 0
+        ]
+        w = [
+            w[0] + sum(y for *_, y in mis),
+            w[1] + sum(y * x1 for x1, _, _, y in mis),
+            w[2] + sum(y * x2 for _, x2, _, y in mis),
+            w[3] + sum(y * x3 for _, _, x3, y in mis),
+        ]
+        expect.append((epoch, len(feats), len(mis), *w))
+    got = [
+        (
+            int(r["epoch"]), int(r["n_checked"]), int(r["n_misclassified"]),
+            int(r["w_bias"]), int(r["w_tokens"]), int(r["w_chars"]),
+            int(r["w_distinct"]),
+        )
+        for r in q_perceptron_step(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+    # the trainer must actually move: epoch-1 update is the all-doc sum
+    assert got[0][2] == len(feats)
+
+
+@pytest.mark.parametrize("name", ["pipe_c4_rules", "pipe_perceptron_step"])
+def test_round9_oracles_run_in_duckdb(name):
+    """The oracle SQL parses and runs standalone (schema drift guard)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    sql = e.oracle_sql()[name]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    out = con.execute(sql).fetchall()
+    assert out
