@@ -466,6 +466,81 @@ def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSUM_H_MULT = 4  # alarm threshold = CUSUM_H_MULT·k + 1 (k = hourly mean)
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector over hourly event counts per type
+    — the sequential change-point screen that catches a sustained small
+    shift the k-sigma test (events_hourly_anomaly) misses, because CUSUM
+    accumulates evidence across hours instead of judging each hour
+    alone (Page 1954). The recurrence s_t = max(0, s_{t-1} + n_t − k)
+    looks inherently sequential, but telescopes to pure window algebra:
+    s_t = P_t − min(0, min_{j≤t} P_j) with P the cumulative sum of
+    (n_t − k) — so both engines compute it with two standard running
+    windows and no recursion. Hours with zero events are DENSIFIED in
+    (a stalled pipeline is exactly the drift this must see); the
+    allowance k is the per-type integer mean over the full span, and
+    the alarm fires at s_t > CUSUM_H_MULT·k + 1.
+
+    Scale shape: one (type, hour) partial agg, a per-type span dim
+    (broadcast) exploded via sequence() to densify, then one window
+    partitioned BY event_type over the hour domain — bounded by the
+    time span, never by event volume (the same value-domain argument as
+    the stable-edge curve); no global sort, output is one row per
+    (type, hour)."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.expr("ts div 3600000000000").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("hr0"),
+        F.max("hr").alias("hr1"),
+        F.sum("n").alias("total"),
+    )
+    dense = span.select(
+        "event_type",
+        F.explode(F.sequence("hr0", "hr1")).alias("hr"),
+        F.expr("total div (hr1 - hr0 + 1)").alias("k"),
+    )
+    filled = (
+        dense.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            "k",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # two projections: Spark cannot nest window functions (min over a
+    # running sum), so P materializes as a column first
+    staged = filled.withColumn(
+        "p", F.sum(F.col("n") - F.col("k")).over(w)
+    )
+    cusum = (
+        F.col("p") - F.least(F.lit(0), F.min("p").over(w))
+    ).cast("long")
+    return (
+        staged.select(
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            "n",
+            cusum.alias("cusum"),
+            (cusum > F.lit(CUSUM_H_MULT) * F.col("k") + 1)
+            .cast("long")
+            .alias("is_alarm"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by their first active
     epoch-day (cohort), counted on each subsequent day they return —
@@ -972,6 +1047,40 @@ SELECT h.event_type, CAST(h.hr AS BIGINT) AS hr,
 FROM h JOIN st USING (event_type)
 ORDER BY h.event_type, hr
 """.replace("{K2}", str(ANOMALY_K2)),
+    "events_cusum_drift": """
+WITH h AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+sp AS (
+  SELECT event_type, MIN(hr) AS hr0, MAX(hr) AS hr1, SUM(n) AS total
+  FROM h GROUP BY 1
+),
+d AS (
+  SELECT sp.event_type, u.hr, sp.total // (sp.hr1 - sp.hr0 + 1) AS k
+  FROM sp, UNNEST(range(sp.hr0, sp.hr1 + 1)) AS u(hr)
+),
+f AS (
+  SELECT d.event_type, d.hr, d.k, COALESCE(h.n, 0) AS n
+  FROM d LEFT JOIN h ON d.event_type = h.event_type AND d.hr = h.hr
+),
+st AS (
+  SELECT event_type, hr, k, n,
+         SUM(n - k) OVER (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p
+  FROM f
+)
+SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(n AS BIGINT) AS n,
+       CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            AS BIGINT) AS cusum,
+       CAST(CASE WHEN p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+                    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)) > {M} * k + 1
+            THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+FROM st ORDER BY event_type, hr
+""".replace("{M}", str(CUSUM_H_MULT)),
     "events_user_trend": """
 WITH daily AS (
   SELECT user_id, epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS y
@@ -1010,6 +1119,7 @@ QUERIES = {
     "events_json_props": q_json_props,
     "events_user_trend": q_user_trend,
     "events_hourly_anomaly": q_hourly_anomaly,
+    "events_cusum_drift": q_cusum_drift,
     "events_retention": q_retention,
     "events_user_streaks": q_user_streaks,
     "events_power_gini": q_power_gini,

@@ -118,3 +118,60 @@ def test_round9_oracles_run_in_duckdb(name):
     )
     out = con.execute(sql).fetchall()
     assert out
+
+
+def test_cusum_drift_fires_on_sustained_shift(spark):
+    """A series flat at k with a sustained +delta tail must accumulate
+    and alarm; the flat head must not. Built via a synthetic events
+    frame routed through the real operator (read_table monkeypatched)."""
+    import kremis_spark.plans.analytics as A
+    from pyspark.sql import functions as F
+
+    HOUR = 3_600_000_000_000
+    rows = []
+    eid = 0
+    # 20 quiet hours at 2 events/h, then 10 drifted hours at 6 events/h
+    for h in range(30):
+        for _ in range(2 if h < 20 else 6):
+            rows.append((eid, 1, "click", h * HOUR + eid % 1000))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts LONG"
+    )
+    orig = A.read_table
+    A.read_table = lambda sp, sf, t: ev
+    try:
+        got = A.q_cusum_drift(spark, "x").collect()
+    finally:
+        A.read_table = orig
+    assert len(got) == 30
+    head = [r for r in got if r["hr"] < 20]
+    tail = [r for r in got if r["hr"] >= 25]
+    # mean k = (20*2 + 10*6) // 30 = 3; head runs below k → cusum clamps ~0
+    assert all(int(r["is_alarm"]) == 0 for r in head)
+    assert all(int(r["is_alarm"]) == 1 for r in tail), [
+        (r["hr"], r["cusum"]) for r in got
+    ]
+    # cusum is nonnegative and nondecreasing through the drifted tail
+    tail_vals = [int(r["cusum"]) for r in got if r["hr"] >= 20]
+    assert tail_vals == sorted(tail_vals) and min(tail_vals) >= 0
+
+
+def test_cusum_densifies_empty_hours(spark):
+    """Hours with zero events appear in the output (a stalled pipeline
+    is drift the detector must see)."""
+    import kremis_spark.plans.analytics as A
+
+    HOUR = 3_600_000_000_000
+    rows = [(0, 1, "click", 0), (1, 1, "click", 5 * HOUR)]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts LONG"
+    )
+    orig = A.read_table
+    A.read_table = lambda sp, sf, t: ev
+    try:
+        got = A.q_cusum_drift(spark, "x").collect()
+    finally:
+        A.read_table = orig
+    assert [int(r["hr"]) for r in got] == list(range(6))
+    assert [int(r["n"]) for r in got] == [1, 0, 0, 0, 0, 1]
