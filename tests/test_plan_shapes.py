@@ -889,3 +889,45 @@ def test_grouped_rank_matches_window_rank(spark):
             ).collect()
         }
         assert got == expected, f"mismatch at num_partitions={parts}"
+
+
+def test_c4_rules_single_scan_no_join(spark):
+    """All five C4 signals fold into one codegen projection over the
+    docs scan; the funnel is one scalar aggregate — no joins anywhere."""
+    from kremis_spark.plans.scrub import q_c4_rules
+
+    p = plan_text(q_c4_rules(spark, SF_DIR))
+    assert "Join" not in p
+    # one source scan (each node appears twice in formatted explain:
+    # once in the tree, once in the detail section)
+    assert p.count("InMemoryTableScan") <= 2 and p.count("Scan parquet") <= 2
+
+
+def test_cusum_window_is_type_partitioned(spark):
+    """Both running windows (prefix sum, running min) partition by
+    event_type — never a global single-partition window; the densify
+    explode joins back on (event_type, hr), a co-partitioned key."""
+    from kremis_spark.plans.analytics import q_cusum_drift
+
+    p = plan_text(q_cusum_drift(spark, SF_DIR))
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", p):
+        assert "event_type" in spec, spec
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_perceptron_epoch_is_scan_plus_scalar_agg(spark):
+    """Each perceptron epoch plans as one scan + partial/final scalar
+    aggregate; the margin test compares against literals (no join with a
+    weight table, no window)."""
+    from kremis_spark.plans.filtering import _perceptron_features
+    from pyspark.sql import functions as F
+
+    feats = _perceptron_features(spark, SF_DIR)
+    margin = (F.lit(3) + F.lit(2) * F.col("x1")) * F.col("y")
+    mis = F.when(margin <= 0, F.lit(1)).otherwise(F.lit(0))
+    agg = feats.agg(F.sum(mis * F.col("y") * F.col("x1")).alias("g1"))
+    p = plan_text(agg)
+    assert "Join" not in p and "Window" not in p
+    assert "HashAggregate" in p
