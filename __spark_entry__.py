@@ -65,6 +65,7 @@ _PRIORITY_FIRST_50 = [
     "pipe_c4_rules",                # C4 structural rule funnel
     "pipe_perceptron_step",         # distributed batch perceptron trainer
     "events_cusum_drift",           # CUSUM change-point drift detector
+    "stream_cusum_alarm",           # CUSUM in custom streaming state
     # --- family sentinels (driver-green in r04-r08, kept as canaries) ---
     "graph_nodes",               # ingest family
     "graph_traverse_dfs",        # traversal (golden-rows oracle)
@@ -102,7 +103,6 @@ _PRIORITY_FIRST_50 = [
     "pipe_dedup_exact",
     "pipe_simhash_neardup",
     "pipe_ngram_jaccard",
-    "pipe_lang_id",
 ]
 
 

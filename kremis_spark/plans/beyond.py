@@ -752,6 +752,62 @@ def q_stream_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM drift detector as a STREAM — the recurrence
+    s_t = max(0, s_{t-1} + n_t − k) in its native sequential home,
+    carried in custom state per event_type (streaming/stream.
+    running_cusum); the batch operator (events_cusum_drift, SAME oracle
+    SQL) telescopes the identical recurrence into window algebra. The
+    per-type allowance k is trained on the static baseline table and
+    broadcast into the state closure (production: yesterday's corpus
+    sets today's allowance); hours close as later events arrive, empty
+    hours densify with n=0, and the open-hour snapshot re-emits as it
+    grows — the consumer reduces per (type, hour) by max n, which
+    converges to the batch answer under any micro-batch split.
+
+    Scale shape: state is four int64s per event_type (dimension-
+    bounded); per batch the fold touches only that batch's rows plus
+    the bounded hour domain; the final reduction keys on
+    (event_type, hr) — bounded by span × types, never by volume."""
+    from kremis_spark.plans.analytics import CUSUM_H_MULT
+    from kremis_spark.streaming.stream import running_cusum
+
+    # baseline allowance per type from the static table (dimension-sized
+    # collect; the same floor-mean the batch operator derives)
+    base = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts div 3600000000000").alias("hr"))
+        .groupBy("event_type")
+        .agg(
+            F.min("hr").alias("hr0"),
+            F.max("hr").alias("hr1"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select("event_type", F.expr("total div (hr1 - hr0 + 1)").alias("k"))
+        .collect()
+    )
+    k_by_type = {r["event_type"]: int(r["k"]) for r in base}
+    ev = _events_stream(spark, sf_dir)
+    emitted = _run_stream(
+        running_cusum(ev, k_by_type, CUSUM_H_MULT),
+        f"gate_stream_cusum_{next(_qid)}",
+        "update",
+        eager_emit=True,
+    )
+    return (
+        emitted.groupBy("event_type", "hr")
+        .agg(F.max(F.struct("n", "cusum", "is_alarm")).alias("s"))
+        .select(
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            F.col("s.n").cast("long").alias("n"),
+            F.col("s.cusum").cast("long").alias("cusum"),
+            F.col("s.is_alarm").cast("long").alias("is_alarm"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
 def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based quality filtering applied AT INGEST — the streaming
     deployment shape of the Gopher funnel (plans/scrub.q_gopher_rules):
@@ -1439,6 +1495,17 @@ def _stream_bot_sql() -> str:
 
 ORACLE_SQL["stream_bot_flags"] = _stream_bot_sql()
 
+
+def _stream_cusum_sql() -> str:
+    # identical semantics (and SQL) to the batch operator — the stream
+    # must reproduce the batch answer exactly
+    from kremis_spark.plans.analytics import ORACLE_SQL as A_SQL
+
+    return A_SQL["events_cusum_drift"]
+
+
+ORACLE_SQL["stream_cusum_alarm"] = _stream_cusum_sql()
+
 QUERIES = {
     "pipe_multimodal_decode": q_multimodal_decode,
     "stream_neardup_flags": q_stream_neardup_flags,
@@ -1456,6 +1523,7 @@ QUERIES = {
     "stream_hll_by_type": q_stream_hll_by_type,
     "stream_quality_gate": q_stream_quality_gate,
     "stream_bot_flags": q_stream_bot_flags,
+    "stream_cusum_alarm": q_stream_cusum_alarm,
     "events_hll_intersect": q_hll_intersect,
     "events_value_histogram": q_value_histogram,
     "events_skew_safe_reach": q_skew_safe_reach,

@@ -123,6 +123,110 @@ GAP_OUTPUT_SCHEMA = StructType(
 )
 
 
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_hr", LongType()),
+        StructField("cur_n", LongType()),
+        StructField("s", LongType()),
+        StructField("has", LongType()),
+    ]
+)
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hr", LongType()),
+        StructField("n", LongType()),
+        StructField("cusum", LongType()),
+        StructField("is_alarm", LongType()),
+    ]
+)
+
+
+def running_cusum(
+    events: DataFrame,
+    k_by_type: dict[str, int],
+    alarm_mult: int,
+) -> DataFrame:
+    """Stateful streaming CUSUM per event_type: carries (current hour,
+    its running count, the CUSUM statistic) across micro-batches and
+    emits one row per hour as hours CLOSE (plus a snapshot of the open
+    hour each batch, so the final hour is reported too). This is the
+    recurrence s_t = max(0, s_{t-1} + n_t − k) in its NATIVE sequential
+    form — streaming is where CUSUM actually lives; the batch operator
+    (plans/analytics.q_cusum_drift) telescopes the same recurrence into
+    window algebra. Hours with no events are closed with n=0 as later
+    events arrive (a stalled feed accumulates drift evidence exactly as
+    in batch). The allowance k per type comes from the static baseline
+    table, broadcast into the closure — the production shape, where the
+    allowance is trained on history, not on the live stream.
+
+    Split-invariance: events arrive ts-ordered (the gate's file-source
+    property, as in running_gap_moments); re-emitted open-hour snapshots
+    carry strictly growing n, so the consumer's max-by-n reduction per
+    (type, hour) converges to the batch answer for ANY batch split."""
+    import pandas as pd  # noqa: F401 — required by the pandas UDF contract
+
+    def update(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        etype = key[0]
+        k = int(k_by_type.get(etype, 0))
+        if state.exists:
+            cur_hr, cur_n, s, has = state.get
+        else:
+            cur_hr, cur_n, s, has = 0, 0, 0, 0
+        out_hr, out_n, out_s = [], [], []
+        frames = [pdf for pdf in pdf_iter]
+        if frames:
+            pdf = pd.concat(frames)
+            hrs = np.sort(
+                pdf["ts"].to_numpy(dtype="int64") // 3_600_000_000_000
+            )
+            uniq, counts = np.unique(hrs, return_counts=True)
+            for h, c in zip(uniq, counts):
+                h, c = int(h), int(c)
+                if not has:
+                    cur_hr, cur_n, s, has = h, 0, 0, 1
+                # close every hour before h (empty ones densify with 0)
+                while cur_hr < h:
+                    s = max(0, s + cur_n - k)
+                    out_hr.append(cur_hr)
+                    out_n.append(cur_n)
+                    out_s.append(s)
+                    cur_hr += 1
+                    cur_n = 0
+                cur_n += c
+        state.update((int(cur_hr), int(cur_n), int(s), int(has)))
+        if has:
+            # open-hour snapshot: re-emitted (bigger n) if it grows later
+            out_hr.append(cur_hr)
+            out_n.append(cur_n)
+            out_s.append(max(0, s + cur_n - k))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(out_hr),
+                "hr": pd.Series(out_hr, dtype="int64"),
+                "n": pd.Series(out_n, dtype="int64"),
+                "cusum": pd.Series(out_s, dtype="int64"),
+                "is_alarm": pd.Series(
+                    [int(v > alarm_mult * k + 1) for v in out_s],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return events.select("event_type", "ts").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def running_gap_moments(events: DataFrame) -> DataFrame:
     """Stateful per-user inter-event-gap moments
     (applyInPandasWithState): carries (count, Σgap, Σgap², last_ts)

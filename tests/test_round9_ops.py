@@ -175,3 +175,74 @@ def test_cusum_densifies_empty_hours(spark):
         A.read_table = orig
     assert [int(r["hr"]) for r in got] == list(range(6))
     assert [int(r["n"]) for r in got] == [1, 0, 0, 0, 0, 1]
+
+
+def test_running_cusum_split_invariant(tmp_path, spark):
+    """The stateful streaming CUSUM emits the same per-hour trace
+    whether events arrive in one micro-batch or two (maxFilesPerTrigger
+    forces a boundary mid-hour): closed hours are final, the open-hour
+    snapshot re-emits with grown n, and the max-by-n reduction equals
+    the batch recurrence."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kremis_spark.streaming.stream import (
+        EVENTS_STREAM_SCHEMA,
+        running_cusum,
+    )
+
+    HOUR = 3600
+    # hours 0..3 of type "c": counts 3, 0 (gap), 1, 5 — k=2 →
+    # s: max(0,0+3-2)=1, max(0,1+0-2)=0, max(0,0+1-2)=0, max(0,0+5-2)=3
+    times = [0, 10, 20, 2 * HOUR + 5] + [3 * HOUR + i for i in range(5)]
+    rows = [
+        {"event_id": i, "ts": t, "user_id": 1, "event_type": "c",
+         "value": "1"}
+        for i, t in enumerate(times)
+    ]
+    src = tmp_path / "ev_cusum"
+    src.mkdir()
+    # split mid-hour-3: three of its five events in file b
+    (src / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:6]) + "\n"
+    )
+    (src / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows[6:]) + "\n"
+    )
+    now = _time.time()
+    _os.utime(src / "a.jsonl", (now - 10, now - 10))
+    _os.utime(src / "b.jsonl", (now, now))
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts LONG, user_id LONG, "
+            "event_type STRING, value STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("event_type", (F.col("ts") * 1_000_000_000).alias("ts"))
+    )
+    q = (
+        running_cusum(stream, {"c": 2}, 4)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM cusum_stream").collect()
+    final = {}
+    for r in out:  # max-by-n per (type, hr): the converged emission
+        key = (r["event_type"], int(r["hr"]))
+        cur = final.get(key)
+        if cur is None or int(r["n"]) > int(cur["n"]):
+            final[key] = r
+    got = {
+        hr: (int(r["n"]), int(r["cusum"]), int(r["is_alarm"]))
+        for (_, hr), r in final.items()
+    }
+    # alarm threshold = 4*2+1 = 9 → never fires here
+    assert got == {0: (3, 1, 0), 1: (0, 0, 0), 2: (1, 0, 0), 3: (5, 3, 0)}
