@@ -1915,6 +1915,98 @@ FROM per ORDER BY user_id
 """
 
 
+BASKET_TOPN = 20
+BASKET_MIN_SUPPORT = 2  # pair must co-occur in at least this many orders
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: the top co-purchased
+    part pairs by support, with per-part supports and the lift in ppm —
+    the frequent-itemset primitive behind recommendations ("customers
+    who bought A also bought B"). Lift > 1e6 ppm means the pair
+    co-occurs more than independence predicts.
+
+    Scale shape: distinct (order, part) → self-join ON l_orderkey
+    (co-partitioned — both sides shuffle once on the same key; the pair
+    blow-up is bounded by items-per-order choose 2, a per-basket
+    constant, never corpus-quadratic) → pair partial agg → per-part
+    support dim joined back (AQE broadcasts it) → TakeOrdered TOPN.
+    The lift numerator n_ab·N·1e6 is computed in DECIMAL(38,0): at
+    1e10 orders the int64 product wraps while DuckDB promotes to
+    HUGEINT — the same widening rule as the bot-regularity relvar."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    support = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part")
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    lift = F.expr(
+        f"cast(n_ab as decimal(38,0)) * {n_orders} * 1000000"
+        " div (n_a * n_b)"
+    ).cast("long")
+    return (
+        pairs.join(
+            support.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_part").alias("n_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            support.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_part").alias("n_b"),
+            ),
+            "part_b",
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(BASKET_TOPN)
+        .select(
+            "part_a", "part_b", "n_ab",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            lift.alias("lift_ppm"),
+        )
+    )
+
+
+ORACLE_SQL["orders_market_basket"] = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+),
+sup AS (SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(sa.n_part AS BIGINT) AS n_a, CAST(sb.n_part AS BIGINT) AS n_b,
+       CAST(n_ab * (SELECT n_orders FROM n) * 1000000
+            // (sa.n_part * sb.n_part) AS BIGINT) AS lift_ppm
+FROM pairs JOIN sup sa ON pairs.part_a = sa.l_partkey
+           JOIN sup sb ON pairs.part_b = sb.l_partkey
+ORDER BY n_ab DESC, part_a, part_b LIMIT {BASKET_TOPN}
+"""
+
+
 QUERIES = {
     "events_decay_sum": q_decay_sum,
     "events_bot_regularity": q_bot_regularity,
@@ -1931,6 +2023,7 @@ QUERIES = {
     "events_funnel": q_funnel,
     "events_funnel_latency": q_funnel_latency,
     "orders_cohort_ltv": q_cohort_ltv,
+    "orders_market_basket": q_market_basket,
     "docs_length_percentiles": q_docs_percentiles,
     "win_rolling_revenue": q_rolling_revenue,
     "tpch_q7_volume": q_q7_volume,

@@ -931,3 +931,15 @@ def test_perceptron_epoch_is_scan_plus_scalar_agg(spark):
     p = plan_text(agg)
     assert "Join" not in p and "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_market_basket_pair_join_is_co_partitioned(spark):
+    """The basket self-join keys both sides on l_orderkey (one shuffle
+    each, same key — SortMergeJoin or shuffle-hash, never a cartesian);
+    per-part support joins back broadcast-or-hash on the part key."""
+    from kremis_spark.plans.analytics_ext import q_market_basket
+
+    p = plan_text(q_market_basket(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "TakeOrderedAndProject" in p  # top-N never a global sort
