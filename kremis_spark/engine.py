@@ -112,23 +112,164 @@ class GraphState:
 
 class GraphEngine:
     """Session-equivalent facade: ingest + the 7-variant query surface
-    (api/types.rs:241-270) + metrics/stage/grounding."""
+    (api/types.rs:241-270) + metrics/stage/grounding.
 
-    def __init__(self, spark: SparkSession, state: GraphState | None = None):
+    ADAPTIVE STATE: while the graph is small, mutations apply to a
+    driver-side mirror (``local_engine.LocalGraph`` — same reference
+    semantics, microseconds per commit instead of the multi-second Spark
+    job floor) and the DataFrame ``state`` materializes lazily for the
+    query surface. Crossing ``LOCAL_MAX_ROWS``, receiving a huge batch,
+    or any external DataFrame-state assignment spills up to the
+    distributed path permanently — the same bounded-driver/distributed
+    split the traversal and PageRank operators use (SURVEY §7).
+    ``force_distributed=True`` disables the mirror (tests exercise both
+    paths; equivalence pinned by tests/test_local_engine.py)."""
+
+    # largest batch worth collecting to the mirror; bigger goes distributed
+    LOCAL_INGEST_MAX_BATCH = 100_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state: GraphState | None = None,
+        force_distributed: bool = False,
+    ):
+        from kremis_spark.local_engine import LocalGraph
+
         self.spark = spark
-        self.state = state if state is not None else GraphState.empty(spark)
+        if state is None and not force_distributed:
+            self._local: LocalGraph | None = LocalGraph()
+            self._df_state: GraphState | None = None
+        else:
+            self._local = None
+            self._df_state = (
+                state if state is not None else GraphState.empty(spark)
+            )
+
+    # --- adaptive state plumbing -----------------------------------------
+    @property
+    def state(self) -> GraphState:
+        if self._local is not None and self._df_state is None:
+            self._df_state = self._local.to_state(self.spark)
+        return self._df_state
+
+    @state.setter
+    def state(self, value: GraphState) -> None:
+        # an externally-computed DataFrame state supersedes the mirror
+        self._local = None
+        self._df_state = value
+
+    def _local_dirty(self) -> None:
+        """After a mirror mutation: drop the materialized snapshot and
+        spill up if the mirror outgrew its bound."""
+        from kremis_spark.local_engine import LOCAL_MAX_ROWS
+
+        self._df_state = None
+        if self._local.total_rows() > LOCAL_MAX_ROWS:
+            self._spill()
+
+    def _spill(self) -> None:
+        """Graduate permanently to the distributed path."""
+        local = self._local
+        self._local = None
+        self._df_state = local.to_state(self.spark).checkpoint()
+
+    def adopt_local(self, max_rows: int | None = None) -> bool:
+        """Mirror the current DataFrame state on the driver when it fits
+        (used by the persistent engine after loading a small store).
+        Returns whether the mirror is now active."""
+        from kremis_spark.local_engine import LOCAL_MAX_ROWS, LocalGraph
+
+        if self._local is not None:
+            return True
+        bound = max_rows if max_rows is not None else LOCAL_MAX_ROWS
+        st = self._df_state
+        total = (
+            st.nodes.count() + st.edges.count() + st.properties.count()
+        )
+        if total > bound:
+            return False
+        self._local = LocalGraph.from_state(st)
+        self._df_state = None
+        return True
 
     # --- ingest -----------------------------------------------------------
+    def ingest_rows(
+        self,
+        rows: list[tuple[int, int, str, str]],
+        enforce_limits: bool = True,
+    ) -> list[int]:
+        """Batch ingest from driver-resident rows (seq, entity_id,
+        attribute, value) — the zero-Spark path the HTTP/MCP handlers
+        use while the mirror is active (they HAVE the rows as Python
+        objects; round-tripping them through a DataFrame just to
+        collect them back costs a Spark job per request). Falls through
+        to the DataFrame path when the engine is distributed."""
+        from kremis_spark.ingest import (
+            InvalidSignalError,
+            SequenceTooLongError,
+        )
+        from kremis_spark.local_engine import (
+            LocalInvalidSignal,
+            LocalSequenceTooLong,
+        )
+        from kremis_spark.schema import SIGNALS_SCHEMA
+
+        if self._local is not None and len(rows) <= self.LOCAL_INGEST_MAX_BATCH:
+            try:
+                ids = self._local.ingest(list(rows), enforce_limits)
+            except LocalSequenceTooLong as e:
+                raise SequenceTooLongError(str(e)) from None
+            except LocalInvalidSignal as e:
+                raise InvalidSignalError(str(e)) from None
+            self._local_dirty()
+            return ids
+        return self.ingest(
+            self.spark.createDataFrame(rows, SIGNALS_SCHEMA),
+            enforce_limits=enforce_limits,
+        )
+
     def ingest(self, signals: DataFrame, enforce_limits: bool = True) -> list[int]:
         """Atomic batch ingest; returns the node ids of the batch's signals
         in sequence order (Ingestor::ingest_sequence contract).
 
-        The new state is localCheckpoint-ed (eager) before the swap: this
+        Mirror-active engines apply the batch driver-side (bounded
+        collect — the API caps batches at 10k signals anyway); otherwise
+        the new state is localCheckpoint-ed (eager) before the swap: this
         is both the commit point AND the lineage cut — repeated ingests
         would otherwise compound full-outer-join/union plans until plan
         trees themselves blow up (each batch's plan must not embed its
         predecessors')."""
-        from kremis_spark.ingest import ingest_batch
+        from kremis_spark.ingest import (
+            InvalidSignalError,
+            SequenceTooLongError,
+            ingest_batch,
+        )
+        from kremis_spark.local_engine import (
+            LocalInvalidSignal,
+            LocalSequenceTooLong,
+        )
+
+        if self._local is not None:
+            # ONE bounded collect decides the path and feeds the mirror
+            probe = signals.select(
+                "seq", "entity_id", "attribute", "value"
+            ).limit(self.LOCAL_INGEST_MAX_BATCH + 1).collect()
+            if len(probe) <= self.LOCAL_INGEST_MAX_BATCH:
+                rows = [
+                    (int(r["seq"]), int(r["entity_id"]),
+                     r["attribute"], r["value"])
+                    for r in probe
+                ]
+                try:
+                    ids = self._local.ingest(rows, enforce_limits)
+                except LocalSequenceTooLong as e:
+                    raise SequenceTooLongError(str(e)) from None
+                except LocalInvalidSignal as e:
+                    raise InvalidSignalError(str(e)) from None
+                self._local_dirty()
+                return ids
+            self._spill()  # bulk batch: distributed from here on
 
         new_state = ingest_batch(
             self.state, signals, enforce_limits=enforce_limits
@@ -159,6 +300,10 @@ class GraphEngine:
     def insert_node(self, entity_id: int) -> int:
         """Idempotent entity→node upsert; new ids from the monotone
         counter (graph.rs:502-517). Returns the node id either way."""
+        if self._local is not None:
+            nid = self._local.insert_node(entity_id)
+            self._local_dirty()
+            return nid
         existing = self.lookup(entity_id)
         if existing is not None:
             return existing
@@ -180,6 +325,11 @@ class GraphEngine:
         missing (graph.rs:519-530, documented at graph.rs:29-34); negative
         weights are clamped to 0 (types/mod.rs:43-76 forbids them).
         Returns whether the edge was written."""
+        if self._local is not None:
+            ok = self._local.insert_edge(src, dst, weight)
+            if ok:
+                self._local_dirty()
+            return ok
         if not self.contains_node(src) or not self.contains_node(dst):
             return False
         weight = max(int(weight), 0)
@@ -198,6 +348,11 @@ class GraphEngine:
     def increment_edge(self, src: int, dst: int) -> bool:
         """weight += 1 saturating; creates the edge at 1; no-op if either
         node is missing (graph.rs:532-541)."""
+        if self._local is not None:
+            ok = self._local.increment_edge(src, dst)
+            if ok:
+                self._local_dirty()
+            return ok
         if not self.contains_node(src) or not self.contains_node(dst):
             return False
         current = self.get_edge(src, dst) or 0
@@ -224,6 +379,10 @@ class GraphEngine:
         One Spark job per call: the exists-probe and the cap count run as
         a single aggregate on a cache miss; repeated stores to the same
         node reuse the maintained counter and pay only the probe."""
+        if self._local is not None:
+            self._local.store_property(node_id, attribute, value)
+            self._local_dirty()
+            return
         if not self.contains_node(node_id):
             raise KeyError(f"node {node_id} not found")
         props = self.state.properties
@@ -265,6 +424,11 @@ class GraphEngine:
     def retract(self, from_entity: int, to_entity: int) -> bool:
         """Decrement an edge weight, floored at 0 (graph.rs:543-550,
         handlers.rs:169-213). Returns False if the edge is absent."""
+        if self._local is not None:
+            ok = self._local.retract(from_entity, to_entity)
+            if ok:
+                self._local_dirty()
+            return ok
         a = self.lookup(from_entity)
         b = self.lookup(to_entity)
         if a is None or b is None:
@@ -290,6 +454,8 @@ class GraphEngine:
     def lookup(self, entity_id: int) -> int | None:
         """Entity → node id (graph.rs:556-558). Point read on the small
         nodes dim; at scale this is a broadcast-hash probe."""
+        if self._local is not None:
+            return self._local.lookup(entity_id)
         rows = (
             self.state.nodes.filter(F.col("entity_id") == entity_id)
             .select("node_id")
@@ -298,6 +464,8 @@ class GraphEngine:
         return int(rows[0]["node_id"]) if rows else None
 
     def contains_node(self, node_id: int) -> bool:
+        if self._local is not None:
+            return self._local._has_node(node_id)
         return bool(
             self.state.nodes.filter(F.col("node_id") == node_id).take(1)
         )
@@ -359,6 +527,8 @@ class GraphEngine:
         )
 
     def get_edge(self, src: int, dst: int) -> int | None:
+        if self._local is not None:
+            return self._local.get_edge(src, dst)
         rows = self.state.edges.filter(
             (F.col("src") == src) & (F.col("dst") == dst)
         ).take(1)

@@ -1,0 +1,265 @@
+"""Driver-side graph mirror for SMALL states — the adaptive fast path of
+GraphEngine.
+
+Why: every reference CLI/HTTP mutation is a sub-millisecond key-value
+write; the Spark expression of the same commit (checkpoint + collect)
+has a multi-second floor. For a graph that fits comfortably on the
+driver, paying that floor per /signal makes the interactive surface
+~1000× slower than the binary it mirrors — the fabrication-benchmark
+harness's long-horizon world (750 sequential ingest calls) took ~45
+minutes through the distributed path. This mirror applies the SAME
+reference semantics (validation, first-seen minting, set-semantics
+properties with the 4096 cap, adjacent-pair edge increments, saturating
+adds) in plain Python, and GraphEngine materializes DataFrames lazily
+for the query surface.
+
+This is the sanctioned adaptive pattern used across the repo (BFS /
+PageRank / WCC all run a bounded driver path below a size gate with a
+distributed fallback above it — SURVEY §7): the bound here is
+``LOCAL_MAX_ROWS`` total rows across the three tables; crossing it (or
+any externally-supplied DataFrame state) spills up to the distributed
+engine permanently. Equivalence with the distributed ingest is pinned by
+tests/test_local_engine.py (same batches through both paths → identical
+tables, ids, and error behavior).
+
+Reference anchors: validation ingestor.rs:38-76; minting graph.rs:502-517;
+properties graph.rs:726-769, cap redb_graph.rs:291-317; adjacent-pair
+edges ingestor.rs:118-152; saturating add types/mod.rs:52-56.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from kremis_spark import primitives as P
+
+I64_MAX = 9223372036854775807
+
+# Total rows (nodes + edges + properties) before the engine spills up to
+# the distributed path. Well under any driver-memory concern and far
+# above every interactive workload; bulk pipelines use ingest_batch
+# directly and never come through here.
+LOCAL_MAX_ROWS = 200_000
+
+# Mirrors of ingest.invalid_signal_condition's character classes.
+_ATTR_INVALID = re.compile(r"[\x00-\x1F\x7F]")
+_VALUE_INVALID = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+
+
+class LocalInvalidSignal(ValueError):
+    """Internal marker; GraphEngine re-raises as ingest.InvalidSignalError."""
+
+
+class LocalSequenceTooLong(ValueError):
+    """Internal marker; re-raised as ingest.SequenceTooLongError."""
+
+
+def _signal_invalid(attribute, value) -> bool:
+    if attribute is None or len(attribute) == 0:
+        return True
+    if len(attribute.encode("utf-8")) > P.MAX_ATTRIBUTE_LENGTH:
+        return True
+    if _ATTR_INVALID.search(attribute):
+        return True
+    if value is None or len(value) == 0:
+        return True
+    if len(value.encode("utf-8")) > P.MAX_VALUE_LENGTH:
+        return True
+    if _VALUE_INVALID.search(value):
+        return True
+    return False
+
+
+def _sat_add(a: int, b: int) -> int:
+    s = a + b
+    return I64_MAX if s > I64_MAX else s
+
+
+@dataclass
+class LocalGraph:
+    """Exact driver-side mirror of the three state tables + counter."""
+
+    node_of: dict[int, int] = field(default_factory=dict)  # entity -> node
+    node_ids: set[int] = field(default_factory=set)  # minted node ids
+    edges: dict[tuple[int, int], int] = field(default_factory=dict)
+    props: dict[int, set[tuple[str, str]]] = field(default_factory=dict)
+    next_node_id: int = 0
+
+    # --- size -------------------------------------------------------------
+    def total_rows(self) -> int:
+        return (
+            len(self.node_of)
+            + len(self.edges)
+            + sum(len(s) for s in self.props.values())
+        )
+
+    # --- batch ingest (Ingestor::ingest_sequence semantics) ---------------
+    def ingest(
+        self, rows: list[tuple[int, int, str, str]], enforce_limits: bool
+    ) -> list[int]:
+        """rows = (seq, entity_id, attribute, value); returns node ids in
+        seq order. ATOMIC: validates and checks the property cap against
+        the merged result before mutating anything."""
+        rows = sorted(rows, key=lambda r: r[0])
+        if enforce_limits:
+            if len(rows) > P.MAX_SEQUENCE_LENGTH:
+                raise LocalSequenceTooLong(
+                    f"batch of {len(rows)} signals exceeds cap "
+                    f"{P.MAX_SEQUENCE_LENGTH}"
+                )
+            for seq, entity, attr, value in rows:
+                if _signal_invalid(attr, value):
+                    raise LocalInvalidSignal(
+                        f"invalid signal at seq={seq} entity={entity}"
+                    )
+
+        # node minting: first-seen (min seq) order, ids continue
+        mint: dict[int, int] = {}
+        for seq, entity, _, _ in rows:
+            if entity not in self.node_of and entity not in mint:
+                mint[entity] = self.next_node_id + len(mint)
+
+        def nid(entity: int) -> int:
+            got = self.node_of.get(entity)
+            return got if got is not None else mint[entity]
+
+        # properties: set semantics; cap checked on the MERGED result
+        new_props: dict[int, set[tuple[str, str]]] = {}
+        for _, entity, attr, value in rows:
+            n = nid(entity)
+            merged = new_props.get(n)
+            if merged is None:
+                merged = set(self.props.get(n, ()))
+                new_props[n] = merged
+            merged.add((attr, value))
+        if enforce_limits:
+            for n, merged in new_props.items():
+                if len(merged) > P.MAX_PROPERTIES_PER_NODE:
+                    raise LocalInvalidSignal(
+                        f"node {n} would exceed "
+                        f"{P.MAX_PROPERTIES_PER_NODE} properties"
+                    )
+
+        # commit point: everything below is infallible
+        self.node_of.update(mint)
+        self.node_ids.update(mint.values())
+        self.next_node_id += len(mint)
+        for n, merged in new_props.items():
+            self.props[n] = merged
+        for (_, prev_e, _, _), (_, cur_e, _, _) in zip(rows, rows[1:]):
+            key = (self.node_of[prev_e], self.node_of[cur_e])
+            self.edges[key] = _sat_add(self.edges.get(key, 0), 1)
+        return [self.node_of[e] for _, e, _, _ in rows]
+
+    # --- point mutations (graph.rs semantics) -----------------------------
+    def insert_node(self, entity_id: int) -> int:
+        got = self.node_of.get(entity_id)
+        if got is not None:
+            return got
+        nid = self.next_node_id
+        self.node_of[entity_id] = nid
+        self.node_ids.add(nid)
+        self.next_node_id = nid + 1
+        return nid
+
+    def _has_node(self, node_id: int) -> bool:
+        # same membership rule as the distributed contains_node: the
+        # node id exists in the minted nodes table
+        return node_id in self.node_ids
+
+    def insert_edge(self, src: int, dst: int, weight: int) -> bool:
+        if not self._has_node(src) or not self._has_node(dst):
+            return False
+        self.edges[(src, dst)] = max(int(weight), 0)
+        return True
+
+    def increment_edge(self, src: int, dst: int) -> bool:
+        if not self._has_node(src) or not self._has_node(dst):
+            return False
+        self.edges[(src, dst)] = _sat_add(self.edges.get((src, dst), 0), 1)
+        return True
+
+    def store_property(self, node_id: int, attribute: str, value: str) -> None:
+        if not self._has_node(node_id):
+            raise KeyError(f"node {node_id} not found")
+        cur = self.props.setdefault(node_id, set())
+        if (attribute, value) in cur:
+            return  # idempotent re-insert (set semantics)
+        if len(cur) >= P.MAX_PROPERTIES_PER_NODE:
+            raise ValueError(
+                f"node {node_id} at property cap {P.MAX_PROPERTIES_PER_NODE}"
+            )
+        cur.add((attribute, value))
+
+    def retract(self, from_entity: int, to_entity: int) -> bool:
+        a = self.node_of.get(from_entity)
+        b = self.node_of.get(to_entity)
+        if a is None or b is None:
+            return False
+        w = self.edges.get((a, b))
+        if w is None:
+            return False
+        self.edges[(a, b)] = max(w - 1, 0)
+        return True
+
+    # --- reads ------------------------------------------------------------
+    def lookup(self, entity_id: int) -> int | None:
+        return self.node_of.get(entity_id)
+
+    def get_edge(self, src: int, dst: int) -> int | None:
+        return self.edges.get((src, dst))
+
+    # --- materialization --------------------------------------------------
+    def rows_nodes(self) -> list[tuple[int, int]]:
+        return sorted((n, e) for e, n in self.node_of.items())
+
+    def rows_edges(self) -> list[tuple[int, int, int]]:
+        return sorted((s, d, w) for (s, d), w in self.edges.items())
+
+    def rows_props(self) -> list[tuple[int, str, str]]:
+        return sorted(
+            (n, a, v) for n, pairs in self.props.items() for a, v in pairs
+        )
+
+    def to_state(self, spark):
+        """Materialize as a GraphState (driver rows → DataFrames). Not
+        persisted/cached: the mirror stays the source of truth while
+        active, and the bounded row count makes re-ship per job cheap."""
+        from kremis_spark.engine import GraphState
+        from kremis_spark.schema import (
+            EDGES_SCHEMA,
+            NODES_SCHEMA,
+            PROPERTIES_SCHEMA,
+        )
+
+        return GraphState(
+            spark=spark,
+            nodes=spark.createDataFrame(self.rows_nodes(), NODES_SCHEMA),
+            edges=spark.createDataFrame(self.rows_edges(), EDGES_SCHEMA),
+            properties=spark.createDataFrame(
+                self.rows_props(), PROPERTIES_SCHEMA
+            ),
+            next_node_id=self.next_node_id,
+        )
+
+    @classmethod
+    def from_state(cls, state) -> "LocalGraph":
+        """Collect a (bounded — caller checks) DataFrame state into a
+        mirror."""
+        g = cls()
+        g.node_of = {
+            int(r["entity_id"]): int(r["node_id"])
+            for r in state.nodes.collect()
+        }
+        g.node_ids = set(g.node_of.values())
+        g.edges = {
+            (int(r["src"]), int(r["dst"])): int(r["weight"])
+            for r in state.edges.collect()
+        }
+        for r in state.properties.collect():
+            g.props.setdefault(int(r["node_id"]), set()).add(
+                (r["attribute"], r["value"])
+            )
+        g.next_node_id = int(state.next_node_id)
+        return g

@@ -196,11 +196,9 @@ def create_app(
     def signal():
         body = request.get_json(force=True)
         try:
-            df = engine.spark.createDataFrame(
-                [(0, int(body["entity_id"]), body["attribute"], body["value"])],
-                SIGNALS_SCHEMA,
+            ids = engine.ingest_rows(
+                [(0, int(body["entity_id"]), body["attribute"], body["value"])]
             )
-            ids = engine.ingest(df)
             metrics["signals_ingested"] += 1
             return jsonify({"success": True, "node_id": ids[0], "error": None})
         except (InvalidSignalError, KeyError, TypeError, ValueError) as e:
@@ -223,8 +221,7 @@ def create_app(
                 (i, int(s["entity_id"]), s["attribute"], s["value"])
                 for i, s in enumerate(sigs)
             ]
-            df = engine.spark.createDataFrame(rows, SIGNALS_SCHEMA)
-            ids = engine.ingest(df)
+            ids = engine.ingest_rows(rows)
             metrics["signals_ingested"] += len(rows)
             return jsonify({"success": True, "node_ids": ids, "error": None})
         except (InvalidSignalError, SequenceTooLongError, KeyError, TypeError, ValueError) as e:

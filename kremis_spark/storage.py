@@ -106,6 +106,76 @@ def save_state(state: GraphState, root: str) -> int:
     return version
 
 
+def save_local_state(local, root: str) -> int:
+    """Commit a driver-resident mirror (local_engine.LocalGraph) as a new
+    version WITHOUT Spark jobs: pyarrow writes the identical on-disk
+    layout (plain parquet for the nodes dim; ``bucket=K/`` directories
+    with ``key % BUCKETS`` for the fact tables — the same pmod Spark's
+    writer computes), so ``load_state`` and the bucketed point reads are
+    oblivious to which writer produced a version. This is what makes a
+    mirror-active engine's per-commit durability cost milliseconds
+    instead of three Spark write jobs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    manifest = (
+        read_manifest(root)
+        if os.path.exists(os.path.join(root, MANIFEST))
+        else {"version": 0, "next_node_id": 0}
+    )
+    version = manifest["version"] + 1
+    vdir = os.path.join(root, f"v{version:06d}")
+
+    nodes_dir = os.path.join(vdir, "nodes")
+    os.makedirs(nodes_dir, exist_ok=True)
+    rows = local.rows_nodes()
+    pq.write_table(
+        pa.table(
+            {
+                "node_id": pa.array([r[0] for r in rows], pa.int64()),
+                "entity_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(nodes_dir, "part-00000.parquet"),
+    )
+
+    def write_bucketed(path, cols, rows, key_idx):
+        by_bucket: dict[int, list] = {}
+        for r in rows:
+            by_bucket.setdefault(r[key_idx] % BUCKETS, []).append(r)
+        for b, brows in by_bucket.items():
+            bdir = os.path.join(path, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        name: pa.array([r[i] for r in brows], typ)
+                        for i, (name, typ) in enumerate(cols)
+                    }
+                ),
+                os.path.join(bdir, "part-00000.parquet"),
+            )
+
+    write_bucketed(
+        os.path.join(vdir, "edges"),
+        [("src", pa.int64()), ("dst", pa.int64()), ("weight", pa.int64())],
+        local.rows_edges(),
+        0,
+    )
+    write_bucketed(
+        os.path.join(vdir, "properties"),
+        [("node_id", pa.int64()), ("attribute", pa.string()),
+         ("value", pa.string())],
+        local.rows_props(),
+        0,
+    )
+    _write_manifest(
+        root, {"version": version, "next_node_id": local.next_node_id}
+    )
+    return version
+
+
 def load_state(
     spark: SparkSession, root: str, version: int | None = None
 ) -> GraphState:
@@ -184,17 +254,32 @@ class PersistentEngine:
         self.root = root
         if not os.path.exists(os.path.join(root, MANIFEST)):
             init_store(root)
-        self.engine = GraphEngine(spark, load_state(spark, root))
+        if read_manifest(root)["version"] == 0:
+            # fresh store: start mirrored with ZERO Spark jobs — the
+            # server binds (and /health answers) before the first job
+            self.engine = GraphEngine(spark)
+        else:
+            self.engine = GraphEngine(spark, load_state(spark, root))
+            # mirror small stores on the driver: commits drop from three
+            # Spark write jobs to a pyarrow file write (the reference's
+            # interactive latency class); big stores stay distributed
+            self.engine.adopt_local()
+
+    def _commit(self) -> None:
+        if self.engine._local is not None:
+            save_local_state(self.engine._local, self.root)
+        else:
+            save_state(self.engine.state, self.root)
 
     def ingest(self, signals) -> list[int]:
         ids = self.engine.ingest(signals)
-        save_state(self.engine.state, self.root)
+        self._commit()
         return ids
 
     def retract(self, from_entity: int, to_entity: int) -> bool:
         ok = self.engine.retract(from_entity, to_entity)
         if ok:
-            save_state(self.engine.state, self.root)
+            self._commit()
         return ok
 
     def __getattr__(self, name):

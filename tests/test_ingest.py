@@ -198,7 +198,9 @@ def test_engine_ingest_collects_only_batch_entities(spark):
     """The node-id resolution after a batch must collect O(batch) rows,
     never the full nodes table (ingestor.rs:118-152 returns batch node
     ids only; a full collect is the 10^9-node scale-killer)."""
-    eng = GraphEngine(spark)
+    # force the DISTRIBUTED path: the bounded-collect invariant under
+    # test is meaningless for the driver-mirror fast path
+    eng = GraphEngine(spark, force_distributed=True)
     # Patch the CONCRETE DataFrame class (pyspark.sql.classic in Spark 4
     # overrides the abstract base's collect).
     DataFrame = type(eng.state.nodes)

@@ -1,0 +1,147 @@
+"""The adaptive driver-mirror engine path (local_engine.LocalGraph):
+exact equivalence with the distributed ingest, spill-up behavior, error
+parity, and the pyarrow fast-path persistence layout."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kremis_spark.engine import GraphEngine
+from kremis_spark.ingest import InvalidSignalError, SequenceTooLongError
+
+SIGNALS_SCHEMA = "seq LONG, entity_id LONG, attribute STRING, value STRING"
+
+
+def _signals(spark, rows):
+    return spark.createDataFrame(rows, SIGNALS_SCHEMA)
+
+
+def _tables(state):
+    return (
+        sorted(tuple(r) for r in state.nodes.collect()),
+        sorted(tuple(r) for r in state.edges.collect()),
+        sorted(tuple(r) for r in state.properties.collect()),
+        state.next_node_id,
+    )
+
+
+def test_local_matches_distributed_on_random_batches(spark):
+    """Three random batches through BOTH paths: identical returned ids
+    and identical state tables (the equivalence that licenses the fast
+    path)."""
+    rng = random.Random(42)
+    local = GraphEngine(spark)
+    dist = GraphEngine(spark, force_distributed=True)
+    assert local._local is not None and dist._local is None
+    seq = 0
+    for _ in range(3):
+        batch = []
+        for _ in range(40):
+            batch.append(
+                (
+                    seq,
+                    rng.randrange(12),
+                    f"attr{rng.randrange(4)}",
+                    f"v{rng.randrange(6)}",
+                )
+            )
+            seq += 1
+        ids_l = local.ingest(_signals(spark, batch))
+        ids_d = dist.ingest(_signals(spark, batch))
+        assert ids_l == ids_d
+    assert _tables(local.state) == _tables(dist.state)
+
+
+def test_local_point_mutations_match_distributed(spark):
+    base = [(i, i % 5, "kind", "service") for i in range(10)]
+    engines = [GraphEngine(spark), GraphEngine(spark, force_distributed=True)]
+    for eng in engines:
+        eng.ingest(_signals(spark, base))
+        assert eng.insert_node(100) == eng.lookup(100)
+        assert eng.insert_node(100) == eng.lookup(100)  # idempotent
+        assert eng.insert_edge(0, 1, 7) is True
+        assert eng.insert_edge(0, 999, 7) is False  # silent no-op
+        assert eng.insert_edge(1, 2, -5) is True  # clamped to 0
+        assert eng.increment_edge(0, 1) is True  # 7 -> 8
+        assert eng.retract(0, 1) is True  # 8 -> 7 (entity ids 0,1)
+        eng.store_property(0, "a", "b")
+        eng.store_property(0, "a", "b")  # set semantics
+        with pytest.raises(KeyError):
+            eng.store_property(999, "a", "b")
+    assert _tables(engines[0].state) == _tables(engines[1].state)
+
+
+def test_local_error_parity(spark):
+    import kremis_spark.primitives as P
+
+    for eng in (GraphEngine(spark), GraphEngine(spark, force_distributed=True)):
+        with pytest.raises(InvalidSignalError):
+            eng.ingest(_signals(spark, [(0, 1, "", "v")]))
+        with pytest.raises(InvalidSignalError):
+            eng.ingest(_signals(spark, [(0, 1, "a", "bad\x00ctl")]))
+        # whole batch atomic: nothing from the failing batch landed
+        assert eng.lookup(1) is None
+    # sequence cap (local path; the distributed one is covered in
+    # test_ingest and costs a 10k-row dataframe here)
+    eng = GraphEngine(spark)
+    too_long = [(i, i, "a", "v") for i in range(P.MAX_SEQUENCE_LENGTH + 1)]
+    with pytest.raises(SequenceTooLongError):
+        eng.ingest(_signals(spark, too_long))
+
+
+def test_local_spills_up_at_bound(spark, monkeypatch):
+    import kremis_spark.local_engine as LE
+
+    monkeypatch.setattr(LE, "LOCAL_MAX_ROWS", 25)
+    eng = GraphEngine(spark)
+    eng.ingest(
+        _signals(
+            spark, [(i, i, f"a{i}", f"v{i}") for i in range(10)]
+        )
+    )
+    assert eng._local is None, "should have spilled past the row bound"
+    # distributed from here on; semantics continue seamlessly
+    ids = eng.ingest(_signals(spark, [(0, 3, "x", "y"), (1, 99, "x", "y")]))
+    assert ids[0] == 3 and eng.lookup(99) == ids[1]
+
+
+def test_persistent_engine_local_commit_roundtrip(tmp_path, spark):
+    """Mirror-active persistent commits (pyarrow writer) produce a store
+    that load_state + the bucketed point reads consume identically."""
+    from kremis_spark.storage import PersistentEngine, load_state, read_src_edges
+
+    root = str(tmp_path / "store")
+    pe = PersistentEngine(spark, root)
+    assert pe.engine._local is not None  # fresh store: mirror active
+    pe.ingest(
+        _signals(spark, [(0, 1, "kind", "svc"), (1, 2, "kind", "svc"),
+                         (2, 1, "env", "prod")])
+    )
+    pe.ingest(_signals(spark, [(0, 2, "kind", "svc"), (1, 3, "kind", "svc")]))
+
+    loaded = load_state(spark, root)
+    assert _tables(loaded) == _tables(pe.engine.state)
+    # bucketed point read prunes by src and still sees the mirror's edges
+    src = pe.engine.lookup(1)
+    got = read_src_edges(spark, root, src).collect()
+    assert len(got) == 1 and int(got[0]["weight"]) == 1
+
+    # reopening adopts the mirror again and continues the id counter
+    pe2 = PersistentEngine(spark, root)
+    assert pe2.engine._local is not None
+    assert pe2.engine.insert_node(999) == pe.engine.state.next_node_id
+
+
+def test_big_store_stays_distributed(tmp_path, spark, monkeypatch):
+    import kremis_spark.local_engine as LE
+
+    from kremis_spark.storage import PersistentEngine
+
+    root = str(tmp_path / "store2")
+    pe = PersistentEngine(spark, root)
+    pe.ingest(_signals(spark, [(i, i, "a", "v") for i in range(8)]))
+    monkeypatch.setattr(LE, "LOCAL_MAX_ROWS", 3)
+    pe2 = PersistentEngine(spark, root)
+    assert pe2.engine._local is None, "oversized store must not mirror"
