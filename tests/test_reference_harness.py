@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import importlib.util
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -41,8 +42,7 @@ def _load_harness():
     return mod
 
 
-@pytest.mark.skipif(not RUN_PY.exists(), reason="reference repo not mounted")
-def test_reference_fabrication_harness_drives_http_facade(tmp_path, capsys):
+def _drive(world, tmp_path, capsys):
     run = _load_harness()
     shim = Path(__file__).resolve().parent.parent / "tools" / "kremis"
     assert shim.exists()
@@ -53,7 +53,7 @@ def test_reference_fabrication_harness_drives_http_facade(tmp_path, capsys):
     out_path = tmp_path / "fabrication.json"
     argv_save = sys.argv
     sys.argv = [
-        str(RUN_PY), "--skip-llm", "--world", "base", "--out", str(out_path)
+        str(RUN_PY), "--skip-llm", "--world", world, "--out", str(out_path)
     ]
     try:
         run.main()  # sys.exit()s on any certificate/determinism violation
@@ -72,3 +72,26 @@ def test_reference_fabrication_harness_drives_http_facade(tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "determinism: 2 identical runs -> PASS" in printed
     assert "certified as proof-of-absence" in printed
+    return k
+
+
+@pytest.mark.skipif(not RUN_PY.exists(), reason="reference repo not mounted")
+def test_reference_fabrication_harness_drives_http_facade(tmp_path, capsys):
+    _drive("base", tmp_path, capsys)
+
+
+@pytest.mark.skipif(not RUN_PY.exists(), reason="reference repo not mounted")
+@pytest.mark.skipif(
+    os.environ.get("KREMIS_RUN_HORIZON") != "1",
+    reason="~15 min: the 420-service long-horizon world; opt in with "
+    "KREMIS_RUN_HORIZON=1 (last full pass recorded in SCALE.md)",
+)
+def test_reference_harness_long_horizon_world(tmp_path, capsys):
+    """The reference's hardest arm: 420 services, 330 dependencies,
+    answers composed of up to 10 strongest-path steps, half the chains
+    with exactly one link withheld. 0% false assertions and 100%
+    accuracy at EVERY horizon, every abstention certified."""
+    k = _drive("horizon", tmp_path, capsys)
+    for n, at_n in k["by_horizon"].items():
+        assert at_n["false_assertion_rate"] == 0.0, n
+        assert at_n["answer_accuracy"] == 100.0, n
