@@ -196,3 +196,97 @@ def iter_ppm_frames(data: bytes) -> Iterator[tuple[int, int, Pixels]]:
         # skip inter-frame whitespace so encoders that newline-separate work
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
+
+
+# --- perceptual hash ----------------------------------------------------------
+#
+# Integer 64-bit DCT pHash (the classic pHash recipe, frozen as an exact
+# integer spec so every implementation — the Spark Arrow batch, the pure-
+# Python/numpy oracle generator, a test — produces bit-identical hashes):
+#
+#   1. grayscale  g = (299·R + 587·G + 114·B) // 1000           (0..255)
+#   2. nearest-sample the grayscale plane to 32×32:
+#        G32[r][c] = gray[(r·h)//32][(c·w)//32]
+#   3. 2-D DCT-II via the fixed integer cosine table
+#        C[u][x] = round(cos(π·(2x+1)·u / 64) · 2^14),  u∈[0,8), x∈[0,32)
+#      keeping only the top-left 8×8 block, all-integer, no intermediate
+#      rounding:  D[u][v] = Σ_r Σ_c C[u][r]·G32[r][c]·C[v][c]
+#   4. med = sorted(all 64 D values)[32]  (upper median — integer, no
+#      averaging ambiguity); bit k = 8u+v set iff D[u][v] > med
+#
+# Two perceptually-near images differ in few low-frequency coefficients,
+# so their hashes are Hamming-close; split into 4×16-bit bands, any pair
+# within Hamming distance 3 is GUARANTEED (pigeonhole) to collide on at
+# least one band — the banded-LSH dedup contract in plans/beyond.py.
+
+PHASH_DCT_N = 32  # input grid
+PHASH_DCT_K = 8  # retained low-frequency block (8×8 = 64 bits)
+_PHASH_SCALE = 1 << 14
+
+
+def _phash_cos_table() -> list[list[int]]:
+    import math
+
+    return [
+        [
+            round(
+                math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_DCT_N))
+                * _PHASH_SCALE
+            )
+            for x in range(PHASH_DCT_N)
+        ]
+        for u in range(PHASH_DCT_K)
+    ]
+
+
+_PHASH_COS: list[list[int]] | None = None
+
+
+def phash64(width: int, height: int, pixels: Pixels) -> int:
+    """64-bit integer DCT perceptual hash of an RGB pixel buffer,
+    returned as an UNSIGNED int in [0, 2^64). Exact-integer spec above;
+    ``phash64_signed`` re-wraps it for an int64 column."""
+    global _PHASH_COS
+    if _PHASH_COS is None:
+        _PHASH_COS = _phash_cos_table()
+    if len(pixels) != 3 * width * height or width <= 0 or height <= 0:
+        raise ValueError("pixel buffer size mismatch")
+    n = PHASH_DCT_N
+    # grayscale + nearest 32×32 sample in one pass
+    g32 = [
+        [
+            (
+                299 * pixels[3 * ((r * height // n) * width + (c * width // n))]
+                + 587
+                * pixels[3 * ((r * height // n) * width + (c * width // n)) + 1]
+                + 114
+                * pixels[3 * ((r * height // n) * width + (c * width // n)) + 2]
+            )
+            // 1000
+            for c in range(n)
+        ]
+        for r in range(n)
+    ]
+    C = _PHASH_COS
+    # M[u][c] = Σ_r C[u][r]·G32[r][c]   (8×32), then D = M · Cᵀ (8×8)
+    M = [
+        [sum(C[u][r] * g32[r][c] for r in range(n)) for c in range(n)]
+        for u in range(PHASH_DCT_K)
+    ]
+    D = [
+        sum(M[u][c] * C[v][c] for c in range(n))
+        for u in range(PHASH_DCT_K)
+        for v in range(PHASH_DCT_K)
+    ]
+    med = sorted(D)[len(D) // 2]
+    h = 0
+    for k, d in enumerate(D):
+        if d > med:
+            h |= 1 << k
+    return h
+
+
+def phash64_signed(width: int, height: int, pixels: Pixels) -> int:
+    """phash64 wrapped to signed int64 (Spark LongType / Arrow int64)."""
+    h = phash64(width, height, pixels)
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -6,10 +6,13 @@ two real backends, probed per executor inside the task closure: PIL when
 importable (any PIL-readable format), else the dependency-free BMP/P6
 codec in ``functions/imaging.py`` — so resize and frame-sampling run a
 genuine decode → transform → re-encode path in every environment,
-including this container (no imaging libraries installed). Only
-``decode_features``' ENCODER is a deterministic fake (a real embedding
-model doesn't fit a unit-test container); its batch plumbing is the
-production shape.
+including this container (no imaging libraries installed). The decode
+step is load-bearing everywhere: ``decode_features`` derives features
+and ``pixel_sha`` from the DECODED pixel buffer, and ``phash_for_media``
+computes a real integer DCT perceptual hash (``imaging.phash64``) over
+it. Only ``decode_features``' ENCODER is a deterministic fake (a real
+embedding model doesn't fit a unit-test container); its batch plumbing
+is the production shape.
 
 Design for 100 TB of media:
 - content stays an opaque ``binary`` column; Spark never interprets it
@@ -30,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -54,6 +58,8 @@ FEATURES_SCHEMA = StructType(
         StructField("modality", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("content_sha", StringType(), False),
+        StructField("pixel_sha", StringType(), False),
+        StructField("decoded", BooleanType(), False),
         StructField("features", ArrayType(FloatType()), False),
     ]
 )
@@ -81,31 +87,189 @@ def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
+def _decode_pixels(raw: bytes) -> tuple[int, int, bytes] | None:
+    """Decode an image payload to its flat RGB pixel buffer: PIL when
+    importable (any PIL-readable format), else the dependency-free BMP/P6
+    codec. None on undecodable payloads (poison bytes must not fail the
+    batch). Both backends yield byte-identical buffers for BMP/P6 input,
+    so downstream hashes/features are backend-independent."""
+    try:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(raw)) as im:
+            rgb = im.convert("RGB")
+            return rgb.width, rgb.height, rgb.tobytes()
+    except ImportError:
+        pass
+    except Exception:
+        return None
+    try:
+        from kremis_spark.functions import imaging as I
+
+        w, h, px = I.decode_image(raw)
+        return w, h, bytes(px)
+    except Exception:
+        return None
+
+
 def decode_features(df: DataFrame) -> DataFrame:
     """Batch feature extraction over media content via mapInPandas.
 
-    STUB: uses the deterministic fake encoder (no media libs in this
-    environment). The Arrow batch plumbing — iterator of pandas frames in,
-    iterator out, schema contract — is the real production shape.
+    The DECODE step is real (PIL or the fallback codec) and load-bearing:
+    for decodable payloads the feature vector and ``pixel_sha`` are
+    computed from the decoded RGB pixel buffer — corrupt the pixels and
+    the features change; change container bytes that decode to the same
+    pixels and they don't. Only the ENCODER is the documented
+    deterministic fake (sha256-seeded fixed-point values — a real
+    embedding model doesn't fit a unit-test container); its batch
+    plumbing — iterator of pandas frames in, iterator out, schema
+    contract — is the production shape. Undecodable payloads fall back
+    to byte-derived features with ``decoded = false``.
     """
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            content = pdf["content"]
+            shas, pshas, dec, feats = [], [], [], []
+            for b in pdf["content"]:
+                raw = bytes(b)
+                shas.append(hashlib.sha256(raw).hexdigest())
+                got = _decode_pixels(raw)
+                if got is None:
+                    pshas.append(shas[-1])
+                    dec.append(False)
+                    feats.append(_fake_features(raw))
+                else:
+                    px = got[2]
+                    pshas.append(hashlib.sha256(px).hexdigest())
+                    dec.append(True)
+                    feats.append(_fake_features(px))
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": content.map(len).astype("int64"),
-                    "content_sha": content.map(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
-                    ),
-                    "features": content.map(lambda b: _fake_features(bytes(b))),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_sha": shas,
+                    "pixel_sha": pshas,
+                    "decoded": dec,
+                    "features": feats,
                 }
             )
 
     return df.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("phash", LongType(), True),  # null = undecodable
+    ]
+)
+
+
+def phash_for_media(df: DataFrame) -> DataFrame:
+    """64-bit DCT perceptual hash per media item (``imaging.phash64``
+    spec), decode + hash in one Arrow batch. The DCT is numpy-vectorized
+    across the batch (exact int64 — bit-identical to the scalar spec,
+    pinned by a unit test); undecodable payloads yield null, they are
+    not near-anything."""
+    import numpy as np
+    import pandas as pd
+
+    from kremis_spark.functions import imaging as I
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        n, k = I.PHASH_DCT_N, I.PHASH_DCT_K
+        import math
+
+        C = np.array(
+            [
+                [
+                    round(math.cos(math.pi * (2 * x + 1) * u / (2 * n)) * (1 << 14))
+                    for x in range(n)
+                ]
+                for u in range(k)
+            ],
+            dtype=np.int64,
+        )
+        for pdf in batches:
+            grids, idx = [], []
+            for i, b in enumerate(pdf["content"]):
+                got = _decode_pixels(bytes(b))
+                if got is None:
+                    continue
+                w, h, px = got
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                gray = (
+                    299 * a[:, :, 0].astype(np.int64)
+                    + 587 * a[:, :, 1].astype(np.int64)
+                    + 114 * a[:, :, 2].astype(np.int64)
+                ) // 1000
+                rows = (np.arange(n) * h) // n
+                cols = (np.arange(n) * w) // n
+                grids.append(gray[np.ix_(rows, cols)])
+                idx.append(i)
+            out = np.full(len(pdf), None, dtype=object)
+            if grids:
+                G = np.stack(grids)  # B×32×32 int64
+                D = np.einsum("ur,brc,vc->buv", C, G, C)  # exact int64
+                flat = D.reshape(len(grids), k * k)
+                med = np.sort(flat, axis=1)[:, (k * k) // 2]
+                bits = flat > med[:, None]
+                uh = (
+                    bits.astype(np.uint64)
+                    << np.arange(k * k, dtype=np.uint64)[None, :]
+                ).sum(axis=1, dtype=np.uint64)
+                sh = uh.astype(np.int64)  # two's-complement wrap
+                for j, i in enumerate(idx):
+                    out[i] = int(sh[j])
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "modality": pdf["modality"],
+                    "phash": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+TEXT_MEDIA_PIXEL_BYTES = 3 * 32 * 32  # 32×32 RGB
+
+
+def encode_text_media(df: DataFrame) -> DataFrame:
+    """Re-frame text rows (item_id, modality, text) as a DECODABLE media
+    lake: each document's UTF-8 bytes are cycled to fill a 32×32 RGB
+    pixel buffer and encoded as a real (fallback-codec- and PIL-readable)
+    24-bit BMP payload. Identical texts yield identical images; texts
+    differing by a few in-place bytes yield perceptually-near images —
+    which is what makes the downstream pHash banding a genuine
+    near-duplicate gate rather than an exact-hash one."""
+    import pandas as pd
+
+    from kremis_spark.functions import imaging as I
+
+    def frame(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        m = TEXT_MEDIA_PIXEL_BYTES
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                px = bytearray((raw * (m // len(raw) + 1))[:m]) if raw else bytearray(m)
+                payloads.append(bytearray(I.encode_bmp(32, 32, px)))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "modality": pdf["modality"],
+                    "content": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(frame, MEDIA_SCHEMA)
 
 
 # resize is a 1:1 transform — output rows keep the media contract

@@ -3,11 +3,14 @@
 These promote the already-tested plumbing (functions/multimodal.py,
 streaming/stream.py) into the driver's oracle-checked correctness gate:
 
-- ``pipe_multimodal_decode`` — documents as opaque binary payloads →
-  Arrow-batched ``mapInPandas`` feature extraction. The decode step is the
-  documented deterministic stub (sha256-seeded features), so the whole
-  path — binary column, partitioning, batch schema, fixed-point feature
-  readback — is exactly reproducible in SQL.
+- ``pipe_multimodal_decode`` — documents as DECODABLE media payloads
+  (real BMP images of the text bytes) → Arrow-batched ``mapInPandas``
+  decode + feature extraction. The decode is real (PIL or the fallback
+  codec) and load-bearing: features/pixel_sha derive from the decoded
+  RGB buffer; only the ENCODER is the documented deterministic fake
+  (sha256-seeded features), which keeps the whole path — binary column,
+  partitioning, batch schema, pixel reconstruction, fixed-point feature
+  readback — exactly reproducible in SQL.
 - ``stream_window_counts`` — Structured Streaming tumbling-window
   aggregation (watermark + window) run to completion with availableNow;
   the streamed result must equal the batch SQL over the same file.
@@ -29,7 +32,13 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kremis_spark.functions.multimodal import decode_features, partition_for_decode
+from kremis_spark.functions.multimodal import (
+    decode_features,
+    encode_text_media,
+    partition_for_decode,
+    phash_for_media,
+)
+from kremis_spark.plans._phash_golden import PHASH_GOLDEN_SQL
 from kremis_spark.sources.tables import read_table
 from kremis_spark.streaming.stream import running_user_totals, windowed_event_counts
 
@@ -41,29 +50,44 @@ EVENTS_LONG_TS_SCHEMA = (
 )
 
 
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Treat each document's UTF-8 bytes as an opaque media payload with a
-    deterministic modality tag, decode features via mapInPandas, and read
-    back byte count, content hash, and the first feature in fixed point
-    (features are float32 with power-of-two scaling, so the round-trip
-    through float is exact)."""
+def _media_decodable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-framed as a DECODABLE media lake: each document's
+    UTF-8 bytes cycled into a 32×32 RGB buffer and encoded as a real
+    24-bit BMP (functions/multimodal.encode_text_media). Shared by the
+    decode-features and pHash gates, so their decode step is genuinely
+    load-bearing — corrupt the pixel payload and both gates' outputs
+    change."""
     docs = read_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("item_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
-        ).alias("modality"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    return encode_text_media(
+        docs.select(
+            F.col("doc_id").alias("item_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+            ).alias("modality"),
+            "text",
+        )
     )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents as a decodable media lake (real BMP payloads), decoded
+    via the Arrow-batched mapInPandas path: features and pixel hash come
+    from the DECODED RGB buffer, not the container bytes. Read back the
+    payload byte count, pixel-buffer sha, and the first feature in fixed
+    point (features are float32 with power-of-two scaling, so the
+    round-trip through float is exact). The oracle reconstructs the same
+    pixel buffer in SQL (text bytes cycled to 3072 — the corpus is
+    ASCII, so VARCHAR repeat/substr equals the byte-level cycle) and
+    sha256s it, so a decode regression breaks the hash gate."""
     buckets = spark.sparkContext.defaultParallelism
+    media = _media_decodable(spark, sf_dir)
     feats = decode_features(partition_for_decode(media, buckets=buckets))
     return feats.select(
         "item_id",
         "modality",
         "n_bytes",
-        "content_sha",
+        "pixel_sha",
         F.round(F.element_at("features", 1).cast("double") * 32768)
         .cast("long")
         .alias("feat0_q"),
@@ -71,8 +95,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents re-framed as the opaque media table (shared by the
-    decode, phash-dedup, and shard-manifest plumbing)."""
+    """Documents re-framed as the opaque RAW media table (the stored
+    blobs, variable-length) — the shard-manifest layout planner works on
+    stored blob sizes. The decode/pHash gates use ``_media_decodable``
+    (real BMP payloads) instead."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("item_id"),
@@ -90,26 +116,27 @@ PHASH_TOPN = 20
 
 
 def q_media_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash media dedup plumbing: a 64-bit content hash per
-    item is split into 4 x 16-bit bands and near-duplicate candidates
-    are item pairs (same modality) sharing >= 1 band bucket — exactly
-    the banded-Hamming LSH used for pHash image dedup at scale (two
-    pHashes within Hamming distance d collide on some band with high
-    probability). The HASH itself is the stubbed part (sha256-derived,
-    deterministic — this container has no image libs); a production
-    deployment swaps a DCT pHash into the same column and every band /
-    bucket / cap / pair stage is unchanged. With the stub, colliding
-    pairs are exact-content duplicates, which the corpus does contain.
+    """Perceptual-hash media dedup: a REAL 64-bit integer DCT pHash
+    (imaging.phash64 — decode the BMP payload, grayscale, 32×32 sample,
+    integer DCT-II, median-threshold) per item is split into 4 x 16-bit
+    bands; near-duplicate candidates are item pairs (same modality)
+    sharing >= 1 band bucket — the banded-Hamming LSH used for pHash
+    image dedup at scale (two pHashes within Hamming distance 3 are
+    GUARANTEED by pigeonhole to collide on a band; greater distances
+    collide with probability falling in the distance). Undecodable
+    payloads hash to null and are filtered — poison bytes are not near
+    anything. The oracle is a FROZEN golden (tools/gen_phash_oracle.py:
+    an independent numpy implementation of the same frozen hash spec +
+    the same band/cap/pair pipeline over the DuckDB-read corpus),
+    dispatched per testdata SF on (COUNT(*), SUM(length(text))).
 
-    Scale shape: band explode is one map-side projection (4 rows/item);
-    hot buckets are capped like the MinHash LSH (a bucket with > cap
-    members is non-discriminative); the pair join is per-bucket and
-    bounded by the cap. Top pairs by shared-band count."""
-    m = _media(spark, sf_dir)
-    ph = m.select(
-        "item_id",
-        "modality",
-        F.sha2(F.col("content"), 256).alias("sha"),
+    Scale shape: decode+hash is one Arrow-batched map (no shuffle); band
+    explode is one map-side projection (4 rows/item); hot buckets are
+    capped like the MinHash LSH (a bucket with > cap members is
+    non-discriminative); the pair join is per-bucket and bounded by the
+    cap. Top pairs by shared-band count."""
+    ph = phash_for_media(_media_decodable(spark, sf_dir)).filter(
+        F.col("phash").isNotNull()
     )
     bands = ph.select(
         "item_id",
@@ -119,9 +146,10 @@ def q_media_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.conv(
-                            F.substring("sha", 1 + 4 * b, 4), 16, 10
-                        ).cast("long").alias("bval"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), 16 * b)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("bval"),
                     )
                     for b in range(PHASH_BANDS)
                 ]
@@ -1097,48 +1125,31 @@ SELECT CAST(MAX(t) AS BIGINT) AS n_total,
 FROM c2
 HAVING COUNT(*) > 0
 """,
+    # the 32×32 RGB pixel buffer is the text bytes cycled to 3072; the
+    # corpus is pure ASCII (checked), so VARCHAR repeat/substr is exactly
+    # the byte-level cycle and sha256(VARCHAR) hashes those bytes. The
+    # BMP payload is 54 header + 96-byte stride × 32 rows = 3126 bytes.
     "pipe_multimodal_decode": """
+WITH px AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(ceil(3072.0 / length(text)) AS INT)),
+                1, 3072) AS pixels
+  FROM documents
+)
 SELECT doc_id AS item_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             ELSE 'video' END AS modality,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       sha256(text) AS content_sha,
-       CAST(('0x' || substr(sha256(text), 1, 4))::INT - 32768 AS BIGINT)
+       CAST(3126 AS BIGINT) AS n_bytes,
+       sha256(pixels) AS pixel_sha,
+       CAST(('0x' || substr(sha256(pixels), 1, 4))::INT - 32768 AS BIGINT)
          AS feat0_q
-FROM documents
+FROM px
 """,
-    "pipe_media_phash_bands": f"""
-WITH m AS (
-  SELECT doc_id AS item_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS modality,
-         sha256(text) AS sha
-  FROM documents
-),
-bands AS (
-  SELECT item_id, modality, b.band,
-         ('0x' || substr(sha, 1 + 4 * b.band, 4))::BIGINT AS bval
-  FROM m, (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS band) b
-),
-ok AS (
-  SELECT modality, band, bval
-  FROM (SELECT modality, band, bval, COUNT(*) AS n
-        FROM bands GROUP BY ALL)
-  WHERE n BETWEEN 2 AND {PHASH_BUCKET_CAP}
-),
-hot AS (SELECT bands.* FROM bands JOIN ok USING (modality, band, bval)),
-pairs AS (
-  SELECT a.item_id AS item_a, b.item_id AS item_b,
-         COUNT(DISTINCT a.band) AS n_shared_bands
-  FROM hot a
-  JOIN hot b ON b.modality = a.modality AND b.band = a.band
-            AND b.bval = a.bval AND a.item_id < b.item_id
-  GROUP BY 1, 2
-)
-SELECT item_a, item_b, CAST(n_shared_bands AS BIGINT) AS n_shared_bands
-FROM pairs ORDER BY n_shared_bands DESC, item_a, item_b
-LIMIT {PHASH_TOPN}
-""",
+    # A DCT pHash is not SQL-expressible: frozen golden-rows oracle from
+    # an independent numpy implementation of the frozen hash spec + the
+    # same band/cap/pair pipeline (tools/gen_phash_oracle.py), dispatched
+    # per testdata SF on (COUNT(*), SUM(length(text))) of documents.
+    "pipe_media_phash_bands": PHASH_GOLDEN_SQL,
     "pipe_media_shard_manifest": f"""
 WITH m AS (
   SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

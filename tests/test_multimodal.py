@@ -1,13 +1,18 @@
-"""Multimodal plumbing tests: the Spark-side schema/batch/partitioning is
-real even though the decoder is stubbed."""
+"""Multimodal plumbing tests: schema/batch/partitioning plus the REAL
+decode path — features, pixel hash, and the DCT pHash all derive from
+decoded pixels (PIL or the fallback codec), so a decode regression
+breaks these, not just the container plumbing."""
+
+import hashlib
 
 import pytest
 
+from kremis_spark.functions import imaging as I
 from kremis_spark.functions import multimodal as M
 
 
 def test_decode_features_shapes_and_determinism(spark):
-    df = M.fake_media_table(spark, n=8)
+    df = M.fake_media_table(spark, n=8)  # NOT decodable → byte fallback
     feats = M.decode_features(df)
     rows = {r["item_id"]: r for r in feats.collect()}
     assert len(rows) == 8
@@ -15,12 +20,45 @@ def test_decode_features_shapes_and_determinism(spark):
     assert r0["modality"] == "image"
     assert r0["n_bytes"] == 256
     assert len(r0["content_sha"]) == 64
+    assert r0["decoded"] is False
+    assert r0["pixel_sha"] == r0["content_sha"]  # documented fallback
     assert len(r0["features"]) == M.FEATURE_DIM
     assert all(-1.0 <= v < 1.0 for v in r0["features"])
     # deterministic across runs
     again = {r["item_id"]: r for r in M.decode_features(df).collect()}
     assert again[0]["features"] == r0["features"]
     assert again[0]["content_sha"] == r0["content_sha"]
+
+
+def test_decode_features_are_pixel_derived_not_byte_derived(spark):
+    """The decode step is load-bearing: (a) corrupting PIXELS changes
+    the features; (b) changing container bytes that decode to the SAME
+    pixels (trailing garbage after the BMP pixel array) changes
+    content_sha but NOT pixel_sha/features."""
+    w, h = 8, 6
+    px = bytearray(hashlib.sha256(b"seed").digest() * ((3 * w * h) // 32 + 1))[
+        : 3 * w * h
+    ]
+    base = I.encode_bmp(w, h, px)
+    px2 = bytearray(px)
+    px2[0] ^= 0xFF  # corrupt one pixel
+    pixel_edit = I.encode_bmp(w, h, px2)
+    container_edit = base + b"trailing-garbage"  # same pixels, new bytes
+    df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(base), None),
+            (1, "image", bytearray(pixel_edit), None),
+            (2, "image", bytearray(container_edit), None),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r["item_id"]: r for r in M.decode_features(df).collect()}
+    assert all(r["decoded"] for r in rows.values())
+    assert rows[1]["features"] != rows[0]["features"]
+    assert rows[1]["pixel_sha"] != rows[0]["pixel_sha"]
+    assert rows[2]["content_sha"] != rows[0]["content_sha"]
+    assert rows[2]["pixel_sha"] == rows[0]["pixel_sha"]
+    assert rows[2]["features"] == rows[0]["features"]
 
 
 def test_partition_for_decode(spark):
@@ -150,26 +188,73 @@ def test_media_shard_manifest_conserves_and_is_contiguous(spark):
     assert total_bytes > SHARD_TARGET_BYTES * (len(rows) - 1)
 
 
-def test_media_phash_full_band_pairs_are_exact_dups_under_stub(spark):
-    """With the sha256-derived stand-in hash, a pair sharing ALL 4 bands
-    shares the hash's first 64 bits — for distinct contents that is a
-    2^-64 event, so 4-band pairs must be byte-identical. Pairs sharing
-    fewer bands are legitimate 16-bit coincidences (the recall side of
-    banded LSH) and carry no content guarantee."""
-    from kremis_spark.plans.beyond import _media, q_media_phash_bands
+def test_media_phash_full_band_pairs_share_the_hash(spark):
+    """A pair sharing ALL 4 bands shares the full 64-bit pHash — with
+    the real DCT hash that means perceptually-identical (not necessarily
+    byte-identical) content. Verify against the hashes themselves, and
+    that every reported pair's hashes agree on exactly the bands the
+    pipeline counted."""
+    from kremis_spark.plans.beyond import _media_decodable, q_media_phash_bands
 
     sf = "/root/testdata/sf0.001"
     pairs = q_media_phash_bands(spark, sf).collect()
     if not pairs:
         return
-    content = {
-        int(r["item_id"]): bytes(r["content"])
-        for r in _media(spark, sf).collect()
+    hashes = {
+        int(r["item_id"]): int(r["phash"])
+        for r in M.phash_for_media(_media_decodable(spark, sf)).collect()
     }
-    full = [p for p in pairs if int(p["n_shared_bands"]) == 4]
-    for p in full:
-        assert content[int(p["item_a"])] == content[int(p["item_b"])]
-    # the corpus DOES contain byte-identical texts; the top of the
-    # ranking (shared bands desc) must surface them
-    if full:
-        assert int(pairs[0]["n_shared_bands"]) == 4
+    for p in pairs:
+        ha = hashes[int(p["item_a"])] & ((1 << 64) - 1)
+        hb = hashes[int(p["item_b"])] & ((1 << 64) - 1)
+        shared = sum(
+            (ha >> (16 * b)) & 0xFFFF == (hb >> (16 * b)) & 0xFFFF
+            for b in range(4)
+        )
+        # pipeline counts only bands whose bucket passed the 2..cap gate,
+        # so it may undercount (hot buckets dropped) but never overcount
+        assert int(p["n_shared_bands"]) <= shared
+        if int(p["n_shared_bands"]) == 4:
+            assert ha == hb
+
+
+def test_phash_batch_matches_scalar_spec(spark):
+    """The numpy-vectorized Arrow batch hash must be bit-identical to
+    the frozen scalar integer spec in imaging.phash64 — for 32×32 input
+    AND for sizes that exercise the nearest-sample step."""
+    rows, expect = [], {}
+    for i, (w, h) in enumerate([(32, 32), (8, 6), (40, 40), (1, 1)]):
+        seed = hashlib.sha256(f"img:{i}".encode()).digest()
+        px = bytearray(seed[(3 * p + c) % 32] for p in range(w * h) for c in range(3))
+        rows.append((i, "image", bytearray(I.encode_bmp(w, h, px)), None))
+        expect[i] = I.phash64_signed(w, h, px)
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {int(r["item_id"]): r["phash"] for r in M.phash_for_media(df).collect()}
+    assert got == expect
+    # undecodable payload → null hash, not a failure
+    poison = M.fake_media_table(spark, n=1)
+    assert M.phash_for_media(poison).collect()[0]["phash"] is None
+
+
+def test_phash_near_duplicates_collide_on_a_band():
+    """The LSH contract: a 1-pixel edit leaves the pHash Hamming-close
+    (≥1 of the 4 16-bit bands identical), while a distinct image shares
+    no band. Deterministic seeded images."""
+    seed = hashlib.sha256(b"px:0").digest()
+    px = bytearray(seed[(3 * p + c) % 32] for p in range(32 * 32) for c in range(3))
+    near = bytearray(px)
+    near[0] = (near[0] + 1) % 256  # 1-pixel, 1-unit edit
+    import random
+
+    rng = random.Random(1)
+    far = bytearray(rng.randrange(256) for _ in range(3 * 32 * 32))
+    h0 = I.phash64(32, 32, px)
+    h1 = I.phash64(32, 32, near)
+    h2 = I.phash64(32, 32, far)
+    bands = lambda h: [(h >> (16 * b)) & 0xFFFF for b in range(4)]  # noqa: E731
+    assert sum(a == b for a, b in zip(bands(h0), bands(h1))) >= 1
+    assert sum(a == b for a, b in zip(bands(h0), bands(h2))) == 0
+    # and Hamming distance orders as perception does
+    near_d = bin(h0 ^ h1).count("1")
+    far_d = bin(h0 ^ h2).count("1")
+    assert near_d < far_d
