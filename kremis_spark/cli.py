@@ -259,6 +259,11 @@ def cmd_server(args) -> int:  # pragma: no cover
     # benchmark harness's 10 s server budget) must not race it. The
     # session build starts in the background immediately; the first
     # engine-touching request joins it.
+    #
+    # The facade serves the PersistentEngine (not the raw GraphEngine):
+    # HTTP mutations commit to the store, so — like the reference server
+    # — data survives a restart. Concurrent Flask threads are safe: the
+    # engine's writer lock serializes each mutation with its save.
     class _LazyEngine:
         def __init__(self):
             self._eng = None
@@ -269,7 +274,7 @@ def cmd_server(args) -> int:  # pragma: no cover
         def _real(self):
             with self._lock:
                 if self._eng is None:
-                    self._eng = _engine(args).engine
+                    self._eng = _engine(args)
                 return self._eng
 
         def __getattr__(self, name):

@@ -18,6 +18,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools
+import threading
 from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,6 +112,18 @@ class GraphState:
         return memo
 
 
+def _mutator(fn):
+    """Serialize a GraphEngine mutation on the per-engine lock (single-
+    writer semantics; see the class docstring's THREADING note)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._mutex:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class GraphEngine:
     """Session-equivalent facade: ingest + the 7-variant query surface
     (api/types.rs:241-270) + metrics/stage/grounding.
@@ -123,7 +137,15 @@ class GraphEngine:
     distributed path permanently — the same bounded-driver/distributed
     split the traversal and PageRank operators use (SURVEY §7).
     ``force_distributed=True`` disables the mirror (tests exercise both
-    paths; equivalence pinned by tests/test_local_engine.py)."""
+    paths; equivalence pinned by tests/test_local_engine.py).
+
+    THREADING: mutations are serialized by a per-engine re-entrant lock
+    (``_mutex``) — the reference's single-writer semantics. The HTTP
+    facade serves requests from multiple Flask threads; without the
+    lock, concurrent ``/signal`` posts could mint duplicate node ids in
+    the mirror's mint/props/edges/counter sequence or lose a batch in
+    the distributed read-modify-write state swap. Reads stay lock-free
+    (they see a consistent already-swapped state)."""
 
     # largest batch worth collecting to the mirror; bigger goes distributed
     LOCAL_INGEST_MAX_BATCH = 100_000
@@ -137,6 +159,7 @@ class GraphEngine:
         from kremis_spark.local_engine import LocalGraph
 
         self.spark = spark
+        self._mutex = threading.RLock()
         if state is None and not force_distributed:
             self._local: LocalGraph | None = LocalGraph()
             self._df_state: GraphState | None = None
@@ -150,7 +173,11 @@ class GraphEngine:
     @property
     def state(self) -> GraphState:
         if self._local is not None and self._df_state is None:
-            self._df_state = self._local.to_state(self.spark)
+            # materialization reads the mirror's dicts — take the writer
+            # lock so a concurrent mutation can't change them mid-walk
+            with self._mutex:
+                if self._local is not None and self._df_state is None:
+                    self._df_state = self._local.to_state(self.spark)
         return self._df_state
 
     @state.setter
@@ -174,6 +201,7 @@ class GraphEngine:
         self._local = None
         self._df_state = local.to_state(self.spark).checkpoint()
 
+    @_mutator
     def adopt_local(self, max_rows: int | None = None) -> bool:
         """Mirror the current DataFrame state on the driver when it fits
         (used by the persistent engine after loading a small store).
@@ -194,6 +222,7 @@ class GraphEngine:
         return True
 
     # --- ingest -----------------------------------------------------------
+    @_mutator
     def ingest_rows(
         self,
         rows: list[tuple[int, int, str, str]],
@@ -229,6 +258,7 @@ class GraphEngine:
             enforce_limits=enforce_limits,
         )
 
+    @_mutator
     def ingest(self, signals: DataFrame, enforce_limits: bool = True) -> list[int]:
         """Atomic batch ingest; returns the node ids of the batch's signals
         in sequence order (Ingestor::ingest_sequence contract).
@@ -297,6 +327,7 @@ class GraphEngine:
         }
         return [mapping[e] for e in seq_entities]
 
+    @_mutator
     def insert_node(self, entity_id: int) -> int:
         """Idempotent entity→node upsert; new ids from the monotone
         counter (graph.rs:502-517). Returns the node id either way."""
@@ -320,6 +351,7 @@ class GraphEngine:
         )
         return nid
 
+    @_mutator
     def insert_edge(self, src: int, dst: int, weight: int) -> bool:
         """Set an edge weight (overwrite). SILENT NO-OP if either node is
         missing (graph.rs:519-530, documented at graph.rs:29-34); negative
@@ -345,6 +377,7 @@ class GraphEngine:
         )
         return True
 
+    @_mutator
     def increment_edge(self, src: int, dst: int) -> bool:
         """weight += 1 saturating; creates the edge at 1; no-op if either
         node is missing (graph.rs:532-541)."""
@@ -372,6 +405,7 @@ class GraphEngine:
             self._pc_state = self.state
         return self._pc
 
+    @_mutator
     def store_property(self, node_id: int, attribute: str, value: str) -> None:
         """Set-semantics property append: dedup at (node, attr, value),
         4096/node cap, error on missing node (graph.rs:726-769).
@@ -421,6 +455,7 @@ class GraphEngine:
         counts[node_id] = n + 1
         self._pc_state = self.state
 
+    @_mutator
     def retract(self, from_entity: int, to_entity: int) -> bool:
         """Decrement an edge weight, floored at 0 (graph.rs:543-550,
         handlers.rs:169-213). Returns False if the edge is absent."""

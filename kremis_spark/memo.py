@@ -53,14 +53,31 @@ MAX_DATASETS = 2
 
 _LOCK = threading.RLock()
 
+# Serializes every persistent-RDD id-diff window (memo builds AND bare
+# checkpoint() calls) across threads. The id-set diff attributes every
+# RDD persisted during the window to the enclosing build; two concurrent
+# builders would claim each other's blocks and a later eviction would
+# silently over-release the survivor's. An RLock (re-entrant) keeps
+# nested same-thread builds working; builds on OTHER threads queue.
+_BUILD_SERIAL = threading.RLock()
+
 # (name, app_id, sf_dir) -> (value, [release callables])
 _ENTRIES: dict[tuple[str, str, str], tuple[Any, list[Callable[[], None]]]] = {}
 # LRU over datasets: (app_id, sf_dir) -> None (OrderedDict as an LRU set)
 _DATASETS: OrderedDict[tuple[str, str], None] = OrderedDict()
 
-# Stack of release-collector lists; checkpoint()/cache()/on_release()
-# append to the innermost collector while a memo build is running.
-_BUILDING: list[list[Callable[[], None]]] = []
+# Per-THREAD stack of release-collector lists; checkpoint()/cache()/
+# on_release() append to the innermost collector of the CALLING thread's
+# build. Thread-local, not global: a foreign thread's checkpoint must
+# not register its release into another thread's running build.
+_TLS = threading.local()
+
+
+def _building_stack() -> list[list[Callable[[], None]]]:
+    stack = getattr(_TLS, "building", None)
+    if stack is None:
+        stack = _TLS.building = []
+    return stack
 
 
 def _persistent_ids(sc) -> set[int]:
@@ -73,9 +90,17 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     RDD ids created by the checkpoint are recorded, and the release
     callback unpersists those ids via the JVM's persistent-RDD map (the
     naive ``df.rdd.unpersist()`` unpersists a fresh derived RDD and
-    releases nothing)."""
+    releases nothing).
+
+    INVALIDATION CONTRACT: a localCheckpoint truncates lineage, so once
+    the enclosing memo entry is released (dataset LRU eviction or
+    ``clear_all``) the returned DataFrame — and anything derived from it
+    a caller still holds — fails with a missing-block error on its next
+    action; it cannot be recomputed. Don't hold memoized DataFrames
+    across dataset switches; re-enter :func:`memo` instead (a rebuild is
+    the designed recovery path)."""
     sc = df.sparkSession.sparkContext
-    with _LOCK:
+    with _BUILD_SERIAL:
         before = _persistent_ids(sc)
         out = df.localCheckpoint(eager=eager)
         new_ids = _persistent_ids(sc) - before
@@ -117,10 +142,10 @@ def on_release(fn: Callable[[], None]) -> None:
 
 
 def _register_release(fn: Callable[[], None]) -> None:
-    with _LOCK:
-        if _BUILDING:
-            _BUILDING[-1].append(fn)
-        # outside a memo build: the caller owns the lifecycle
+    stack = _building_stack()
+    if stack:
+        stack[-1].append(fn)
+    # outside a memo build (on THIS thread): the caller owns the lifecycle
 
 
 def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
@@ -135,8 +160,18 @@ def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
     diff around the build catches eagerly-materialized internal
     checkpoints. (Lazy ``.cache()`` marks materialized after the build
     are NOT caught by the diff; route those through :func:`cache`.)
-    Assumes memo builds don't race concurrent foreign persists in other
-    threads — true for the single-threaded driver/bench/test sessions."""
+    Builds are SERIALIZED across threads (``_BUILD_SERIAL``): the id
+    diff can't attribute a persist to a thread, so two concurrent
+    builders would claim each other's blocks and a later eviction would
+    over-release — instead, a second thread's build queues behind the
+    first (re-entrant for nested same-thread builds).
+
+    INVALIDATION CONTRACT: the memoized value (and any checkpointed
+    DataFrame inside it) is released when its dataset falls out of the
+    ``MAX_DATASETS`` LRU or on :func:`clear_all`; lineage-truncated
+    DataFrames a caller still holds then fail on their next action.
+    Re-enter memo() after a dataset switch rather than holding results
+    across one — the rebuild IS the recovery path."""
     app = spark.sparkContext.applicationId
     key = (name, app, sf_dir)
     ds = (app, sf_dir)
@@ -146,36 +181,43 @@ def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
             _DATASETS.move_to_end(ds)
             return hit[0]
 
-    # Build OUTSIDE the lock (Spark jobs run here); collector appended
-    # under the lock so nested memo builds stay correctly scoped.
+    # Build outside _LOCK (Spark jobs run here) but inside the build-
+    # serialization lock, so the persistent-id diff window is exclusive.
     sc = spark.sparkContext
     releasables: list[Callable[[], None]] = []
-    with _LOCK:
-        nested = bool(_BUILDING)
-        _BUILDING.append(releasables)
-        ids_before = _persistent_ids(sc)
-    try:
-        value = build()
-    finally:
+    with _BUILD_SERIAL:
+        # another thread may have built it while we queued for the lock
         with _LOCK:
-            _BUILDING.remove(releasables)
-    # Nested memo builds: the inner entry owns its own diff; the outer
-    # diff would double-claim the inner ids, so only the OUTERMOST build
-    # records the sweep (double-unpersist is harmless but pointless).
-    if not nested:
-        new_ids = _persistent_ids(sc) - ids_before
+            hit = _ENTRIES.get(key)
+            if hit is not None:
+                _DATASETS.move_to_end(ds)
+                return hit[0]
+        stack = _building_stack()
+        nested = bool(stack)
+        stack.append(releasables)
+        ids_before = _persistent_ids(sc)
+        try:
+            value = build()
+        finally:
+            stack.remove(releasables)
+        # Nested memo builds: the inner entry owns its own diff; the
+        # outer diff would double-claim the inner ids, so only the
+        # OUTERMOST build records the sweep (double-unpersist is
+        # harmless but pointless).
+        if not nested:
+            new_ids = _persistent_ids(sc) - ids_before
 
-        def _sweep(sc=sc, ids=frozenset(new_ids)) -> None:
-            try:
-                jmap = sc._jsc.getPersistentRDDs()
-                for rid in ids:
-                    jrdd = jmap.get(rid)
-                    if jrdd is not None:
-                        jrdd.unpersist(False)
-            except Exception:  # noqa: BLE001 — context may be stopped
-                pass
+            def _sweep(sc=sc, ids=frozenset(new_ids)) -> None:
+                try:
+                    jmap = sc._jsc.getPersistentRDDs()
+                    for rid in ids:
+                        jrdd = jmap.get(rid)
+                        if jrdd is not None:
+                            jrdd.unpersist(False)
+                except Exception:  # noqa: BLE001 — context may be stopped
+                    pass
 
-        releasables.append(_sweep)
+            releasables.append(_sweep)
 
     with _LOCK:
         # lost race: another thread built it meanwhile — keep theirs

@@ -265,22 +265,69 @@ class PersistentEngine:
             # interactive latency class); big stores stay distributed
             self.engine.adopt_local()
 
+    # auto-vacuum cadence: per-mutation commits (the HTTP facade) would
+    # otherwise accumulate one full immutable version dir per request
+    AUTO_VACUUM_EVERY = 64
+    AUTO_VACUUM_KEEP = 8
+
     def _commit(self) -> None:
         if self.engine._local is not None:
-            save_local_state(self.engine._local, self.root)
+            v = save_local_state(self.engine._local, self.root)
         else:
-            save_state(self.engine.state, self.root)
+            v = save_state(self.engine.state, self.root)
+        if v % self.AUTO_VACUUM_EVERY == 0:
+            vacuum(self.root, keep=self.AUTO_VACUUM_KEEP)
+
+    # Every mutation commits under the engine's writer lock (mutate +
+    # durable save is one transaction — the redb ingest_batch contract;
+    # without the lock a concurrent writer could interleave between a
+    # mutation and its save, persisting a half-ordered history). The
+    # HTTP facade serves THIS wrapper, so server-side mutations survive
+    # a restart like the reference server's do.
 
     def ingest(self, signals) -> list[int]:
-        ids = self.engine.ingest(signals)
-        self._commit()
+        with self.engine._mutex:
+            ids = self.engine.ingest(signals)
+            self._commit()
+        return ids
+
+    def ingest_rows(self, rows, enforce_limits: bool = True) -> list[int]:
+        with self.engine._mutex:
+            ids = self.engine.ingest_rows(rows, enforce_limits)
+            self._commit()
         return ids
 
     def retract(self, from_entity: int, to_entity: int) -> bool:
-        ok = self.engine.retract(from_entity, to_entity)
-        if ok:
-            self._commit()
+        with self.engine._mutex:
+            ok = self.engine.retract(from_entity, to_entity)
+            if ok:
+                self._commit()
         return ok
+
+    def insert_node(self, entity_id: int) -> int:
+        with self.engine._mutex:
+            nid = self.engine.insert_node(entity_id)
+            self._commit()
+        return nid
+
+    def insert_edge(self, src: int, dst: int, weight: int) -> bool:
+        with self.engine._mutex:
+            ok = self.engine.insert_edge(src, dst, weight)
+            if ok:
+                self._commit()
+        return ok
+
+    def increment_edge(self, src: int, dst: int) -> bool:
+        with self.engine._mutex:
+            ok = self.engine.increment_edge(src, dst)
+            if ok:
+                self._commit()
+        return ok
+
+    def store_property(self, node_id: int, attribute: str, value: str) -> None:
+        with self.engine._mutex:
+            self.engine.store_property(node_id, attribute, value)
+            self._commit()
 
     def __getattr__(self, name):
         return getattr(self.engine, name)

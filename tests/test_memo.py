@@ -90,3 +90,54 @@ def test_memo_hit_returns_same_object(spark):
     b = M.memo("t_hit", spark, "ds_a", build)
     assert a is b and len(calls) == 1
     M.clear_all()
+
+
+def test_racing_builds_do_not_claim_each_others_blocks(spark):
+    """Two threads racing memo builds (distinct entries, distinct
+    datasets), each checkpointing a DataFrame: builds serialize on the
+    registry's build lock, so neither build's persistent-id sweep claims
+    the other's blocks — evicting one entry's dataset must leave the
+    other's checkpointed DataFrame fully usable."""
+    import threading
+
+    M.clear_all()
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def build_one(tag: str):
+        def build():
+            df = spark.range(0, 500).withColumnRenamed("id", f"v_{tag}")
+            return M.checkpoint(df)
+
+        barrier.wait(timeout=30)  # maximize overlap: both enter memo together
+        results[tag] = M.memo(f"t_race_{tag}", spark, f"ds_race_{tag}", build)
+
+    threads = [
+        threading.Thread(target=build_one, args=(t,)) for t in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert set(results) == {"a", "b"}
+    # evict dataset a (LRU is size 2; push two fresh datasets through)
+    M.memo("t_race_filler1", spark, "ds_race_f1", lambda: 1)
+    M.memo("t_race_filler2", spark, "ds_race_f2", lambda: 2)
+    assert M.peek("t_race_a", spark, "ds_race_a") is None
+    assert M.peek("t_race_b", spark, "ds_race_b") is None
+    # BOTH datasets got evicted above; re-race with only ONE eviction to
+    # prove the survivor's blocks are intact
+    M.clear_all()
+    results.clear()
+    barrier = threading.Barrier(2)
+    threads = [
+        threading.Thread(target=build_one, args=(t,)) for t in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    # release ONLY a's dataset; b's checkpointed blocks must survive
+    M._release_dataset((spark.sparkContext.applicationId, "ds_race_a"))
+    assert results["b"].count() == 500  # missing-block error if claimed
+    M.clear_all()

@@ -122,3 +122,64 @@ def test_bucketed_roundtrip_preserves_state(tmp_path, spark):
     assert sorted(map(tuple, reloaded.properties.collect())) == sorted(
         map(tuple, eng.state.properties.collect())
     )
+
+
+def test_http_mutations_are_durable_via_persistent_engine(tmp_path, spark):
+    """The HTTP facade serves the PersistentEngine: a /signal POST must
+    survive an engine restart (the reference server's durability — the
+    --database CLI compat implies it)."""
+    from kremis_spark.server import create_app
+
+    root = str(tmp_path / "store")
+    eng = PersistentEngine(spark, root)
+    c = create_app(eng).test_client()
+    r = c.post("/signal", json={"entity_id": 77, "attribute": "k", "value": "v"})
+    assert r.status_code == 200 and r.get_json()["success"]
+    nid = r.get_json()["node_id"]
+    reopened = PersistentEngine(spark, root)
+    assert reopened.lookup(77) == nid
+    props = reopened.get_properties(nid).collect()
+    assert ("k", "v") in {(r["attribute"], r["value"]) for r in props}
+
+
+def test_ingest_rows_commits_and_auto_vacuums(tmp_path, spark):
+    import os
+
+    root = str(tmp_path / "store")
+    eng = PersistentEngine(spark, root)
+    for i in range(PersistentEngine.AUTO_VACUUM_EVERY + 2):
+        eng.ingest_rows([(0, 1000 + i, "a", f"v{i}")])
+    vdirs = [d for d in os.listdir(root) if d.startswith("v")]
+    # auto-vacuum bounded the version dirs despite per-mutation commits
+    assert len(vdirs) <= PersistentEngine.AUTO_VACUUM_KEEP + 2
+    reopened = PersistentEngine(spark, root)
+    assert reopened.lookup(1000) is not None
+    assert reopened.lookup(1000 + PersistentEngine.AUTO_VACUUM_EVERY + 1) is not None
+
+
+def test_concurrent_mutations_serialize_no_duplicate_ids(tmp_path, spark):
+    """Concurrent writers (the Flask-threaded server case): the engine's
+    writer lock must serialize the mirror's mint/props/edges/counter
+    sequence — every entity gets exactly one node id, none dropped."""
+    import threading
+
+    root = str(tmp_path / "store")
+    eng = PersistentEngine(spark, root)
+    errs = []
+
+    def writer(base: int):
+        try:
+            for i in range(25):
+                eng.ingest_rows([(0, base + i, "attr", f"val{base + i}")])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(1000 * t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs
+    ids = [eng.lookup(1000 * t + i) for t in range(4) for i in range(25)]
+    assert None not in ids, "a concurrent batch was dropped"
+    assert len(set(ids)) == 100, "duplicate node ids minted under concurrency"
