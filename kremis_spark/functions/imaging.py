@@ -27,6 +27,11 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+try:  # optional acceleration: byte-identical output, pure path kept
+    import numpy as _np
+except ImportError:  # pragma: no cover — numpy is baked into the container
+    _np = None
+
 Pixels = bytearray  # flat RGB, row-major, 3 bytes per pixel
 
 
@@ -64,6 +69,15 @@ def decode_bmp(data: bytes) -> tuple[int, int, Pixels]:
     need = pix_off + stride * height
     if len(data) < need:
         raise ValueError("truncated BMP pixel data")
+    if _np is not None:  # vectorized path, byte-identical to the loop
+        rows = _np.frombuffer(
+            data, dtype=_np.uint8, count=stride * height, offset=pix_off
+        ).reshape(height, stride)[:, : width * 3]
+        if not top_down:
+            rows = rows[::-1]
+        # BGR -> RGB: within each pixel triple, swap channels 0 and 2
+        rgb = rows.reshape(height, width, 3)[:, :, ::-1]
+        return width, height, bytearray(rgb.tobytes())
     out = bytearray(3 * width * height)
     for row in range(height):
         src_row = row if top_down else height - 1 - row
@@ -88,6 +102,14 @@ def encode_bmp(width: int, height: int, pixels: Pixels) -> bytes:
     ) + struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
+    if _np is not None:  # vectorized path, byte-identical to the loop
+        rgb = _np.frombuffer(bytes(pixels), dtype=_np.uint8).reshape(
+            height, width, 3
+        )
+        bgr = rgb[::-1, :, ::-1].reshape(height, width * 3)  # bottom-up BGR
+        body_np = _np.zeros((height, stride), dtype=_np.uint8)
+        body_np[:, : width * 3] = bgr
+        return bytes(header) + body_np.tobytes()
     body = bytearray(img_size)  # row padding bytes stay zero
     for row in range(height):
         src = row * width * 3

@@ -135,8 +135,20 @@ def q_media_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped like the MinHash LSH (a bucket with > cap members is
     non-discriminative); the pair join is per-bucket and bounded by the
     cap. Top pairs by shared-band count."""
-    ph = phash_for_media(_media_decodable(spark, sf_dir)).filter(
-        F.col("phash").isNotNull()
+    from kremis_spark import memo as M
+
+    # decode+hash once per (session, dataset): the encode→decode→DCT map
+    # is deterministic per item, so the hashed table is a legitimate
+    # session artifact (same contract as the MinHash signature memo)
+    ph = M.memo(
+        "media_phash",
+        spark,
+        sf_dir,
+        lambda: M.checkpoint(
+            phash_for_media(_media_decodable(spark, sf_dir)).filter(
+                F.col("phash").isNotNull()
+            )
+        ),
     )
     bands = ph.select(
         "item_id",
