@@ -506,23 +506,42 @@ class GraphEngine:
         )
 
     def traverse(self, start: int, depth: int):
-        from kremis_spark.operators.traverse import traverse
+        from kremis_spark.operators.traverse import traverse, traverse_local
 
+        if self._local is not None:
+            return traverse_local(self._local, start, depth)
         return traverse(self.state, start, depth)
 
     def traverse_filtered(self, start: int, depth: int, min_weight: int):
-        from kremis_spark.operators.traverse import traverse_filtered
+        from kremis_spark.operators.traverse import (
+            traverse_filtered,
+            traverse_local,
+        )
 
+        if self._local is not None:
+            return traverse_local(
+                self._local, start, depth, min_weight=min_weight
+            )
         return traverse_filtered(self.state, start, depth, min_weight)
 
     def traverse_dfs(self, start: int, depth: int):
-        from kremis_spark.operators.traverse import traverse_dfs
+        from kremis_spark.operators.traverse import (
+            traverse_dfs,
+            traverse_dfs_local,
+        )
 
+        if self._local is not None:
+            return traverse_dfs_local(self._local, start, depth)
         return traverse_dfs(self.state, start, depth)
 
     def strongest_path(self, start: int, end: int):
-        from kremis_spark.operators.path import strongest_path
+        from kremis_spark.operators.path import (
+            strongest_path,
+            strongest_path_local,
+        )
 
+        if self._local is not None:
+            return strongest_path_local(self._local, start, end)
         return strongest_path(self.state, start, end)
 
     def extract_path(self, start: int, end: int):
@@ -535,12 +554,20 @@ class GraphEngine:
             return None
         subgraph = []
         if len(path) > 1:
-            rows = self.state.edges.filter(
-                F.col("src").isin(path) & F.col("dst").isin(path)
-            ).collect()
-            weights = {
-                (int(r["src"]), int(r["dst"])): int(r["weight"]) for r in rows
-            }
+            if self._local is not None:
+                weights = {
+                    (a, b): self._local.get_edge(a, b)
+                    for a, b in zip(path, path[1:])
+                }
+                weights = {k: v for k, v in weights.items() if v is not None}
+            else:
+                rows = self.state.edges.filter(
+                    F.col("src").isin(path) & F.col("dst").isin(path)
+                ).collect()
+                weights = {
+                    (int(r["src"]), int(r["dst"])): int(r["weight"])
+                    for r in rows
+                }
             subgraph = [
                 (a, b, weights[(a, b)])
                 for a, b in zip(path, path[1:])

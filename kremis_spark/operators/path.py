@@ -50,6 +50,28 @@ def strongest_path(
     return _dfs_strongest(adj, start, end, visit_budget, max_depth)
 
 
+def strongest_path_local(
+    local,
+    start: int,
+    end: int,
+    visit_budget: int = P.MAX_VISIT_COUNT,
+    max_depth: int = P.MAX_TRAVERSAL_DEPTH,
+) -> list[int] | None:
+    """Mirror twin of strongest_path: the same restricted adjacency
+    (operators/traverse.local_reachable_adjacency) feeding the SAME
+    bounded DFS — zero Spark jobs when the engine's driver-side mirror
+    is active. Parity with the distributed path is by construction and
+    pinned by the randomized both-paths sweep in test_local_engine.py."""
+    from kremis_spark.operators.traverse import local_reachable_adjacency
+
+    if not local._has_node(start) or not local._has_node(end):
+        return None
+    if start == end:
+        return [start]
+    adj = local_reachable_adjacency(local, start, max_depth, min_weight=None)
+    return _dfs_strongest(adj, start, end, visit_budget, max_depth)
+
+
 def strongest_path_on_adjacency(
     adj: dict[int, list[tuple[int, int]]],
     start: int,

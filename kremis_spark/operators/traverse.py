@@ -226,8 +226,70 @@ def _traverse_impl(
         return None  # missing start → None, not error (graph.rs:76-78)
 
     adj = _collect_reachable_adjacency(state, start, depth, min_weight)
+    # Exact queue replay on the (already collected) result subgraph —
+    # the same core the mirror-local twin feeds (_replay_bfs below).
+    return _replay_bfs(adj, start, depth)
 
-    # Exact queue replay on the (already collected) result subgraph.
+
+def traverse_dfs(state: GraphState, start: int, depth: int) -> Artifact | None:
+    """Pre-order DFS artifact (graph.rs:796-855). Inherently sequential;
+    runs on the collected result subgraph. Note the reference's asymmetry,
+    preserved here: nodes at depth == max_depth are visited but not
+    expanded, and edge recording only happens when expanding."""
+    depth = min(depth, P.MAX_TRAVERSAL_DEPTH)
+    if not state.nodes.filter(F.col("node_id") == start).take(1):
+        return None
+
+    adj = _collect_reachable_adjacency(state, start, depth, min_weight=None)
+    return _replay_dfs(adj, start, depth)
+
+
+# --- mirror-local twins -------------------------------------------------------
+#
+# When the engine's driver-side mirror (local_engine.LocalGraph) is
+# active, the adjacency the traversals need is already in driver memory
+# — collecting it through a distributed BFS would spend whole Spark jobs
+# to rebuild dicts we hold. These twins produce the SAME restricted
+# adjacency (out-edges of nodes with min BFS level < depth, neighbor
+# lists ascending — graph.rs:319-321) with zero Spark jobs and feed the
+# SAME replay/DFS cores, so parity with the distributed path is by
+# construction (and pinned by tests/test_local_engine.py's randomized
+# both-paths sweep).
+
+
+def local_reachable_adjacency(
+    local, start: int, depth: int, min_weight: int | None = None
+) -> dict[int, list[tuple[int, int]]]:
+    """Mirror twin of _collect_reachable_adjacency over LocalGraph dicts."""
+    adj_full: dict[int, list[tuple[int, int]]] = {}
+    for (s, d), w in local.edges.items():
+        if min_weight is not None and w < min_weight:
+            continue
+        adj_full.setdefault(s, []).append((d, w))
+    for lst in adj_full.values():
+        lst.sort()
+    level = {start: 0}
+    queue: deque[int] = deque([start])
+    while queue:
+        cur = queue.popleft()
+        lv = level[cur]
+        if lv >= depth:
+            continue
+        for nb, _w in adj_full.get(cur, ()):
+            if nb not in level:
+                level[nb] = lv + 1
+                queue.append(nb)
+    return {
+        n: adj_full[n]
+        for n, lv in level.items()
+        if lv < depth and n in adj_full
+    }
+
+
+def _replay_bfs(
+    adj: dict[int, list[tuple[int, int]]], start: int, depth: int
+) -> Artifact:
+    """The queue replay shared by the distributed and local BFS paths."""
     visited = {start}
     queue: deque[tuple[int, int]] = deque([(start, 0)])
     path: list[int] = []
@@ -245,25 +307,15 @@ def _traverse_impl(
     return Artifact(path=path, subgraph=subgraph)
 
 
-def traverse_dfs(state: GraphState, start: int, depth: int) -> Artifact | None:
-    """Pre-order DFS artifact (graph.rs:796-855). Inherently sequential;
-    runs on the collected result subgraph. Note the reference's asymmetry,
-    preserved here: nodes at depth == max_depth are visited but not
-    expanded, and edge recording only happens when expanding."""
-    depth = min(depth, P.MAX_TRAVERSAL_DEPTH)
-    if not state.nodes.filter(F.col("node_id") == start).take(1):
-        return None
-
-    adj = _collect_reachable_adjacency(state, start, depth, min_weight=None)
+def _replay_dfs(
+    adj: dict[int, list[tuple[int, int]]], start: int, depth: int
+) -> Artifact:
+    """The pre-order DFS replay shared by both paths (graph.rs:796-855)."""
+    import sys
 
     visited: set[int] = set()
     path: list[int] = []
     subgraph: list[tuple[int, int, int]] = []
-
-    # Depth is capped at 100, so plain recursion is safe and keeps the
-    # edge-recording interleaving byte-faithful to the reference.
-    import sys
-
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 10_000))
 
@@ -283,3 +335,25 @@ def traverse_dfs(state: GraphState, start: int, depth: int) -> Artifact | None:
     finally:
         sys.setrecursionlimit(old_limit)
     return Artifact(path=path, subgraph=subgraph)
+
+
+def traverse_local(
+    local, start: int, depth: int, min_weight: int | None = None
+) -> Artifact | None:
+    depth = min(depth, P.MAX_TRAVERSAL_DEPTH)
+    if not local._has_node(start):
+        return None  # missing start → None, not error (graph.rs:76-78)
+    return _replay_bfs(
+        local_reachable_adjacency(local, start, depth, min_weight),
+        start,
+        depth,
+    )
+
+
+def traverse_dfs_local(local, start: int, depth: int) -> Artifact | None:
+    depth = min(depth, P.MAX_TRAVERSAL_DEPTH)
+    if not local._has_node(start):
+        return None
+    return _replay_dfs(
+        local_reachable_adjacency(local, start, depth), start, depth
+    )

@@ -145,3 +145,52 @@ def test_big_store_stays_distributed(tmp_path, spark, monkeypatch):
     monkeypatch.setattr(LE, "LOCAL_MAX_ROWS", 3)
     pe2 = PersistentEngine(spark, root)
     assert pe2.engine._local is None, "oversized store must not mirror"
+
+
+def test_local_query_surface_matches_distributed(spark):
+    """The mirror-local traversal/path twins vs the distributed
+    operators, over a randomized graph with cycles, dead ends and a
+    weight spread: traverse / traverse_filtered / traverse_dfs /
+    strongest_path / extract_path must return identical artifacts —
+    the equivalence that licenses serving the query surface from the
+    mirror (the reference harness's /query + /certify hot path)."""
+    rng = random.Random(7)
+    local = GraphEngine(spark)
+    dist = GraphEngine(spark, force_distributed=True)
+    seq = 0
+    batch = []
+    # sequences of entities create adjacent-pair edges; repeats build weight
+    for _ in range(120):
+        batch.append((seq, rng.randrange(18), "kind", "svc"))
+        seq += 1
+    for eng in (local, dist):
+        eng.ingest(_signals(spark, batch))
+    assert local._local is not None and dist._local is None
+
+    starts = sorted({local.lookup(e) for e in range(18)} - {None})[:6]
+    for s in starts:
+        for depth in (1, 2, 5):
+            a_l = local.traverse(s, depth)
+            a_d = dist.traverse(s, depth)
+            assert (a_l.path, a_l.subgraph) == (a_d.path, a_d.subgraph), s
+            f_l = local.traverse_filtered(s, depth, 2)
+            f_d = dist.traverse_filtered(s, depth, 2)
+            assert (f_l.path, f_l.subgraph) == (f_d.path, f_d.subgraph), s
+        d_l = local.traverse_dfs(s, 4)
+        d_d = dist.traverse_dfs(s, 4)
+        assert (d_l.path, d_l.subgraph) == (d_d.path, d_d.subgraph), s
+    for s in starts[:3]:
+        for e in starts:
+            assert local.strongest_path(s, e) == dist.strongest_path(s, e)
+            p_l = local.extract_path(s, e)
+            p_d = dist.extract_path(s, e)
+            assert (p_l is None) == (p_d is None)
+            if p_l is not None:
+                assert (p_l.path, p_l.subgraph) == (p_d.path, p_d.subgraph)
+    # missing endpoints: same None/artifact contract on both paths
+    assert local.traverse(99999, 3) is None and dist.traverse(99999, 3) is None
+    assert (
+        local.strongest_path(99999, starts[0])
+        == dist.strongest_path(99999, starts[0])
+        is None
+    )

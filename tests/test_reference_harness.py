@@ -80,11 +80,94 @@ def test_reference_fabrication_harness_drives_http_facade(tmp_path, capsys):
     _drive("base", tmp_path, capsys)
 
 
+def _make_trimmed_horizon_module(horizons=(2, 6, 10), instances=4):
+    """Build a TRIMMED long-horizon world module from the reference's own
+    world_lh: the full 420-service registry (services + dependencies
+    unchanged — the world the engine must hold is not reduced), with the
+    question set cut to ``instances`` chains at each kept horizon. Same
+    unchanged run.py machinery; registering the module under a new name
+    and adding it to run.WORLD_MODULE is configuration, not a seam —
+    run.py's --world flag is exactly this dispatch."""
+    import importlib
+    import types
+
+    if str(RUN_PY.parent) not in sys.path:
+        sys.path.insert(0, str(RUN_PY.parent))
+    full = importlib.import_module("world_lh")
+    keep_h = set(horizons)
+
+    def keep(questions):
+        per_cat: dict[str, int] = {}
+        out = []
+        for cat, src, dst, truth in questions:
+            n = int(cat.split("@")[1])
+            if n not in keep_h:
+                continue
+            per_cat[cat] = per_cat.get(cat, 0) + 1
+            if per_cat[cat] <= instances:
+                out.append((cat, src, dst, truth))
+        return out
+
+    trim = types.ModuleType("world_lh_trim")
+    trim.SERVICES = full.SERVICES
+    trim.DEPENDENCIES = full.DEPENDENCIES
+    trim.ABSENT_SERVICES = full.ABSENT_SERVICES
+    trim.ANSWERABLE = keep(full.ANSWERABLE)
+    trim.UNANSWERABLE = keep(full.UNANSWERABLE)
+    trim.QUESTIONS = trim.ANSWERABLE + trim.UNANSWERABLE
+    trim.HORIZONS = sorted(keep_h)
+    trim.CATEGORIES = [
+        c for c in full.CATEGORIES if int(c.split("@")[1]) in keep_h
+    ]
+    trim.HORIZON = full.HORIZON
+    trim.WITHHELD = full.WITHHELD
+    trim.HINT = full.HINT
+    trim.question_text = full.question_text
+    sys.modules["world_lh_trim"] = trim
+    return trim
+
+
+@pytest.mark.skipif(not RUN_PY.exists(), reason="reference repo not mounted")
+def test_reference_harness_trimmed_long_horizon_world(tmp_path, capsys):
+    """In-suite long-horizon gate: the FULL 420-service registry through
+    the unchanged run.py build/ask/score machinery, questions trimmed to
+    4 chains at N in {2, 6, 10} so it fits the default suite budget. The
+    full 5-horizon x 6-instance world stays opt-in below; this keeps 0%
+    fabrication + certified absences re-checked every round."""
+    trim = _make_trimmed_horizon_module()
+    assert trim.ANSWERABLE and trim.UNANSWERABLE
+    run = _load_harness()
+    run.WORLD_MODULE["horizon_trim"] = "world_lh_trim"
+    shim = Path(__file__).resolve().parent.parent / "tools" / "kremis"
+    run.find_binary = lambda: shim
+    out_path = tmp_path / "fabrication.json"
+    argv_save = sys.argv
+    sys.argv = [
+        str(RUN_PY), "--skip-llm", "--world", "horizon_trim",
+        "--out", str(out_path),
+    ]
+    try:
+        run.main()
+    finally:
+        sys.argv = argv_save
+    k = json.loads(out_path.read_text())["results"]["kremis"]
+    assert k["false_assertion_rate"] == 0.0
+    assert k["answer_accuracy"] == 100.0
+    assert k["fabrications"] == 0 and k["invented_hops"] == 0
+    for n, at_n in k["by_horizon"].items():
+        assert at_n["false_assertion_rate"] == 0.0, n
+        assert at_n["answer_accuracy"] == 100.0, n
+    printed = capsys.readouterr().out
+    assert "determinism: 2 identical runs -> PASS" in printed
+    assert "certified as proof-of-absence" in printed
+
+
 @pytest.mark.skipif(not RUN_PY.exists(), reason="reference repo not mounted")
 @pytest.mark.skipif(
     os.environ.get("KREMIS_RUN_HORIZON") != "1",
-    reason="~15 min: the 420-service long-horizon world; opt in with "
-    "KREMIS_RUN_HORIZON=1 (last full pass recorded in SCALE.md)",
+    reason="the FULL 420-service long-horizon world (all 5 horizons x 6 "
+    "instances); opt in with KREMIS_RUN_HORIZON=1 (last full pass in "
+    "SCALE.md). The trimmed variant above runs in every suite.",
 )
 def test_reference_harness_long_horizon_world(tmp_path, capsys):
     """The reference's hardest arm: 420 services, 330 dependencies,
