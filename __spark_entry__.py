@@ -41,6 +41,9 @@ from pyspark.sql import DataFrame, SparkSession
 # queries not in the window stay exercised by
 # tests/test_analytics_oracle.py at sf0.001 every pytest run.
 _PRIORITY_FIRST_50 = [
+    # --- new this round (no lifetime verdict yet) ---
+    "pipe_media_phash_verify",     # exact-Hamming verify stage (new)
+    "pipe_media_dedup_keep",       # keep-first perceptual dedup (new)
     # --- changed this round / r9 bench-outlier watch ---
     "pipe_media_phash_bands",      # real integer DCT pHash, golden oracle
     "pipe_multimodal_decode",      # features/sha now pixel-derived
@@ -91,8 +94,6 @@ _PRIORITY_FIRST_50 = [
     "tpch_q8_market_share",        # r5
     "tpch_q9_product_profit",      # r5
     "tpch_q10_returns",            # r5
-    "tpch_q12_priority_class",     # r5
-    "tpch_q13_custdist",           # r5
 ]
 
 

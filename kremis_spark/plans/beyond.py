@@ -38,7 +38,11 @@ from kremis_spark.functions.multimodal import (
     partition_for_decode,
     phash_for_media,
 )
-from kremis_spark.plans._phash_golden import PHASH_GOLDEN_SQL
+from kremis_spark.plans._phash_golden import (
+    PHASH_DEDUP_GOLDEN_SQL,
+    PHASH_GOLDEN_SQL,
+    PHASH_VERIFY_GOLDEN_SQL,
+)
 from kremis_spark.sources.tables import read_table
 from kremis_spark.streaming.stream import running_user_totals, windowed_event_counts
 
@@ -113,6 +117,150 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_BANDS = 4  # 64-bit perceptual hash split into 4x16-bit LSH bands
 PHASH_BUCKET_CAP = 32  # hot (non-discriminative) band buckets dropped
 PHASH_TOPN = 20
+PHASH_HAM_VERIFY_MAX = 10  # exact-verify stage keeps pairs within this
+PHASH_DUP_MAX = 6  # keep-first dedup calls a pair duplicate within this
+PHASH_VERIFY_TOPN = 50
+
+
+def _media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per-(session, dataset) decoded pHash table: the
+    encode→decode→DCT map is deterministic per item, so the hashed table
+    is a legitimate session artifact (same contract as the MinHash
+    signature memo). Shared by the banding, exact-verify, and dedup-keep
+    gates."""
+    from kremis_spark import memo as M
+
+    return M.memo(
+        "media_phash",
+        spark,
+        sf_dir,
+        lambda: M.checkpoint(
+            phash_for_media(_media_decodable(spark, sf_dir)).filter(
+                F.col("phash").isNotNull()
+            )
+        ),
+    )
+
+
+def _phash_band_candidates(ph: DataFrame) -> DataFrame:
+    """Same-modality candidate pairs sharing >= 1 qualifying band bucket
+    (2..cap members) — the recall stage of pHash dedup, UNRANKED and
+    un-truncated (the verify/dedup stages consume all candidates; the
+    display gate q_media_phash_bands ranks its own view)."""
+    bands = ph.select(
+        "item_id",
+        "modality",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), 16 * b)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("bval"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("item_id", "modality", "phash", "bb.band", "bb.bval")
+    sizes = (
+        bands.groupBy("modality", "band", "bval")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= PHASH_BUCKET_CAP))
+        .select("modality", "band", "bval")
+    )
+    hot = bands.join(sizes, ["modality", "band", "bval"])
+    return (
+        hot.select(
+            "modality", "band", "bval",
+            F.col("item_id").alias("item_a"),
+            F.col("phash").alias("ph_a"),
+        )
+        .join(
+            hot.select(
+                "modality", "band", "bval",
+                F.col("item_id").alias("item_b"),
+                F.col("phash").alias("ph_b"),
+            ),
+            ["modality", "band", "bval"],
+        )
+        .filter(F.col("item_a") < F.col("item_b"))
+        .select("modality", "item_a", "item_b", "ph_a", "ph_b")
+        .dropDuplicates(["modality", "item_a", "item_b"])
+    )
+
+
+def q_media_phash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-verification stage that completes pHash dedup: LSH band
+    candidates (recall) are verified by the TRUE 64-bit Hamming distance
+    (precision) — bit_count(ph_a XOR ph_b), pure map-side integer ops on
+    the already-joined candidate rows — and kept within
+    PHASH_HAM_VERIFY_MAX. This is the standard two-stage shape (the
+    MinHash family's verified-pairs twin): banding bounds the candidate
+    count, the exact check removes the 16-bit band coincidences.
+
+    Scale shape: candidates are per-bucket joins bounded by the bucket
+    cap; the Hamming check adds zero shuffles. Oracle: frozen golden from
+    the independent generator (a DCT hash isn't SQL-expressible)."""
+    cand = _phash_band_candidates(_media_phash(spark, sf_dir))
+    return (
+        cand.select(
+            "item_a",
+            "item_b",
+            F.bit_count(
+                F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_VERIFY_MAX)
+        .orderBy("hamming", "item_a", "item_b")
+        .limit(PHASH_VERIFY_TOPN)
+    )
+
+
+def q_media_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first perceptual dedup audit per modality: an item is a
+    duplicate if some verified near-identical partner (true Hamming <=
+    PHASH_DUP_MAX through the band-candidate recall stage) has a smaller
+    id — the same first-seen-wins rule as the text pipeline's
+    pipe_dedup_keep, now over decoded image content. One row per
+    modality: items, dups removed, kept.
+
+    Scale shape: dup flags are a semi-join of items against the bounded
+    verified-pair set; the rollup is one partial agg on the tiny
+    modality key."""
+    ph = _media_phash(spark, sf_dir)
+    cand = _phash_band_candidates(ph)
+    dup_pairs = cand.select(
+        "modality",
+        "item_a",
+        "item_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("ham"),
+    ).filter(F.col("ham") <= PHASH_DUP_MAX)
+    dups = dup_pairs.select(
+        "modality", F.col("item_b").alias("item_id")
+    ).distinct()
+    flagged = ph.select("modality", "item_id").join(
+        dups.withColumn("is_dup", F.lit(1)), ["modality", "item_id"], "left"
+    )
+    return (
+        flagged.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dups"),
+        )
+        .select(
+            "modality",
+            "n_items",
+            "n_dups",
+            (F.col("n_items") - F.col("n_dups")).cast("long").alias("n_kept"),
+        )
+        .orderBy("modality")
+    )
 
 
 def q_media_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,21 +283,7 @@ def q_media_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped like the MinHash LSH (a bucket with > cap members is
     non-discriminative); the pair join is per-bucket and bounded by the
     cap. Top pairs by shared-band count."""
-    from kremis_spark import memo as M
-
-    # decode+hash once per (session, dataset): the encode→decode→DCT map
-    # is deterministic per item, so the hashed table is a legitimate
-    # session artifact (same contract as the MinHash signature memo)
-    ph = M.memo(
-        "media_phash",
-        spark,
-        sf_dir,
-        lambda: M.checkpoint(
-            phash_for_media(_media_decodable(spark, sf_dir)).filter(
-                F.col("phash").isNotNull()
-            )
-        ),
-    )
+    ph = _media_phash(spark, sf_dir)
     bands = ph.select(
         "item_id",
         "modality",
@@ -1162,6 +1296,8 @@ FROM px
     # same band/cap/pair pipeline (tools/gen_phash_oracle.py), dispatched
     # per testdata SF on (COUNT(*), SUM(length(text))) of documents.
     "pipe_media_phash_bands": PHASH_GOLDEN_SQL,
+    "pipe_media_phash_verify": PHASH_VERIFY_GOLDEN_SQL,
+    "pipe_media_dedup_keep": PHASH_DEDUP_GOLDEN_SQL,
     "pipe_media_shard_manifest": f"""
 WITH m AS (
   SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1533,6 +1669,8 @@ QUERIES = {
     "pipe_multimodal_decode": q_multimodal_decode,
     "stream_neardup_flags": q_stream_neardup_flags,
     "pipe_media_phash_bands": q_media_phash_bands,
+    "pipe_media_phash_verify": q_media_phash_verify,
+    "pipe_media_dedup_keep": q_media_dedup_keep,
     "pipe_media_shard_manifest": q_media_shard_manifest,
     "stream_window_counts": q_stream_window_counts,
     "stream_running_totals": q_stream_running_totals,

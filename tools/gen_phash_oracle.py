@@ -31,6 +31,7 @@ SF_DIRS = [
 PIXEL_BYTES = 3 * 32 * 32
 N, K, SCALE = 32, 8, 1 << 14
 BANDS, CAP, TOPN = 4, 32, 20
+HAM_VERIFY_MAX, DUP_MAX, VERIFY_TOPN = 10, 6, 50
 
 OUT = os.path.join(
     os.path.dirname(__file__), "..", "kremis_spark", "plans", "_phash_golden.py"
@@ -64,15 +65,23 @@ def phash_of_text(text: str) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def golden_pairs(rows: list[tuple[int, str]]) -> list[tuple[int, int, int]]:
+def golden_tables(rows: list[tuple[int, str]]):
+    """Independent run of the whole pipeline: banding (top pairs by
+    shared-band count), exact-Hamming verification, and the keep-first
+    per-modality dedup rollup."""
     mods = ["image", "audio", "video"]
+    hashes: dict[int, int] = {}
+    modality: dict[int, str] = {}
     buckets: dict[tuple[str, int, int], list[int]] = defaultdict(list)
     for doc_id, text in rows:
         h = phash_of_text(text)
-        uh = h & ((1 << 64) - 1)
+        hashes[doc_id] = h & ((1 << 64) - 1)
         mod = mods[doc_id % 3]
+        modality[doc_id] = mod
         for b in range(BANDS):
-            buckets[(mod, b, (uh >> (16 * b)) & 0xFFFF)].append(doc_id)
+            buckets[(mod, b, (hashes[doc_id] >> (16 * b)) & 0xFFFF)].append(
+                doc_id
+            )
     shared: dict[tuple[int, int], set[int]] = defaultdict(set)
     for (mod, b, _val), members in buckets.items():
         if not (2 <= len(members) <= CAP):
@@ -81,52 +90,108 @@ def golden_pairs(rows: list[tuple[int, str]]) -> list[tuple[int, int, int]]:
         for i, a in enumerate(ms):
             for c in ms[i + 1 :]:
                 shared[(a, c)].add(b)
-    ranked = sorted(
+    top_pairs = sorted(
         ((a, c, len(bs)) for (a, c), bs in shared.items()),
         key=lambda t: (-t[2], t[0], t[1]),
+    )[:TOPN]
+    hams = {
+        (a, c): bin(hashes[a] ^ hashes[c]).count("1") for (a, c) in shared
+    }
+    verify = sorted(
+        ((a, c, h) for (a, c), h in hams.items() if h <= HAM_VERIFY_MAX),
+        key=lambda t: (t[2], t[0], t[1]),
+    )[:VERIFY_TOPN]
+    dups_by_mod: dict[str, set[int]] = defaultdict(set)
+    for (a, c), h in hams.items():
+        if h <= DUP_MAX:
+            dups_by_mod[modality[c]].add(c)  # keep-first: larger id is dup
+    dedup = []
+    for mod in sorted(set(modality.values())):
+        n_items = sum(1 for m in modality.values() if m == mod)
+        n_dups = len(dups_by_mod.get(mod, ()))
+        dedup.append((mod, n_items, n_dups, n_items - n_dups))
+    return top_pairs, verify, dedup
+
+
+def _values_branch(
+    guard: str, rows: list[tuple], cols: list[tuple[str, str]]
+) -> str:
+    """One dispatched VALUES branch. cols = [(name, sql_type), ...];
+    string cells are quoted. Empty rows -> a loud WHERE FALSE branch."""
+    sel = ",\n".join(
+        f"       CAST(v.{n} AS {t}) AS {n}" for n, t in cols
+    ).lstrip()
+    if not rows:
+        null_sel = ",\n".join(
+            f"       CAST(NULL AS {t}) AS {n}" for n, t in cols
+        ).lstrip()
+        return f"SELECT {null_sel}\nWHERE FALSE AND {guard}"
+
+    def cell(v):
+        return f"'{v}'" if isinstance(v, str) else str(v)
+
+    vals = ",\n             ".join(
+        "(" + ", ".join(cell(c) for c in r) + ")" for r in rows
     )
-    return ranked[:TOPN]
+    names = ", ".join(n for n, _ in cols)
+    return (
+        f"SELECT {sel}\n"
+        f"FROM (VALUES {vals}\n     ) AS v({names})\n"
+        f"WHERE {guard}"
+    )
 
 
-def branch_sql(sf_dir: str) -> str:
+def branches_for(sf_dir: str) -> tuple[str, str, str]:
     con = duckdb.connect()
     docs = os.path.join(sf_dir, "documents.parquet")
     rows = con.execute(
         f"SELECT doc_id, text FROM read_parquet('{docs}') ORDER BY doc_id"
     ).fetchall()
-    n_docs = len(rows)
     sum_len = con.execute(
         f"SELECT SUM(length(text)) FROM read_parquet('{docs}')"
     ).fetchone()[0]
-    pairs = golden_pairs(rows)
     guard = (
-        f"(SELECT count(*) FROM documents) = {n_docs} AND "
+        f"(SELECT count(*) FROM documents) = {len(rows)} AND "
         f"(SELECT sum(length(text)) FROM documents) = {sum_len}"
     )
-    if not pairs:
-        return (
-            "SELECT CAST(NULL AS BIGINT) AS item_a, CAST(NULL AS BIGINT) AS item_b,\n"
-            "       CAST(NULL AS BIGINT) AS n_shared_bands\n"
-            f"WHERE FALSE AND {guard}"
-        )
-    vals = ",\n             ".join(f"({a}, {b}, {n})" for a, b, n in pairs)
+    top_pairs, verify, dedup = golden_tables(rows)
     return (
-        "SELECT CAST(v.item_a AS BIGINT) AS item_a,\n"
-        "       CAST(v.item_b AS BIGINT) AS item_b,\n"
-        "       CAST(v.n AS BIGINT) AS n_shared_bands\n"
-        f"FROM (VALUES {vals}\n     ) AS v(item_a, item_b, n)\n"
-        f"WHERE {guard}"
+        _values_branch(
+            guard,
+            top_pairs,
+            [("item_a", "BIGINT"), ("item_b", "BIGINT"),
+             ("n_shared_bands", "BIGINT")],
+        ),
+        _values_branch(
+            guard,
+            verify,
+            [("item_a", "BIGINT"), ("item_b", "BIGINT"),
+             ("hamming", "BIGINT")],
+        ),
+        _values_branch(
+            guard,
+            dedup,
+            [("modality", "VARCHAR"), ("n_items", "BIGINT"),
+             ("n_dups", "BIGINT"), ("n_kept", "BIGINT")],
+        ),
     )
 
 
 def main() -> None:
-    branches = "\nUNION ALL\n".join(branch_sql(d) for d in SF_DIRS)
+    per_sf = [branches_for(d) for d in SF_DIRS]
+    bands = "\nUNION ALL\n".join(b for b, _, _ in per_sf)
+    verify = "\nUNION ALL\n".join(v for _, v, _ in per_sf)
+    dedup = "\nUNION ALL\n".join(d for _, _, d in per_sf)
     body = (
         '"""GENERATED by tools/gen_phash_oracle.py — do not hand-edit.\n\n'
-        "Frozen golden-rows oracle for pipe_media_phash_bands (see the\n"
-        'generator docstring for provenance). Regenerate after any\n'
-        'testdata or hash-spec change."""\n\n'
-        f'PHASH_GOLDEN_SQL = """\n{branches}\n"""\n'
+        "Frozen golden-rows oracles for the perceptual-hash gates\n"
+        "(pipe_media_phash_bands / pipe_media_phash_verify /\n"
+        "pipe_media_dedup_keep; see the generator docstring for\n"
+        "provenance). Regenerate after any testdata or hash-spec\n"
+        'change."""\n\n'
+        f'PHASH_GOLDEN_SQL = """\n{bands}\n"""\n\n'
+        f'PHASH_VERIFY_GOLDEN_SQL = """\n{verify}\n"""\n\n'
+        f'PHASH_DEDUP_GOLDEN_SQL = """\n{dedup}\n"""\n'
     )
     with open(OUT, "w") as f:
         f.write(body)
