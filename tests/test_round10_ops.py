@@ -1,0 +1,115 @@
+"""Round-10 additions: the perceptual-hash verify/dedup gates and the
+driver-window contract."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _hashes(spark, sf):
+    from kremis_spark.plans.beyond import _media_phash
+
+    return {
+        int(r["item_id"]): (int(r["phash"]) & ((1 << 64) - 1), r["modality"])
+        for r in _media_phash(spark, sf).collect()
+    }
+
+
+def test_phash_verify_hamming_is_exact(spark):
+    """Every reported (item_a, item_b, hamming) must equal the true
+    popcount of the XOR of the memoized hashes — the verify stage is an
+    exact check, not an estimate. Run at sf0.01 too if rows exist."""
+    from kremis_spark.plans.beyond import (
+        PHASH_HAM_VERIFY_MAX,
+        q_media_phash_verify,
+    )
+
+    checked = 0
+    for sf in (SF, "/root/testdata/sf0.01"):
+        hashes = _hashes(spark, sf)
+        for r in q_media_phash_verify(spark, sf).collect():
+            ha, ma = hashes[int(r["item_a"])]
+            hb, mb = hashes[int(r["item_b"])]
+            assert ma == mb, "verify pairs must be same-modality"
+            assert int(r["hamming"]) == bin(ha ^ hb).count("1")
+            assert int(r["hamming"]) <= PHASH_HAM_VERIFY_MAX
+            checked += 1
+    # the small SFs may legitimately have zero true near-dups; the
+    # exactness property is vacuous then, but the query still ran
+    assert checked >= 0
+
+
+def test_phash_full_band_pairs_survive_verification(spark):
+    """A 4-shared-band pair has an identical 64-bit hash (hamming 0), so
+    if the banding gate reports one, the verify gate must contain it."""
+    from kremis_spark.plans.beyond import (
+        q_media_phash_bands,
+        q_media_phash_verify,
+    )
+
+    bands = q_media_phash_bands(spark, SF).collect()
+    full = {
+        (int(r["item_a"]), int(r["item_b"]))
+        for r in bands
+        if int(r["n_shared_bands"]) == 4
+    }
+    if not full:
+        pytest.skip("no identical-hash pairs at this SF")
+    verified = {
+        (int(r["item_a"]), int(r["item_b"])): int(r["hamming"])
+        for r in q_media_phash_verify(spark, SF).collect()
+    }
+    for pair in full:
+        assert verified.get(pair) == 0
+
+
+def test_media_dedup_keep_counts_consistent(spark):
+    """n_items per modality must sum to the hashed-item count, n_kept =
+    n_items - n_dups, and n_dups must equal the independently computed
+    keep-first rule over the candidate pairs."""
+    from collections import defaultdict
+
+    from kremis_spark.plans.beyond import (
+        PHASH_BANDS,
+        PHASH_BUCKET_CAP,
+        PHASH_DUP_MAX,
+        q_media_dedup_keep,
+    )
+
+    hashes = _hashes(spark, SF)
+    rows = {r["modality"]: r for r in q_media_dedup_keep(spark, SF).collect()}
+    assert sum(int(r["n_items"]) for r in rows.values()) == len(hashes)
+    # independent keep-first computation (plain dicts)
+    buckets = defaultdict(list)
+    for item, (uh, mod) in hashes.items():
+        for b in range(PHASH_BANDS):
+            buckets[(mod, b, (uh >> (16 * b)) & 0xFFFF)].append(item)
+    dups = defaultdict(set)
+    for (mod, _b, _v), members in buckets.items():
+        if not (2 <= len(members) <= PHASH_BUCKET_CAP):
+            continue
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for c in ms[i + 1 :]:
+                ham = bin(hashes[a][0] ^ hashes[c][0]).count("1")
+                if ham <= PHASH_DUP_MAX:
+                    dups[mod].add(c)
+    for mod, r in rows.items():
+        assert int(r["n_dups"]) == len(dups.get(mod, set())), mod
+        assert int(r["n_kept"]) == int(r["n_items"]) - int(r["n_dups"])
+
+
+def test_driver_window_is_50_with_oracles():
+    """The first-50 window contract: exactly 50 names, all present in
+    queries(), all with an oracle, and queries() iterates them first."""
+    import __spark_entry__ as m
+
+    names = m._PRIORITY_FIRST_50
+    qs = m.queries()
+    oracles = m.oracle_sql()
+    assert len(names) == 50
+    assert all(n in qs for n in names)
+    assert all(n in oracles for n in names)
+    assert list(qs)[:50] == names
