@@ -609,17 +609,36 @@ class GraphEngine:
 
     # --- metrics / status ---------------------------------------------------
     def node_count(self) -> int:
+        if self._local is not None:
+            return len(self._local.node_ids)
         return self.state.nodes.count()
 
     def edge_count(self) -> int:
+        if self._local is not None:
+            return len(self._local.edges)
         return self.state.edges.count()
 
     def stable_edge_count(self, threshold: int = P.PROMOTION_THRESHOLD) -> int:
+        if self._local is not None:
+            return sum(
+                1 for w in self._local.edges.values() if w >= threshold
+            )
         return self.state.edges.filter(F.col("weight") >= threshold).count()
 
     def status(self) -> dict:
         from kremis_spark.operators.metrics import status_counts
 
+        if self._local is not None:
+            # mirror twin of status_counts: same integer density formula
+            # (stage.rs:128-171), zero Spark jobs — /status is on the
+            # reference harness's per-build hot path
+            n, e = len(self._local.node_ids), len(self._local.edges)
+            return {
+                "node_count": n,
+                "edge_count": e,
+                "stable_edge_count": self.stable_edge_count(),
+                "density_millionths": (e * 1_000_000) // n if n > 0 else 0,
+            }
         return status_counts(self.state)
 
     def stage(self) -> dict:

@@ -194,3 +194,18 @@ def test_local_query_surface_matches_distributed(spark):
         == dist.strongest_path(99999, starts[0])
         is None
     )
+
+
+def test_local_counts_and_status_match_distributed(spark):
+    rng = random.Random(11)
+    local = GraphEngine(spark)
+    dist = GraphEngine(spark, force_distributed=True)
+    batch = [(i, rng.randrange(9), "kind", "svc") for i in range(60)]
+    for eng in (local, dist):
+        eng.ingest(_signals(spark, batch))
+    assert local._local is not None and dist._local is None
+    assert local.node_count() == dist.node_count()
+    assert local.edge_count() == dist.edge_count()
+    assert local.stable_edge_count() == dist.stable_edge_count()
+    assert local.stable_edge_count(2) == dist.stable_edge_count(2)
+    assert local.status() == dist.status()
