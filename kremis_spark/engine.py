@@ -578,10 +578,26 @@ class GraphEngine:
     def intersect(self, node_ids: list[int]) -> list[int]:
         from kremis_spark.operators.intersect import intersect
 
+        if self._local is not None:
+            # mirror twin of intersect_df: dst reached from EVERY
+            # distinct input src, ascending (graph.rs:151-174)
+            inputs = sorted(set(node_ids))
+            if not inputs:
+                return []
+            per_src = [
+                {d for (s, d) in self._local.edges if s == src}
+                for src in inputs
+            ]
+            return sorted(set.intersection(*per_src)) if per_src else []
         return intersect(self.state, node_ids)
 
     def get_properties(self, node_id: int) -> DataFrame:
         """All (attribute, value) for a node, attr-sorted (graph.rs:771-784)."""
+        if self._local is not None:
+            rows = sorted(self._local.props.get(node_id, ()))
+            return self.spark.createDataFrame(
+                rows, "attribute STRING, value STRING"
+            )
         return (
             self.state.properties.filter(F.col("node_id") == node_id)
             .select("attribute", "value")
@@ -599,6 +615,12 @@ class GraphEngine:
     def neighbors(self, node_id: int) -> list[tuple[int, int]]:
         """Outgoing (neighbor, weight) in ascending node order
         (BTreeMap iteration order, graph.rs:319-321)."""
+        if self._local is not None:
+            return sorted(
+                (d, w)
+                for (s, d), w in self._local.edges.items()
+                if s == node_id
+            )
         rows = (
             self.state.edges.filter(F.col("src") == node_id)
             .select("dst", "weight")

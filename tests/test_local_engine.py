@@ -209,3 +209,24 @@ def test_local_counts_and_status_match_distributed(spark):
     assert local.stable_edge_count() == dist.stable_edge_count()
     assert local.stable_edge_count(2) == dist.stable_edge_count(2)
     assert local.status() == dist.status()
+
+
+def test_local_intersect_properties_neighbors_match_distributed(spark):
+    rng = random.Random(13)
+    local = GraphEngine(spark)
+    dist = GraphEngine(spark, force_distributed=True)
+    batch = [(i, rng.randrange(10), f"attr{rng.randrange(3)}", f"v{rng.randrange(4)}")
+             for i in range(80)]
+    for eng in (local, dist):
+        eng.ingest(_signals(spark, batch))
+    nodes = sorted({local.lookup(e) for e in range(10)} - {None})
+    for pair in ([nodes[0], nodes[1]], [nodes[0], nodes[2], nodes[3]], []):
+        assert local.intersect(pair) == dist.intersect(pair), pair
+    for n in nodes[:4]:
+        assert local.neighbors(n) == dist.neighbors(n)
+        pl = [(r["attribute"], r["value"]) for r in local.get_properties(n).collect()]
+        pd_ = [(r["attribute"], r["value"]) for r in dist.get_properties(n).collect()]
+        assert pl == pd_, n
+    # missing node: empty on both paths
+    assert local.neighbors(99999) == dist.neighbors(99999) == []
+    assert local.get_properties(99999).count() == dist.get_properties(99999).count() == 0
