@@ -182,7 +182,7 @@ def execute_query(engine: GraphEngine, request: dict) -> dict:
 def certify(engine: GraphEngine, request: dict) -> dict:
     """The /certify flow (handlers.rs:578-675): run the query, hash the
     canonical state, project evidence, emit base64 KVQC bytes."""
-    from kremis_spark.canonical import state_hash_of
+    from kremis_spark.canonical import state_hash_of_engine
     from kremis_spark.certificate import QueryCertificate
 
     if request.get("type") == "properties":
@@ -198,7 +198,7 @@ def certify(engine: GraphEngine, request: dict) -> dict:
         }
 
     response = execute_query(engine, request)
-    sh = state_hash_of(engine.state)
+    sh = state_hash_of_engine(engine)
 
     path = list(response["path"])
     subgraph = [
@@ -259,7 +259,7 @@ def stage_response(engine: GraphEngine) -> dict:
 def export_response(engine: GraphEngine) -> dict:
     from kremis_spark.canonical import CanonicalGraph, export_canonical_bytes
 
-    g = CanonicalGraph.from_state(engine.state)
+    g = CanonicalGraph.from_engine(engine)
     data = export_canonical_bytes(g)
     return {
         "success": True,
@@ -270,6 +270,6 @@ def export_response(engine: GraphEngine) -> dict:
 
 
 def hash_response(engine: GraphEngine) -> dict:
-    from kremis_spark.canonical import state_hash_of
+    from kremis_spark.canonical import state_hash_of_engine
 
-    return {"success": True, "hash": state_hash_of(engine.state).hex(), "error": None}
+    return {"success": True, "hash": state_hash_of_engine(engine).hex(), "error": None}

@@ -131,6 +131,29 @@ class CanonicalGraph:
         ]
         return cls(nodes, edges, state.next_node_id, properties)
 
+    @classmethod
+    def from_local(cls, local) -> "CanonicalGraph":
+        """Mirror twin of from_state: the LocalGraph's already-sorted
+        row views are exactly the canonical order, so the snapshot needs
+        zero Spark jobs. Byte-equality with the distributed path is
+        pinned by tests/test_local_engine.py."""
+        return cls(
+            local.rows_nodes(),
+            local.rows_edges(),
+            local.next_node_id,
+            local.rows_props(),
+        )
+
+    @classmethod
+    def from_engine(cls, engine) -> "CanonicalGraph":
+        """Engine-aware snapshot: the driver mirror when active (no
+        Spark jobs — /certify and /hash are interactive hot paths), else
+        the distributed collect."""
+        local = getattr(engine, "_local", None)
+        if local is not None:
+            return cls.from_local(local)
+        return cls.from_state(engine.state)
+
     def checksum(self) -> int:
         """XOR/rotate integrity hash — exact port of export.rs:267-298."""
         h = 0
@@ -335,6 +358,14 @@ def state_hash_bytes(data: bytes) -> bytes:
 
 def state_hash_of(state) -> bytes:
     return state_hash_bytes(export_canonical_bytes(CanonicalGraph.from_state(state)))
+
+
+def state_hash_of_engine(engine) -> bytes:
+    """state_hash through the engine-aware snapshot (mirror-local when
+    the mirror is active; identical bytes either way)."""
+    return state_hash_bytes(
+        export_canonical_bytes(CanonicalGraph.from_engine(engine))
+    )
 
 
 def state_to_dataframes(graph: CanonicalGraph, spark):

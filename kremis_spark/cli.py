@@ -146,7 +146,7 @@ def cmd_export(args) -> int:
     from kremis_spark.canonical import CanonicalGraph, export_canonical_bytes
 
     eng = _engine(args)
-    g = CanonicalGraph.from_state(eng.state)
+    g = CanonicalGraph.from_engine(eng)
     if args.format == "canonical":
         data = export_canonical_bytes(g)
         with open(args.output, "wb") as f:

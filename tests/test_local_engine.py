@@ -230,3 +230,28 @@ def test_local_intersect_properties_neighbors_match_distributed(spark):
     # missing node: empty on both paths
     assert local.neighbors(99999) == dist.neighbors(99999) == []
     assert local.get_properties(99999).count() == dist.get_properties(99999).count() == 0
+
+
+def test_local_canonical_snapshot_byte_identical(spark):
+    """CanonicalGraph.from_local must produce byte-identical canonical
+    exports (and therefore state hashes) to the distributed from_state
+    collect — the equivalence that lets /certify and /hash run with zero
+    Spark jobs while the mirror is active."""
+    from kremis_spark.canonical import (
+        CanonicalGraph,
+        export_canonical_bytes,
+        state_hash_of,
+        state_hash_of_engine,
+    )
+
+    rng = random.Random(17)
+    local = GraphEngine(spark)
+    dist = GraphEngine(spark, force_distributed=True)
+    batch = [(i, rng.randrange(8), f"a{rng.randrange(3)}", f"v{rng.randrange(3)}")
+             for i in range(70)]
+    for eng in (local, dist):
+        eng.ingest(_signals(spark, batch))
+    g_l = CanonicalGraph.from_engine(local)   # mirror path
+    g_d = CanonicalGraph.from_engine(dist)    # distributed path
+    assert export_canonical_bytes(g_l) == export_canonical_bytes(g_d)
+    assert state_hash_of_engine(local) == state_hash_of(dist.state)
