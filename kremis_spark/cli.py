@@ -132,7 +132,13 @@ def cmd_stage(args) -> int:
     eng = _engine(args)
     s = stage_response(eng.engine)
     if args.detailed:
-        s["metrics"] = graph_metrics(eng.state, sample_depth=True)
+        local = eng.engine._local
+        if local is not None:  # mirror active: zero Spark jobs
+            from kremis_spark.operators.metrics import graph_metrics_local
+
+            s["metrics"] = graph_metrics_local(local)
+        else:
+            s["metrics"] = graph_metrics(eng.state, sample_depth=True)
     _emit(
         args,
         s,

@@ -128,3 +128,40 @@ def classify_grounding(query_type: str, found: bool) -> str:
     if not found:
         return "unknown"
     return "fact" if query_type in ("lookup", "properties") else "inference"
+
+
+def graph_metrics_local(local) -> dict:
+    """Mirror twin of graph_metrics over the driver-resident LocalGraph:
+    same counts, same integer density, same sampled-max-depth rule (BFS
+    from the 10 lowest node ids, stage.rs:224-261) — zero Spark jobs."""
+    from collections import deque
+
+    n = len(local.node_ids)
+    e = len(local.edges)
+    stable = sum(1 for w in local.edges.values() if w >= P.PROMOTION_THRESHOLD)
+    out = {
+        "node_count": n,
+        "edge_count": e,
+        "stable_edge_count": stable,
+        "density_millionths": (e * 1_000_000) // n if n > 0 else 0,
+    }
+    max_depth = 0
+    if n > 0:
+        adj: dict[int, list[int]] = {}
+        for (s, d) in local.edges:
+            adj.setdefault(s, []).append(d)
+        for root in sorted(local.node_ids)[:10]:
+            levels = {root: 0}
+            queue = deque([root])
+            while queue:
+                cur = queue.popleft()
+                lv = levels[cur]
+                if lv >= 100:
+                    continue
+                for nb in adj.get(cur, ()):
+                    if nb not in levels:
+                        levels[nb] = lv + 1
+                        queue.append(nb)
+            max_depth = max(max_depth, max(levels.values()))
+    out["max_depth"] = max_depth
+    return out

@@ -255,3 +255,15 @@ def test_local_canonical_snapshot_byte_identical(spark):
     g_d = CanonicalGraph.from_engine(dist)    # distributed path
     assert export_canonical_bytes(g_l) == export_canonical_bytes(g_d)
     assert state_hash_of_engine(local) == state_hash_of(dist.state)
+
+
+def test_local_graph_metrics_match_distributed(spark):
+    from kremis_spark.operators.metrics import graph_metrics, graph_metrics_local
+
+    rng = random.Random(19)
+    local = GraphEngine(spark)
+    dist = GraphEngine(spark, force_distributed=True)
+    batch = [(i, rng.randrange(12), "kind", "svc") for i in range(90)]
+    for eng in (local, dist):
+        eng.ingest(_signals(spark, batch))
+    assert graph_metrics_local(local._local) == graph_metrics(dist.state)
