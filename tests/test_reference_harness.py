@@ -131,9 +131,11 @@ def _make_trimmed_horizon_module(horizons=(2, 6, 10), instances=4):
 def test_reference_harness_trimmed_long_horizon_world(tmp_path, capsys):
     """In-suite long-horizon gate: the FULL 420-service registry through
     the unchanged run.py build/ask/score machinery, questions trimmed to
-    4 chains at N in {2, 6, 10} so it fits the default suite budget. The
-    full 5-horizon x 6-instance world stays opt-in below; this keeps 0%
-    fabrication + certified absences re-checked every round."""
+    4 chains at N in {2, 6, 10} so it fits the default suite budget; the
+    full 5-horizon x 6-instance world below also runs by default now
+    that the mirror-served query/certify path made it minutes, so 0%
+    fabrication + certified absences are re-checked every round at both
+    scales (KREMIS_SKIP_HORIZON=1 opts the full world out)."""
     trim = _make_trimmed_horizon_module()
     assert trim.ANSWERABLE and trim.UNANSWERABLE
     run = _load_harness()
@@ -164,10 +166,8 @@ def test_reference_harness_trimmed_long_horizon_world(tmp_path, capsys):
 
 @pytest.mark.skipif(not RUN_PY.exists(), reason="reference repo not mounted")
 @pytest.mark.skipif(
-    os.environ.get("KREMIS_RUN_HORIZON") != "1",
-    reason="the FULL 420-service long-horizon world (all 5 horizons x 6 "
-    "instances); opt in with KREMIS_RUN_HORIZON=1 (last full pass in "
-    "SCALE.md). The trimmed variant above runs in every suite.",
+    os.environ.get("KREMIS_SKIP_HORIZON") == "1",
+    reason="opted out with KREMIS_SKIP_HORIZON=1",
 )
 def test_reference_harness_long_horizon_world(tmp_path, capsys):
     """The reference's hardest arm: 420 services, 330 dependencies,
