@@ -113,3 +113,29 @@ def test_driver_window_is_50_with_oracles():
     assert all(n in qs for n in names)
     assert all(n in oracles for n in names)
     assert list(qs)[:50] == names
+
+
+def test_phash_is_container_independent(spark):
+    """The pHash is a function of PIXELS, not container bytes: the same
+    pixel buffer shipped as BMP and as P6 must produce the same hash
+    through the Arrow batch path (whichever decode backend is active)."""
+    import hashlib
+
+    from kremis_spark.functions import imaging as I
+    from kremis_spark.functions import multimodal as M
+
+    rows = []
+    expect = {}
+    for i in range(4):
+        w, h = 16 + i, 12 + i
+        seed = hashlib.sha256(f"ci:{i}".encode()).digest()
+        px = bytearray(
+            seed[(3 * p + c) % 32] for p in range(w * h) for c in range(3)
+        )
+        rows.append((2 * i, "image", bytearray(I.encode_bmp(w, h, px)), None))
+        rows.append((2 * i + 1, "image", bytearray(I.encode_ppm(w, h, px)), None))
+        expect[i] = I.phash64_signed(w, h, px)
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {int(r["item_id"]): r["phash"] for r in M.phash_for_media(df).collect()}
+    for i in range(4):
+        assert got[2 * i] == got[2 * i + 1] == expect[i], i
