@@ -228,8 +228,17 @@ def main() -> None:
         )
         return {"comp_ms": comp, "gc_ms": gc, "code_mb": code_used / 1e6}
 
+    from kremis_spark import memo as _memo
+
     prev = _jvm_sample() if jvmstats else None
     for name, fn in qs.items():
+        # Epoch boundary: memo entries not touched since the previous
+        # boundary become byte-evictable, and loose (non-memo)
+        # checkpoints from two queries ago are released — bounds the
+        # session storage footprint so late queries don't inherit an
+        # ever-growing GC scan set (round-10 artifact: 61 persistent
+        # RDDs / 304 MB by session end, 6.8 s GC inside one query).
+        _memo.tick()
         if warmup_dir is not None:
             try:  # excluded from totals; compiles this query's codegen
                 fn(spark, warmup_dir).collect()
@@ -268,6 +277,14 @@ def main() -> None:
     )
     if jit_suspects:
         extras["jit_suspects"] = ",".join(jit_suspects[:8])
+    # GC assertion (round-10 verdict): any query whose timed window ate
+    # more than ~2 s of JVM GC is named in the artifact — a GC-dominated
+    # entry's cold time measures heap pressure, not the plan.
+    gc_suspects = sorted(
+        n for n, row in jvm_rows.items() if row["d_gc_ms"] > 2000
+    )
+    if gc_suspects:
+        extras["gc_suspects"] = ",".join(gc_suspects[:8])
 
     # Storage telemetry: live persistent-RDD blocks + registry entries at
     # session end — the memo registry's flat-footprint claim, measured.
@@ -296,6 +313,14 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     times = {k: round(v, 3) for k, v in times.items()}
+    # Noise-robust headlines alongside the cold sum (round-10 verdict:
+    # the cold sum mis-signaled a 30% "regression" that per-query mins
+    # disproved — random disjoint slow clusters per run). headline_min
+    # (sum of per-query min-of-reps) is the box-noise-floor figure:
+    # compare THAT across rounds; the cold sum additionally pays shared-
+    # cache population and whatever the box did during rep 1.
+    extras["headline_min"] = round(sum(minima.values()), 3)
+    extras["headline_median"] = round(sum(medians.values()), 3)
 
     # Full per-query detail (cold + warm-median) goes to a repo file; the
     # stdout line must stay SHORT: the driver captures only the last

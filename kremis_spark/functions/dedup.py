@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
+
 from kremis_spark.functions.text import tokens
 
 NUM_HASHES = 16
@@ -180,8 +182,8 @@ def lsh_candidate_pairs(
     # Materialize the surviving bucket rows ONCE: they feed both sides of
     # the self-join, and without the cut the full explode/group-count
     # lineage would replan per side (callers may pass uncached sigs).
-    ok = buckets.join(F.broadcast(ok_keys), key_cols).localCheckpoint(
-        eager=True
+    ok = buckets.join(F.broadcast(ok_keys), key_cols).transform(
+        M.ephemeral_checkpoint
     )
     a = ok.select(
         *key_cols,
@@ -253,7 +255,7 @@ def lsh_cross_candidates(
     # bucket count and the probe join side, and callers may pass
     # uncached signatures (same invariant as the self-join variant)
     b_rows, _ = _banded(sigs_corpus, id_col)
-    b_rows = b_rows.localCheckpoint(eager=True)
+    b_rows = b_rows.transform(M.ephemeral_checkpoint)
     ok_keys = (
         b_rows.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -316,7 +318,7 @@ def sig_agreement_filter(
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    cand_sigs = sigs.join(F.broadcast(ids), id_col).localCheckpoint(eager=True)
+    cand_sigs = sigs.join(F.broadcast(ids), id_col).transform(M.ephemeral_checkpoint)
     sa = cand_sigs.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"sig_{k}").alias(f"__sa{k}") for k in range(NUM_HASHES)],
@@ -359,8 +361,8 @@ def jaccard_verify(
     run; without it the distributed join branch is used — probing the
     count here would recompute an unmaterialized pair plan twice."""
     if hashed is None:
-        hashed = hashed_shingles(df, id_col, text_col).localCheckpoint(
-            eager=True
+        hashed = hashed_shingles(df, id_col, text_col).transform(
+            M.ephemeral_checkpoint
         )
     # Restrict the shingle fact to docs that appear in ANY candidate pair
     # BEFORE the intersection work: the semi-join is a broadcast map-side
@@ -457,14 +459,15 @@ def connected_components(
     und = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     labels = (
         und.select(F.col("a").alias("n"))
         .distinct()
         .withColumn("label", F.col("n"))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
+    rel_prev = None  # rolling release: step k freed once k+1 materializes
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und["a"] == labels["n"])
@@ -491,7 +494,7 @@ def connected_components(
         )
         # keep the old label in the checkpointed frame so convergence is
         # a scan of materialized data, not another join per iteration
-        step = (
+        step, rel = M.checkpoint_with_release(
             prop.join(jump, prop["label"] == jump["jn"], "left")
             .select(
                 "n",
@@ -501,8 +504,10 @@ def connected_components(
                     F.coalesce(F.col("jlabel"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        if rel_prev is not None:
+            rel_prev()
+        rel_prev = rel
         changed = step.filter(F.col("label") != F.col("old_label")).take(1)
         labels = step.select("n", "label")
         if not changed:

@@ -39,17 +39,60 @@ wait for GC.
 
 from __future__ import annotations
 
+import os
 import threading
 from collections import OrderedDict
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 # How many distinct (applicationId, sf_dir) datasets may hold live memos
 # at once. 2, not 1: correctness runs interleave a tiny warmup dataset
 # with the real one, and evicting the real one on every warmup touch
 # would thrash.
 MAX_DATASETS = 2
+
+# Byte budget for memo-held executor MEMORY blocks (disk blocks don't
+# contribute GC scan pressure and are not counted). When live memo
+# memSize exceeds this, least-recently-TOUCHED entries that are at least
+# two epochs cold are released; re-entering memo() rebuilds them — the
+# designed recovery path. 0 disables. Round-10 driver bench ended at
+# 304 MB / 61 persistent RDDs with a 6.8 s GC tail inside one query;
+# this bound is what keeps a 214-query session's heap scan set flat.
+MAX_MEMO_MB = float(os.environ.get("SPARK_GRAFT_MEMO_MB", "220"))
+
+# Serialized on-heap blocks: one byte-array object per block instead of
+# one UnsafeRow object per row. For checkpointed InternalRow RDDs this
+# cuts the old-gen object census by orders of magnitude (the GC-tail
+# fix); the decode cost on access is a columnar-batch copy, invisible
+# next to the query work. Same discipline a real cluster would use.
+# (useDisk, useMemory, offHeap, deserialized) — i.e. MEMORY_AND_DISK_SER;
+# Dataset.localCheckpoint's JVM default is the DESERIALIZED variant.
+CHECKPOINT_LEVEL = StorageLevel(True, True, False, False, 1)
+
+# Monotonic epoch counter — bumped by tick() at query boundaries (the
+# bench loop and any long-lived server that wants bounded storage call
+# it between queries). Entries touched in the current OR previous epoch
+# are immune to byte-budget eviction: "previous" covers the DataFrame a
+# caller built last epoch and is still collecting. Sessions that never
+# tick() (pytest, the correctness driver) stay at epoch 0 where nothing
+# is ever byte-evicted or loose-released — identical to the round-10
+# behavior, so short-lived runs carry zero new risk.
+_EPOCH = 0
+
+# Release callables for EPHEMERAL checkpoints made outside a memo build
+# (per-call scratch tables inside plan functions — e.g. a banded
+# candidate table — that the returned DataFrame still references until
+# the caller collects it). Each holds (epoch, release_fn); tick()
+# releases those at least two epochs old. Plan code opts in via
+# ephemeral_checkpoint(); plain checkpoint() outside a build keeps its
+# caller-owns-lifecycle contract (the engine's held state relies on it).
+_LOOSE: list[tuple[int, Callable[[], None]]] = []
+
+# Most-recent SparkContext seen by a build — tick() needs one to read
+# storage sizes for the byte budget.
+_LAST_SC = None
 
 _LOCK = threading.RLock()
 
@@ -61,8 +104,23 @@ _LOCK = threading.RLock()
 # nested same-thread builds working; builds on OTHER threads queue.
 _BUILD_SERIAL = threading.RLock()
 
-# (name, app_id, sf_dir) -> (value, [release callables])
-_ENTRIES: dict[tuple[str, str, str], tuple[Any, list[Callable[[], None]]]] = {}
+class _Entry:
+    """One live memo: its value, release callables, the persistent-RDD
+    ids its build pinned (for byte accounting; empty when unknown), and
+    the epoch it was last touched (byte-eviction immunity window)."""
+
+    __slots__ = ("value", "releasables", "ids", "last_epoch")
+
+    def __init__(self, value, releasables, ids):
+        self.value = value
+        self.releasables = releasables
+        self.ids = ids
+        self.last_epoch = _EPOCH
+
+
+# (name, app_id, sf_dir) -> _Entry; insertion order == touch LRU
+# (move_to_end on every hit).
+_ENTRIES: OrderedDict[tuple[str, str, str], _Entry] = OrderedDict()
 # LRU over datasets: (app_id, sf_dir) -> None (OrderedDict as an LRU set)
 _DATASETS: OrderedDict[tuple[str, str], None] = OrderedDict()
 
@@ -85,24 +143,15 @@ def _persistent_ids(sc) -> set[int]:
     return {int(i) for i in jmap.keySet().toArray()}
 
 
-def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
-    """``localCheckpoint`` with a WORKING release path: the persistent
-    RDD ids created by the checkpoint are recorded, and the release
-    callback unpersists those ids via the JVM's persistent-RDD map (the
-    naive ``df.rdd.unpersist()`` unpersists a fresh derived RDD and
-    releases nothing).
-
-    INVALIDATION CONTRACT: a localCheckpoint truncates lineage, so once
-    the enclosing memo entry is released (dataset LRU eviction or
-    ``clear_all``) the returned DataFrame — and anything derived from it
-    a caller still holds — fails with a missing-block error on its next
-    action; it cannot be recomputed. Don't hold memoized DataFrames
-    across dataset switches; re-enter :func:`memo` instead (a rebuild is
-    the designed recovery path)."""
+def _ckpt_core(df: DataFrame, eager: bool):
+    """localCheckpoint at CHECKPOINT_LEVEL with the created persistent-
+    RDD ids diffed under the build serializer; returns (df, release)."""
+    global _LAST_SC
     sc = df.sparkSession.sparkContext
+    _LAST_SC = sc
     with _BUILD_SERIAL:
         before = _persistent_ids(sc)
-        out = df.localCheckpoint(eager=eager)
+        out = df.localCheckpoint(eager=eager, storageLevel=CHECKPOINT_LEVEL)
         new_ids = _persistent_ids(sc) - before
 
     def release(sc=sc, ids=frozenset(new_ids)) -> None:
@@ -115,8 +164,131 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         except Exception:  # noqa: BLE001 — context may already be stopped
             pass
 
+    return out, release
+
+
+def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` with a WORKING release path: the persistent
+    RDD ids created by the checkpoint are recorded, and the release
+    callback unpersists those ids via the JVM's persistent-RDD map (the
+    naive ``df.rdd.unpersist()`` unpersists a fresh derived RDD and
+    releases nothing). Blocks are stored SERIALIZED
+    (:data:`CHECKPOINT_LEVEL`): one byte-array per block instead of one
+    UnsafeRow object per row — the GC-census fix for long sessions.
+
+    INVALIDATION CONTRACT: a localCheckpoint truncates lineage, so once
+    the enclosing memo entry is released (dataset LRU eviction or
+    ``clear_all``) the returned DataFrame — and anything derived from it
+    a caller still holds — fails with a missing-block error on its next
+    action; it cannot be recomputed. Don't hold memoized DataFrames
+    across dataset switches; re-enter :func:`memo` instead (a rebuild is
+    the designed recovery path)."""
+    out, release = _ckpt_core(df, eager)
     _register_release(release)
     return out
+
+
+def ephemeral_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """:func:`checkpoint` for per-call scratch tables inside plan
+    functions (banded candidate tables, per-call fan-in facts) that are
+    NOT memoized: inside a memo build it behaves exactly like
+    :func:`checkpoint` (entry-owned release); outside one, the release
+    is parked on the loose list and fired by :func:`tick` once the
+    checkpoint is at least two epochs old — long enough for the caller
+    to have collected the returned DataFrame, short enough that a long
+    bench session's storage stays flat instead of accreting one dead
+    scratch table per query call. Sessions that never tick() keep the
+    old leak-until-clear_all behavior (epoch stays 0)."""
+    with _BUILD_SERIAL:
+        if _building_stack():
+            return checkpoint(df, eager=eager)
+        out, release = _ckpt_core(df, eager)
+    with _LOCK:
+        _LOOSE.append((_EPOCH, release))
+    return out
+
+
+def checkpoint_with_release(
+    df: DataFrame, eager: bool = True
+) -> tuple[DataFrame, Callable[[], None]]:
+    """:func:`checkpoint` that ALSO hands the release back to the
+    caller, for iterative plans (BFS frontiers, PageRank ranks, label
+    propagation) that checkpoint every iteration: once iteration N+1's
+    checkpoint is materialized, iteration N's blocks are dead weight —
+    call the previous release immediately instead of pinning every
+    intermediate for the entry's lifetime (a 10-iteration PageRank
+    otherwise holds 10 generations of ranks until session end; the
+    round-10 bench ended at 61 persistent RDDs / 304 MB largely from
+    this). The release is ALSO parked like :func:`ephemeral_checkpoint`
+    (entry-owned inside a build, loose outside), so whatever the loop
+    doesn't fire itself is still freed — double-unpersist is harmless.
+    The LOOP'S FINAL checkpoint (never released by the loop) is thereby
+    bounded too."""
+    with _BUILD_SERIAL:
+        in_build = bool(_building_stack())
+        out, release = _ckpt_core(df, eager)
+        if in_build:
+            _register_release(release)
+    if not in_build:
+        with _LOCK:
+            _LOOSE.append((_EPOCH, release))
+    return out, release
+
+
+def tick() -> None:
+    """Epoch boundary (call between queries in a long-lived session):
+    releases loose ephemeral checkpoints at least two epochs old, then
+    enforces the memo byte budget over entries not touched in the
+    current or previous epoch. Never called → epoch 0 → both mechanisms
+    inert (short-lived pytest / correctness runs keep round-10
+    semantics)."""
+    global _EPOCH
+    with _LOCK:
+        _EPOCH += 1
+        cutoff = _EPOCH - 2
+        due = [fn for ep, fn in _LOOSE if ep <= cutoff]
+        _LOOSE[:] = [(ep, fn) for ep, fn in _LOOSE if ep > cutoff]
+        sc = _LAST_SC
+    for fn in due:
+        fn()
+    if sc is not None:
+        _enforce_budget(sc)
+
+
+def _enforce_budget(sc) -> None:
+    """Release least-recently-touched memo entries (≥2 epochs cold)
+    until memo-held executor MEMORY bytes fit MAX_MEMO_MB. Entries
+    whose RDD ids are unknown (pure .cache() memos) are skipped — their
+    blocks live in the CacheManager and are bounded by dataset LRU."""
+    if MAX_MEMO_MB <= 0:
+        return
+    try:
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        mem_by_id = {int(i.id()): int(i.memSize()) for i in infos}
+    except Exception:  # noqa: BLE001 — context may be stopped
+        return
+    budget = MAX_MEMO_MB * 1e6
+    while True:
+        with _LOCK:
+            sized = [
+                (key, sum(mem_by_id.get(rid, 0) for rid in ent.ids))
+                for key, ent in _ENTRIES.items()
+            ]
+            total = sum(b for _, b in sized)
+            if total <= budget:
+                return
+            victim = None
+            for key, nbytes in sized:  # _ENTRIES is insertion==LRU order
+                if nbytes > 0 and _ENTRIES[key].last_epoch <= _EPOCH - 2:
+                    victim = key
+                    break
+            if victim is None:
+                return
+            ent = _ENTRIES.pop(victim)
+            for rid in ent.ids:
+                mem_by_id.pop(rid, None)
+        for fn in ent.releasables:
+            fn()
 
 
 def cache(df: DataFrame) -> DataFrame:
@@ -172,26 +344,33 @@ def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
     DataFrames a caller still holds then fail on their next action.
     Re-enter memo() after a dataset switch rather than holding results
     across one — the rebuild IS the recovery path."""
+    global _LAST_SC
     app = spark.sparkContext.applicationId
     key = (name, app, sf_dir)
     ds = (app, sf_dir)
     with _LOCK:
         hit = _ENTRIES.get(key)
         if hit is not None:
+            hit.last_epoch = _EPOCH
+            _ENTRIES.move_to_end(key)
             _DATASETS.move_to_end(ds)
-            return hit[0]
+            return hit.value
 
     # Build outside _LOCK (Spark jobs run here) but inside the build-
     # serialization lock, so the persistent-id diff window is exclusive.
     sc = spark.sparkContext
+    _LAST_SC = sc
     releasables: list[Callable[[], None]] = []
+    new_ids: set[int] = set()
     with _BUILD_SERIAL:
         # another thread may have built it while we queued for the lock
         with _LOCK:
             hit = _ENTRIES.get(key)
             if hit is not None:
+                hit.last_epoch = _EPOCH
+                _ENTRIES.move_to_end(key)
                 _DATASETS.move_to_end(ds)
-                return hit[0]
+                return hit.value
         stack = _building_stack()
         nested = bool(stack)
         stack.append(releasables)
@@ -225,9 +404,11 @@ def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
         if hit is not None:
             for fn in releasables:
                 fn()
+            hit.last_epoch = _EPOCH
+            _ENTRIES.move_to_end(key)
             _DATASETS.move_to_end(ds)
-            return hit[0]
-        _ENTRIES[key] = (value, releasables)
+            return hit.value
+        _ENTRIES[key] = _Entry(value, releasables, frozenset(new_ids))
         _DATASETS[ds] = None
         _DATASETS.move_to_end(ds)
         evict = []
@@ -244,7 +425,7 @@ def peek(name: str, spark, sf_dir: str) -> Any | None:
     key = (name, spark.sparkContext.applicationId, sf_dir)
     with _LOCK:
         hit = _ENTRIES.get(key)
-        return hit[0] if hit is not None else None
+        return hit.value if hit is not None else None
 
 
 def _release_dataset(ds: tuple[str, str]) -> None:
@@ -253,28 +434,49 @@ def _release_dataset(ds: tuple[str, str]) -> None:
         doomed = [k for k in _ENTRIES if k[1] == app and k[2] == sf_dir]
         entries = [_ENTRIES.pop(k) for k in doomed]
         _DATASETS.pop(ds, None)
-    for _, releasables in entries:
-        for fn in releasables:
+    for ent in entries:
+        for fn in ent.releasables:
             fn()
 
 
 def clear_all() -> None:
-    """Release EVERY live memo (all datasets). The one hook tests and
-    long-lived sessions need between dataset rewrites."""
+    """Release EVERY live memo (all datasets) and every loose ephemeral
+    checkpoint. The one hook tests and long-lived sessions need between
+    dataset rewrites."""
     with _LOCK:
         entries = list(_ENTRIES.values())
+        loose = [fn for _, fn in _LOOSE]
         _ENTRIES.clear()
         _DATASETS.clear()
-    for _, releasables in entries:
-        for fn in releasables:
+        _LOOSE.clear()
+    for ent in entries:
+        for fn in ent.releasables:
             fn()
+    for fn in loose:
+        fn()
 
 
 def stats() -> dict[str, Any]:
-    """Registry introspection for bench telemetry: live entry count and
-    dataset keys."""
+    """Registry introspection for bench telemetry: live entry count,
+    dataset keys, loose ephemerals, epoch, and memo-held MEMORY bytes
+    (when a context is known)."""
     with _LOCK:
-        return {
+        out = {
             "entries": len(_ENTRIES),
             "datasets": ["::".join(ds) for ds in _DATASETS],
+            "loose": len(_LOOSE),
+            "epoch": _EPOCH,
         }
+        sc = _LAST_SC
+        ids = {rid for ent in _ENTRIES.values() for rid in ent.ids}
+    if sc is not None:
+        try:
+            infos = sc._jsc.sc().getRDDStorageInfo()
+            out["memo_mb"] = round(
+                sum(int(i.memSize()) for i in infos if int(i.id()) in ids)
+                / 1e6,
+                1,
+            )
+        except Exception:  # noqa: BLE001 — context may be stopped
+            pass
+    return out

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
+
 from kremis_spark import primitives as P
 from kremis_spark.engine import GraphState
 from kremis_spark.operators.traverse import _collect_reachable_adjacency
@@ -243,7 +245,7 @@ def strongest_path_distributed(
                 )
             )
             ext = ext.withColumn("_r", rank).filter(F.col("_r") <= beam).drop("_r")
-        ext = ext.localCheckpoint(eager=True)
+        ext = ext.transform(M.ephemeral_checkpoint)
         if not ext.take(1):
             break
         done.append(

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
+
 _PID = "__scan_pid"
 
 
@@ -51,7 +53,7 @@ def exclusive_prefix_sum(
     # Materialize once: the partition totals and the local-prefix pass
     # must observe the SAME physical partitioning (and it feeds two
     # consumers).
-    ranged = ranged.localCheckpoint(eager=True)
+    ranged = ranged.transform(M.ephemeral_checkpoint)
 
     totals = {
         int(r[0]): int(r[1])
@@ -113,7 +115,7 @@ def exclusive_prefix_max(
     ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         _PID, F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=True)
+    ranged = ranged.transform(M.ephemeral_checkpoint)
 
     maxima = {
         int(r[0]): r[1]
@@ -194,7 +196,7 @@ def grouped_rank(
     ranged = df.repartitionByRange(num_partitions, *all_order).withColumn(
         _PID, F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=True)
+    ranged = ranged.transform(M.ephemeral_checkpoint)
 
     totals = {
         int(r[0]): int(r[1])

@@ -25,6 +25,8 @@ from collections import deque
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
+
 from kremis_spark import primitives as P
 from kremis_spark.engine import GraphState
 from kremis_spark.operators.artifact import Artifact
@@ -86,12 +88,12 @@ def bfs_levels(
             .join(visited.select("node_id"), "node_id", "left_anti")
             .withColumn("level", F.lit(d))
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(M.ephemeral_checkpoint)
         if not nxt.take(1):
             break
         visited = visited.unionByName(nxt)
         if d % 5 == 0:
-            visited = visited.localCheckpoint(eager=True)
+            visited = visited.transform(M.ephemeral_checkpoint)
         frontier = nxt
     return visited
 
@@ -167,14 +169,14 @@ def sampled_max_depth(
             .select("root", F.col("dst").alias("node_id"))
             .distinct()
             .join(visited, ["root", "node_id"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(M.ephemeral_checkpoint)
         )
         if not nxt.take(1):
             break
         best = d
         visited = visited.unionByName(nxt)
         if d % 5 == 0:
-            visited = visited.localCheckpoint(eager=True)
+            visited = visited.transform(M.ephemeral_checkpoint)
         frontier = nxt
     return best
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kremis_spark.plans.analytics import _cents, _pct
+from kremis_spark import memo as M
 from kremis_spark.sources.tables import read_table
 
 
@@ -541,14 +542,14 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "t_view", "t_click")
         .agg(F.min("t").alias("t_purchase"))
     )
-    conv = p.select(
+    conv = M.ephemeral_checkpoint(p.select(
         "user_id",
         F.expr("(t_click - t_view) div 1000000000").cast("long").alias("d1"),
         F.expr("(t_purchase - t_click) div 1000000000").cast("long").alias(
             "d2"
         ),
         F.lit(1).cast("long").alias("one"),
-    ).localCheckpoint(eager=True)
+    ))
     n = conv.count()
     if n == 0:
         return spark.createDataFrame(
@@ -863,8 +864,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("money"),
         )
         .withColumn("one", F.lit(1).cast("long"))
-        .localCheckpoint(eager=True)
     )
+    per = M.ephemeral_checkpoint(per)
     n = per.count()
     if n == 0:
         return spark.createDataFrame(
@@ -916,7 +917,8 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     ud = ev.select(
         "user_id", F.expr("ts div 86400000000000").alias("d")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    ud = M.ephemeral_checkpoint(ud)
     days = ud.select("d").distinct()
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
 

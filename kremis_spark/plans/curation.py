@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
+
 from kremis_spark.functions.dedup import word_shingles
 from kremis_spark.functions.text import tokens
 from kremis_spark.sources.tables import read_table
@@ -224,7 +226,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one materialization: the chunk rows feed BOTH the md5 count
         # and the join probe side; without the cut the UDF scan + md5
         # lineage replans per consumer
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     counts = chunks.groupBy("chunk_md5").agg(
         F.count(F.lit(1)).cast("long").alias("n_copies")
@@ -280,7 +282,7 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         docs.groupBy("source")
         .agg(F.sum(F.size(tokens())).cast("long").alias("t"))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     rows = sorted((int(r["t"]), r["source"]) for r in agg.collect())
     if not rows:
@@ -325,7 +327,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # three consumers (bench set, per-doc totals, overlap join) —
         # materialize the explode+hash once instead of replanning it 3×
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     bench = (
         sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()

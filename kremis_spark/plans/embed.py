@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
+
 from kremis_spark.functions.similarity import (
     # Testdata embedding width; oracle SQL is generated for it. Shared
     # with the LSH hyperplane generator so both sides track one constant.
@@ -253,7 +255,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "cell LONG, n_members LONG, inertia LONG, centroid_md5 STRING"
         )
-    assigned = _assign_cells(prep, centroids).localCheckpoint(eager=True)
+    assigned = _assign_cells(prep, centroids).transform(M.ephemeral_checkpoint)
 
     stats = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -410,7 +412,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = None
     for _ in range(KMEANS_ITERS):
         centroids = [cents[c] for c in sorted(cents)]
-        assigned = _assign_cells(prep, centroids).localCheckpoint(eager=True)
+        assigned = _assign_cells(prep, centroids).transform(M.ephemeral_checkpoint)
         # ONE agg job per iteration: every member contributes one row per
         # dim, so count per (cell, pos) IS the cell's member count — no
         # separate per-cell count pass needed.
@@ -608,7 +610,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "cell LONG, n_members LONG, n_dup_pairs LONG, n_removed LONG"
         )
-    assigned = _assign_cells(prep, centroids).localCheckpoint(eager=True)
+    assigned = _assign_cells(prep, centroids).transform(M.ephemeral_checkpoint)
     n_vecs = assigned.count()  # checkpointed — one cheap scan
     keys = ["cell"]
     if n_vecs > SEMDEDUP_EXACT_MAX_VECS:

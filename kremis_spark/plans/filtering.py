@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
+
 NGRAM_N = 8  # ExactSubstr-approximation shingle width (words)
 PERC_EPOCHS = 3  # full-batch perceptron epochs (pipe_perceptron_step)
 CLS_BUCKETS = 2001  # hashed-weight table size → weights in [-1000, 1000]
@@ -167,7 +169,7 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", "source", F.explode(_toks()).alias("tok")
-    ).localCheckpoint(eager=True)
+    ).transform(M.ephemeral_checkpoint)
     is_t = (F.col("source") == DSIR_TARGET_SOURCE).cast("long")
     counts = tok.groupBy("tok").agg(
         F.count(F.lit(1)).alias("c_all"),
@@ -271,8 +273,8 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.min("h").over(tail) > F.col("h"))
         )
     )
-    marked = ex.withColumn("selected", sel | short).localCheckpoint(
-        eager=True
+    marked = ex.withColumn("selected", sel | short).transform(
+        M.ephemeral_checkpoint
     )
     per_doc = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_kgrams"),

@@ -934,7 +934,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc.join(F.broadcast(deg), "z")
         .select("z", "n", "deg", F.expr("1000000 div deg").alias("w"))
         .repartition(npart)
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     small = st.edge_count() <= LP_BROADCAST_MAX_EDGES
     if not small:
@@ -1044,7 +1044,7 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cadj = (
         adj.join(F.broadcast(hubs), "z", "anti")
         .repartition(_wedge_parallelism(spark, deg, edge_count))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     right = cadj.select("z", F.col("n").alias("y"))
     if edge_count <= LP_BROADCAST_MAX_EDGES:
@@ -1093,6 +1093,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as label propagation / SSSP."""
     cur = undirected_edges(spark, sf_dir)
     n_cur = cur.count()
+    rel_prev = None  # rolling release: free round k once k+1 materializes
     for _ in range(KCORE_ROUNDS):
         if n_cur == 0:
             break
@@ -1103,16 +1104,19 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         keep = deg.filter(F.col("cnt") >= KCORE_K).select("z")
-        nxt = (
+        nxt, rel = M.checkpoint_with_release(
             cur.join(F.broadcast(keep.withColumnRenamed("z", "a")), "a")
             .join(F.broadcast(keep.withColumnRenamed("z", "b")), "b")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
         n_nxt = nxt.count()
         if n_nxt == n_cur:
-            break  # fixpoint: edge set can only shrink, equal size = equal set
+            rel()  # fixpoint: nxt == cur, nxt's blocks are never read
+            break  # (edge set can only shrink, equal size = equal set)
         cur, n_cur = nxt, n_nxt
+        if rel_prev is not None:
+            rel_prev()
+        rel_prev = rel
     return (
         cur.select(F.col("a").alias("z"))
         .unionByName(cur.select(F.col("b").alias("z")))
@@ -1148,7 +1152,7 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = heaviest[0]["src"]
     edges = (
         st.edges.select("src", "dst", F.expr(_SSSP_COST).alias("cost"))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     INF = (1 << 62)
     dist = st.nodes.select(
@@ -1158,6 +1162,7 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dist"),
     )
+    rel_prev = None  # rolling release across the every-other-round cuts
     for r in range(SSSP_ROUNDS):
         relaxed = (
             edges.join(
@@ -1174,7 +1179,10 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         if r % 2 == 1:
-            dist = dist.localCheckpoint(eager=True)
+            dist, rel = M.checkpoint_with_release(dist)
+            if rel_prev is not None:
+                rel_prev()
+            rel_prev = rel
     return (
         dist.filter(F.col("dist") < INF)
         .select("node_id", F.col("dist").cast("long").alias("dist"))
@@ -1232,11 +1240,12 @@ def label_propagation_distributed(
     adj = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     labels = nodes.select(
         F.col("node_id").alias("v"), F.col("node_id").alias("label")
     )
+    rel_prev = None  # rolling release across the every-other-round cuts
     for i in range(iters):
         nbr = (
             adj.join(
@@ -1252,7 +1261,10 @@ def label_propagation_distributed(
             ),
         )
         if i % 2 == 1:
-            labels = labels.localCheckpoint(eager=True)
+            labels, rel = M.checkpoint_with_release(labels)
+            if rel_prev is not None:
+                rel_prev()
+            rel_prev = rel
     return labels.select(
         F.col("v").alias("node_id"), F.col("label").cast("long").alias("label")
     ).orderBy("node_id")
@@ -1461,7 +1473,7 @@ def harmonic_centrality_distributed(
         nodes.select(F.col("node_id").alias("anchor"))
         .orderBy("anchor")
         .limit(HC_ANCHORS)
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     visited = anchors.select("anchor", F.col("anchor").alias("node"))
     frontier = visited
@@ -1478,7 +1490,7 @@ def harmonic_centrality_distributed(
             .select("anchor", F.col("dst").alias("node"))
             .distinct()
             .join(visited, ["anchor", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(M.ephemeral_checkpoint)
         )
         frontier_rows = nxt.count()  # cheap: nxt is checkpoint-materialized
         levels.append(nxt.withColumn("dist", F.lit(dist)))
@@ -1583,9 +1595,10 @@ def pagerank_distributed(
     edges = edges_df.select("src", "dst").join(outdeg, "src")
     if not bcast_ranks:
         edges = edges.repartition("src")
-        nodes = nodes.repartition("node_id").localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
+        nodes = nodes.repartition("node_id").transform(M.ephemeral_checkpoint)
+    edges = edges.transform(M.ephemeral_checkpoint)
     ranks = nodes.withColumn("r", F.lit(1_000_000 // n).cast("long"))
+    rel_prev = None  # rolling release across the every-3rd-iteration cuts
     for i in range(iters):
         rside = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
@@ -1608,7 +1621,10 @@ def pagerank_distributed(
             .alias("r"),
         )
         if i % 3 == 2:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks, rel = M.checkpoint_with_release(ranks)
+            if rel_prev is not None:
+                rel_prev()
+            rel_prev = rel
     return ranks.select("node_id", F.col("r").alias("rank_ppm")).orderBy(
         "node_id"
     )

@@ -152,7 +152,7 @@ def _doc_surprisal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     total = counts.agg(F.sum("c")).first()[0]
     if total is None:
@@ -212,7 +212,7 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     total = corpus.agg(F.sum("c")).first()[0]
     if total is None:
@@ -476,7 +476,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("f"))
         .filter(F.length("w") >= 2)
         .select("w", "f", chars.alias("syms"))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     return bpe_train_merges(cur, BPE_TRAIN_MERGES)
 
@@ -558,7 +558,7 @@ def bpe_train_merges(cur: DataFrame, n_merges: int) -> DataFrame:
                     ),
                 ).otherwise(F.concat(acc, F.array(ch))),
             ),
-        ).localCheckpoint(eager=True)
+        ).transform(M.ephemeral_checkpoint)
     return spark.createDataFrame(
         merges, "step LONG, lhs STRING, rhs STRING, pair_count LONG"
     ).orderBy("step")
@@ -986,7 +986,7 @@ def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(T.tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     n_bigrams = int(
         docs.agg(
@@ -1234,8 +1234,22 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature table (doc_id, simhash32), checkpointed
+    once per session — shared by the signature query (pipe_simhash) and
+    the banded near-dup lookup (pipe_simhash_neardup). Round-10 bench
+    adjudication flagged pipe_simhash_neardup elevated in BOTH runs: the
+    md5 + 32 bit-sums token pass was being rebuilt per call while every
+    sibling family (MinHash sigs, hashed shingles) already memoized its
+    signature build."""
+    return M.memo(
+        "pipe_simhash32", spark, sf_dir,
+        lambda: M.checkpoint(D.simhash32(_docs_parallel(spark, sf_dir))),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash32(_docs_parallel(spark, sf_dir))
+    return _simhash_sigs(spark, sf_dir)
 
 
 INCOMING_MOD = 10  # doc_id % 10 == 0 → "today's batch", else corpus
@@ -2662,8 +2676,12 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed shape: band explode (4 rows/doc) → bucket-size cull →
     within-bucket self-join bounded by cap² per bucket → popcount
-    verify → one degree agg → TakeOrdered top-N. No all-pairs join."""
-    sh = D.simhash32(_docs_parallel(spark, sf_dir))
+    verify → one degree agg → TakeOrdered top-N. No all-pairs join.
+    The signature table is the session-memoized checkpoint shared with
+    pipe_simhash; the banded-candidate scratch table is an EPHEMERAL
+    checkpoint — released two query-epochs later by memo.tick(), not
+    leaked for the session."""
+    sh = _simhash_sigs(spark, sf_dir)
     bands = sh.select(
         "doc_id",
         "simhash32",
@@ -2687,7 +2705,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 2) & (F.col("n") <= SIMHASH_BAND_CAP))
         .select("band", "key")
     )
-    bb = bands.join(ok, ["band", "key"]).localCheckpoint(eager=True)
+    bb = M.ephemeral_checkpoint(bands.join(ok, ["band", "key"]))
     cand = (
         bb.select("band", "key", F.col("doc_id").alias("a"), F.col("simhash32").alias("sa"))
         .join(
@@ -2749,7 +2767,7 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         is_val(F.col("grp")).alias("val_c"),
         is_val(F.col("doc_id")).alias("val_n"),
-    ).localCheckpoint(eager=True)
+    ).transform(M.ephemeral_checkpoint)
     counts = asg.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("val_c").cast("long").alias("n_val_cluster"),
@@ -2828,7 +2846,7 @@ def q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(~F.col("is_val"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     tt = int(tcounts.agg(F.sum("c")).first()[0] or 0)
     per = (
@@ -2918,7 +2936,7 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (source, token) vocab is Zipf-bounded; materialize once for its
         # three consumers (sizes + both self-join sides) instead of three
         # explode+distinct passes over the corpus
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
     a = st.select(F.col("source").alias("src_a"), "tok")
@@ -2991,7 +3009,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         # strong-pair list (tiny); its three consumers (pool union, hit
         # count, recall) otherwise re-run the blocked jaccard_verify
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     pooled = strong_lsh.union(strong_blk).distinct()
     n_all = pooled.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
@@ -3095,7 +3113,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(T.tokens()).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     vmax = max(VOCAB_CHECKPOINTS)
     top = tf.orderBy(F.desc("f"), "tok").limit(vmax)

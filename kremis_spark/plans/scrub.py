@@ -65,6 +65,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
+
 BLOCK_W = 20  # MassiveText-style scrub block width (words)
 
 GOPHER_MIN_WORDS = 30
@@ -327,7 +329,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.md5("sh").alias("h"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(M.ephemeral_checkpoint)
     )
     bench_h = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         "h"

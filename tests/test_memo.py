@@ -141,3 +141,70 @@ def test_racing_builds_do_not_claim_each_others_blocks(spark):
     M._release_dataset((spark.sparkContext.applicationId, "ds_race_a"))
     assert results["b"].count() == 500  # missing-block error if claimed
     M.clear_all()
+
+
+def test_ephemeral_checkpoint_released_after_two_ticks(spark):
+    """A loose ephemeral checkpoint (made outside any memo build) stays
+    alive through the NEXT epoch — the caller may still be collecting a
+    DataFrame derived from it — and is unpersisted on the tick after."""
+    M.clear_all()
+    before = _pids(spark)
+    df = M.ephemeral_checkpoint(spark.range(300).selectExpr("id*3 AS z"))
+    created = _pids(spark) - before
+    assert created
+    M.tick()  # one epoch old: must survive (caller may still collect)
+    assert _pids(spark) & created
+    assert df.count() == 300
+    M.tick()  # two epochs old: released
+    assert not (_pids(spark) & created)
+
+
+def test_ephemeral_checkpoint_inside_build_is_entry_owned(spark):
+    """Inside a memo build, ephemeral_checkpoint defers to the entry's
+    lifecycle — ticks must NOT release it while the entry lives."""
+    M.clear_all()
+    before = _pids(spark)
+    df = M.memo(
+        "t_eph_in", spark, "ds_a",
+        lambda: M.ephemeral_checkpoint(spark.range(150)),
+    )
+    created = _pids(spark) - before
+    assert created
+    for _ in range(4):
+        M.tick()
+    assert _pids(spark) & created, "entry-owned blocks survive ticks"
+    assert df.count() == 150
+    M.clear_all()
+    assert not (_pids(spark) & created)
+
+
+def test_byte_budget_evicts_cold_entries_only(spark, monkeypatch):
+    """Over-budget memo storage evicts least-recently-touched entries
+    that are >=2 epochs cold; recently-touched entries are immune; a
+    re-entered evicted memo rebuilds (the designed recovery path)."""
+    M.clear_all()
+    monkeypatch.setattr(M, "MAX_MEMO_MB", 1e-6)  # ~1 byte: force evict
+    builds = {"a": 0, "b": 0}
+
+    def mk(name):
+        def build():
+            builds[name] += 1
+            return M.checkpoint(
+                spark.range(5000).selectExpr("id", "id*2 AS y")
+            )
+        return build
+
+    da = M.memo("t_bb_a", spark, "ds_a", mk("a"))
+    db = M.memo("t_bb_b", spark, "ds_a", mk("b"))
+    assert da.count() == 5000 and db.count() == 5000
+    M.tick()  # both entries 1 epoch cold: still immune
+    assert M.peek("t_bb_a", spark, "ds_a") is not None
+    # touch b so it stays hot; a goes 2 epochs cold on the next tick
+    M.memo("t_bb_b", spark, "ds_a", mk("b"))
+    M.tick()
+    assert M.peek("t_bb_a", spark, "ds_a") is None, "cold entry evicted"
+    assert M.peek("t_bb_b", spark, "ds_a") is not None, "hot entry immune"
+    assert builds == {"a": 1, "b": 1}
+    da2 = M.memo("t_bb_a", spark, "ds_a", mk("a"))
+    assert builds["a"] == 2 and da2.count() == 5000
+    M.clear_all()
