@@ -312,3 +312,95 @@ def phash64_signed(width: int, height: int, pixels: Pixels) -> int:
     """phash64 wrapped to signed int64 (Spark LongType / Arrow int64)."""
     h = phash64(width, height, pixels)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# --- Fixed-weight integer visual features -----------------------------------
+#
+# FROZEN SPEC (the numpy twin in functions/multimodal.py and the golden
+# oracle generator tools/gen_media_knn_oracle.py must match bit-for-bit):
+#
+#   1. grayscale + nearest-sample the pixel buffer to 32×32, exactly as
+#      phash64 steps 1-2 (same rows/cols index maps, same 299/587/114
+#      integer luma).
+#   2. split the grid into 2×2 regions of 16×16 cells, region index
+#      q = 2·(r div 16) + (c div 16)  (row-major: q0 top-left, q1
+#      top-right, q2 bottom-left, q3 bottom-right).
+#   3. per region, four integer statistics, each in [0, 255]:
+#        mean_q = Σ gray               // 256          (16×16 cells)
+#        hgrad_q = Σ |g[r][c+1]−g[r][c]| // 240        (16 rows × 15 pairs)
+#        vgrad_q = Σ |g[r+1][c]−g[r][c]| // 240        (15 pairs × 16 cols)
+#        lap_q  = Σ (|4g−up−down−left−right| // 4) // 196   (14×14 interior)
+#      (all pairs/neighbors WITHIN the region — no cross-region taps, so
+#      a region's statistics depend only on its own 256 cells)
+#   4. feature vector, dim 16, fixed-point in [−1, 1):
+#        f[q]    = (mean_q ·256 − 32768) / 32768
+#        f[4+q]  = (hgrad_q·256 − 32768) / 32768
+#        f[8+q]  = (vgrad_q·256 − 32768) / 32768
+#        f[12+q] = (lap_q  ·256 − 32768) / 32768
+#      every value is an integer multiple of 2^−7 in [−1, 1), hence
+#      EXACT in float32 — quantizing back (round(f·32768)) is lossless.
+#
+# This is the "fixed-weight conv+pool" encoder: identity / [−1,1] /
+# [−1,1]ᵀ / Laplacian kernels, average-pooled per quadrant. It has
+# VISUAL LOCALITY — a 1-px edit perturbs one resampled cell and moves a
+# few statistics by O(1/256) each, while a different image moves most of
+# them — unlike the former sha-seeded fake, which had none. A real
+# learned encoder slots in behind the same mapInPandas signature.
+
+FEATURE_GRID = 32
+FEATURE_REGION = 16
+FEATURE_DIM = 16
+
+
+def _gray32(width: int, height: int, pixels: Pixels) -> list[list[int]]:
+    n = FEATURE_GRID
+    return [
+        [
+            (
+                299 * pixels[3 * ((r * height // n) * width + (c * width // n))]
+                + 587
+                * pixels[3 * ((r * height // n) * width + (c * width // n)) + 1]
+                + 114
+                * pixels[3 * ((r * height // n) * width + (c * width // n)) + 2]
+            )
+            // 1000
+            for c in range(n)
+        ]
+        for r in range(n)
+    ]
+
+
+def pixel_features(width: int, height: int, pixels: Pixels) -> list[float]:
+    """Scalar reference implementation of the frozen feature spec above.
+    Returns 16 float values, each an integer multiple of 2^-7 in [-1, 1)
+    (exact in float32)."""
+    if len(pixels) != 3 * width * height or width <= 0 or height <= 0:
+        raise ValueError("pixel buffer size mismatch")
+    g = _gray32(width, height, pixels)
+    R = FEATURE_REGION
+    means, hgs, vgs, laps = [], [], [], []
+    for q in range(4):
+        r0, c0 = R * (q // 2), R * (q % 2)
+        mean = sum(g[r][c] for r in range(r0, r0 + R) for c in range(c0, c0 + R)) // 256
+        hg = sum(
+            abs(g[r][c + 1] - g[r][c])
+            for r in range(r0, r0 + R)
+            for c in range(c0, c0 + R - 1)
+        ) // 240
+        vg = sum(
+            abs(g[r + 1][c] - g[r][c])
+            for r in range(r0, r0 + R - 1)
+            for c in range(c0, c0 + R)
+        ) // 240
+        lp = sum(
+            abs(4 * g[r][c] - g[r - 1][c] - g[r + 1][c] - g[r][c - 1] - g[r][c + 1]) // 4
+            for r in range(r0 + 1, r0 + R - 1)
+            for c in range(c0 + 1, c0 + R - 1)
+        ) // 196
+        means.append(mean)
+        hgs.append(hg)
+        vgs.append(vg)
+        laps.append(lp)
+    return [
+        (v * 256 - 32768) / 32768.0 for v in means + hgs + vgs + laps
+    ]

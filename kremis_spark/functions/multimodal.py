@@ -10,9 +10,14 @@ including this container (no imaging libraries installed). The decode
 step is load-bearing everywhere: ``decode_features`` derives features
 and ``pixel_sha`` from the DECODED pixel buffer, and ``phash_for_media``
 computes a real integer DCT perceptual hash (``imaging.phash64``) over
-it. Only ``decode_features``' ENCODER is a deterministic fake (a real
-embedding model doesn't fit a unit-test container); its batch plumbing
-is the production shape.
+it. ``decode_features``' encoder is a FIXED-WEIGHT integer conv+pool
+feature map over the decoded pixels (frozen spec in
+``imaging.pixel_features``): deterministic, dependency-free, and with
+real visual locality — a 1-px edit moves the features a little, a
+different image moves them a lot — so the media-ANN gates measure
+similarity semantics, not just plumbing. A learned encoder (which
+doesn't fit a unit-test container) slots in behind the same mapInPandas
+signature.
 
 Design for 100 TB of media:
 - content stays an opaque ``binary`` column; Spark never interprets it
@@ -77,14 +82,53 @@ def _have_pil() -> bool:
 
 
 def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic fake embedding: sha256-seeded fixed-point values in
-    [-1, 1). Stands in for a real encoder; stable across runs/machines."""
+    """Deterministic byte-derived embedding for UNDECODABLE payloads
+    only: sha256-seeded fixed-point values in [-1, 1). Decodable media
+    gets :func:`_pixel_features_np` (visual locality) instead."""
     h = hashlib.sha256(content).digest()
     out = []
     for i in range(dim):
         chunk = h[(2 * i) % 32] << 8 | h[(2 * i + 1) % 32]
         out.append((chunk - 32768) / 32768.0)
     return out
+
+
+def _pixel_features_np(width: int, height: int, px: bytes) -> list[float]:
+    """Numpy twin of ``imaging.pixel_features`` (the frozen fixed-weight
+    conv+pool spec) — pinned bit-identical by a unit test. Integer
+    arithmetic throughout; the final scale is exact in float32."""
+    import numpy as np
+
+    from kremis_spark.functions import imaging as I
+
+    n, R = I.FEATURE_GRID, I.FEATURE_REGION
+    a = np.frombuffer(px, dtype=np.uint8).reshape(height, width, 3)
+    rows = (np.arange(n) * height) // n
+    cols = (np.arange(n) * width) // n
+    sub = a[np.ix_(rows, cols)].astype(np.int64)
+    g = (299 * sub[:, :, 0] + 587 * sub[:, :, 1] + 114 * sub[:, :, 2]) // 1000
+    hd = np.abs(np.diff(g, axis=1))  # 32×31
+    vd = np.abs(np.diff(g, axis=0))  # 31×32
+    lap = (
+        np.abs(
+            4 * g[1:-1, 1:-1]
+            - g[:-2, 1:-1]
+            - g[2:, 1:-1]
+            - g[1:-1, :-2]
+            - g[1:-1, 2:]
+        )
+        // 4
+    )  # 30×30, indexed by interior cell (r-1, c-1)
+    means, hgs, vgs, laps = [], [], [], []
+    for q in range(4):
+        r0, c0 = R * (q // 2), R * (q % 2)
+        means.append(int(g[r0 : r0 + R, c0 : c0 + R].sum()) // 256)
+        hgs.append(int(hd[r0 : r0 + R, c0 : c0 + R - 1].sum()) // 240)
+        vgs.append(int(vd[r0 : r0 + R - 1, c0 : c0 + R].sum()) // 240)
+        laps.append(
+            int(lap[r0 : r0 + R - 2, c0 : c0 + R - 2].sum()) // 196
+        )
+    return [(v * 256 - 32768) / 32768.0 for v in means + hgs + vgs + laps]
 
 
 def _decode_pixels(raw: bytes) -> tuple[int, int, bytes] | None:
@@ -121,12 +165,14 @@ def decode_features(df: DataFrame) -> DataFrame:
     for decodable payloads the feature vector and ``pixel_sha`` are
     computed from the decoded RGB pixel buffer — corrupt the pixels and
     the features change; change container bytes that decode to the same
-    pixels and they don't. Only the ENCODER is the documented
-    deterministic fake (sha256-seeded fixed-point values — a real
-    embedding model doesn't fit a unit-test container); its batch
-    plumbing — iterator of pandas frames in, iterator out, schema
-    contract — is the production shape. Undecodable payloads fall back
-    to byte-derived features with ``decoded = false``.
+    pixels and they don't. The ENCODER is the fixed-weight integer
+    conv+pool spec (``imaging.pixel_features``: quadrant means +
+    gradient energies + Laplacian energy over the 32×32 gray grid) —
+    deterministic with visual locality; a learned model slots in behind
+    the same signature. Batch plumbing — iterator of pandas frames in,
+    iterator out, schema contract — is the production shape.
+    Undecodable payloads fall back to sha-derived features with
+    ``decoded = false``.
     """
     import pandas as pd
 
@@ -142,10 +188,10 @@ def decode_features(df: DataFrame) -> DataFrame:
                     dec.append(False)
                     feats.append(_fake_features(raw))
                 else:
-                    px = got[2]
+                    w, h, px = got
                     pshas.append(hashlib.sha256(px).hexdigest())
                     dec.append(True)
-                    feats.append(_fake_features(px))
+                    feats.append(_pixel_features_np(w, h, px))
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],

@@ -38,6 +38,7 @@ from kremis_spark.functions.multimodal import (
     partition_for_decode,
     phash_for_media,
 )
+from kremis_spark.plans._media_knn_golden import MEDIA_KNN_GOLDEN_SQL
 from kremis_spark.plans._phash_golden import (
     PHASH_DEDUP_GOLDEN_SQL,
     PHASH_GOLDEN_SQL,
@@ -139,6 +140,90 @@ def _media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("phash").isNotNull()
             )
         ),
+    )
+
+
+KNN_PROBE_MOD = 97  # item_id % 97 == 0 -> probe set (~1% of the corpus)
+KNN_TOPK = 3
+
+
+def _media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per-(session, dataset) QUANTIZED visual-feature table:
+    decode -> fixed-weight conv+pool encoder (imaging.pixel_features
+    spec) -> round(f*32768) back to the exact underlying integers (the
+    features are float32-exact multiples of 2^-7, so the quantization is
+    lossless and the distance math below is integer-exact, engine-
+    portable). One wide row per item - 16 long columns."""
+    from kremis_spark import memo as M
+
+    def build():
+        buckets = spark.sparkContext.defaultParallelism
+        feats = decode_features(
+            partition_for_decode(_media_decodable(spark, sf_dir), buckets=buckets)
+        )
+        return M.checkpoint(
+            feats.select(
+                "item_id",
+                *[
+                    F.round(
+                        F.element_at("features", i + 1).cast("double") * 32768
+                    )
+                    .cast("long")
+                    .alias(f"f{i}")
+                    for i in range(16)
+                ],
+            )
+        )
+
+    return M.memo("media_features_q", spark, sf_dir, build)
+
+
+def q_media_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media similarity search over REAL visual features: for each probe
+    item (item_id % KNN_PROBE_MOD == 0 - the "find items like this one"
+    request set), the KNN_TOPK nearest corpus items by integer L1
+    distance over the 16 conv+pool features, ties broken by neighbor id.
+    Because the encoder has visual locality, neighbors are items whose
+    decoded pixels LOOK alike (near-duplicate crops, recolors), not
+    items whose bytes hash alike - the semantics a media dedup/retrieval
+    pipeline actually needs.
+
+    Scale shape: the probe set is a tiny fraction of the corpus ->
+    broadcast it and stream the corpus feature table once (probes x
+    corpus map-side distance rows, never corpus x corpus); per-probe
+    top-k is a window over probe-count-bounded partitions. At 100 TB
+    the same plan serves "nearest neighbors of these N items" with the
+    feature table read from its columnar store; full corpus x corpus
+    kNN instead goes through the banded-LSH path (pipe_media_dedup_*).
+
+    Oracle: golden rows from an independent numpy implementation
+    (tools/gen_media_knn_oracle.py), dispatched per testdata SF."""
+    t = _media_features_q(spark, sf_dir)
+    probes = t.filter(F.col("item_id") % KNN_PROBE_MOD == 0).select(
+        F.col("item_id").alias("probe_id"),
+        *[F.col(f"f{i}").alias(f"p{i}") for i in range(16)],
+    )
+    dist = None
+    for i in range(16):
+        term = F.abs(F.col(f"f{i}") - F.col(f"p{i}"))
+        dist = term if dist is None else dist + term
+    pairs = (
+        t.crossJoin(F.broadcast(probes))
+        .filter(F.col("item_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("item_id").alias("neighbor_id"),
+            dist.cast("long").alias("l1_dist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy("l1_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_TOPK)
+        .select("probe_id", "neighbor_id", "l1_dist", "rank")
+        .orderBy("probe_id", "rank")
     )
 
 
@@ -1287,8 +1372,10 @@ SELECT doc_id AS item_id,
             ELSE 'video' END AS modality,
        CAST(3126 AS BIGINT) AS n_bytes,
        sha256(pixels) AS pixel_sha,
-       CAST(('0x' || substr(sha256(pixels), 1, 4))::INT - 32768 AS BIGINT)
-         AS feat0_q
+       (SELECT SUM((299 * ord(substr(pixels, ((g // 16) * 32 + (g % 16)) * 3 + 1, 1))
+                  + 587 * ord(substr(pixels, ((g // 16) * 32 + (g % 16)) * 3 + 2, 1))
+                  + 114 * ord(substr(pixels, ((g // 16) * 32 + (g % 16)) * 3 + 3, 1))) // 1000)
+          FROM generate_series(0, 255) t(g)) // 256 * 256 - 32768 AS feat0_q
 FROM px
 """,
     # A DCT pHash is not SQL-expressible: frozen golden-rows oracle from
@@ -1298,6 +1385,10 @@ FROM px
     "pipe_media_phash_bands": PHASH_GOLDEN_SQL,
     "pipe_media_phash_verify": PHASH_VERIFY_GOLDEN_SQL,
     "pipe_media_dedup_keep": PHASH_DEDUP_GOLDEN_SQL,
+    # The conv+pool visual features are likewise not SQL-expressible:
+    # frozen golden rows from an independent numpy implementation of the
+    # frozen feature spec + probe/L1/top-k (tools/gen_media_knn_oracle.py).
+    "pipe_media_feature_knn": MEDIA_KNN_GOLDEN_SQL,
     "pipe_media_shard_manifest": f"""
 WITH m AS (
   SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1671,6 +1762,7 @@ QUERIES = {
     "pipe_media_phash_bands": q_media_phash_bands,
     "pipe_media_phash_verify": q_media_phash_verify,
     "pipe_media_dedup_keep": q_media_dedup_keep,
+    "pipe_media_feature_knn": q_media_feature_knn,
     "pipe_media_shard_manifest": q_media_shard_manifest,
     "stream_window_counts": q_stream_window_counts,
     "stream_running_totals": q_stream_running_totals,

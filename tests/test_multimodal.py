@@ -258,3 +258,45 @@ def test_phash_near_duplicates_collide_on_a_band():
     near_d = bin(h0 ^ h1).count("1")
     far_d = bin(h0 ^ h2).count("1")
     assert near_d < far_d
+
+
+def test_pixel_features_numpy_twin_matches_scalar_spec():
+    """The Arrow-batch encoder (_pixel_features_np) must be bit-identical
+    to the frozen scalar spec (imaging.pixel_features) across arbitrary
+    buffer geometries — same contract as the pHash numpy twin."""
+    import random
+
+    from kremis_spark.functions import imaging as I
+    from kremis_spark.functions.multimodal import _pixel_features_np
+
+    rng = random.Random(711)
+    for _ in range(10):
+        w, h = rng.randint(3, 70), rng.randint(3, 70)
+        px = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        assert I.pixel_features(w, h, px) == _pixel_features_np(w, h, px)
+
+
+def test_pixel_features_have_visual_locality():
+    """A 1-px edit moves the features a little; a different image moves
+    them a lot — the property the former sha-seeded encoder lacked (it
+    mapped near-identical images to unrelated vectors)."""
+    import random
+
+    from kremis_spark.functions import imaging as I
+
+    rng = random.Random(99)
+    w = h = 48
+    base = bytes(rng.randrange(256) for _ in range(3 * w * h))
+    edited = bytearray(base)
+    edited[500] = (edited[500] + 128) % 256  # one subpixel, large delta
+    other = bytes(rng.randrange(256) for _ in range(3 * w * h))
+    f0 = I.pixel_features(w, h, base)
+    f1 = I.pixel_features(w, h, bytes(edited))
+    f2 = I.pixel_features(w, h, other)
+    d_edit = sum(abs(a - b) for a, b in zip(f0, f1))
+    d_other = sum(abs(a - b) for a, b in zip(f0, f2))
+    assert d_edit < 0.05, f"1-px edit moved features too much: {d_edit}"
+    assert d_other > 5 * d_edit, (d_edit, d_other)
+    # and every value stays a float32-exact multiple of 2^-7 in [-1, 1)
+    for v in f0 + f1 + f2:
+        assert -1.0 <= v < 1.0 and (v * 32768) == int(v * 32768)
