@@ -294,7 +294,11 @@ def main() -> None:
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
         extras["storage_rdds"] = len(infos)
         extras["storage_mb"] = round(sum(i.memSize() for i in infos) / 1e6, 1)
-        extras["memo_entries"] = _M.stats()["entries"]
+        mstats = _M.stats()
+        extras["memo_entries"] = mstats["entries"]
+        if "memo_mb" in mstats:
+            extras["memo_mb"] = mstats["memo_mb"]
+        extras["memo_loose"] = mstats["loose"]
     except Exception:  # noqa: BLE001 — telemetry must never fail the bench
         pass
 

@@ -1,0 +1,157 @@
+"""Property sweeps over the ADAPTIVE-THRESHOLD SEAMS (round-10 verdict
+task 8): the engine's driver-mirror/distributed split (LOCAL_MAX_ROWS)
+and the graph family's driver-local/distributed split (PR_COLLECT_*)
+are parity-tested at FIXED sizes elsewhere; here hypothesis randomizes
+the threshold AROUND the actual state size — equivalent to randomizing
+state size around a fixed threshold, without regenerating data — and
+asserts results and canonical hashes are identical whichever side of
+the seam executes. Every operator that branches is swept."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kremis_spark.engine import GraphEngine
+
+SF_DIR = "/root/testdata/sf0.001"
+SIGNALS_SCHEMA = "seq LONG, entity_id LONG, attribute STRING, value STRING"
+
+_SWEEP = settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,  # bounded, reproducible suite time — no flaky CI
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _batch(seed: int, n: int, start_seq: int = 0):
+    rng = random.Random(seed)
+    return [
+        (
+            start_seq + i,
+            rng.randrange(10),
+            f"attr{rng.randrange(4)}",
+            f"v{rng.randrange(5)}",
+        )
+        for i in range(n)
+    ]
+
+
+def _surface(eng: GraphEngine):
+    """Counts plus the canonical export bytes — the byte export covers
+    the full node/edge/property state (and therefore the state hash),
+    so equality here IS whole-state equality; the per-query dispatch
+    parity at fixed sizes lives in test_local_engine.py."""
+    from kremis_spark.canonical import CanonicalGraph, export_canonical_bytes
+
+    return (
+        eng.node_count(),
+        eng.edge_count(),
+        export_canonical_bytes(CanonicalGraph.from_engine(eng)),
+    )
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n1=st.integers(8, 20),
+    n2=st.integers(0, 12),
+    bound_off=st.integers(-10, 2),
+)
+@settings(
+    _SWEEP,
+    max_examples=6,
+)
+def test_engine_mirror_seam(spark, seed, n1, n2, bound_off):
+    """Randomize LOCAL_MAX_ROWS around the state's actual row count:
+    depending on the draw the adaptive engine's mirror survives both
+    batches, spills between them, or spills mid-first-batch — in every
+    case returned ids, counts, and the canonical snapshot bytes must
+    equal a pure-mirror reference engine's (driver-only; its
+    equivalence to the force-distributed path at fixed sizes is pinned
+    in test_local_engine.py — this sweep owns the CROSSING)."""
+    import kremis_spark.local_engine as LE
+
+    b1 = _batch(seed, n1)
+    b2 = _batch(seed + 1, n2, start_seq=n1)
+
+    saved = LE.LOCAL_MAX_ROWS
+    try:
+        LE.LOCAL_MAX_ROWS = 10_000  # reference: never spills
+        ref = GraphEngine(spark)
+        ref_ids = [ref.ingest_rows(b) for b in (b1, b2) if b]
+        assert ref._local is not None
+        total = ref._local.total_rows()
+
+        LE.LOCAL_MAX_ROWS = max(1, total + bound_off)
+        adaptive = GraphEngine(spark)
+        ada_ids = [adaptive.ingest_rows(b) for b in (b1, b2) if b]
+        assert ada_ids == ref_ids
+        assert _surface(adaptive) == _surface(ref)
+    finally:
+        LE.LOCAL_MAX_ROWS = saved
+
+
+# --- graph-family PR_COLLECT seam -------------------------------------------
+
+_GRAPH_OPS = [
+    "pagerank",
+    "label_propagation",
+    "modularity",
+    "harmonic_centrality",
+    "wcc_labels",
+]
+
+_REF: dict[str, list] = {}
+_COUNTS: dict[str, int] = {}
+
+
+def _run_graph_op(spark, op: str) -> list:
+    from kremis_spark.plans import graph_queries as gq
+
+    if op == "wcc_labels":
+        # memoized at the query level — exercise the branching builder
+        df = gq._wcc_labels_build(spark, SF_DIR)
+    else:
+        df = getattr(gq, f"q_{op}")(spark, SF_DIR)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _graph_fixture(spark):
+    from kremis_spark.plans import graph_queries as gq
+
+    if not _COUNTS:
+        st_ = gq.graph_state(spark, SF_DIR)
+        _COUNTS["nodes"] = st_.nodes.count()
+        _COUNTS["edges"] = st_.edge_count()
+        for op in _GRAPH_OPS:  # reference rows: default (driver-local) path
+            _REF[op] = _run_graph_op(spark, op)
+
+
+@given(
+    op=st.sampled_from(_GRAPH_OPS),
+    node_off=st.integers(-2, 2),
+    edge_off=st.integers(-2, 2),
+)
+@_SWEEP
+def test_graph_collect_seam(spark, op, node_off, edge_off):
+    """Randomize PR_COLLECT_MAX_NODES/EDGES around the actual sf0.001
+    graph size: a negative offset on either bound flips the operator to
+    its distributed loop, a non-negative one keeps the driver-local
+    recurrence — rows must be identical either way (the bit-exact
+    integer-arithmetic contract both paths share)."""
+    from kremis_spark.plans import graph_queries as gq
+
+    _graph_fixture(spark)
+    saved = (gq.PR_COLLECT_MAX_NODES, gq.PR_COLLECT_MAX_EDGES)
+    try:
+        gq.PR_COLLECT_MAX_NODES = _COUNTS["nodes"] + node_off
+        gq.PR_COLLECT_MAX_EDGES = _COUNTS["edges"] + edge_off
+        assert _run_graph_op(spark, op) == _REF[op], (
+            f"{op} diverged across the PR_COLLECT seam "
+            f"(node_off={node_off}, edge_off={edge_off})"
+        )
+    finally:
+        gq.PR_COLLECT_MAX_NODES, gq.PR_COLLECT_MAX_EDGES = saved
