@@ -106,16 +106,21 @@ _BUILD_SERIAL = threading.RLock()
 
 class _Entry:
     """One live memo: its value, release callables, the persistent-RDD
-    ids its build pinned (for byte accounting; empty when unknown), and
-    the epoch it was last touched (byte-eviction immunity window)."""
+    ids its build pinned (for byte accounting; empty when unknown), the
+    epoch it was last touched (byte-eviction immunity window), and the
+    keys of the memo entries its build TOUCHED (its plan may embed
+    their checkpointed RDDs in its lineage, so eviction must take the
+    dependent closure together — evicting a parent checkpoint alone
+    strands every surviving dependent plan on missing blocks)."""
 
-    __slots__ = ("value", "releasables", "ids", "last_epoch")
+    __slots__ = ("value", "releasables", "ids", "last_epoch", "deps")
 
-    def __init__(self, value, releasables, ids):
+    def __init__(self, value, releasables, ids, deps):
         self.value = value
         self.releasables = releasables
         self.ids = ids
         self.last_epoch = _EPOCH
+        self.deps = deps
 
 
 # (name, app_id, sf_dir) -> _Entry; insertion order == touch LRU
@@ -124,14 +129,29 @@ _ENTRIES: OrderedDict[tuple[str, str, str], _Entry] = OrderedDict()
 # LRU over datasets: (app_id, sf_dir) -> None (OrderedDict as an LRU set)
 _DATASETS: OrderedDict[tuple[str, str], None] = OrderedDict()
 
-# Per-THREAD stack of release-collector lists; checkpoint()/cache()/
-# on_release() append to the innermost collector of the CALLING thread's
-# build. Thread-local, not global: a foreign thread's checkpoint must
-# not register its release into another thread's running build.
+# Per-THREAD stack of build frames; checkpoint()/cache()/on_release()
+# append releases to the innermost frame of the CALLING thread's build,
+# and memo() hits/builds record themselves in the frame's dep set.
+# Thread-local, not global: a foreign thread's checkpoint must not
+# register its release into another thread's running build.
 _TLS = threading.local()
 
 
-def _building_stack() -> list[list[Callable[[], None]]]:
+class _Frame:
+    __slots__ = ("releasables", "deps", "claimed")
+
+    def __init__(self):
+        self.releasables: list[Callable[[], None]] = []
+        self.deps: set[tuple[str, str, str]] = set()
+        # persistent-RDD ids already claimed by NESTED memo builds —
+        # excluded from this build's own id sweep so each entry owns
+        # exactly its blocks (an outer sweep that claimed inner ids
+        # would, on entry-level eviction, unpersist a LIVE inner
+        # entry's checkpoint out from under it)
+        self.claimed: set[int] = set()
+
+
+def _building_stack() -> list[_Frame]:
     stack = getattr(_TLS, "building", None)
     if stack is None:
         stack = _TLS.building = []
@@ -255,11 +275,31 @@ def tick() -> None:
         _enforce_budget(sc)
 
 
+def _dependent_closure(key: tuple[str, str, str]) -> set[tuple[str, str, str]]:
+    """key plus every live entry that (transitively) TOUCHED it during
+    its build — the unit of safe eviction. A dependent's plan (e.g. a
+    cached signature table built over a checkpointed shingle fact) may
+    embed the parent's persistent blocks in its lineage; unpersisting
+    the parent alone leaves the survivor failing with missing-block
+    errors on its next recompute. Caller holds _LOCK."""
+    closure = {key}
+    grew = True
+    while grew:
+        grew = False
+        for k, ent in _ENTRIES.items():
+            if k not in closure and ent.deps & closure:
+                closure.add(k)
+                grew = True
+    return closure
+
+
 def _enforce_budget(sc) -> None:
     """Release least-recently-touched memo entries (≥2 epochs cold)
-    until memo-held executor MEMORY bytes fit MAX_MEMO_MB. Entries
-    whose RDD ids are unknown (pure .cache() memos) are skipped — their
-    blocks live in the CacheManager and are bounded by dataset LRU."""
+    until memo-held executor MEMORY bytes fit MAX_MEMO_MB. Eviction
+    always takes the DEPENDENT CLOSURE together, and only when every
+    member of the closure is cold — a hot dependent pins its parents.
+    Entries whose RDD ids are unknown (pure .cache() memos) carry no
+    bytes of their own but still evict with their parents."""
     if MAX_MEMO_MB <= 0:
         return
     try:
@@ -269,26 +309,33 @@ def _enforce_budget(sc) -> None:
         return
     budget = MAX_MEMO_MB * 1e6
     while True:
+        doomed_entries = []
         with _LOCK:
-            sized = [
-                (key, sum(mem_by_id.get(rid, 0) for rid in ent.ids))
+            sized = {
+                key: sum(mem_by_id.get(rid, 0) for rid in ent.ids)
                 for key, ent in _ENTRIES.items()
-            ]
-            total = sum(b for _, b in sized)
-            if total <= budget:
+            }
+            if sum(sized.values()) <= budget:
                 return
-            victim = None
-            for key, nbytes in sized:  # _ENTRIES is insertion==LRU order
-                if nbytes > 0 and _ENTRIES[key].last_epoch <= _EPOCH - 2:
-                    victim = key
+            cold = _EPOCH - 2
+            victim_closure = None
+            for key, nbytes in sized.items():  # insertion == LRU order
+                if nbytes <= 0 or _ENTRIES[key].last_epoch > cold:
+                    continue
+                closure = _dependent_closure(key)
+                if all(_ENTRIES[k].last_epoch <= cold for k in closure):
+                    victim_closure = closure
                     break
-            if victim is None:
+            if victim_closure is None:
                 return
-            ent = _ENTRIES.pop(victim)
-            for rid in ent.ids:
-                mem_by_id.pop(rid, None)
-        for fn in ent.releasables:
-            fn()
+            for k in victim_closure:
+                ent = _ENTRIES.pop(k)
+                doomed_entries.append(ent)
+                for rid in ent.ids:
+                    mem_by_id.pop(rid, None)
+        for ent in doomed_entries:
+            for fn in ent.releasables:
+                fn()
 
 
 def cache(df: DataFrame) -> DataFrame:
@@ -316,7 +363,7 @@ def on_release(fn: Callable[[], None]) -> None:
 def _register_release(fn: Callable[[], None]) -> None:
     stack = _building_stack()
     if stack:
-        stack[-1].append(fn)
+        stack[-1].releasables.append(fn)
     # outside a memo build (on THIS thread): the caller owns the lifecycle
 
 
@@ -354,13 +401,14 @@ def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
             hit.last_epoch = _EPOCH
             _ENTRIES.move_to_end(key)
             _DATASETS.move_to_end(ds)
+            _note_dep(key)
             return hit.value
 
     # Build outside _LOCK (Spark jobs run here) but inside the build-
     # serialization lock, so the persistent-id diff window is exclusive.
     sc = spark.sparkContext
     _LAST_SC = sc
-    releasables: list[Callable[[], None]] = []
+    frame = _Frame()
     new_ids: set[int] = set()
     with _BUILD_SERIAL:
         # another thread may have built it while we queued for the lock
@@ -370,47 +418,54 @@ def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
                 hit.last_epoch = _EPOCH
                 _ENTRIES.move_to_end(key)
                 _DATASETS.move_to_end(ds)
+                _note_dep(key)
                 return hit.value
         stack = _building_stack()
-        nested = bool(stack)
-        stack.append(releasables)
+        stack.append(frame)
         ids_before = _persistent_ids(sc)
         try:
             value = build()
         finally:
-            stack.remove(releasables)
-        # Nested memo builds: the inner entry owns its own diff; the
-        # outer diff would double-claim the inner ids, so only the
-        # OUTERMOST build records the sweep (double-unpersist is
-        # harmless but pointless).
-        if not nested:
-            new_ids = _persistent_ids(sc) - ids_before
+            stack.remove(frame)
+        # Every build sweeps exactly ITS OWN persistent ids: the diff
+        # over the build window minus whatever nested memo builds
+        # already claimed for their entries. (The former design let the
+        # outermost build claim everything — harmless when eviction was
+        # dataset-wide, but entry-level byte eviction would then
+        # unpersist a live inner entry's checkpoint with its parent.)
+        new_ids = (_persistent_ids(sc) - ids_before) - frame.claimed
 
-            def _sweep(sc=sc, ids=frozenset(new_ids)) -> None:
-                try:
-                    jmap = sc._jsc.getPersistentRDDs()
-                    for rid in ids:
-                        jrdd = jmap.get(rid)
-                        if jrdd is not None:
-                            jrdd.unpersist(False)
-                except Exception:  # noqa: BLE001 — context may be stopped
-                    pass
+        def _sweep(sc=sc, ids=frozenset(new_ids)) -> None:
+            try:
+                jmap = sc._jsc.getPersistentRDDs()
+                for rid in ids:
+                    jrdd = jmap.get(rid)
+                    if jrdd is not None:
+                        jrdd.unpersist(False)
+            except Exception:  # noqa: BLE001 — context may be stopped
+                pass
 
-            releasables.append(_sweep)
+        frame.releasables.append(_sweep)
+        if stack:  # nested: the parent must not re-claim our ids
+            stack[-1].claimed |= new_ids | frame.claimed
 
     with _LOCK:
         # lost race: another thread built it meanwhile — keep theirs
         hit = _ENTRIES.get(key)
         if hit is not None:
-            for fn in releasables:
+            for fn in frame.releasables:
                 fn()
             hit.last_epoch = _EPOCH
             _ENTRIES.move_to_end(key)
             _DATASETS.move_to_end(ds)
+            _note_dep(key)
             return hit.value
-        _ENTRIES[key] = _Entry(value, releasables, frozenset(new_ids))
+        _ENTRIES[key] = _Entry(
+            value, frame.releasables, frozenset(new_ids), frozenset(frame.deps)
+        )
         _DATASETS[ds] = None
         _DATASETS.move_to_end(ds)
+        _note_dep(key)
         evict = []
         while len(_DATASETS) > MAX_DATASETS:
             old_ds, _ = _DATASETS.popitem(last=False)
@@ -418,6 +473,15 @@ def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
     for old_ds in evict:
         _release_dataset(old_ds)
     return value
+
+
+def _note_dep(key: tuple[str, str, str]) -> None:
+    """Record that the build currently in progress on THIS thread (if
+    any) touched entry ``key`` — its plan may embed that entry's
+    blocks, so byte-eviction must treat them as a unit."""
+    stack = _building_stack()
+    if stack:
+        stack[-1].deps.add(key)
 
 
 def peek(name: str, spark, sf_dir: str) -> Any | None:

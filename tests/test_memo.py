@@ -208,3 +208,28 @@ def test_byte_budget_evicts_cold_entries_only(spark, monkeypatch):
     da2 = M.memo("t_bb_a", spark, "ds_a", mk("a"))
     assert builds["a"] == 2 and da2.count() == 5000
     M.clear_all()
+
+
+def test_tick_and_budget_between_queries_keep_results_correct(spark, monkeypatch):
+    """The bench loop's integration contract: with the byte budget
+    forced to ~zero and tick() fired between queries (so every memo is
+    evicted as soon as it goes two epochs cold and every loose
+    ephemeral checkpoint is released), a sequence of real plan queries
+    must still return exactly the rows it returns in a fresh untouched
+    session — eviction's only allowed effect is a rebuild."""
+    from kremis_spark.plans import pipeline as P
+
+    sf = "/root/testdata/sf0.001"
+    M.clear_all()
+    qs = ["pipe_simhash", "pipe_simhash_neardup", "pipe_dedup_incremental"]
+    baseline = {}
+    for q in qs:
+        baseline[q] = [tuple(r) for r in P.QUERIES[q](spark, sf).collect()]
+    M.clear_all()
+    monkeypatch.setattr(M, "MAX_MEMO_MB", 1e-6)
+    for round_ in range(2):  # second pass re-enters evicted memos
+        for q in qs:
+            M.tick()
+            got = [tuple(r) for r in P.QUERIES[q](spark, sf).collect()]
+            assert got == baseline[q], (q, round_)
+    M.clear_all()
