@@ -163,15 +163,18 @@ def _persistent_ids(sc) -> set[int]:
     return {int(i) for i in jmap.keySet().toArray()}
 
 
-def _ckpt_core(df: DataFrame, eager: bool):
-    """localCheckpoint at CHECKPOINT_LEVEL with the created persistent-
-    RDD ids diffed under the build serializer; returns (df, release)."""
+def _ckpt_core(df: DataFrame, eager: bool, level: StorageLevel | None = None):
+    """localCheckpoint (serialized blocks unless ``level`` overrides)
+    with the created persistent-RDD ids diffed under the build
+    serializer; returns (df, release)."""
     global _LAST_SC
     sc = df.sparkSession.sparkContext
     _LAST_SC = sc
     with _BUILD_SERIAL:
         before = _persistent_ids(sc)
-        out = df.localCheckpoint(eager=eager, storageLevel=CHECKPOINT_LEVEL)
+        out = df.localCheckpoint(
+            eager=eager, storageLevel=level or CHECKPOINT_LEVEL
+        )
         new_ids = _persistent_ids(sc) - before
 
     def release(sc=sc, ids=frozenset(new_ids)) -> None:
@@ -243,10 +246,22 @@ def checkpoint_with_release(
     (entry-owned inside a build, loose outside), so whatever the loop
     doesn't fire itself is still freed — double-unpersist is harmless.
     The LOOP'S FINAL checkpoint (never released by the loop) is thereby
-    bounded too."""
+    bounded too.
+
+    Blocks stay DESERIALIZED (the JVM localCheckpoint default), unlike
+    the session-lived checkpoints: a rolling generation is re-read on
+    the very next iteration and freed one or two iterations later, so
+    the per-iteration decode of serialized blocks costs more than the
+    short-lived heap footprint saves (measured r11 A/B: graph_sssp
+    1.03→1.91 s and graph_kcore 0.50→1.09 s with serialized rolling
+    blocks; session storage is bounded by the rolling release either
+    way)."""
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    deser = _SL.MEMORY_AND_DISK_DESER
     with _BUILD_SERIAL:
         in_build = bool(_building_stack())
-        out, release = _ckpt_core(df, eager)
+        out, release = _ckpt_core(df, eager, level=deser)
         if in_build:
             _register_release(release)
     if not in_build:
