@@ -802,10 +802,15 @@ def q_pack_order_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task; output is 3 rows."""
     from kremis_spark.operators.prefix import exclusive_prefix_sum
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(tokens("text")).cast("long").alias("n_toks"),
+    # materialize the 3-narrow-column token-count fact once: each of the
+    # three prefix scans otherwise re-tokenizes the corpus (and the
+    # range partitioner's sampling pass re-reads its input besides)
+    docs = M.ephemeral_checkpoint(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.size(tokens("text")).cast("long").alias("n_toks"),
+        )
     )
     strategies = {
         "1_doc_order": (docs, ["doc_id"]),
