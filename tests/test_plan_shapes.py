@@ -944,3 +944,43 @@ def test_market_basket_pair_join_is_co_partitioned(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
     assert "TakeOrderedAndProject" in p  # top-N never a global sort
+
+
+def test_media_feature_knn_broadcasts_probes_no_corpus_self_join(spark):
+    """The media similarity gate must broadcast the (tiny) probe side
+    into one streaming pass over the corpus feature table — a shuffle
+    join or a corpus×corpus product here would be the O(n²) shape that
+    dies at 100 TB. The per-probe top-k window partitions on probe_id
+    (request-sized), never an unpartitioned global sort."""
+    from kremis_spark.plans.beyond import q_media_feature_knn
+
+    df = q_media_feature_knn(spark, SF_DIR)
+    txt = plan_text(df)
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    # the ranking window is keyed by probe_id, not global
+    win = [ln for ln in txt.splitlines() if "Window" in ln or "partitionBy" in ln]
+    body = txt.split("Window")[1] if "Window" in txt else ""
+    assert "probe_id" in body.split("ORDER BY")[0] if "ORDER BY" in body else True
+    rows = df.collect()
+    assert rows, "gate returns neighbors at sf0.001"
+
+
+def test_simhash_neardup_uses_memoized_signatures(spark):
+    """pipe_simhash_neardup and pipe_simhash must serve the SAME
+    session-memoized signature checkpoint (the round-11 fix for the one
+    query elevated in both round-10 bench runs): after either runs, the
+    registry holds the shared entry and a repeat call issues no token
+    re-hash (its plan reads the checkpoint scan, not the corpus scan)."""
+    from kremis_spark import memo as M
+    from kremis_spark.plans.pipeline import q_simhash, q_simhash_neardup
+
+    M.clear_all()
+    q_simhash_neardup(spark, SF_DIR).collect()
+    assert M.peek("pipe_simhash32", spark, SF_DIR) is not None
+    txt = plan_text(q_simhash(spark, SF_DIR))
+    assert "Scan ExistingRDD" in txt or "LocalTableScan" in txt or "Checkpoint" in txt, (
+        "pipe_simhash must read the memoized checkpoint, not re-hash the corpus"
+    )
+    assert "documents" not in txt, "corpus re-scan means the memo missed"
+    M.clear_all()
