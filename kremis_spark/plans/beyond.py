@@ -7,10 +7,12 @@ streaming/stream.py) into the driver's oracle-checked correctness gate:
   (real BMP images of the text bytes) → Arrow-batched ``mapInPandas``
   decode + feature extraction. The decode is real (PIL or the fallback
   codec) and load-bearing: features/pixel_sha derive from the decoded
-  RGB buffer; only the ENCODER is the documented deterministic fake
-  (sha256-seeded features), which keeps the whole path — binary column,
-  partitioning, batch schema, pixel reconstruction, fixed-point feature
-  readback — exactly reproducible in SQL.
+  RGB buffer, and the ENCODER is the fixed-weight integer conv+pool
+  spec (imaging.pixel_features — visual locality, float32-exact), so
+  the whole path — binary column, partitioning, batch schema, pixel
+  reconstruction, fixed-point feature readback — stays exactly
+  reproducible (feat0 is the quadrant-mean expression in SQL; the full
+  vector is golden-oracled via pipe_media_feature_knn).
 - ``stream_window_counts`` — Structured Streaming tumbling-window
   aggregation (watermark + window) run to completion with availableNow;
   the streamed result must equal the batch SQL over the same file.
