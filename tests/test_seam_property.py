@@ -155,3 +155,32 @@ def test_graph_collect_seam(spark, op, node_off, edge_off):
         )
     finally:
         gq.PR_COLLECT_MAX_NODES, gq.PR_COLLECT_MAX_EDGES = saved
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(2, 60),
+    thresh_off=st.integers(-30, 30),
+)
+@_SWEEP
+def test_ingest_adjacent_pairs_seam(spark, seed, n, thresh_off):
+    """The ingest pairing primitive switches from a lag window (bounded
+    batches) to dense-rank + equi-join (shuffle-parallel) at
+    scalable_threshold. Randomize the threshold around the batch size:
+    both physical strategies must produce the identical adjacent-pair
+    multiset — including duplicate entities and repeated pairs."""
+    from kremis_spark.ingest import _adjacent_pairs
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(6)) for i in range(n)]
+    df = spark.createDataFrame(rows, "seq LONG, entity_id LONG")
+    expect = sorted(
+        (rows[i - 1][1], rows[i][1]) for i in range(1, len(rows))
+    )
+    got = sorted(
+        (int(r["prev_entity"]), int(r["cur_entity"]))
+        for r in _adjacent_pairs(
+            df, scalable_threshold=max(1, n + thresh_off)
+        ).collect()
+    )
+    assert got == expect
