@@ -19,6 +19,17 @@ tests/test_analytics_oracle.py::test_oracle_match):
   columns by name before hashing.
 - **Integer-exact values.** Float math diverges between engines; keep
   user-visible metrics in integer/fixed-point arithmetic.
+- **Explicitly CAST every oracle output column** — BIGINT, DOUBLE, or
+  VARCHAR; no bare integer aggregates. The driver canonicalizes both
+  sides through pandas: DuckDB widens integer SUM/AVG-style aggregates
+  to HUGEINT/DECIMAL, which pandas renders as float64 (``-8448.0``)
+  while Spark emits int64 (``-8448``) — the value hash then diverges on
+  every row even though fetchall() values are equal. This shipped as
+  the r11 ``pipe_multimodal_decode`` red row (the only red of the
+  round; fixed by ``CAST(... AS BIGINT) AS feat0_q``). Enforced by the
+  per-column dtype-kind sweep in
+  tests/test_analytics_oracle.py::test_oracle_match and
+  tools/check_oracle.py (both hash from pandas frames since r12).
 """
 
 from __future__ import annotations
@@ -29,71 +40,73 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The grading driver runs CORRECTNESS verdicts for the FIRST 50 entries in
-# queries() dict order. Round 11's window: (1) the round's new/changed
-# plans — the conv+pool visual-feature kNN gate (first verdict), the
-# re-encoded multimodal decode gate, the memoized SimHash pair, and the
-# six graph queries whose iteration checkpoints got rolling release;
-# then (2) stale-verdict refresh, strictly oldest-first (the r5–r6
-# window/sketch/ANN/TPC-H tail — after this rotation no registry
-# query's latest driver verdict is older than round 5, and next round's
-# refresh retires the r5/r6 tail entirely). Every rotated-in query was
-# pre-verified against its DuckDB oracle at sf0.01 with
-# tools/check_oracle.py before this edit; queries not in the window
-# stay exercised by tests/test_analytics_oracle.py at sf0.001 every
-# pytest run.
+# queries() dict order. Round 12's window: (1) the round's changed
+# plans — the multimodal-decode gate whose oracle gained the missing
+# `CAST(... AS BIGINT) AS feat0_q` (the r11 red row: engine correct,
+# DuckDB HUGEINT→pandas float64 vs Spark int64 under the driver's
+# canonicalizer), and the four graph loops whose iteration-hot
+# static facts now store deserialized-while-under-budget (memo.hot);
+# then (2) stale-verdict refresh, strictly oldest-first: ALL 9
+# remaining r6 entries, ALL 34 r7 entries, and the 2 alphabetically
+# first r8 entries — after this rotation no registry query's latest
+# driver verdict is older than round 8. Every rotated-in query was
+# pre-verified against its DuckDB oracle at sf0.01 with the (now
+# driver-faithful, pandas-dtype-checking) tools/check_oracle.py before
+# this edit; queries not in the window stay exercised by
+# tests/test_analytics_oracle.py at sf0.001 every pytest run.
 _PRIORITY_FIRST_50 = [
-    # --- new / changed this round (need a fresh or first verdict) ---
-    "pipe_media_feature_knn",        # NEW: conv+pool visual features + L1 kNN (golden oracle)
-    "pipe_multimodal_decode",        # encoder replaced (conv+pool) + new pixel-semantic feat0 oracle
-    "pipe_simhash_neardup",          # r10 bench suspect: sigs now memoized, scratch ephemeral
-    "pipe_simhash",                  # now serves the memoized signature checkpoint
-    "graph_pagerank",                # rolling iteration-checkpoint release
-    "graph_components",              # rolling release in connected_components
-    "graph_kcore",                   # rolling release in the peel loop
-    "graph_sssp",                    # rolling release in Bellman-Ford
-    "graph_label_propagation",       # rolling release in the propagation loop
-    "graph_harmonic_centrality",     # frontier checkpoints now ephemeral
+    # --- changed this round (need a fresh verdict) ---
+    "pipe_multimodal_decode",        # oracle feat0_q CAST AS BIGINT (r11 red row fix)
+    "graph_sssp",                    # costed edge fact: hot (deser-under-budget) checkpoint
+    "graph_kcore",                   # undirected base fact: hot checkpoint
+    "graph_label_propagation",       # adjacency fact: hot checkpoint (distributed twin)
+    "graph_harmonic_centrality",     # shares the hot undirected base fact
     # --- stale-verdict refresh, oldest latest-verdict first ---
-    "events_funnel",                 # r5
-    "pipe_ann_lsh_topk",             # r5
-    "pipe_bpe_train",                # r5
-    "pipe_curriculum_stages",        # r5
-    "pipe_dedup_incremental",        # r5
-    "pipe_kmeans_train",             # r5
-    "pipe_semdedup",                 # r5
-    "pipe_temperature_mix",          # r5
-    "tpch_q12_priority_class",       # r5
-    "tpch_q13_custdist",             # r5
-    "tpch_q15_top_supplier",         # r5
-    "tpch_q16_supplier_cnt",         # r5
-    "tpch_q17_small_qty",            # r5
-    "tpch_q19_or_predicates",        # r5
-    "tpch_q22_idle_customers",       # r5
-    "win_rolling_revenue",           # r5
-    "docs_length_percentiles",       # r6
-    "docs_zorder_layout",            # r6
-    "events_ab_srm",                 # r6
-    "events_cube_summary",           # r6
-    "events_decay_sum",              # r6
-    "events_funnel_latency",         # r6
-    "events_hll_intersect",          # r6
-    "events_hourly_anomaly",         # r6
-    "events_kanon_summary",          # r6
-    "events_new_vs_returning",       # r6
-    "events_pivot_hourly",           # r6
-    "events_power_gini",             # r6
-    "events_session_gap_hist",       # r6
-    "events_skew_safe_reach",        # r6
-    "events_user_streaks",           # r6
-    "events_value_histogram",        # r6
-    "graph_assortativity",           # r6
-    "graph_clustering_coeff",        # r6
-    "graph_jaccard_neighbors",       # r6
-    "graph_reciprocity",             # r6
-    "orders_cohort_ltv",             # r6
-    "pipe_ann_filtered_topk",        # r6
-    "pipe_bpe_merge_step",           # r6
-    "pipe_canonical_pick",           # r6
+    "pipe_containment",              # r6
+    "pipe_embed_neardup",            # r6
+    "pipe_heldout_ppl",              # r6
+    "pipe_knn_graph",                # r6
+    "pipe_langid_confusion",         # r6
+    "pipe_leakage_split",            # r6
+    "pipe_pii_scrub",                # r6
+    "pipe_source_drift",             # r6
+    "pipe_top_ngram",                # r6
+    "events_dau_wau_mau",            # r7
+    "events_kmv_distinct",           # r7
+    "graph_stable_edge_curve",       # r7
+    "pipe_ann_ivfpq",                # r7
+    "pipe_ann_mips",                 # r7
+    "pipe_ann_pareto",               # r7
+    "pipe_ann_sq8",                  # r7
+    "pipe_bm25_topk",                # r7
+    "pipe_cdc_chunks",               # r7
+    "pipe_dedup_keep",               # r7
+    "pipe_embed_dim_stats",          # r7
+    "pipe_embed_gram",               # r7
+    "pipe_embed_norm_hist",          # r7
+    "pipe_embed_outliers",           # r7
+    "pipe_epoch_schedule",           # r7
+    "pipe_hybrid_rrf",               # r7
+    "pipe_kmeans_step",              # r7
+    "pipe_label_purity",             # r7
+    "pipe_mixture_sample",           # r7
+    "pipe_packing_efficiency",       # r7
+    "pipe_quality_percentiles_by_source",  # r7
+    "pipe_stratified_sample",        # r7
+    "pipe_surprisal_prune",          # r7
+    "pipe_token_budget_mix",         # r7
+    "pipe_winnowing",                # r7
+    "stream_dedup_counts",           # r7
+    "stream_hll_by_type",            # r7
+    "stream_session_windows",        # r7
+    "stream_static_enrich",          # r7
+    "tpch_q11_important_stock",      # r7
+    "tpch_q20_dominant_supplier",    # r7
+    "tpch_q2_min_cost_supplier",     # r7
+    "tpch_rfm_segments",             # r7
+    "win_weekly_growth",             # r7
+    "events_lateness_audit",         # r8
+    "events_skew_top_keys",          # r8
 ]
 
 

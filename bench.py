@@ -159,14 +159,29 @@ def main() -> None:
     wall0 = time.time()
 
     # --- ingest: signals → committed graph state (cached for queries) ---
-    t0 = time.time()
-    state = gq.graph_state(spark, sf_dir)
-    n_signals = int(
-        state.properties.sparkSession.read.schema("event_id LONG")
-        .parquet(f"{sf_dir}/events.parquet")
-        .count()
-    )
-    times["ingest"] = time.time() - t0
+    # Ingest gets reps like every query (r11 verdict task: the one
+    # min=None entry in BENCH_FULL excluded ingest from headline_min).
+    # The graph state is memoized, so between reps the registry is
+    # cleared and the build re-runs cold; the LAST rep's state is left
+    # cached for the query phase. Headline 'ingest' stays the FIRST
+    # (coldest) rep for comparability with earlier rounds.
+    from kremis_spark import memo as _memo_mod
+
+    INGEST_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_REPS", "3"))
+    ing_samples: list[float] = []
+    n_signals = 0
+    for i in range(INGEST_REPS):
+        if i > 0:
+            _memo_mod.clear_all()  # force a cold rebuild for this rep
+        t0 = time.time()
+        state = gq.graph_state(spark, sf_dir)
+        n_signals = int(
+            state.properties.sparkSession.read.schema("event_id LONG")
+            .parquet(f"{sf_dir}/events.parquet")
+            .count()
+        )
+        ing_samples.append(time.time() - t0)
+    times["ingest"] = round(ing_samples[0], 3)
     extras["signals_per_sec"] = round(n_signals / max(times["ingest"], 1e-9), 1)
     extras["n_signals"] = n_signals
 
@@ -186,6 +201,10 @@ def main() -> None:
         qs = {k: v for k, v in qs.items() if k in keep}
     medians: dict[str, float] = {}
     minima: dict[str, float] = {}
+    # ingest's reps recorded above, same axes as every query
+    _ing_sorted = sorted(ing_samples)
+    medians["ingest"] = round(_ing_sorted[len(_ing_sorted) // 2], 3)
+    minima["ingest"] = round(_ing_sorted[0], 3)
     # Per-query plan-compile warmup (SPARK_GRAFT_BENCH_WARMUP=0 to
     # disable): run each query once at the smallest sibling SF before its
     # timed reps. C2 compiles the query's generated-code shapes on the

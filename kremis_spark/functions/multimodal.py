@@ -158,23 +158,74 @@ def _decode_pixels(raw: bytes) -> tuple[int, int, bytes] | None:
         return None
 
 
-def decode_features(df: DataFrame) -> DataFrame:
+def load_linear_encoder(artifact_path: str, dim: int = FEATURE_DIM):
+    """Load a "learned" encoder from a local weight artifact — the seam
+    a real model plugs into (r11 verdict task 8).
+
+    The artifact is an ``.npz`` with an integer weight matrix ``weight``
+    of shape ``(dim, FEATURE_GRID²)``; the encoder applies it to the
+    same 32×32 integer gray grid the fixed conv+pool spec pools over,
+    then quantizes to the frozen ±32768 fixed-point range — so swapping
+    encoders changes ONLY feature values, never the schema, determinism
+    guarantees, or batch plumbing. Weights are loaded lazily INSIDE the
+    returned closure and cached per process — the production shape: each
+    executor opens the artifact once (from shared storage on a cluster),
+    not once per row, and the driver never ships the tensor through the
+    task closure.
+    """
+    cache: dict[str, "object"] = {}
+
+    def encode(width: int, height: int, px: bytes) -> list[float]:
+        import numpy as np
+
+        from kremis_spark.functions import imaging as I
+
+        n = I.FEATURE_GRID
+        W = cache.get("W")
+        if W is None:
+            with open(artifact_path, "rb") as f:
+                W = np.load(f)["weight"].astype(np.int64)
+            if W.shape != (dim, n * n):
+                raise ValueError(
+                    f"encoder artifact shape {W.shape} != ({dim}, {n * n})"
+                )
+            cache["W"] = W
+        a = np.frombuffer(px, dtype=np.uint8).reshape(height, width, 3)
+        rows = (np.arange(n) * height) // n
+        cols = (np.arange(n) * width) // n
+        sub = a[np.ix_(rows, cols)].astype(np.int64)
+        g = (299 * sub[:, :, 0] + 587 * sub[:, :, 1] + 114 * sub[:, :, 2]) // 1000
+        v = (W @ g.reshape(-1)) // (n * n)
+        q = np.clip(v, -32768, 32767)
+        return [float(x) / 32768.0 for x in q]
+
+    return encode
+
+
+def decode_features(df: DataFrame, encoder=None) -> DataFrame:
     """Batch feature extraction over media content via mapInPandas.
 
     The DECODE step is real (PIL or the fallback codec) and load-bearing:
     for decodable payloads the feature vector and ``pixel_sha`` are
     computed from the decoded RGB pixel buffer — corrupt the pixels and
     the features change; change container bytes that decode to the same
-    pixels and they don't. The ENCODER is the fixed-weight integer
-    conv+pool spec (``imaging.pixel_features``: quadrant means +
+    pixels and they don't. The default ENCODER is the fixed-weight
+    integer conv+pool spec (``imaging.pixel_features``: quadrant means +
     gradient energies + Laplacian energy over the 32×32 gray grid) —
-    deterministic with visual locality; a learned model slots in behind
-    the same signature. Batch plumbing — iterator of pandas frames in,
-    iterator out, schema contract — is the production shape.
+    deterministic with visual locality. ``encoder`` swaps in any
+    callable ``(width, height, pixel_bytes) -> list[float]`` behind the
+    SAME signature — e.g. :func:`load_linear_encoder` for a
+    weight-artifact-backed model — changing only feature values:
+    schema, ``pixel_sha``/``decoded`` semantics, determinism, and the
+    Arrow batch plumbing are encoder-independent (pinned by
+    tests/test_encoder_seam.py). Batch plumbing — iterator of pandas
+    frames in, iterator out, schema contract — is the production shape.
     Undecodable payloads fall back to sha-derived features with
     ``decoded = false``.
     """
     import pandas as pd
+
+    enc = encoder if encoder is not None else _pixel_features_np
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -191,7 +242,7 @@ def decode_features(df: DataFrame) -> DataFrame:
                     w, h, px = got
                     pshas.append(hashlib.sha256(px).hexdigest())
                     dec.append(True)
-                    feats.append(_pixel_features_np(w, h, px))
+                    feats.append(enc(w, h, px))
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],

@@ -71,6 +71,15 @@ MAX_MEMO_MB = float(os.environ.get("SPARK_GRAFT_MEMO_MB", "220"))
 # Dataset.localCheckpoint's JVM default is the DESERIALIZED variant.
 CHECKPOINT_LEVEL = StorageLevel(True, True, False, False, 1)
 
+# Iteration-HOT checkpoints (a static edge/adjacency fact re-read every
+# round of a Pregel-style loop) may store DESERIALIZED while total
+# persistent memSize is under this fraction of MAX_MEMO_MB — the
+# per-round decode of serialized blocks costs more than the heap
+# footprint saves (r11 A/B: graph_sssp +0.9 s, graph_kcore +0.6 s from
+# SER loop inputs). Under storage pressure they fall back to the
+# serialized CHECKPOINT_LEVEL, so the GC-census bound still holds.
+HOT_HEADROOM = 0.8
+
 # Monotonic epoch counter — bumped by tick() at query boundaries (the
 # bench loop and any long-lived server that wants bounded storage call
 # it between queries). Entries touched in the current OR previous epoch
@@ -190,7 +199,28 @@ def _ckpt_core(df: DataFrame, eager: bool, level: StorageLevel | None = None):
     return out, release
 
 
-def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+def _hot_level(sc) -> StorageLevel:
+    """Storage level for an iteration-hot checkpoint: DESERIALIZED
+    while live persistent memSize leaves :data:`HOT_HEADROOM` headroom
+    under MAX_MEMO_MB, else the serialized :data:`CHECKPOINT_LEVEL`.
+    Checked at checkpoint-creation time — a long session that fills the
+    budget degrades new hot facts to SER instead of blowing the heap
+    scan set."""
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    if MAX_MEMO_MB <= 0:
+        return _SL.MEMORY_AND_DISK_DESER
+    try:
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        mem = sum(int(i.memSize()) for i in infos)
+    except Exception:  # noqa: BLE001 — context may be stopped
+        return CHECKPOINT_LEVEL
+    if mem < HOT_HEADROOM * MAX_MEMO_MB * 1e6:
+        return _SL.MEMORY_AND_DISK_DESER
+    return CHECKPOINT_LEVEL
+
+
+def checkpoint(df: DataFrame, eager: bool = True, hot: bool = False) -> DataFrame:
     """``localCheckpoint`` with a WORKING release path: the persistent
     RDD ids created by the checkpoint are recorded, and the release
     callback unpersists those ids via the JVM's persistent-RDD map (the
@@ -205,13 +235,20 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     a caller still holds — fails with a missing-block error on its next
     action; it cannot be recomputed. Don't hold memoized DataFrames
     across dataset switches; re-enter :func:`memo` instead (a rebuild is
-    the designed recovery path)."""
-    out, release = _ckpt_core(df, eager)
+    the designed recovery path).
+
+    ``hot=True`` marks an iteration-hot fact (re-read every round of a
+    loop): blocks store DESERIALIZED while :func:`_hot_level` sees
+    budget headroom, SER under pressure."""
+    level = _hot_level(df.sparkSession.sparkContext) if hot else None
+    out, release = _ckpt_core(df, eager, level=level)
     _register_release(release)
     return out
 
 
-def ephemeral_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+def ephemeral_checkpoint(
+    df: DataFrame, eager: bool = True, hot: bool = False
+) -> DataFrame:
     """:func:`checkpoint` for per-call scratch tables inside plan
     functions (banded candidate tables, per-call fan-in facts) that are
     NOT memoized: inside a memo build it behaves exactly like
@@ -221,11 +258,15 @@ def ephemeral_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     to have collected the returned DataFrame, short enough that a long
     bench session's storage stays flat instead of accreting one dead
     scratch table per query call. Sessions that never tick() keep the
-    old leak-until-clear_all behavior (epoch stays 0)."""
+    old leak-until-clear_all behavior (epoch stays 0).
+
+    ``hot=True`` as in :func:`checkpoint`: deserialized blocks while
+    the budget has headroom (iteration-hot loop inputs)."""
+    level = _hot_level(df.sparkSession.sparkContext) if hot else None
     with _BUILD_SERIAL:
         if _building_stack():
-            return checkpoint(df, eager=eager)
-        out, release = _ckpt_core(df, eager)
+            return checkpoint(df, eager=eager, hot=hot)
+        out, release = _ckpt_core(df, eager, level=level)
     with _LOCK:
         _LOOSE.append((_EPOCH, release))
     return out
@@ -314,9 +355,19 @@ def _enforce_budget(sc) -> None:
     always takes the DEPENDENT CLOSURE together, and only when every
     member of the closure is cold — a hot dependent pins its parents.
     Entries whose RDD ids are unknown (pure .cache() memos) carry no
-    bytes of their own but still evict with their parents."""
+    bytes of their own but still evict with their parents.
+
+    Holds ``_BUILD_SERIAL`` for the whole sweep: a build running longer
+    than two epochs on another thread would otherwise have a cold
+    parent entry evicted out from under a Spark job mid-read (advisor
+    r11). Lock order is the module-wide _BUILD_SERIAL → _LOCK."""
     if MAX_MEMO_MB <= 0:
         return
+    with _BUILD_SERIAL:
+        _enforce_budget_locked(sc)
+
+
+def _enforce_budget_locked(sc) -> None:
     try:
         infos = sc._jsc.sc().getRDDStorageInfo()
         mem_by_id = {int(i.id()): int(i.memSize()) for i in infos}

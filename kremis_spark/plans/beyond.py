@@ -1374,10 +1374,10 @@ SELECT doc_id AS item_id,
             ELSE 'video' END AS modality,
        CAST(3126 AS BIGINT) AS n_bytes,
        sha256(pixels) AS pixel_sha,
-       (SELECT SUM((299 * ord(substr(pixels, ((g // 16) * 32 + (g % 16)) * 3 + 1, 1))
+       CAST((SELECT SUM((299 * ord(substr(pixels, ((g // 16) * 32 + (g % 16)) * 3 + 1, 1))
                   + 587 * ord(substr(pixels, ((g // 16) * 32 + (g % 16)) * 3 + 2, 1))
                   + 114 * ord(substr(pixels, ((g // 16) * 32 + (g % 16)) * 3 + 3, 1))) // 1000)
-          FROM generate_series(0, 255) t(g)) // 256 * 256 - 32768 AS feat0_q
+          FROM generate_series(0, 255) t(g)) // 256 * 256 - 32768 AS BIGINT) AS feat0_q
 FROM px
 """,
     # A DCT pHash is not SQL-expressible: frozen golden-rows oracle from

@@ -70,7 +70,10 @@ def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("src", "dst").alias("a"),
                 F.greatest("src", "dst").alias("b"),
             )
-            .distinct()
+            .distinct(),
+            # iteration-hot: k-core/harmonic/LP re-read this fact every
+            # loop round — deserialized while the budget has headroom
+            hot=True,
         )
 
     return M.memo("graph_undirected", spark, sf_dir, build)
@@ -1152,7 +1155,8 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = heaviest[0]["src"]
     edges = (
         st.edges.select("src", "dst", F.expr(_SSSP_COST).alias("cost"))
-        .transform(M.ephemeral_checkpoint)
+        # iteration-hot: joined against the distance table every round
+        .transform(lambda d: M.ephemeral_checkpoint(d, hot=True))
     )
     INF = (1 << 62)
     dist = st.nodes.select(
@@ -1240,7 +1244,8 @@ def label_propagation_distributed(
     adj = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
-        .transform(M.ephemeral_checkpoint)
+        # iteration-hot: joined against the label table every round
+        .transform(lambda d: M.ephemeral_checkpoint(d, hot=True))
     )
     labels = nodes.select(
         F.col("node_id").alias("v"), F.col("node_id").alias("label")
@@ -1595,8 +1600,11 @@ def pagerank_distributed(
     edges = edges_df.select("src", "dst").join(outdeg, "src")
     if not bcast_ranks:
         edges = edges.repartition("src")
-        nodes = nodes.repartition("node_id").transform(M.ephemeral_checkpoint)
-    edges = edges.transform(M.ephemeral_checkpoint)
+        nodes = nodes.repartition("node_id").transform(
+            lambda d: M.ephemeral_checkpoint(d, hot=True)
+        )
+    # iteration-hot: the static edge fact is joined every iteration
+    edges = edges.transform(lambda d: M.ephemeral_checkpoint(d, hot=True))
     ranks = nodes.withColumn("r", F.lit(1_000_000 // n).cast("long"))
     rel_prev = None  # rolling release across the every-3rd-iteration cuts
     for i in range(iters):

@@ -1,6 +1,14 @@
 """DuckDB oracle cross-check for every oracle-bearing queries() entry at
 sf0.001 — the in-suite mirror of the driver's correctness gate (row
-count + column names + order-insensitive value hash)."""
+count + column names + order-insensitive value hash).
+
+Driver-faithful since round 12: both sides are canonicalized through
+pandas (``toPandas()`` vs duckdb ``.df()``) with per-column dtype-kind
+assertions, mirroring the driver exactly. The previous ``collect()`` /
+``fetchall()`` comparison fetched Python ints on both sides, which hid
+the r11 ``pipe_multimodal_decode`` red row (DuckDB HUGEINT SUM →
+pandas float64 ``-8448.0`` vs Spark int64 ``-8448``): reverting the
+``CAST(... AS BIGINT)`` in that oracle now fails THIS test."""
 
 from __future__ import annotations
 
@@ -12,7 +20,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.check_oracle import TABLES, value_hash  # noqa: E402
+from tools.check_oracle import (  # noqa: E402
+    TABLES,
+    dtype_mismatches,
+    frame_hash,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -53,16 +65,19 @@ def test_oracle_match(spark, duck, name):
             f"{name}.{f.name} is non-scalar ({f.dataType.simpleString()}): "
             "the driver canonicalizer cannot hash it — join to a string"
         )
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
+    opdf = duck.execute(_ORACLES[name]).df()
 
-    res = duck.execute(_ORACLES[name])
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-
-    assert sorted(scols) == sorted(ocols)
-    assert len(srows) == len(orows)
-    assert value_hash(scols, srows) == value_hash(ocols, orows)
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert len(spdf) == len(opdf)
+    # Dtype-kind sweep: an int64-vs-float64 divergence renders
+    # differently under the driver's pandas canonicalizer even when
+    # fetchall() values compare equal (the r11 feat0_q incident).
+    assert dtype_mismatches(spdf, opdf) == [], (
+        f"{name}: pandas dtype-kind divergence Spark vs DuckDB — "
+        "CAST the oracle column explicitly (BIGINT/DOUBLE/VARCHAR)"
+    )
+    assert frame_hash(spdf) == frame_hash(opdf)
 
 
 @pytest.mark.parametrize("bcast_max_nodes", [5_000_000, 0])

@@ -1,0 +1,111 @@
+"""Pluggable media-encoder seam (r11 verdict task 8): a fake "learned"
+encoder — random-but-FIXED integer weights loaded from a local artifact
+file — drops in behind ``decode_features``' signature without touching
+anything the gates depend on. Swapping encoders changes ONLY the
+feature values of decoded rows; schema, ``content_sha``/``pixel_sha``,
+``decoded`` flags, undecodable fallback, and determinism are all
+encoder-independent. This is the proof that a real model (which doesn't
+fit this container) slots in without touching the gates.
+
+Reference parity: the reference's media path treats the encoder as an
+opaque per-item transform; here the seam is the ``encoder`` callable of
+``kremis_spark.functions.multimodal.decode_features``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kremis_spark.functions import imaging as I
+from kremis_spark.functions.multimodal import (
+    FEATURE_DIM,
+    FEATURES_SCHEMA,
+    decodable_media_table,
+    decode_features,
+    fake_media_table,
+    load_linear_encoder,
+)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    """Random-but-fixed integer weight artifact, written once."""
+    p = tmp_path_factory.mktemp("enc") / "learned_encoder.npz"
+    rng = np.random.default_rng(20260816)
+    W = rng.integers(-64, 65, size=(FEATURE_DIM, I.FEATURE_GRID**2))
+    np.savez(p, weight=W)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    """Decodable rows + undecodable poison rows (fake_media_table's
+    content is pseudo-random bytes, not an image), disjoint item_ids."""
+    good = decodable_media_table(spark, n=32)
+    poison = fake_media_table(spark, n=8).withColumn(
+        "item_id", F.col("item_id") + 1000
+    )
+    return good.unionByName(poison).cache()
+
+
+def _collected(df):
+    rows = df.orderBy("item_id").collect()
+    return rows
+
+
+def test_swap_changes_only_feature_values(spark, media, artifact):
+    base = decode_features(media)
+    learned = decode_features(media, encoder=load_linear_encoder(artifact))
+
+    # identical schema — the gate contract is encoder-independent
+    assert base.schema == learned.schema == FEATURES_SCHEMA
+
+    b, l = _collected(base), _collected(learned)
+    assert len(b) == len(l) > 0
+    changed = 0
+    for rb, rl in zip(b, l):
+        # plumbing columns identical under either encoder
+        for c in ("item_id", "modality", "n_bytes", "content_sha",
+                  "pixel_sha", "decoded"):
+            assert rb[c] == rl[c], c
+        assert len(rb["features"]) == len(rl["features"]) == FEATURE_DIM
+        if rb["decoded"]:
+            if rb["features"] != rl["features"]:
+                changed += 1
+        else:
+            # undecodable fallback is sha-derived — encoder never runs
+            assert rb["features"] == rl["features"]
+    assert changed > 0, "learned encoder must actually change features"
+    decoded_rows = sum(1 for r in b if r["decoded"])
+    assert decoded_rows > 0 and changed == decoded_rows
+
+
+def test_learned_encoder_is_deterministic(spark, media, artifact):
+    a = _collected(decode_features(media, encoder=load_linear_encoder(artifact)))
+    b = _collected(decode_features(media, encoder=load_linear_encoder(artifact)))
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_artifact_loaded_lazily_per_process(spark, media, tmp_path):
+    """The driver never opens the artifact at plan-build time — weights
+    load inside the task (per-executor, the production shape). Building
+    the plan with a not-yet-existing path must succeed; only execution
+    needs the file."""
+    path = str(tmp_path / "late.npz")
+    df = decode_features(media, encoder=load_linear_encoder(path))  # no error
+    rng = np.random.default_rng(7)
+    np.savez(
+        tmp_path / "late.npz",
+        weight=rng.integers(-8, 9, size=(FEATURE_DIM, I.FEATURE_GRID**2)),
+    )
+    assert df.count() == media.count()
+
+
+def test_bad_artifact_shape_fails_loudly(spark, media, tmp_path):
+    path = str(tmp_path / "bad.npz")
+    np.savez(path, weight=np.ones((2, 3), dtype=np.int64))
+    df = decode_features(media, encoder=load_linear_encoder(path))
+    with pytest.raises(Exception, match="artifact shape"):
+        df.count()
