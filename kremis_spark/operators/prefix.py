@@ -89,6 +89,75 @@ def exclusive_prefix_sum(
     )
 
 
+def stacked_prefix_sum(
+    df: DataFrame,
+    tag_col: str,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """N independent exclusive prefix sums in ONE two-phase scan.
+
+    Callers that need several scans over the same fact under different
+    orderings (RFM tertiles: one per dimension; packing ablation: one
+    per ordering strategy) stack the variants into one DataFrame with a
+    ``tag_col`` discriminator and NORMALIZED order-key columns (same
+    name/type across tags), and this runs the classic two-phase scan
+    once over the union: range-partition by (tag, *order_cols) — each
+    tag occupies a contiguous partition range, a boundary partition may
+    straddle two tags — local window prefix partitioned by
+    (partition, tag), per-(partition, tag) totals to the driver (≤
+    partitions + tags tiny rows), running offsets reset at each tag
+    boundary, broadcast back joined on (partition, tag). Per tag the
+    result is bit-identical to :func:`exclusive_prefix_sum` on that
+    tag's slice (pinned by a unit test); the win is constant-factor —
+    one sampling pass, one materialization, one driver collect instead
+    of one EACH per tag — which is the driver-job tax that dominates
+    these gates at bench SF and is pure overhead at any SF."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 1)
+    all_order: list[str | Column] = [tag_col, *order_cols]
+
+    ranged = df.repartitionByRange(num_partitions, *all_order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    ranged = ranged.transform(M.ephemeral_checkpoint)
+
+    totals = {
+        (int(r[0]), r[1]): int(r[2])
+        for r in ranged.groupBy(_PID, tag_col)
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("t"))
+        .collect()
+    }
+    # Running offsets in (tag, pid) order — the global scan order —
+    # resetting the accumulator at each tag boundary.
+    offset_rows = []
+    acc = 0
+    cur_tag = object()
+    for pid, tag in sorted(totals, key=lambda k: (k[1], k[0])):
+        if tag != cur_tag:
+            acc, cur_tag = 0, tag
+        offset_rows.append((pid, tag, acc))
+        acc += totals[(pid, tag)]
+    offsets = spark.createDataFrame(
+        offset_rows, f"{_PID} INT, {tag_col} STRING, __scan_off LONG"
+    )
+
+    w = (
+        Window.partitionBy(_PID, tag_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0).cast("long"))
+    return (
+        ranged.join(F.broadcast(offsets), [_PID, tag_col])
+        .withColumn(out_col, (local + F.col("__scan_off")).cast("long"))
+        .drop(_PID, "__scan_off")
+    )
+
+
 def exclusive_prefix_max(
     df: DataFrame,
     order_cols: list[str | Column],

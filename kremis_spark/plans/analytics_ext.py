@@ -848,10 +848,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     targeting — 'tertile 0-0-0' is the lapsed tail, '2-2-2' the core.
 
     Scale shape: one shuffle aggregating per-customer RFM from orders;
-    each tertile rank comes from the two-phase distributed prefix scan
-    (operators/prefix.py — never an unpartitioned window over the
-    customer dimension); the rollup is ≤27 groups."""
-    from kremis_spark.operators.prefix import exclusive_prefix_sum
+    the three tertile ranks come from ONE stacked two-phase prefix scan
+    (operators/prefix.stacked_prefix_sum — never an unpartitioned
+    window over the customer dimension, and never three separate
+    sample/materialize/collect rounds); the pivot back to wide is one
+    customer-keyed agg; the rollup is ≤27 groups."""
+    from kremis_spark.operators.prefix import stacked_prefix_sum
 
     o = read_table(spark, sf_dir, "orders")
     per = (
@@ -873,17 +875,27 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_tertile BIGINT, f_tertile BIGINT, m_tertile BIGINT,"
             " n_customers BIGINT, sum_money_cents BIGINT",
         )
-    cur = per
-    for dim, out in (("r_day", "rt"), ("freq", "ft"), ("money", "mt")):
-        ranked = exclusive_prefix_sum(
-            cur, [dim, "o_custkey"], "one", out_col="rank0"
+    stacked = None
+    for tag, dim in (("r", "r_day"), ("f", "freq"), ("m", "money")):
+        part = per.select(
+            F.lit(tag).alias("dim_tag"),
+            F.col(dim).alias("dim_val"),
+            "o_custkey",
+            "one",
+            "money",
         )
-        cur = ranked.withColumn(
-            out,
-            F.expr(f"rank0 * {RFM_TILES} div {n}").cast("long"),
-        ).drop("rank0")
+        stacked = part if stacked is None else stacked.unionByName(part)
+    ranked = stacked_prefix_sum(
+        stacked, "dim_tag", ["dim_val", "o_custkey"], "one", out_col="rank0"
+    ).withColumn("tert", F.expr(f"rank0 * {RFM_TILES} div {n}").cast("long"))
+    wide = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("dim_tag") == "r", F.col("tert"))).alias("rt"),
+        F.max(F.when(F.col("dim_tag") == "f", F.col("tert"))).alias("ft"),
+        F.max(F.when(F.col("dim_tag") == "m", F.col("tert"))).alias("mt"),
+        F.max("money").alias("money"),
+    )
     return (
-        cur.groupBy(
+        wide.groupBy(
             F.col("rt").alias("r_tertile"),
             F.col("ft").alias("f_tertile"),
             F.col("mt").alias("m_tertile"),

@@ -794,13 +794,15 @@ def q_pack_order_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearly all of them — the table quantifies that gap on this corpus
     before anyone reorders 100 TB.
 
-    Scale shape: three two-phase distributed prefix scans
-    (operators/prefix.exclusive_prefix_sum — range partition, local
-    window prefix, per-partition offsets), each one shuffle; the
-    per-sequence source-mix is a map-side span explode into one
-    (seq_id)-keyed agg; rollups are scalar. Nothing serializes through
-    one task; output is 3 rows."""
-    from kremis_spark.operators.prefix import exclusive_prefix_sum
+    Scale shape: ONE stacked two-phase distributed prefix scan covering
+    all three orderings (operators/prefix.stacked_prefix_sum — range
+    partition by (strategy, key), local window prefix, per-(partition,
+    strategy) offsets; one sampling pass / materialization / driver
+    collect instead of three); the per-sequence source-mix is a
+    map-side span explode into one (strategy, seq_id)-keyed agg;
+    rollups are 3-row. Nothing serializes through one task; output is
+    3 rows."""
+    from kremis_spark.operators.prefix import stacked_prefix_sum
 
     # materialize the 3-narrow-column token-count fact once: each of the
     # three prefix scans otherwise re-tokenizes the corpus (and the
@@ -812,59 +814,78 @@ def q_pack_order_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens("text")).cast("long").alias("n_toks"),
         )
     )
-    strategies = {
-        "1_doc_order": (docs, ["doc_id"]),
-        "2_source_grouped": (docs, ["source", "doc_id"]),
-        "3_hash_shuffled": (
-            docs.withColumn("h", F.md5(F.col("doc_id").cast("string"))),
-            ["h", "doc_id"],
-        ),
-    }
-    outs = []
-    for name, (d, order) in strategies.items():
-        pref = exclusive_prefix_sum(d, order, "n_toks", "tok_start")
-        spans = pref.filter(F.col("n_toks") > 0).select(
+    # Normalized stacked ordering keys (k1 STRING, k2 LONG): doc order
+    # is (const, doc_id); source-grouped is (source, doc_id); shuffled
+    # is (md5(doc_id), doc_id) — per strategy, (k1, k2) ascending
+    # reproduces that strategy's ordering exactly.
+    parts = [
+        docs.select(
+            F.lit("1_doc_order").alias("strategy"),
+            F.lit("").alias("k1"),
+            F.col("doc_id").alias("k2"),
             "source",
-            F.expr(f"tok_start div {SEQ_LEN}").alias("first"),
-            F.expr(f"(tok_start + n_toks - 1) div {SEQ_LEN}").alias("last"),
+            "n_toks",
+        ),
+        docs.select(
+            F.lit("2_source_grouped").alias("strategy"),
+            F.col("source").alias("k1"),
+            F.col("doc_id").alias("k2"),
+            "source",
+            "n_toks",
+        ),
+        docs.select(
+            F.lit("3_hash_shuffled").alias("strategy"),
+            F.md5(F.col("doc_id").cast("string")).alias("k1"),
+            F.col("doc_id").alias("k2"),
+            "source",
+            "n_toks",
+        ),
+    ]
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    pref = stacked_prefix_sum(
+        stacked, "strategy", ["k1", "k2"], "n_toks", "tok_start"
+    )
+    spans = pref.filter(F.col("n_toks") > 0).select(
+        "strategy",
+        "source",
+        F.expr(f"tok_start div {SEQ_LEN}").alias("first"),
+        F.expr(f"(tok_start + n_toks - 1) div {SEQ_LEN}").alias("last"),
+    )
+    per_seq = (
+        spans.select(
+            "strategy",
+            "source",
+            F.explode(F.sequence("first", "last")).alias("seq"),
         )
-        per_seq = (
-            spans.select(
-                "source", F.explode(F.sequence("first", "last")).alias("seq")
-            )
-            .groupBy("seq")
-            .agg(F.countDistinct("source").alias("n_src"))
-        )
-        seq_stats = per_seq.agg(
-            F.count(F.lit(1)).cast("long").alias("n_seqs"),
-            F.sum((F.col("n_src") > 1).cast("long"))
+        .groupBy("strategy", "seq")
+        .agg(F.countDistinct("source").alias("n_src"))
+    )
+    seq_stats = per_seq.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum((F.col("n_src") > 1).cast("long"))
+        .cast("long")
+        .alias("n_mixed_seqs"),
+    )
+    split_stats = spans.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("first") != F.col("last")).cast("long"))
+        .cast("long")
+        .alias("n_split_docs"),
+    )
+    return (
+        split_stats.join(seq_stats, "strategy")
+        .select(
+            "strategy",
+            "n_docs",
+            "n_seqs",
+            "n_split_docs",
+            "n_mixed_seqs",
+            F.expr("(n_seqs - n_mixed_seqs) * 1000 div greatest(n_seqs, 1)")
             .cast("long")
-            .alias("n_mixed_seqs"),
+            .alias("pure_seq_permille"),
         )
-        split_stats = spans.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum((F.col("first") != F.col("last")).cast("long"))
-            .cast("long")
-            .alias("n_split_docs"),
-        )
-        outs.append(
-            split_stats.crossJoin(seq_stats).select(
-                F.lit(name).alias("strategy"),
-                "n_docs",
-                "n_seqs",
-                "n_split_docs",
-                "n_mixed_seqs",
-                F.expr(
-                    "(n_seqs - n_mixed_seqs) * 1000 div greatest(n_seqs, 1)"
-                )
-                .cast("long")
-                .alias("pure_seq_permille"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("strategy")
+        .orderBy("strategy")
+    )
 
 
 def _pack_ablation_oracle() -> str:

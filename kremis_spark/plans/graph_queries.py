@@ -79,6 +79,27 @@ def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.memo("graph_undirected", spark, sf_dir, build)
 
 
+def undirected_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-sized undirected degree fact ``(n, deg)``, materialized once
+    per session from the canonical undirected edge set. Five plans
+    (clustering coefficient, assortativity, link prediction, neighbor
+    Jaccard, modularity) previously each paid the incidence-union scan
+    plus one degree shuffle per call over the SAME fact; now they share
+    one build. Output is one row per node — the cheapest fact in the
+    registry to hold."""
+
+    def build() -> DataFrame:
+        und = undirected_edges(spark, sf_dir)
+        inc = und.select(F.col("a").alias("n")).unionAll(
+            und.select(F.col("b").alias("n"))
+        )
+        return M.checkpoint(
+            inc.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    return M.memo("graph_undirected_degree", spark, sf_dir, build)
+
+
 def graph_state(spark: SparkSession, sf_dir: str) -> GraphState:
     """Build (and cache) the events-derived graph via the real ingest path."""
 
@@ -622,10 +643,9 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degrees come from the incidence union with map-side partials.
     Output is O(V) — the per-node signal table itself."""
     und = undirected_edges(spark, sf_dir)
-    inc = und.select(F.col("a").alias("n")).unionAll(
-        und.select(F.col("b").alias("n"))
+    deg = undirected_degree(spark, sf_dir).select(
+        "n", F.col("deg").alias("degree")
     )
-    deg = inc.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("degree"))
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -678,10 +698,9 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it hash-joins on the edge key instead — AQE decides), one
     global agg. Output is one row."""
     und = undirected_edges(spark, sf_dir)
-    inc = und.select(F.col("a").alias("n")).unionAll(
-        und.select(F.col("b").alias("n"))
+    deg = undirected_degree(spark, sf_dir).select(
+        "n", F.col("deg").alias("d")
     )
-    deg = inc.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("x"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("y"))
     pairs = und.join(da, "a").join(db, "b").select("x", "y")
@@ -920,7 +939,9 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
         und.select(F.col("b").alias("z"), F.col("a").alias("n"))
     )
-    deg = inc.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    deg = undirected_degree(spark, sf_dir).select(
+        F.col("n").alias("z"), "deg"
+    )
     # Attach the per-z weight to the node-sized incidence list BEFORE the
     # wedge self-join: the Σdeg²-sized wedge relation then never takes
     # another join pass — it flows straight into the partial-aggregating
@@ -1033,7 +1054,7 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = und.select(F.col("a").alias("n"), F.col("b").alias("z")).union(
         und.select(F.col("b").alias("n"), F.col("a").alias("z"))
     )
-    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg = undirected_degree(spark, sf_dir)
     # broadcast the HUB list (tiny by construction) and anti-join, never
     # the complement (which is nearly every node)
     hubs = deg.filter(F.col("deg") > JN_HUB_CAP).select(
@@ -1422,10 +1443,9 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ca").alias("c"))
         .agg(F.count(F.lit(1)).cast("long").alias("ec"))
     )
-    inc = und.select(F.col("a").alias("n")).unionAll(
-        und.select(F.col("b").alias("n"))
+    deg = undirected_degree(spark, sf_dir).select(
+        "n", F.col("deg").alias("d")
     )
-    deg = inc.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
     dsum = (
         labels.join(deg, labels["node_id"] == deg["n"])
         .groupBy(F.col("label").alias("c"))

@@ -228,6 +228,54 @@ def test_prefix_sum_empty_input(spark):
     assert exclusive_prefix_sum(df, ["k"], "v").collect() == []
 
 
+def test_stacked_prefix_sum_matches_per_tag_scan(spark):
+    """The stacked multi-ordering scan equals an independent
+    exclusive_prefix_sum per tag slice, for every partition count —
+    including partition counts that straddle tag boundaries inside one
+    partition and ones that leave empty partitions."""
+    import random
+
+    from kremis_spark.operators.prefix import (
+        exclusive_prefix_sum,
+        stacked_prefix_sum,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for tag, n in (("a", 137), ("b", 1), ("c", 95)):
+        for i in range(n):
+            rows.append((tag, rng.randrange(0, 30), i, rng.randrange(0, 50)))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "t STRING, k1 LONG, k2 LONG, v LONG")
+
+    expected = {}
+    for tag in ("a", "b", "c"):
+        sl = [r for r in rows if r[0] == tag]
+        for r in exclusive_prefix_sum(
+            spark.createDataFrame(sl, "t STRING, k1 LONG, k2 LONG, v LONG"),
+            ["k1", "k2"],
+            "v",
+            "p",
+        ).collect():
+            expected[(r["t"], r["k1"], r["k2"])] = r["p"]
+
+    for parts in (1, 2, 7, 64):
+        got = {
+            (r["t"], r["k1"], r["k2"]): r["p"]
+            for r in stacked_prefix_sum(
+                df, "t", ["k1", "k2"], "v", "p", num_partitions=parts
+            ).collect()
+        }
+        assert got == expected, f"mismatch at num_partitions={parts}"
+
+
+def test_stacked_prefix_sum_empty_input(spark):
+    from kremis_spark.operators.prefix import stacked_prefix_sum
+
+    df = spark.createDataFrame([], "t STRING, k LONG, v LONG")
+    assert stacked_prefix_sum(df, "t", ["k"], "v").collect() == []
+
+
 def test_exclusive_prefix_max_matches_serial(spark):
     """The distributed prefix-MAX scan equals the serial running max
     for every partition count, including NULL-prefix first rows."""
