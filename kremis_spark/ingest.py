@@ -80,6 +80,7 @@ def ingest_batch(
     state: GraphState,
     signals: DataFrame,
     enforce_limits: bool = True,
+    initial: bool = False,
 ) -> GraphState:
     """Ingest one signal sequence into the graph state; returns new state.
 
@@ -88,7 +89,17 @@ def ingest_batch(
     batching (redb_graph.rs:192-372): validate everything up front, then
     derive the three state tables in one declarative plan. The caller (or
     ``GraphEngine``) commits the result atomically.
-    """
+
+    ``initial=True`` is the BOOTSTRAP load: the caller declares — at a
+    call site where it is true by construction, e.g. right after
+    ``GraphState.empty`` — that ``state`` holds no rows. The incremental
+    machinery then drops out of the plan: no anti-join against existing
+    nodes (every entity is new), no union with existing tables, and no
+    full-outer edge MERGE (the increments ARE the edge table). This is
+    the classic warehouse initial-load vs MERGE split; results are
+    pinned identical to the generic path by a unit test. It is a
+    DECLARATION, not a probe — passing it with a non-empty state
+    silently drops that state's rows."""
     spark = signals.sparkSession
     # Materialize the batch once: it feeds four consumers (validation,
     # node minting, properties, adjacent pairs) that would otherwise each
@@ -105,8 +116,12 @@ def ingest_batch(
 
     # --- node minting: first-seen order, ids continue from next_node_id ---
     first_seen = signals.groupBy("entity_id").agg(F.min("seq").alias("first_seq"))
-    new_entities = first_seen.join(
-        F.broadcast(state.nodes.select("entity_id")), "entity_id", "left_anti"
+    new_entities = (
+        first_seen
+        if initial
+        else first_seen.join(
+            F.broadcast(state.nodes.select("entity_id")), "entity_id", "left_anti"
+        )
     )
     # Checkpoint the minted ids: three joins + the counter read consume
     # them, and the mint itself (anti-join + rank) must not re-run per use.
@@ -117,16 +132,16 @@ def ingest_batch(
         .select("node_id", "entity_id")
         .localCheckpoint(eager=True)
     )
-    nodes = state.nodes.unionByName(new_nodes)
+    nodes = new_nodes if initial else state.nodes.unionByName(new_nodes)
 
     # --- properties: set semantics at (node, attribute, value) ---
     new_props = (
         signals.join(F.broadcast(nodes), "entity_id")
         .select("node_id", "attribute", "value")
     )
-    properties = state.properties.unionByName(new_props).dropDuplicates(
-        ["node_id", "attribute", "value"]
-    )
+    properties = (
+        new_props if initial else state.properties.unionByName(new_props)
+    ).dropDuplicates(["node_id", "attribute", "value"])
 
     if enforce_limits:
         # Per-node property cap: adding a NEW pair beyond 4096 aborts the
@@ -162,18 +177,25 @@ def ingest_batch(
     )
     # MERGE: existing weights + new increments, saturating add
     # (types/mod.rs:52-56). Full outer join is the engine-agnostic MERGE;
-    # on a Delta-backed deployment this becomes a real MERGE INTO.
-    edges = (
-        state.edges.join(delta, ["src", "dst"], "full_outer")
-        .select(
-            "src",
-            "dst",
-            _saturating_add(
-                F.coalesce(F.col("weight"), F.lit(0)),
-                F.coalesce(F.col("delta"), F.lit(0)),
-            ).alias("weight"),
+    # on a Delta-backed deployment this becomes a real MERGE INTO. The
+    # bootstrap load has nothing to merge into — the increments are the
+    # edge table, and the MERGE's sort-merge shuffle drops out.
+    if initial:
+        edges = delta.select(
+            "src", "dst", F.col("delta").cast("long").alias("weight")
         )
-    )
+    else:
+        edges = (
+            state.edges.join(delta, ["src", "dst"], "full_outer")
+            .select(
+                "src",
+                "dst",
+                _saturating_add(
+                    F.coalesce(F.col("weight"), F.lit(0)),
+                    F.coalesce(F.col("delta"), F.lit(0)),
+                ).alias("weight"),
+            )
+        )
 
     next_node_id = state.next_node_id + new_nodes.count()
     return GraphState(

@@ -1940,17 +1940,25 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     who bought A also bought B"). Lift > 1e6 ppm means the pair
     co-occurs more than independence predicts.
 
-    Scale shape: distinct (order, part) → self-join ON l_orderkey
-    (co-partitioned — both sides shuffle once on the same key; the pair
+    Scale shape: ONE shuffle on l_orderkey feeds everything — the
+    basket fact is hash-partitioned by order key THEN distinct'd
+    (hash(ok) colocates an order's rows, so the (ok, part) distinct
+    needs no second exchange) and materialized once; the self-join ON
+    l_orderkey reuses that same partitioning exchange-free (the pair
     blow-up is bounded by items-per-order choose 2, a per-basket
     constant, never corpus-quadratic) → pair partial agg → per-part
     support dim joined back (AQE broadcasts it) → TakeOrdered TOPN.
+    Before the materialization the distinct shuffle replayed FOUR
+    times (both self-join sides, the support agg, the order count).
     The lift numerator n_ab·N·1e6 is computed in DECIMAL(38,0): at
     1e10 orders the int64 product wraps while DuckDB promotes to
     HUGEINT — the same widening rule as the bot-regularity relvar."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li = M.ephemeral_checkpoint(
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+    )
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )

@@ -107,8 +107,11 @@ def graph_state(spark: SparkSession, sf_dir: str) -> GraphState:
         signals = signals_from_events(spark, sf_dir)
         # enforce_limits=False: the 10k-signal cap is the reference's API
         # bound (primitives.rs:73); the engine itself scales past it.
+        # initial=True: bootstrap load into an empty state — true by
+        # construction at this call site; skips the incremental MERGE.
         st = ingest_batch(
-            GraphState.empty(spark), signals, enforce_limits=False
+            GraphState.empty(spark), signals, enforce_limits=False,
+            initial=True,
         )
         # registry-owned cache marks (release works even though .cache()
         # materializes lazily — Dataset.unpersist hits the CacheManager)

@@ -229,3 +229,29 @@ def test_engine_ingest_collects_only_batch_entities(spark):
     # distinct entity count (2), not the 202-row nodes table.
     assert collected_node_rows, "expected a node-id resolution collect"
     assert all(n <= 2 for n in collected_node_rows), collected_node_rows
+
+
+def test_initial_load_matches_generic_path(spark):
+    """The bootstrap fast path (initial=True: no anti-join mint, no
+    unions, no full-outer edge MERGE) yields a state identical to the
+    generic incremental path from an empty state — tables AND canonical
+    bytes."""
+    import random
+
+    from kremis_spark.canonical import state_hash_of
+
+    rng = random.Random(42)
+    rows = [
+        (i, rng.randrange(12), f"attr{rng.randrange(4)}", f"v{rng.randrange(5)}")
+        for i in range(300)
+    ]
+    generic = ingest_batch(GraphState.empty(spark), make_signals(spark, rows))
+    boot = ingest_batch(
+        GraphState.empty(spark), make_signals(spark, rows), initial=True
+    )
+    assert boot.next_node_id == generic.next_node_id
+    for tbl in ("nodes", "edges", "properties"):
+        a = sorted(map(tuple, getattr(generic, tbl).collect()))
+        b = sorted(map(tuple, getattr(boot, tbl).collect()))
+        assert a == b, tbl
+    assert state_hash_of(boot) == state_hash_of(generic)
