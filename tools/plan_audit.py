@@ -1,0 +1,134 @@
+"""Automated physical-plan audit over EVERY registry query.
+
+Sweeps each ``queries()`` entry at the given SF, renders the formatted
+physical plan, and tallies the scale red flags the per-round manual
+audits check by hand:
+
+- ``CartesianProduct`` — a non-broadcast cross join; fatal at scale
+  unless one side is provably tiny.
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan (the
+  banned slow path; Arrow-batched ``ArrowEvalPython``/``mapInPandas``
+  nodes are fine and counted separately).
+- Unpartitioned ``Window`` over a potentially data-sized input — the
+  one-task serialization shape. Known-bounded sites (the reference's
+  10k-capped in-batch lag pair, the ≤1M-row dense-id mint, per-probe
+  request-sized rankings) are documented in SCALE.md; the audit counts
+  them so a NEW one shows up as a diff.
+- Exchange / BroadcastExchange / SortMergeJoin counts — not failures,
+  but the per-query shuffle budget; a query whose exchange count jumps
+  between rounds regressed structurally even if its wall time hid it.
+
+Output: one JSON line per query to stdout plus a summary, and the full
+table to PLAN_AUDIT.json. Exit 1 if any HARD flag (cartesian,
+row-Python-UDF) appears in a query not on the documented allowlist.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries allowed to carry a hard flag, each with a documented reason
+# (today: none — every plan is cartesian-free and row-UDF-free; adding
+# a name here requires a SCALE.md entry explaining the bound).
+HARD_FLAG_ALLOWLIST: set[str] = set()
+
+
+def audit_one(spark, fn, sf_dir: str) -> dict:
+    df = fn(spark, sf_dir)
+    txt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    counts = {
+        "exchanges": len(re.findall(r"\bExchange\b", txt)),
+        "broadcasts": len(re.findall(r"BroadcastExchange", txt)),
+        "smj": len(re.findall(r"SortMergeJoin", txt)),
+        "cartesian": len(re.findall(r"CartesianProduct", txt)),
+        "py_row_udf": len(re.findall(r"BatchEvalPython", txt)),
+        "py_arrow": len(
+            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", txt)
+        ),
+        "codegen_spans": len(re.findall(r"WholeStageCodegen", txt)),
+    }
+    # Unpartitioned windows: windowspecdefinition with an empty
+    # partition clause renders as "windowspecdefinition(<order>, ...)"
+    # with no leading partition expression list — detect via the
+    # physical Window node's "Arguments" lacking a partition spec is
+    # brittle across versions, so use the planner's own warning shape:
+    # a Window whose partitionBy is empty sorts EVERYTHING into one
+    # task; in the formatted plan that is a Sort with a single global
+    # ordering directly under an Exchange SinglePartition.
+    counts["single_partition_exchanges"] = len(
+        re.findall(r"SinglePartition", txt)
+    )
+    return counts
+
+
+def main() -> None:
+    from kremis_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan_audit")
+    qs = entry.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+
+    table: dict[str, dict] = {}
+    hard: list[str] = []
+    for name, fn in qs.items():
+        try:
+            counts = audit_one(spark, fn, sf_dir)
+        except Exception as e:  # noqa: BLE001 — audit must cover the rest
+            table[name] = {"error": str(e)[:200]}
+            print(f"ERROR {name}: {e}", flush=True)
+            continue
+        table[name] = counts
+        flags = [
+            f for f in ("cartesian", "py_row_udf") if counts.get(f, 0) > 0
+        ]
+        if flags and name not in HARD_FLAG_ALLOWLIST:
+            hard.append(name)
+        print(json.dumps({"query": name, **counts}), flush=True)
+
+    summary = {
+        "n_queries": len(table),
+        "hard_flags": hard,
+        "total_exchanges": sum(
+            c.get("exchanges", 0) for c in table.values()
+        ),
+        "total_cartesian": sum(
+            c.get("cartesian", 0) for c in table.values()
+        ),
+        "total_py_row_udf": sum(
+            c.get("py_row_udf", 0) for c in table.values()
+        ),
+        "queries_with_smj": sorted(
+            k for k, c in table.items() if c.get("smj", 0) > 0
+        ),
+        "top_exchange_queries": sorted(
+            ((c.get("exchanges", 0), k) for k, c in table.items()),
+            reverse=True,
+        )[:10],
+    }
+    out = {"summary": summary, "queries": table, "sf_dir": sf_dir}
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print("\nSUMMARY:", json.dumps(summary, indent=1))
+    sys.exit(1 if hard else 0)
+
+
+if __name__ == "__main__":
+    main()
