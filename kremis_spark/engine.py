@@ -111,6 +111,18 @@ class GraphState:
             self._edge_count_memo = memo
         return memo
 
+    def node_count(self) -> int:
+        """Count of the nodes table, memoized per state object — same
+        invalidation contract as :meth:`edge_count` (mutations build a
+        NEW GraphState). The adaptive PR_COLLECT branch probes read it
+        once per query call; without the memo each call paid a count()
+        job on a nodes table that is invariant between commits."""
+        memo = getattr(self, "_node_count_memo", None)
+        if memo is None:
+            memo = self.nodes.count()
+            self._node_count_memo = memo
+        return memo
+
 
 def _mutator(fn):
     """Serialize a GraphEngine mutation on the per-engine lock (single-
@@ -633,7 +645,7 @@ class GraphEngine:
     def node_count(self) -> int:
         if self._local is not None:
             return len(self._local.node_ids)
-        return self.state.nodes.count()
+        return self.state.node_count()
 
     def edge_count(self) -> int:
         if self._local is not None:

@@ -234,10 +234,11 @@ def _banded(sigs: DataFrame, id_col: str) -> tuple[DataFrame, list[str]]:
 
 def lsh_cross_candidates(
     sigs_new: DataFrame,
-    sigs_corpus: DataFrame,
+    sigs_corpus: DataFrame | None,
     id_col: str = "doc_id",
     hot_cap: int = HOT_BUCKET_CAP,
     min_matches: int | None = MIN_SIG_MATCHES,
+    corpus_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric candidate pairs for INCREMENTAL dedup: (doc_a from the
     new batch, doc_b from the corpus) sharing a band bucket, with the
@@ -248,14 +249,22 @@ def lsh_cross_candidates(
     Scale shape: the corpus is NEVER self-joined — band rows of the
     (small) batch broadcast into one pass over the corpus band rows, so
     nightly dedup of a new batch against a 100 TB corpus costs
-    O(batch × bands) probe work, not O(corpus²)."""
+    O(batch × bands) probe work, not O(corpus²).
+
+    ``corpus_rows``: a PREBUILT corpus band-row table (the output shape
+    of :func:`_banded`, already materialized by the caller — e.g. the
+    session-shared nightly corpus index). When given, ``sigs_corpus``
+    is ignored and no per-call banding/materialization happens."""
     sig_cols = [f"sig_{k}" for k in range(NUM_HASHES)]
     a_rows, key_cols = _banded(sigs_new, id_col)
-    # materialize the corpus band rows once: they feed BOTH the hot-
-    # bucket count and the probe join side, and callers may pass
-    # uncached signatures (same invariant as the self-join variant)
-    b_rows, _ = _banded(sigs_corpus, id_col)
-    b_rows = b_rows.transform(M.ephemeral_checkpoint)
+    if corpus_rows is not None:
+        b_rows = corpus_rows
+    else:
+        # materialize the corpus band rows once: they feed BOTH the hot-
+        # bucket count and the probe join side, and callers may pass
+        # uncached signatures (same invariant as the self-join variant)
+        b_rows, _ = _banded(sigs_corpus, id_col)
+        b_rows = b_rows.transform(M.ephemeral_checkpoint)
     ok_keys = (
         b_rows.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n"))

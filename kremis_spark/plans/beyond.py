@@ -744,24 +744,17 @@ def _neardup_corpus_index(spark: SparkSession, sf_dir: str):
     derived RDD and released nothing)."""
     from kremis_spark import memo as M
     from kremis_spark.functions import dedup as D
-    from kremis_spark.plans.pipeline import INCOMING_MOD, _docs_parallel, _sigs
+    from kremis_spark.plans.pipeline import _corpus_index
 
     def build():
-        docs = _docs_parallel(spark, sf_dir)
-        is_inc = (F.col("doc_id") % INCOMING_MOD) == 0
+        # The band rows and md5 set come from the session-shared corpus
+        # index (plans/pipeline._corpus_index) — the same materialized
+        # fact the batch incremental dedup probes; this entry only owns
+        # the hot-cap-filtered/renamed projections it broadcasts.
+        corp_bands, corp_md_raw, key_cols = _corpus_index(spark, sf_dir)
         corp_md = F.broadcast(
-            M.checkpoint(
-                docs.filter(~is_inc).select(F.md5("text").alias("m"))
-                .distinct()
-                .withColumn("in_corpus", F.lit(1))
-            )
+            corp_md_raw.withColumn("in_corpus", F.lit(1))
         )
-        corp_bands, key_cols = D._banded(
-            _sigs(spark, sf_dir).filter(~is_inc), "doc_id"
-        )
-        # intermediate checkpoint: also registry-owned; released with
-        # the entry (small — band keys + signatures of the corpus side)
-        corp_bands = M.checkpoint(corp_bands)
         ok_keys = (
             corp_bands.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("n"))

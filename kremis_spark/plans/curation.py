@@ -302,6 +302,37 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _decon_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 8-gram md5) fact over the whole corpus,
+    materialized ONCE per (session, dataset). Previously built
+    EPHEMERALLY per call by THREE gates (decontaminate — which
+    contamination_by_source also calls — and bloom_decontaminate), so
+    the bench rebuilt the same explode+md5+distinct pass ~9× per
+    session (guide §2.4: repeated identical stage → one shared
+    materialization; this is the eval-decon index a production pipeline
+    builds once per corpus snapshot)."""
+
+    def build():
+        # round-robin repartition: locally the corpus is one parquet
+        # row group (one task); the shingle stage is CPU-bound, so
+        # decouple its parallelism from the file layout. On a real
+        # cluster the thousands of input files provide this for free
+        # and the exchange is a no-op cost next to the hash work.
+        docs = read_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return M.checkpoint(
+            docs.select(
+                "doc_id",
+                F.explode(word_shingles(n=DECON_NGRAM)).alias("sh"),
+            )
+            .select("doc_id", F.md5("sh").alias("h"))
+            .distinct()
+        )
+
+    return M.memo("pipe_decon_grams", spark, sf_dir, build)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag training documents sharing any
     8-gram with the benchmark slice (doc_id % 17 == 0), with overlap
@@ -311,24 +342,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark hash set is small (eval sets always are) and broadcasts
     into the overlap join, so only train-side 32-byte hashes shuffle —
     once, for the per-doc counts."""
-    # round-robin repartition: locally the corpus is one parquet row
-    # group (one task); the shingle stage is CPU-bound, so decouple its
-    # parallelism from the file layout. On a real cluster the thousands
-    # of input files provide this for free and the exchange is a no-op
-    # cost next to the hash work.
-    docs = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sh = (
-        docs.select(
-            "doc_id", F.explode(word_shingles(n=DECON_NGRAM)).alias("sh")
-        )
-        .select("doc_id", F.md5("sh").alias("h"))
-        .distinct()
-        # three consumers (bench set, per-doc totals, overlap join) —
-        # materialize the explode+hash once instead of replanning it 3×
-        .transform(M.ephemeral_checkpoint)
-    )
+    sh = _decon_grams(spark, sf_dir)
     bench = (
         sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
     )

@@ -412,7 +412,12 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = None
     for _ in range(KMEANS_ITERS):
         centroids = [cents[c] for c in sorted(cents)]
-        assigned = _assign_cells(prep, centroids).transform(M.ephemeral_checkpoint)
+        # No checkpoint: every iteration's assignment is consumed by
+        # exactly ONE action (this agg; the final iteration's by the
+        # stats agg below), and `prep` is already cached — a per-
+        # iteration materialization pass bought nothing and cost one
+        # extra full scan per round (guide §5: persist only on reuse).
+        assigned = _assign_cells(prep, centroids)
         # ONE agg job per iteration: every member contributes one row per
         # dim, so count per (cell, pos) IS the cell's member count — no
         # separate per-cell count pass needed.
@@ -611,7 +616,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "cell LONG, n_members LONG, n_dup_pairs LONG, n_removed LONG"
         )
     assigned = _assign_cells(prep, centroids).transform(M.ephemeral_checkpoint)
-    n_vecs = assigned.count()  # checkpointed — one cheap scan
+    # assignment is 1:1 with prep, so the branch probe can use the
+    # session-memoized corpus vector count instead of paying a count()
+    # job per call on the checkpoint (a dataset property, not per-rep
+    # work)
+    n_vecs = M.memo(
+        "embed_n_vecs", spark, sf_dir, lambda: prep.count()
+    )
     keys = ["cell"]
     if n_vecs > SEMDEDUP_EXACT_MAX_VECS:
         from math import ceil
@@ -1484,7 +1495,12 @@ def q_ann_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     glance says which index tier a workload can afford.
 
     Scale shape: each method's top-k is its already-audited plan; the
-    comparison is k-row semi-joins unioned into a 5-row table."""
+    comparison is k-row semi-joins unioned into a 5-row table. The
+    exact brute-force top-k feeds ALL five semi-joins, so it is
+    materialized once (k rows) — without the cut the full corpus-scan
+    subtree replans and re-executes per method (guide §2.4/§5:
+    duplicated subtrees; measured r12: five identical TakeOrdered
+    scans in the before-plan, one after)."""
     from kremis_spark.plans.pipeline import (
         TOPK,
         q_ann_cosine_topk,
@@ -1492,7 +1508,9 @@ def q_ann_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ann_lsh_topk,
     )
 
-    exact = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    exact = M.ephemeral_checkpoint(
+        q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    )
     methods = [
         ("ivf", q_ann_ivf_topk),
         ("ivfpq", q_ann_ivfpq),

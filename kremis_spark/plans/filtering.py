@@ -251,16 +251,36 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wb = Window.partitionBy("doc_id").orderBy("pos")
+    # Selection rule, O(1)-per-row form (r12): position p is selected
+    # for window offset o iff the window [p−o, p−o+W−1] is complete,
+    # every element BEFORE p in it is ≥ h[p], and every element AFTER p
+    # is STRICTLY > h[p] (rightmost-tie). "min(frame)==h ∧ after>h" ⟺
+    # "before≥h ∧ after>h" given completeness, so the 2W sliding-MIN
+    # frames (each O(W) per row) collapse to 2(W−1) lag/lead offset
+    # reads (each O(1) per row) over the SAME single (doc_id, pos)
+    # ordering — one shuffle, identical selected set (oracle-gated at 3
+    # SFs; guide §1.2 step 2: per-task work inside an already-right
+    # shape). Completeness is lag/lead non-null: positions are dense
+    # per doc, so lag(h,o) is null exactly when p−o < 0.
+    lag = [None] + [F.lag("h", k).over(wb) for k in range(1, WINNOW_W)]
+    lead = [None] + [F.lead("h", k).over(wb) for k in range(1, WINNOW_W)]
+
+    def _minof(cols: list) -> F.Column:
+        return cols[0] if len(cols) == 1 else F.least(*cols)
+
     sel = F.lit(False)
     for o in range(WINNOW_W):
-        fr = wb.rowsBetween(-o, WINNOW_W - 1 - o)
-        cond = (F.count("h").over(fr) == WINNOW_W) & (
-            F.min("h").over(fr) == F.col("h")
-        )
-        if WINNOW_W - 1 - o >= 1:
-            cond = cond & (
-                F.min("h").over(wb.rowsBetween(1, WINNOW_W - 1 - o))
-                > F.col("h")
+        j = WINNOW_W - 1 - o
+        cond = F.lit(True)
+        if o >= 1:
+            cond = lag[o].isNotNull() & (
+                _minof(lag[1 : o + 1]) >= F.col("h")
+            )
+        if j >= 1:
+            cond = (
+                cond
+                & lead[j].isNotNull()
+                & (_minof(lead[1 : j + 1]) > F.col("h"))
             )
         sel = sel | cond
     whole = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -352,7 +352,7 @@ def _sparse_threshold(st: GraphState) -> int | None:
     (avg out-degree <= 2), so the reference DFS (with its 50k visit
     budget, primitives.rs:52) and the SQL full enumeration provably agree.
     Pure integer logic, identical in Spark and the DuckDB oracle."""
-    n_nodes = st.nodes.count()
+    n_nodes = st.node_count()
     wc = st.edges.groupBy("weight").count().orderBy(F.desc("weight")).collect()
     best = None
     cum = 0
@@ -559,7 +559,7 @@ def _wcc_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
     if (
-        st.nodes.count() > PR_COLLECT_MAX_NODES
+        st.node_count() > PR_COLLECT_MAX_NODES
         or st.edge_count() > PR_COLLECT_MAX_EDGES
     ):
         from kremis_spark.functions.dedup import connected_components
@@ -1316,7 +1316,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = graph_state(spark, sf_dir)
     und = undirected_edges(spark, sf_dir)
     nodes = st.nodes.select("node_id")
-    n = nodes.count()
+    n = st.node_count()
     if n > PR_COLLECT_MAX_NODES or st.edge_count() > PR_COLLECT_MAX_EDGES:
         return label_propagation_distributed(nodes, und)
     node_ids = [int(r[0]) for r in nodes.collect()]
@@ -1396,7 +1396,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = graph_state(spark, sf_dir)
     und = undirected_edges(spark, sf_dir)
     if (
-        st.nodes.count() <= PR_COLLECT_MAX_NODES
+        st.node_count() <= PR_COLLECT_MAX_NODES
         and st.edge_count() <= PR_COLLECT_MAX_EDGES
     ):
         edges = [(int(r[0]), int(r[1])) for r in und.select("a", "b").collect()]
@@ -1558,7 +1558,7 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ``tests/test_analytics_oracle.py``."""
     st = graph_state(spark, sf_dir)
     nodes = st.nodes.select("node_id")
-    n = nodes.count()
+    n = st.node_count()
     if n > PR_COLLECT_MAX_NODES or st.edge_count() > PR_COLLECT_MAX_EDGES:
         return harmonic_centrality_distributed(spark, nodes, st.edges)
     node_ids = sorted(int(r[0]) for r in nodes.collect())
@@ -1678,7 +1678,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same oracle."""
     st = graph_state(spark, sf_dir)
     nodes = st.nodes.select("node_id")
-    n = nodes.count()
+    n = st.node_count()
     if n > PR_COLLECT_MAX_NODES:
         return pagerank_distributed(nodes, st.edges, n)
     # Branch probe via the state's memoized edge count — shared with the

@@ -45,6 +45,7 @@ from kremis_spark.plans.pipeline import (
     _docs_parallel,
     _quality_base,
     _strong_labels,
+    _strong_labels_count,
     _verified_pairs,
 )
 
@@ -236,9 +237,9 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join shuffles on doc_id."""
     docs = _docs_parallel(spark, sf_dir)
     labels = _strong_labels(spark, sf_dir)
-    # connected_components returns a localCheckpoint-ed table: counting
-    # it costs one scan of materialized rows, not a lineage replay.
-    if labels.count() <= DEDUP_LABELS_BCAST_MAX:
+    # broadcast gate sized from the session-memoized label count (a
+    # dataset property — was a count() job per call)
+    if _strong_labels_count(spark, sf_dir) <= DEDUP_LABELS_BCAST_MAX:
         labels = F.broadcast(labels)
     kept = F.when(
         F.col("label").isNull() | (F.col("label") == F.col("doc_id")), 1
@@ -482,7 +483,7 @@ def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     source dimension. Nothing new shuffles; at 100 TB the funnel costs
     what its stages cost."""
     labels = _strong_labels(spark, sf_dir)
-    if labels.count() <= DEDUP_LABELS_BCAST_MAX:
+    if _strong_labels_count(spark, sf_dir) <= DEDUP_LABELS_BCAST_MAX:
         labels = F.broadcast(labels)
     base = _quality_base(spark, sf_dir).select(
         "doc_id",
@@ -601,7 +602,7 @@ def q_quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership is one gated-broadcast label join; final agg is 6
     groups."""
     labels = _strong_labels(spark, sf_dir)
-    if labels.count() <= DEDUP_LABELS_BCAST_MAX:
+    if _strong_labels_count(spark, sf_dir) <= DEDUP_LABELS_BCAST_MAX:
         labels = F.broadcast(labels)
     base = (
         _quality_base(spark, sf_dir)

@@ -318,19 +318,13 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-flagged if a gram literally appears in the eval set. Reports
     per source: docs, bloom-flagged, exact-flagged, false positives.
     n_flagged_bloom >= n_flagged_exact always (no false negatives)."""
-    from kremis_spark.functions.dedup import word_shingles
-    from kremis_spark.plans.curation import BENCH_MOD, DECON_NGRAM
+    from kremis_spark.plans.curation import BENCH_MOD, _decon_grams
 
     docs = _docs(spark, sf_dir)
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(word_shingles("text", DECON_NGRAM)).alias("sh"),
-        )
-        .select("doc_id", F.md5("sh").alias("h"))
-        .distinct()
-        .transform(M.ephemeral_checkpoint)
-    )
+    # the session-shared eval-decon gram index (same distinct
+    # (doc_id, md5(8-gram)) fact q_decontaminate probes) — built once
+    # per (session, dataset) instead of ephemerally per call
+    grams = _decon_grams(spark, sf_dir)
     bench_h = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         "h"
     ).distinct()

@@ -1,0 +1,123 @@
+"""Round-12 optimization pins: the rewrites must be RESULT-identical to
+the shapes they replaced.
+
+- Winnowing selection: the r12 lag/lead O(1)-per-row rule vs the
+  original 2W sliding-MIN-frame formula, on crafted edge inputs (ties,
+  doc shorter than W, monotone runs, all-equal hashes).
+- Shared corpus dedup index: lsh_cross_candidates(corpus_rows=...) over
+  the prebuilt band fact returns exactly the pairs of the self-banding
+  path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _old_winnow_selected(df, W):
+    """The pre-r12 formula: 2W sliding-MIN window aggregates."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("doc_id").orderBy("pos")
+    sel = F.lit(False)
+    for o in range(W):
+        fr = wb.rowsBetween(-o, W - 1 - o)
+        cond = (F.count("h").over(fr) == W) & (
+            F.min("h").over(fr) == F.col("h")
+        )
+        if W - 1 - o >= 1:
+            cond = cond & (
+                F.min("h").over(wb.rowsBetween(1, W - 1 - o)) > F.col("h")
+            )
+        sel = sel | cond
+    return df.withColumn("selected", sel)
+
+
+def _new_winnow_selected(df, W):
+    """The r12 formula: lag/lead offset reads (mirrors
+    plans/filtering.q_winnowing)."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("doc_id").orderBy("pos")
+    lag = [None] + [F.lag("h", k).over(wb) for k in range(1, W)]
+    lead = [None] + [F.lead("h", k).over(wb) for k in range(1, W)]
+
+    def _minof(cols):
+        return cols[0] if len(cols) == 1 else F.least(*cols)
+
+    sel = F.lit(False)
+    for o in range(W):
+        j = W - 1 - o
+        cond = F.lit(True)
+        if o >= 1:
+            cond = lag[o].isNotNull() & (
+                _minof(lag[1 : o + 1]) >= F.col("h")
+            )
+        if j >= 1:
+            cond = (
+                cond
+                & lead[j].isNotNull()
+                & (_minof(lead[1 : j + 1]) > F.col("h"))
+            )
+        sel = sel | cond
+    return df.withColumn("selected", sel)
+
+
+@pytest.mark.parametrize("W", [2, 3, 4, 5])
+def test_winnowing_lag_lead_rule_equals_frame_rule(spark, W):
+    # Edge shapes: ties everywhere, strictly increasing, strictly
+    # decreasing, a short doc (< W), a doc of exactly W, duplicate
+    # minima at both ends, and a pseudo-random doc.
+    docs = {
+        1: [5, 5, 5, 5, 5, 5],
+        2: [1, 2, 3, 4, 5, 6, 7],
+        3: [7, 6, 5, 4, 3, 2, 1],
+        4: [3],  # shorter than every W
+        5: list(range(W)),  # exactly W positions
+        6: [2, 9, 2, 9, 2, 9, 2],
+        7: [(i * 2654435761) % 97 for i in range(17)],
+    }
+    rows = [
+        (doc, pos, h)
+        for doc, hs in docs.items()
+        for pos, h in enumerate(hs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, pos LONG, h LONG")
+    old = {
+        (r["doc_id"], r["pos"]): r["selected"]
+        for r in _old_winnow_selected(df, W).collect()
+    }
+    new = {
+        (r["doc_id"], r["pos"]): r["selected"]
+        for r in _new_winnow_selected(df, W).collect()
+    }
+    assert old == new
+
+
+def test_cross_candidates_prebuilt_corpus_rows_identical(spark):
+    from kremis_spark.functions import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"the quick brown fox {i % 3} jumps over the lazy dog "
+                f"{'again and again ' * (i % 4)}")
+            for i in range(40)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sigs = D.minhash_signatures(docs)
+    new_side = sigs.filter(F.col("doc_id") % 10 == 0)
+    corp_side = sigs.filter(F.col("doc_id") % 10 != 0)
+    base = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_cross_candidates(new_side, corp_side).collect()
+    )
+    prebuilt, _ = D._banded(corp_side, "doc_id")
+    via_fact = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_cross_candidates(
+            new_side, None, corpus_rows=prebuilt
+        ).collect()
+    )
+    assert base == via_fact

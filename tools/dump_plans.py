@@ -1,0 +1,55 @@
+"""Dump ``explain("formatted")`` for named registry queries to files.
+
+Used for the per-round plan evidence (``plans/r<N>/<query>_{before,after}.txt``):
+run once from a worktree at the prior round's HEAD with ``--suffix before``
+and once from the current HEAD with ``--suffix after``.
+
+Usage:
+  python tools/dump_plans.py --out plans/r12 --suffix after [--sf SF_DIR] q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--suffix", required=True, choices=["before", "after"])
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    from kremis_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("dump_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    os.makedirs(args.out, exist_ok=True)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name in args.queries:
+        if name not in qs:
+            print(f"SKIP unknown query {name}", file=sys.stderr)
+            continue
+        try:
+            df = qs[name](spark, args.sf)
+            txt = df._jdf.queryExecution().explainString(mode)
+        except Exception as e:  # noqa: BLE001 — dump the rest regardless
+            txt = f"ERROR building plan: {e}\n"
+        path = os.path.join(args.out, f"{name}_{args.suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(txt)
+        print(f"wrote {path} ({len(txt)} chars)")
+
+
+if __name__ == "__main__":
+    main()
