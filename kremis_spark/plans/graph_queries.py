@@ -916,6 +916,33 @@ def _wedge_parallelism(spark: SparkSession, deg: DataFrame, edge_count: int) -> 
     return npart
 
 
+def _incidence_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-repartitioned undirected incidence list (z = center node,
+    n = neighbor), materialized ONCE per (session, dataset) — the
+    adjacency index every wedge-joining gate probes (link prediction,
+    neighbor Jaccard). Width comes from :func:`_wedge_parallelism` (the
+    stream side's partitioning IS the parallelism and per-task agg-state
+    bound of the Σdeg²-row wedge stage); previously each gate rebuilt
+    and re-materialized the same repartitioned relation per call
+    (guide §2.4: operations keyed the same way share one exchange)."""
+
+    def build() -> DataFrame:
+        st = graph_state(spark, sf_dir)
+        und = undirected_edges(spark, sf_dir)
+        inc = und.select(
+            F.col("a").alias("z"), F.col("b").alias("n")
+        ).unionByName(
+            und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+        )
+        deg = undirected_degree(spark, sf_dir).select(
+            F.col("n").alias("z"), "deg"
+        )
+        npart = _wedge_parallelism(spark, deg, st.edge_count())
+        return M.checkpoint(inc.repartition(npart))
+
+    return M.memo("graph_incidence_fact", spark, sf_dir, build)
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by resource-allocation index: every pair sharing
     at least one common neighbor scores RA(u,v) = Σ_z 1e6 div deg(z)
@@ -937,32 +964,20 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     millionths), with the dropped wedge mass Σ_{deg>cap} deg(z)² logged
     — the LSH hot-bucket pattern applied to wedges."""
     st = graph_state(spark, sf_dir)
-    und = undirected_edges(spark, sf_dir)
-    # undirected incidence (node, neighbor)
-    inc = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
-        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
-    )
     deg = undirected_degree(spark, sf_dir).select(
         F.col("n").alias("z"), "deg"
     )
     # Attach the per-z weight to the node-sized incidence list BEFORE the
     # wedge self-join: the Σdeg²-sized wedge relation then never takes
     # another join pass — it flows straight into the partial-aggregating
-    # groupBy. Materialize it evenly repartitioned: it feeds both sides
-    # of the self-join, and the stream side's partitioning IS the
-    # parallelism of the Σdeg²-row generation stage — AND the bound on
-    # each task's partial-agg hash state. Above LP_REPART_MIN_EDGES the
-    # width is sized from the PREDICTED wedge mass (Σ deg², one tiny agg
-    # over the node-sized deg table) at LP_WEDGES_PER_TASK per task:
-    # measured at sf1 (254M wedges), 32 tasks spill their agg hash maps;
-    # mass-proportional width keeps per-task state flat at any scale.
-    npart = _wedge_parallelism(spark, deg, st.edge_count())
-    incw = (
-        inc.join(F.broadcast(deg), "z")
-        .select("z", "n", "deg", F.expr("1000000 div deg").alias("w"))
-        .repartition(npart)
-        .transform(M.ephemeral_checkpoint)
-    )
+    # groupBy. The incidence list is the session-shared, evenly
+    # repartitioned fact (_incidence_fact, width sized from predicted
+    # wedge mass); the deg attach is a map-side broadcast join over its
+    # scan, so the materialized partitioning still bounds each task's
+    # wedge count and partial-agg hash state.
+    incw = _incidence_fact(spark, sf_dir).join(
+        F.broadcast(deg), "z"
+    ).select("z", "n", "deg", F.expr("1000000 div deg").alias("w"))
     small = st.edge_count() <= LP_BROADCAST_MAX_EDGES
     if not small:
         # Hub cap (see LP_HUB_DEGREE_CAP): account for what we drop, then
@@ -1054,25 +1069,23 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard denominator joins two node-sized degree rows per surviving
     pair; adjacency is removed with one anti-join."""
     und = undirected_edges(spark, sf_dir)
-    adj = und.select(F.col("a").alias("n"), F.col("b").alias("z")).union(
-        und.select(F.col("b").alias("n"), F.col("a").alias("z"))
-    )
     deg = undirected_degree(spark, sf_dir)
     # broadcast the HUB list (tiny by construction) and anti-join, never
     # the complement (which is nearly every node)
     hubs = deg.filter(F.col("deg") > JN_HUB_CAP).select(
         F.col("n").alias("z")
     )
-    # Same wedge-join strategy as link prediction: evenly repartition the
-    # stream side (its partitioning IS the parallelism of the Σdeg²-row
-    # stage), and broadcast the build side while the graph is small — a
-    # z-keyed shuffle join would put every hub's deg² wedges on one task.
+    # Same wedge-join strategy as link prediction, over the SAME
+    # session-shared evenly-repartitioned incidence fact (the anti-join
+    # against the broadcast hub list is map-side, so the fact's
+    # partitioning still sets the Σdeg²-row stage's parallelism); a
+    # z-keyed shuffle join would put every hub's deg² wedges on one
+    # task. NOTE the fact's column roles here: z = shared/common
+    # neighbor (the wedge key), n = endpoint.
     edge_count = graph_state(spark, sf_dir).edge_count()
-    cadj = (
-        adj.join(F.broadcast(hubs), "z", "anti")
-        .repartition(_wedge_parallelism(spark, deg, edge_count))
-        .transform(M.ephemeral_checkpoint)
-    )
+    cadj = _incidence_fact(spark, sf_dir).join(
+        F.broadcast(hubs), "z", "anti"
+    ).select(F.col("n"), F.col("z"))
     right = cadj.select("z", F.col("n").alias("y"))
     if edge_count <= LP_BROADCAST_MAX_EDGES:
         right = F.broadcast(right)

