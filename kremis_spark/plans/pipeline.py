@@ -1481,13 +1481,21 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _query_ivec(spark: SparkSession, sf_dir: str) -> list[int]:
-    row = (
-        _prepared(spark, sf_dir)
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("ivec")
-        .collect()
-    )
-    return [int(v) for v in row[0]["ivec"]] if row else []
+    """The fixed query vector — a dataset property shared by five ANN
+    gates, each of which previously paid this readback job per call/rep
+    (guide §5: driver readbacks of invariants are once-per-session
+    work)."""
+
+    def build() -> list[int]:
+        row = (
+            _prepared(spark, sf_dir)
+            .filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("ivec")
+            .collect()
+        )
+        return [int(v) for v in row[0]["ivec"]] if row else []
+
+    return M.memo("pipe_query_ivec", spark, sf_dir, build)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
 from kremis_spark.functions import similarity as S
 from kremis_spark.functions import text as T
 from kremis_spark.plans.pipeline import (
@@ -43,6 +44,24 @@ RRF_POOL = 100  # per-ranker candidate pool fused by RRF
 RRF_SCALE = 1_000_000
 
 
+def _bm25_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(n_docs, avgdl) — the corpus-level BM25 constants, a dataset
+    property shared by the lexical top-k and the RRF candidate pool;
+    each previously paid this scalar-agg readback job per call/rep
+    (guide §5)."""
+
+    def build() -> tuple[int, int]:
+        docs = _docs_parallel(spark, sf_dir)
+        stats = docs.select(
+            F.size(T.tokens("text")).cast("long").alias("dl")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")).first()
+        n_docs = int(stats["n"] or 0)
+        avgdl = max(1, int(stats["total"] or 0) // n_docs) if n_docs else 1
+        return (n_docs, avgdl)
+
+    return M.memo("retrieval_bm25_stats", spark, sf_dir, build)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point BM25 top-k for the constant query ``QUERY_TERMS``.
 
@@ -56,15 +75,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     here materializes more than (n_query_terms × df) rows."""
     docs = _docs_parallel(spark, sf_dir)
     dl = docs.select("doc_id", F.size(T.tokens("text")).cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
-    ).first()
-    n_docs = int(stats["n"] or 0)
+    n_docs, avgdl = _bm25_stats(spark, sf_dir)
     if n_docs == 0:
         return spark.createDataFrame(
             [], "doc_id BIGINT, n_terms BIGINT, bm25_score BIGINT"
         )
-    avgdl = max(1, int(stats["total"] or 0) // n_docs)
 
     tf = (
         docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
@@ -110,13 +125,9 @@ def _bm25_pool(spark: SparkSession, sf_dir: str, pool: int) -> DataFrame:
     the single-partition window is O(pool), never O(corpus)."""
     docs = _docs_parallel(spark, sf_dir)
     dl = docs.select("doc_id", F.size(T.tokens("text")).cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
-    ).first()
-    n_docs = int(stats["n"] or 0)
+    n_docs, avgdl = _bm25_stats(spark, sf_dir)
     if n_docs == 0:
         return spark.createDataFrame([], "doc_id BIGINT, lex_rank BIGINT")
-    avgdl = max(1, int(stats["total"] or 0) // n_docs)
     tf = (
         docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
         .filter(F.col("term").isin(QUERY_TERMS))

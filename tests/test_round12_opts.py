@@ -121,3 +121,63 @@ def test_cross_candidates_prebuilt_corpus_rows_identical(spark):
         ).collect()
     )
     assert base == via_fact
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dataset_property_memos_match_direct_readbacks(spark):
+    """The r12 scalar memos (ANN query row / SQ8 range / MIPS max-norm /
+    shared query vector / BM25 corpus stats) must equal the per-call
+    readbacks they replaced, computed directly here."""
+    from kremis_spark.functions import text as T
+    from kremis_spark.plans import embed as E
+    from kremis_spark.plans import pipeline as P
+    from kremis_spark.plans import retrieval as R
+
+    prep = P.prepared_cached(spark, SF)
+    r = prep.orderBy("vec_id").select("vec_id", "ivec").first()
+    assert E._qrow_cached(spark, SF) == (
+        int(r["vec_id"]),
+        [int(v) for v in r["ivec"]],
+    )
+    lo, hi = prep.agg(
+        F.min(F.array_min("ivec")), F.max(F.array_max("ivec"))
+    ).first()
+    assert E._ivec_range(spark, SF) == (int(lo), int(hi))
+    m2 = prep.agg(F.max("norm")).first()[0]
+    assert E._max_norm(spark, SF) == int(m2)
+    qrow = (
+        prep.filter(F.col("vec_id") == P.QUERY_VEC_ID)
+        .select("ivec")
+        .collect()
+    )
+    assert P._query_ivec(spark, SF) == [int(v) for v in qrow[0]["ivec"]]
+    st = (
+        P._docs_parallel(spark, SF)
+        .select(F.size(T.tokens("text")).cast("long").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total"))
+        .first()
+    )
+    n_docs = int(st["n"])
+    assert R._bm25_stats(spark, SF) == (
+        n_docs,
+        max(1, int(st["total"]) // n_docs),
+    )
+    # And they ARE memos: a second call returns the identical object,
+    # never a recomputed copy.
+    assert E._qrow_cached(spark, SF) is E._qrow_cached(spark, SF)
+    assert P._query_ivec(spark, SF) is P._query_ivec(spark, SF)
+
+
+def test_semdedup_assignment_is_session_memoized(spark):
+    """q_semdedup's nearest-centroid assignment is a session memo (one
+    materialization per dataset), not a per-call ephemeral rebuild."""
+    from kremis_spark import memo as M
+    from kremis_spark.plans import embed as E
+
+    E.q_semdedup(spark, SF).collect()
+    first = M.peek("pipe_semdedup_assigned", spark, SF)
+    assert first is not None
+    E.q_semdedup(spark, SF).collect()
+    assert M.peek("pipe_semdedup_assigned", spark, SF) is first
