@@ -30,8 +30,16 @@ def _bucket(value: Column, j: int) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % WIDTH
 
 
-def cms_build(df: DataFrame, value_col: str) -> DataFrame:
-    """Build the sketch table (j, b, c): DEPTH hash rows × WIDTH buckets."""
+def cms_build(
+    df: DataFrame, value_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """Build the sketch table (j, b, c): DEPTH hash rows × WIDTH buckets.
+
+    With ``weight_col``, each input row contributes that many
+    occurrences (sum instead of count — identical cells, since every
+    row of one value hashes to the same buckets): pass a pre-aggregated
+    (value, count) dim to run the ×DEPTH expansion over distinct values
+    instead of raw rows."""
     cells = F.explode(
         F.array(
             *[
@@ -43,11 +51,18 @@ def cms_build(df: DataFrame, value_col: str) -> DataFrame:
             ]
         )
     ).alias("cell")
+    if weight_col is None:
+        return (
+            df.select(cells)
+            .select("cell.j", "cell.b")
+            .groupBy("j", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     return (
-        df.select(cells)
-        .select("cell.j", "cell.b")
+        df.select(F.col(weight_col).alias("_w"), cells)
+        .select("cell.j", "cell.b", "_w")
         .groupBy("j", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("_w").alias("c"))
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kremis_spark import memo as M
 from kremis_spark.sources.tables import read_table
 
 SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min
@@ -438,7 +439,10 @@ def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms would need DECIMAL(38) widening — int64 here, where values are
     bounded far below 2⁶³."""
     ev = read_table(spark, sf_dir, "events")
-    hourly = (
+    # (type, hour)-sized; feeds both the per-type stats dim and the
+    # flag join — unmaterialized, the broadcast stats subtree re-scanned
+    # events (guide §2.4)
+    hourly = M.ephemeral_checkpoint(
         ev.select("event_type", F.expr("ts div 3600000000000").alias("hr"))
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -490,7 +494,9 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stable-edge curve); no global sort, output is one row per
     (type, hour)."""
     ev = read_table(spark, sf_dir, "events")
-    hourly = (
+    # (type, hour)-sized, two consumers (span dim + densify join) —
+    # same materialization rationale as events_hourly_anomaly
+    hourly = M.ephemeral_checkpoint(
         ev.select("event_type", F.expr("ts div 3600000000000").alias("hr"))
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -706,7 +712,10 @@ def q_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized self-join on prev_type. Integer millis only."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    # (type × type)-sized, two consumers (outgoing totals + share join)
+    # — unmaterialized, the broadcast totals subtree re-ran the full
+    # per-user lag window over events (guide §2.4)
+    pairs = M.ephemeral_checkpoint(
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))

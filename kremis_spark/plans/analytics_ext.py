@@ -203,7 +203,10 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     )
     supp = read_table(spark, sf_dir, "supplier")
-    rev = (
+    # Materialize the supplier-sized aggregate once: the broadcast max
+    # subtree and the join stream otherwise EACH recompute it — two full
+    # lineitem scans + two shuffles in the before-plan (guide §2.4).
+    rev = M.ephemeral_checkpoint(
         li.groupBy("l_suppkey")
         .agg(F.sum(_revenue()).alias("total_revenue_cents_x100"))
     )
@@ -300,12 +303,19 @@ def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi join, NOT EXISTS as an anti join, then a count per supplier."""
     li = read_table(spark, sf_dir, "lineitem")
     supp = read_table(spark, sf_dir, "supplier")
-    l1 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    ).dropDuplicates()
-    other = li.select(
+    # ONE lineitem scan + one dedup shuffle: the distinct (order,
+    # supplier) pairs with an any-line-returned flag serve both the
+    # returned set (flag = 1) and the all-pairs set — the before-plan
+    # derived them separately and scanned lineitem 3× (guide §2.4).
+    pairs = M.ephemeral_checkpoint(
+        li.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
+        )
+    )
+    l1 = pairs.filter(F.col("ret") == 1).select("l_orderkey", "l_suppkey")
+    other = pairs.select(
         F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
-    ).dropDuplicates()
+    )
     other_returned = l1.select(
         F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
     )
@@ -472,16 +482,20 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     by key-partitioned joins — each stage's output is a per-user dim
     that shrinks monotonically, so at scale the later joins are
     broadcast-able and the events fact is scanned once per stage with
-    the event_type filter pushed to the parquet scan."""
+    the event_type filter pushed to the parquet scan. The view and
+    click dims are materialized (user-sized) because each feeds BOTH
+    its stage count and the next stage's join — unmaterialized, the
+    before-plan re-derived them and scanned events 6× instead of 3×
+    (guide §2.4)."""
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").alias("t")
     )
-    v = (
+    v = M.ephemeral_checkpoint(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("t").alias("t_view"))
     )
-    c = (
+    c = M.ephemeral_checkpoint(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("t") > F.col("t_view"))
@@ -632,8 +646,13 @@ def q_docs_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    h = docs.groupBy("lang", "n_chars").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # value-histogram-sized (bounded by the n_chars domain), two
+    # consumers (cumulative window + per-lang totals) — unmaterialized,
+    # the totals subtree re-scanned documents (guide §2.4)
+    h = M.ephemeral_checkpoint(
+        docs.groupBy("lang", "n_chars").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
     )
     wcum = (
         Window.partitionBy("lang")
@@ -685,7 +704,11 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(round(cast(l_extendedprice as double) * 100) as bigint)"
         " div cast(l_quantity as bigint)"
     )
-    supply = (
+    # (part, supplier)-dim-sized; feeds both the per-part MIN and the
+    # equality join back — unmaterialized, the broadcast best subtree
+    # re-ran the whole 5-table join and scanned every table twice
+    # (guide §2.4)
+    supply = M.ephemeral_checkpoint(
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(F.broadcast(sre), li["l_suppkey"] == sre["s_suppkey"])
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -728,7 +751,10 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey").isin(0, 1, 2, 3, 4)
     )
-    val = (
+    # part-dim-sized; feeds both the scalar total and the threshold
+    # filter — unmaterialized, the broadcast total subtree re-scanned
+    # lineitem (guide §2.4)
+    val = M.ephemeral_checkpoint(
         li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .groupBy("l_partkey")
         .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
@@ -767,7 +793,11 @@ def q_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").startswith("red")
     )
     supp = read_table(spark, sf_dir, "supplier")
-    qty = (
+    # (part, supplier)-dim-sized; feeds both the per-part rollup and
+    # the threshold join — unmaterialized, each consumer re-scanned the
+    # filtered fact, making the docstring's "one fact shuffle" two
+    # (guide §2.4)
+    qty = M.ephemeral_checkpoint(
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
@@ -988,7 +1018,11 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is exact while no single task ever sorts a whole hot type
     (the shape a per-type window would force) → output-sized rollup."""
     ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
-    du = ev.distinct().withColumn(
+    # the distinct (type, user) dim feeds both the sketch and the exact
+    # count — unmaterialized, each side re-scanned and re-deduped events
+    # (guide §2.4)
+    dist = M.ephemeral_checkpoint(ev.distinct())
+    du = dist.withColumn(
         "h",
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
         .cast("long"),

@@ -1134,13 +1134,23 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     family makes the whole sketch — not just its shape — reproducible in
     SQL, so the oracle verifies the estimates bit-for-bit, including the
     one-sided est >= exact property."""
+    from kremis_spark import memo as M
     from kremis_spark.functions.sketch import cms_build, cms_estimate
 
     ev = read_table(spark, sf_dir, "events")
-    cms = cms_build(ev, "user_id")
-    probes = ev.select("user_id").distinct().orderBy("user_id").limit(CMS_PROBES)
+    # ONE events pass: the per-user exact counts are a user-sized dim
+    # from which all three consumers derive — the sketch (weighted
+    # build: Σ count per cell ≡ count over raw rows), the probe list,
+    # and the exact column. The before-plan scanned events 3× and ran
+    # the ×DEPTH sketch explode over every raw event instead of every
+    # distinct user (guide §2.3/§2.4).
+    per_user = M.ephemeral_checkpoint(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    cms = cms_build(per_user, "user_id", weight_col="exact_count")
+    probes = per_user.select("user_id").orderBy("user_id").limit(CMS_PROBES)
     est = cms_estimate(cms, probes, "user_id")
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    exact = per_user
     return (
         est.join(exact, "user_id")
         .select("user_id", "est_count", "exact_count")
@@ -1179,13 +1189,27 @@ def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from 256-register tables without rescanning events. The register
     merge is the HLL mergeability property the per-sketch tests pin;
     here it is exercised end-to-end under the oracle gate."""
+    from kremis_spark import memo as M
     from kremis_spark.functions.sketch import hll_estimate, hll_registers
 
     ev = read_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == HLL_SET_A)
-    b = ev.filter(F.col("event_type") == HLL_SET_B)
-    ra = hll_registers(a, "user_id")
-    rb = hll_registers(b, "user_id")
+    # ONE events pass: both segments' distinct (event_type, user_id)
+    # sets in a single stacked scan+dedup, materialized user-dim-sized.
+    # HLL registers are duplicate-insensitive (max rho per bucket), so
+    # building them from the distinct sets is bit-identical; the
+    # before-plan scanned events 6× (2 register builds ×2 consumers + 2
+    # exact-distinct sides) (guide §2.4).
+    su = M.ephemeral_checkpoint(
+        ev.filter(F.col("event_type").isin(HLL_SET_A, HLL_SET_B))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    ua = su.filter(F.col("event_type") == HLL_SET_A).select("user_id")
+    ub = su.filter(F.col("event_type") == HLL_SET_B).select("user_id")
+    # register tables are 256 rows — materialize so the union merge and
+    # the per-set estimates don't re-aggregate the distinct fact
+    ra = M.ephemeral_checkpoint(hll_registers(ua, "user_id"))
+    rb = M.ephemeral_checkpoint(hll_registers(ub, "user_id"))
     ru = (
         ra.alias("x")
         .join(rb.alias("y"), "bucket")
@@ -1197,9 +1221,7 @@ def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = hll_estimate(rb).select(F.col("est_distinct").alias("est_b"))
     eu = hll_estimate(ru).select(F.col("est_distinct").alias("est_union"))
     exact = (
-        a.select("user_id")
-        .distinct()
-        .join(b.select("user_id").distinct(), "user_id")
+        ua.join(ub, "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
     )
     return (
@@ -1275,10 +1297,15 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     users and three ids past the max (guaranteed absent). No false
     negatives by construction — the oracle checks the exact bit table's
     answers, including any false positives, bit-for-bit."""
+    from kremis_spark import memo as M
     from kremis_spark.functions.sketch import bloom_build, bloom_might_contain
 
     ev = read_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
+    # the distinct user dim feeds FOUR consumers (filter build, probe
+    # list, max-id, presence flags) — materialize it once; the
+    # before-plan re-derived it per consumer and scanned events 8×
+    # (guide §2.4)
+    users = M.ephemeral_checkpoint(ev.select("user_id").distinct())
     bloom = bloom_build(users, "user_id")
     present = users.orderBy("user_id").limit(3)
     absent = (

@@ -63,6 +63,36 @@ def _toks() -> F.Column:
     return F.split(F.trim(F.col("text")), r"\s+")
 
 
+def _gram_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 8-gram md5) fact — the SAME relation as the
+    session-memoized eval-decon gram index in plans/curation.py
+    (identical whitespace tokenizer, window width, separator, and hash;
+    `word_shingles` additionally guards sub-window docs exactly like
+    this family's oracles' ``len(w) >= 8`` predicate). Consuming that
+    memo replaces the explode+md5+distinct pass these two gates rebuilt
+    per call (guide §2.4)."""
+    from kremis_spark.plans.curation import _decon_grams
+
+    return _decon_grams(spark, sf_dir).select(
+        "doc_id", F.col("h").alias("g")
+    )
+
+
+def _gram_firsts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-seen doc per gram — the other stage
+    dup_ngram_coverage and ngram_novelty_curve share; one groupBy over
+    the shared gram fact, materialized once per (session, dataset)."""
+
+    def build() -> DataFrame:
+        return M.checkpoint(
+            _gram_fact(spark, sf_dir)
+            .groupBy("g")
+            .agg(F.min("doc_id").alias("first_doc"))
+        )
+
+    return M.memo("pipe_gram_firsts", spark, sf_dir, build)
+
+
 def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-8-gram coverage against all LOWER doc_ids: for
     each document, the fraction (permille) of its distinct word 8-grams
@@ -75,20 +105,8 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id). All four stages are partial-agg/hash-join; gram
     cardinality shards evenly because the key is a hash."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", _toks().alias("w"))
-    grams = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(w) - {NGRAM_N - 1}, 0)),"
-                    f" i -> md5(concat_ws(' ', slice(w, i, {NGRAM_N}))))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
-    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    grams = _gram_fact(spark, sf_dir)
+    firsts = _gram_firsts(spark, sf_dir)
     per = (
         grams.join(firsts, "g")
         .groupBy("doc_id")
@@ -699,27 +717,21 @@ def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram key), then a 10-group rollup keyed by a map-side bucket
     expression. The max-id scalar is one output-sized readback."""
     docs = _docs(spark, sf_dir)
-    max_id = docs.agg(F.max("doc_id")).first()[0]
+    # dataset property: one readback per (session, dataset), not per call
+    max_id = M.memo(
+        "pipe_docs_max_id",
+        spark,
+        sf_dir,
+        lambda: docs.agg(F.max("doc_id")).first()[0],
+    )
     if max_id is None:
         return spark.createDataFrame(
             [],
             "bucket BIGINT, n_docs BIGINT, n_grams BIGINT, n_novel BIGINT,"
             " novelty_permille BIGINT",
         )
-    toks = docs.select("doc_id", _toks().alias("w"))
-    grams = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(w) - {NGRAM_N - 1}, 0)),"
-                    f" i -> md5(concat_ws(' ', slice(w, i, {NGRAM_N}))))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
-    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    grams = _gram_fact(spark, sf_dir)
+    firsts = _gram_firsts(spark, sf_dir)
     bucket = F.least(
         F.expr(f"doc_id * {NOVELTY_BUCKETS} div {int(max_id) + 1}"),
         F.lit(NOVELTY_BUCKETS - 1),

@@ -62,101 +62,123 @@ def _bm25_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     return M.memo("retrieval_bm25_stats", spark, sf_dir, build)
 
 
+def _bm25_dfs(spark: SparkSession, sf_dir: str) -> tuple[int, ...]:
+    """Per-term document frequencies for the fixed ``QUERY_TERMS`` — a
+    dataset property like ``_bm25_stats`` (the query is a constant), so
+    one map-side agg per (session, dataset) instead of a per-call
+    explode + (doc, term) shuffle just to count matching docs
+    (guide §5)."""
+
+    def build() -> tuple[int, ...]:
+        docs = _docs_parallel(spark, sf_dir)
+        toks = T.tokens("text")
+        row = docs.agg(
+            *[
+                F.sum(F.array_contains(toks, t).cast("long")).alias(f"d{i}")
+                for i, t in enumerate(QUERY_TERMS)
+            ]
+        ).first()
+        return tuple(int(row[f"d{i}"] or 0) for i in range(len(QUERY_TERMS)))
+
+    return M.memo("retrieval_bm25_dfs", spark, sf_dir, build)
+
+
+def _eq_term(term: str):
+    # one-arg lambda factory: a default-arg closure (lambda x, _t=term)
+    # would read as 2-ary to PySpark's higher-order-function binder,
+    # which then feeds the element INDEX into the second slot
+    lit = F.lit(term)
+    return lambda x: x == lit
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Per-doc BM25 total for the constant query, computed in ONE
+    map-side pass over the corpus (guide §2.3/§2.4: aggregate before —
+    here, instead of — the shuffle). The previous shape exploded every
+    token, shuffled the (doc, term) fact twice (tf agg + df agg) and
+    sort-merge-joined the per-doc lengths back; but with a FIXED term
+    list, tf per term is ``size(filter(tokens, t -> t = term))`` in the
+    scan projection, df is a memoized dataset property, and idf is a
+    Python integer — so the score needs zero exchanges before the final
+    TakeOrdered. Integer arithmetic is expression-for-expression the
+    old chain's: sat = (44·tf·avgdl·SCALE) div (20·tf·avgdl + 6·avgdl
+    + 18·dl), contribution = (idf · sat) div SCALE, summed over present
+    terms. Returns None for an empty corpus."""
+    n_docs, avgdl = _bm25_stats(spark, sf_dir)
+    if n_docs == 0:
+        return None
+    dfs = _bm25_dfs(spark, sf_dir)
+    # Robertson idf ratio in ppm, exact: df <= n_docs so the numerator
+    # is positive and Python // matches SQL div on nonnegative ints.
+    idf = [
+        ((2 * n_docs - 2 * df + 1) * IDF_SCALE) // (2 * df + 1)
+        for df in dfs
+    ]
+    docs = _docs_parallel(spark, sf_dir)
+    toks = T.tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_term(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(QUERY_TERMS)
+        ],
+    )
+    contrib = [
+        F.expr(
+            f"case when tf{i} > 0 then"
+            f" ({idf[i]}L * ((44L * tf{i} * {avgdl}L * {IDF_SCALE}L)"
+            f" div (20L * tf{i} * {avgdl}L + {6 * avgdl}L + 18L * dl)))"
+            f" div {IDF_SCALE}L else 0L end"
+        )
+        for i in range(len(QUERY_TERMS))
+    ]
+    present = [
+        F.expr(f"if(tf{i} > 0, 1L, 0L)") for i in range(len(QUERY_TERMS))
+    ]
+    score = contrib[0]
+    n_terms = present[0]
+    for c, p in zip(contrib[1:], present[1:]):
+        score = score + c
+        n_terms = n_terms + p
+    return base.select(
+        "doc_id",
+        n_terms.cast("long").alias("n_terms"),
+        score.cast("long").alias("s"),
+    ).filter(F.col("n_terms") > 0)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point BM25 top-k for the constant query ``QUERY_TERMS``.
 
-    Distributed shape: one explode of the token fact filtered to the
-    query terms (the filter lands directly under the explode, so the
-    shuffled fact is |query| × matching docs, not the corpus); per-doc
-    lengths come map-side from ``size(tokens)`` with a partial-agg
-    global sum for avgdl (one scalar readback, output-sized). The
-    3-row document-frequency table broadcasts onto the tf fact, and the
-    final top-k is a TakeOrdered — no global sort. At 100 TB nothing
-    here materializes more than (n_query_terms × df) rows."""
-    docs = _docs_parallel(spark, sf_dir)
-    dl = docs.select("doc_id", F.size(T.tokens("text")).cast("long").alias("dl"))
-    n_docs, avgdl = _bm25_stats(spark, sf_dir)
-    if n_docs == 0:
+    Distributed shape (see ``_bm25_scored``): the whole score is
+    map-side over the document scan — tf per fixed term from
+    ``size(filter(tokens, ...))``, df/avgdl/n_docs memoized dataset
+    properties, idf a literal — and the only distributed operator is
+    the final TakeOrdered. At 100 TB this is one pass over the corpus
+    with nothing materialized beyond the top-k."""
+    scored = _bm25_scored(spark, sf_dir)
+    if scored is None:
         return spark.createDataFrame(
             [], "doc_id BIGINT, n_terms BIGINT, bm25_score BIGINT"
         )
-
-    tf = (
-        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-        .filter(F.col("term").isin(QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    return (
+        scored.select("doc_id", "n_terms", F.col("s").alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(TOPK)
     )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = dft.select(
-        "term",
-        F.expr(
-            f"(({2 * n_docs}L - 2L * df + 1L) * {IDF_SCALE}L)"
-            " div (2L * df + 1L)"
-        ).alias("idf_ppm"),
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id",
-            (
-                F.col("idf_ppm")
-                * F.expr(
-                    f"(44L * tf * {avgdl}L * {IDF_SCALE}L)"
-                    f" div (20L * tf * {avgdl}L + {6 * avgdl}L + 18L * dl)"
-                )
-            ).alias("num"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.expr(f"sum(num div {IDF_SCALE}L)").cast("long").alias(
-                "bm25_score"
-            ),
-        )
-    )
-    return scored.orderBy(F.desc("bm25_score"), "doc_id").limit(TOPK)
 
 
 def _bm25_pool(spark: SparkSession, sf_dir: str, pool: int) -> DataFrame:
     """Top-``pool`` BM25 candidates with their 1-based lexical rank.
-    The rank window runs on the already-limited pool (output-sized), so
-    the single-partition window is O(pool), never O(corpus)."""
-    docs = _docs_parallel(spark, sf_dir)
-    dl = docs.select("doc_id", F.size(T.tokens("text")).cast("long").alias("dl"))
-    n_docs, avgdl = _bm25_stats(spark, sf_dir)
-    if n_docs == 0:
+    Same single-pass map-side score as ``q_bm25_topk``; the rank window
+    runs on the already-limited pool (output-sized), so the
+    single-partition window is O(pool), never O(corpus)."""
+    scored = _bm25_scored(spark, sf_dir)
+    if scored is None:
         return spark.createDataFrame([], "doc_id BIGINT, lex_rank BIGINT")
-    tf = (
-        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-        .filter(F.col("term").isin(QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = dft.select(
-        "term",
-        F.expr(
-            f"(({2 * n_docs}L - 2L * df + 1L) * {IDF_SCALE}L)"
-            " div (2L * df + 1L)"
-        ).alias("idf_ppm"),
-    )
     top = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id",
-            (
-                F.col("idf_ppm")
-                * F.expr(
-                    f"(44L * tf * {avgdl}L * {IDF_SCALE}L)"
-                    f" div (20L * tf * {avgdl}L + {6 * avgdl}L + 18L * dl)"
-                )
-            ).alias("num"),
-        )
-        .groupBy("doc_id")
-        .agg(F.expr(f"sum(num div {IDF_SCALE}L)").cast("long").alias("s"))
+        scored.select("doc_id", "s")
         .orderBy(F.desc("s"), "doc_id")
         .limit(pool)
     )

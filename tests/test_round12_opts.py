@@ -170,6 +170,84 @@ def test_dataset_property_memos_match_direct_readbacks(spark):
     assert P._query_ivec(spark, SF) is P._query_ivec(spark, SF)
 
 
+def test_bm25_mapside_score_equals_explode_chain(spark):
+    """The map-side BM25 fact (_bm25_scored: tf per fixed term via
+    size(filter(tokens)), memoized df, literal idf) must match the
+    explode → tf/df agg → idf broadcast → dl join chain it replaced,
+    row for row."""
+    from kremis_spark.functions import text as T
+    from kremis_spark.plans import retrieval as R
+    from kremis_spark.plans.pipeline import _docs_parallel
+
+    docs = _docs_parallel(spark, SF)
+    dl = docs.select(
+        "doc_id", F.size(T.tokens("text")).cast("long").alias("dl")
+    )
+    n_docs, avgdl = R._bm25_stats(spark, SF)
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .filter(F.col("term").isin(R.QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = dft.select(
+        "term",
+        F.expr(
+            f"(({2 * n_docs}L - 2L * df + 1L) * {R.IDF_SCALE}L)"
+            " div (2L * df + 1L)"
+        ).alias("idf_ppm"),
+    )
+    old = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf_ppm")
+                * F.expr(
+                    f"(44L * tf * {avgdl}L * {R.IDF_SCALE}L)"
+                    f" div (20L * tf * {avgdl}L + {6 * avgdl}L + 18L * dl)"
+                )
+            ).alias("num"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.expr(f"sum(num div {R.IDF_SCALE}L)").cast("long").alias("s"),
+        )
+    )
+    a = sorted(
+        (r["doc_id"], r["n_terms"], r["s"]) for r in old.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_terms"], r["s"])
+        for r in R._bm25_scored(spark, SF).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_cms_weighted_build_equals_raw_build(spark):
+    """cms_build over a pre-aggregated (value, count) dim with
+    weight_col must produce the identical sketch table as the raw-row
+    build it replaced in events_cms_user_counts."""
+    from kremis_spark.functions.sketch import cms_build
+
+    raw = spark.createDataFrame(
+        [(i % 7,) for i in range(100)] + [(999,), (999,), (-3,)],
+        "user_id LONG",
+    )
+    agg = raw.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sorted(
+        (r["j"], r["b"], r["c"]) for r in cms_build(raw, "user_id").collect()
+    )
+    b = sorted(
+        (r["j"], r["b"], r["c"])
+        for r in cms_build(agg, "user_id", weight_col="n").collect()
+    )
+    assert a == b
+
+
 def test_semdedup_assignment_is_session_memoized(spark):
     """q_semdedup's nearest-centroid assignment is a session memo (one
     materialization per dataset), not a per-call ephemeral rebuild."""
