@@ -229,37 +229,54 @@ def q_media_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phash_band_candidates(ph: DataFrame) -> DataFrame:
+def _phash_hot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qualifying band-bucket membership (modality, band, bval, item_id,
+    phash) — the banded pHash LSH index: band explode over the memoized
+    pHash table, bucket-size cull to 2..cap members, materialized ONCE
+    per (session, dataset). All three media-dedup gates (band display,
+    exact verify, keep-first dedup) probe this relation; each previously
+    re-ran the explode + size agg + join per call (guide §2.4)."""
+    from kremis_spark import memo as M
+
+    def build() -> DataFrame:
+        ph = _media_phash(spark, sf_dir)
+        bands = ph.select(
+            "item_id",
+            "modality",
+            "phash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            (
+                                F.shiftrightunsigned(F.col("phash"), 16 * b)
+                                .bitwiseAND(F.lit(0xFFFF))
+                            ).alias("bval"),
+                        )
+                        for b in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("item_id", "modality", "phash", "bb.band", "bb.bval")
+        sizes = (
+            bands.groupBy("modality", "band", "bval")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") >= 2) & (F.col("n") <= PHASH_BUCKET_CAP))
+            .select("modality", "band", "bval")
+        )
+        return M.checkpoint(bands.join(sizes, ["modality", "band", "bval"]))
+
+    return M.memo("media_phash_hot_bands", spark, sf_dir, build)
+
+
+def _phash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-modality candidate pairs sharing >= 1 qualifying band bucket
     (2..cap members) — the recall stage of pHash dedup, UNRANKED and
     un-truncated (the verify/dedup stages consume all candidates; the
-    display gate q_media_phash_bands ranks its own view)."""
-    bands = ph.select(
-        "item_id",
-        "modality",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.shiftrightunsigned(F.col("phash"), 16 * b)
-                            .bitwiseAND(F.lit(0xFFFF))
-                        ).alias("bval"),
-                    )
-                    for b in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("item_id", "modality", "phash", "bb.band", "bb.bval")
-    sizes = (
-        bands.groupBy("modality", "band", "bval")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= PHASH_BUCKET_CAP))
-        .select("modality", "band", "bval")
-    )
-    hot = bands.join(sizes, ["modality", "band", "bval"])
+    display gate q_media_phash_bands ranks its own view). Pairs come
+    from one self-join of the shared hot-band index."""
+    hot = _phash_hot_bands(spark, sf_dir)
     return (
         hot.select(
             "modality", "band", "bval",
@@ -292,7 +309,7 @@ def q_media_phash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidates are per-bucket joins bounded by the bucket
     cap; the Hamming check adds zero shuffles. Oracle: frozen golden from
     the independent generator (a DCT hash isn't SQL-expressible)."""
-    cand = _phash_band_candidates(_media_phash(spark, sf_dir))
+    cand = _phash_band_candidates(spark, sf_dir)
     return (
         cand.select(
             "item_a",
@@ -319,7 +336,7 @@ def q_media_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified-pair set; the rollup is one partial agg on the tiny
     modality key."""
     ph = _media_phash(spark, sf_dir)
-    cand = _phash_band_candidates(ph)
+    cand = _phash_band_candidates(spark, sf_dir)
     dup_pairs = cand.select(
         "modality",
         "item_a",
@@ -369,35 +386,9 @@ def q_media_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is one map-side projection (4 rows/item); hot buckets are
     capped like the MinHash LSH (a bucket with > cap members is
     non-discriminative); the pair join is per-bucket and bounded by the
-    cap. Top pairs by shared-band count."""
-    ph = _media_phash(spark, sf_dir)
-    bands = ph.select(
-        "item_id",
-        "modality",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.shiftrightunsigned(F.col("phash"), 16 * b)
-                            .bitwiseAND(F.lit(0xFFFF))
-                        ).alias("bval"),
-                    )
-                    for b in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("item_id", "modality", "bb.band", "bb.bval")
-    sizes = (
-        bands.groupBy("modality", "band", "bval")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= PHASH_BUCKET_CAP))
-        .select("modality", "band", "bval")
-    )
-    # no broadcast hint: the qualifying-bucket list is corpus-sized in a
-    # dup-heavy dataset — AQE flips the join to broadcast when it IS small
-    hot = bands.join(sizes, ["modality", "band", "bval"])
+    cap. Top pairs by shared-band count. The explode + size-cull runs
+    once per session via the shared hot-band index (guide §2.4)."""
+    hot = _phash_hot_bands(spark, sf_dir)
     pairs = (
         hot.select("modality", "band", "bval", F.col("item_id").alias("item_a"))
         .join(

@@ -1359,7 +1359,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-block and bounded by the cap."""
     docs = _docs_parallel(spark, sf_dir)
     hashed = _hashed(spark, sf_dir)
-    blocks = hashed.groupBy("doc_id").agg(F.min("h1").alias("blk"))
+    # doc-sized (doc_id, blk); feeds the block-size cull AND the member
+    # join — and downstream, jaccard_verify references the pair list
+    # from four branches (candidate union ×2, intersection, final join),
+    # so an unmaterialized block chain was re-planned ~4× into a
+    # 140-Exchange plan (guide §2.4 / §3.3: materialize to truncate)
+    blocks = M.ephemeral_checkpoint(
+        hashed.groupBy("doc_id").agg(F.min("h1").alias("blk"))
+    )
     ok = (
         blocks.groupBy("blk")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1369,13 +1376,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint: qualifying blocks are corpus-sized in a dup-heavy
     # dataset — AQE flips to broadcast when the list is actually small
     members = blocks.join(ok, "blk")
-    pairs = (
+    pairs = M.ephemeral_checkpoint(
         members.select("blk", F.col("doc_id").alias("doc_a"))
         .join(members.select("blk", F.col("doc_id").alias("doc_b")), "blk")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # NO n_pairs_hint: the hint would route verify to the array-intersect
+    # branch, measured 2.5x SLOWER here (min 1.7 -> 4.4 s at sf0.1) —
+    # min-shingle blocks yield far more candidate pairs than the banded
+    # LSH path, so the distributed intersection join wins
     return (
         D.jaccard_verify(docs, pairs, hashed=hashed)
         .orderBy(F.desc("jaccard_millis"), "doc_a", "doc_b")

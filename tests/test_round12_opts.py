@@ -227,6 +227,49 @@ def test_bm25_mapside_score_equals_explode_chain(spark):
     assert a == b and len(a) > 0
 
 
+def test_phash_hot_band_index_is_session_memoized(spark):
+    """The banded pHash LSH index (_phash_hot_bands) is one session
+    memo shared by the three media-dedup gates, and its relation equals
+    the explode + size-cull + join it replaced, row for row."""
+    from kremis_spark.plans import beyond as B
+
+    hot = B._phash_hot_bands(spark, SF)
+    assert B._phash_hot_bands(spark, SF) is hot
+    ph = B._media_phash(spark, SF)
+    bands = ph.select(
+        "item_id",
+        "modality",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), 16 * b)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("bval"),
+                    )
+                    for b in range(B.PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("item_id", "modality", "phash", "bb.band", "bb.bval")
+    sizes = (
+        bands.groupBy("modality", "band", "bval")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= B.PHASH_BUCKET_CAP))
+        .select("modality", "band", "bval")
+    )
+    direct = bands.join(sizes, ["modality", "band", "bval"])
+    key = lambda r: (  # noqa: E731
+        r["modality"], r["band"], r["bval"], r["item_id"], r["phash"]
+    )
+    assert sorted(map(key, hot.collect())) == sorted(
+        map(key, direct.collect())
+    )
+
+
 def test_cms_weighted_build_equals_raw_build(spark):
     """cms_build over a pre-aggregated (value, count) dim with
     weight_col must produce the identical sketch table as the raw-row
