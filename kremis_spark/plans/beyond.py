@@ -470,6 +470,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_SHUFFLE_PARTITIONS = 8
 
+# Most recent gate's micro-batch progress dicts (debug/measurement only).
+LAST_STREAM_PROGRESS: list = []
+
 
 def _run_stream(
     agg: DataFrame,
@@ -523,6 +526,11 @@ def _run_stream(
             .start()
         )
         q.awaitTermination()
+        try:  # measurement aid (guide §1): per-phase durations of the
+            # gate's micro-batches, readable by tools/profile_queries.py
+            LAST_STREAM_PROGRESS[:] = list(q.recentProgress)
+        except Exception:  # noqa: BLE001 — telemetry must never fail a gate
+            pass
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(

@@ -79,6 +79,66 @@ def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.memo("graph_undirected", spark, sf_dir, build)
 
 
+def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Driver-computed integer result rows as an Arrow-backed DataFrame.
+    A plain ``createDataFrame(list)`` becomes a defaultParallelism-slice
+    Python RDD whose EVERY action round-trips that many Python workers
+    (measured: 0.6 s per 150-row collect at local[32]; ``coalesce(1)``
+    over it is far worse, 5.7 s, so don't); the Arrow path converts
+    driver-side and the same collect is ~0.1 s. Integer columns only —
+    exactly what the driver-local graph paths emit."""
+    import pandas as pd
+
+    names = [c.strip().split()[0] for c in schema.split(",")]
+    pdf = pd.DataFrame(rows, columns=names)
+    if pdf.empty:  # dtype is object on an empty frame; Arrow needs ints
+        pdf = pdf.astype("int64")
+    return spark.createDataFrame(pdf, schema)
+
+
+def _collected_nodes(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Sorted node ids, collected ONCE per (session, dataset) for the
+    PR_COLLECT driver-local paths (guide §5: dataset-property readbacks
+    are session work, not a job per query call). Only call under the
+    PR_COLLECT bounds — the list is ≤ PR_COLLECT_MAX_NODES by the
+    callers' branch contract."""
+    st = graph_state(spark, sf_dir)
+    return M.memo(
+        "graph_collected_nodes", spark, sf_dir,
+        lambda: sorted(
+            int(r[0]) for r in st.nodes.select("node_id").collect()
+        ),
+    )
+
+
+def _collected_edges(spark: SparkSession, sf_dir: str) -> list:
+    """(src, dst, weight) triples of the directed edge fact, collected
+    once per (session, dataset) — shared by every driver-local loop that
+    previously paid its own collect job per call (pagerank, harmonic,
+    WCC union-find, SSSP). Same bounds contract as _collected_nodes."""
+    st = graph_state(spark, sf_dir)
+    return M.memo(
+        "graph_collected_edges", spark, sf_dir,
+        lambda: [
+            (int(r[0]), int(r[1]), int(r[2]))
+            for r in st.edges.select("src", "dst", "weight").collect()
+        ],
+    )
+
+
+def _collected_und(spark: SparkSession, sf_dir: str) -> list:
+    """(a, b) pairs of the canonical undirected edge set, collected once
+    per (session, dataset) for the driver-local paths (label
+    propagation, modularity, k-core). Same bounds contract."""
+    return M.memo(
+        "graph_collected_und", spark, sf_dir,
+        lambda: [
+            (int(r[0]), int(r[1]))
+            for r in undirected_edges(spark, sf_dir).select("a", "b").collect()
+        ],
+    )
+
+
 def undirected_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node-sized undirected degree fact ``(n, deg)``, materialized once
     per session from the canonical undirected edge set. Five plans
@@ -576,8 +636,7 @@ def _wcc_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parent[x], x = r, parent[x]
             return r
 
-        for row in und.collect():
-            a, b = int(row[0]), int(row[1])
+        for a, b, _ in _collected_edges(spark, sf_dir):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -586,7 +645,7 @@ def _wcc_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = sorted((x, find(x)) for x in parent)
-        out = spark.createDataFrame(rows, "n LONG, label LONG")
+        out = _local_df(spark, rows, "n LONG, label LONG")
     return out
 
 
@@ -1130,7 +1189,45 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per round, one degree agg over the (shrinking) edge set
     and two broadcast semi-joins against the node-sized keep list; edges
     never reshuffle. Rounds are O(peeling depth), the same bounded-round
-    contract as label propagation / SSSP."""
+    contract as label propagation / SSSP.
+
+    Adaptive execution (same split as q_pagerank / q_sssp): under the
+    PR_COLLECT bounds the peel loop runs on the already-collected
+    undirected edge list (the distributed loop is ~2 jobs per round of
+    scheduling overhead at that size); larger graphs run
+    ``kcore_distributed``, pinned to the driver path by
+    ``tests/test_analytics_oracle.py``."""
+    st = graph_state(spark, sf_dir)
+    if (
+        st.node_count() <= PR_COLLECT_MAX_NODES
+        and st.edge_count() <= PR_COLLECT_MAX_EDGES
+    ):
+        cur_e = _collected_und(spark, sf_dir)
+        for _ in range(KCORE_ROUNDS):
+            if not cur_e:
+                break
+            cnt: dict[int, int] = {}
+            for a, b in cur_e:
+                cnt[a] = cnt.get(a, 0) + 1
+                cnt[b] = cnt.get(b, 0) + 1
+            keep = {z for z, c in cnt.items() if c >= KCORE_K}
+            nxt = [(a, b) for a, b in cur_e if a in keep and b in keep]
+            if len(nxt) == len(cur_e):
+                break  # fixpoint (edge set only shrinks; equal size = equal set)
+            cur_e = nxt
+        deg: dict[int, int] = {}
+        for a, b in cur_e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return _local_df(
+            spark, sorted(deg.items()), "node_id LONG, core_degree LONG"
+        )
+    return kcore_distributed(spark, sf_dir)
+
+
+def kcore_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed peel loop (the 100 TB path; docstring on
+    q_kcore)."""
     cur = undirected_edges(spark, sf_dir)
     n_cur = cur.count()
     rel_prev = None  # rolling release: free round k once k+1 materializes
@@ -1184,7 +1281,61 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: THE canonical Pregel algorithm as DataFrames — per
     round, one join of the static costed edge fact (built and
     checkpointed once) against the node-sized distance table + one
-    min-agg; rounds exchange only node-sized tables."""
+    min-agg; rounds exchange only node-sized tables.
+
+    Adaptive execution (same split as q_pagerank / q_label_propagation):
+    under the PR_COLLECT bounds the graph is already collected by the
+    session memos and the identical integer relaxation runs on the
+    driver — the distributed loop is ~6 jobs per session plus broadcast
+    builds of pure scheduling overhead at that size (measured: 24 jobs
+    per call). ``tests/test_analytics_oracle.py`` pins the distributed
+    loop to the driver path."""
+    st = graph_state(spark, sf_dir)
+    if (
+        st.node_count() <= PR_COLLECT_MAX_NODES
+        and st.edge_count() <= PR_COLLECT_MAX_EDGES
+    ):
+        return _sssp_local(spark, sf_dir)
+    return sssp_distributed(spark, sf_dir)
+
+
+def _sssp_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-local Bellman-Ford (the PR_COLLECT path): same anchor
+    rule, same integer cost, same SSSP_ROUNDS synchronous relaxation as
+    the distributed loop below."""
+    INF = 1 << 62
+    edges = _collected_edges(spark, sf_dir)
+    if not edges:  # edgeless graph: no source, no finite distances
+        return spark.createDataFrame([], "node_id LONG, dist LONG")
+    # ORDER BY weight DESC, src, dst LIMIT 1 — the traversal family's
+    # data-derived anchor rule
+    anchor = min(edges, key=lambda e: (-e[2], e[0], e[1]))[0]
+    dist = {v: INF for v in _collected_nodes(spark, sf_dir)}
+    if anchor in dist:
+        dist[anchor] = 0
+    costed = [(s, d, 1_000_000 // (w + 1) + 1) for s, d, w in edges]
+    for _ in range(SSSP_ROUNDS):
+        nd: dict[int, int] = {}
+        for s, d, c in costed:
+            # dist.get: an edge whose src is absent from the node table
+            # relaxes nothing — the inner-join semantics of the
+            # distributed loop
+            ds = dist.get(s, INF)
+            if ds < INF:
+                v = ds + c
+                if v < nd.get(d, INF):
+                    nd[d] = v
+        dist = {v: min(dv, nd.get(v, dv)) for v, dv in dist.items()}
+    return _local_df(
+        spark,
+        [(v, dv) for v, dv in sorted(dist.items()) if dv < INF],
+        "node_id LONG, dist LONG",
+    )
+
+
+def sssp_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed Bellman-Ford loop (the 100 TB path; docstring on
+    q_sssp_bellman_ford)."""
     st = graph_state(spark, sf_dir)
     heaviest = st.edges.orderBy(F.desc("weight"), "src", "dst").limit(1).collect()
     if not heaviest:  # edgeless graph: no source, no finite distances
@@ -1327,32 +1478,47 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``label_propagation_distributed``, which
     ``tests/test_analytics_oracle.py`` pins to the driver path."""
     st = graph_state(spark, sf_dir)
-    und = undirected_edges(spark, sf_dir)
-    nodes = st.nodes.select("node_id")
-    n = st.node_count()
-    if n > PR_COLLECT_MAX_NODES or st.edge_count() > PR_COLLECT_MAX_EDGES:
-        return label_propagation_distributed(nodes, und)
-    node_ids = [int(r[0]) for r in nodes.collect()]
-    adj: dict[int, list[int]] = {}
-    for r in und.select("a", "b").collect():
-        a, b = int(r[0]), int(r[1])
-        adj.setdefault(a, []).append(b)
-        adj.setdefault(b, []).append(a)
-    label = {v: v for v in node_ids}
-    for _ in range(LP_ITERS):
-        # neighbor mins against the PREVIOUS round's labels (synchronous
-        # rounds — same as the join against the immutable `labels` table)
-        nl = {
-            v: min(label[u] for u in us if u in label)
-            for v, us in adj.items()
-            if any(u in label for u in us)
-        }
-        label = {
-            v: min(lv, nl.get(v, lv)) for v, lv in label.items()
-        }
-    return spark.createDataFrame(
-        sorted(label.items()), "node_id LONG, label LONG"
+    if (
+        st.node_count() > PR_COLLECT_MAX_NODES
+        or st.edge_count() > PR_COLLECT_MAX_EDGES
+    ):
+        return label_propagation_distributed(
+            st.nodes.select("node_id"), undirected_edges(spark, sf_dir)
+        )
+    return _local_df(
+        spark, _lp_labels_local(spark, sf_dir), "node_id LONG, label LONG"
     )
+
+
+def _lp_labels_local(spark: SparkSession, sf_dir: str) -> list:
+    """Driver-local LP labels as sorted (node_id, label) tuples,
+    memoized per (session, dataset): q_modularity scores these exact
+    communities, so it previously re-ran the whole LP loop (collects
+    included) and re-collected the resulting 32-slice DataFrame per
+    call. Only call under the PR_COLLECT bounds."""
+
+    def build() -> list:
+        node_ids = _collected_nodes(spark, sf_dir)
+        adj: dict[int, list[int]] = {}
+        for a, b in _collected_und(spark, sf_dir):
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        label = {v: v for v in node_ids}
+        for _ in range(LP_ITERS):
+            # neighbor mins against the PREVIOUS round's labels
+            # (synchronous rounds — same as the join against the
+            # immutable `labels` table)
+            nl = {
+                v: min(label[u] for u in us if u in label)
+                for v, us in adj.items()
+                if any(u in label for u in us)
+            }
+            label = {
+                v: min(lv, nl.get(v, lv)) for v, lv in label.items()
+            }
+        return sorted(label.items())
+
+    return M.memo("graph_lp_labels_local", spark, sf_dir, build)
 
 
 def _lp_chain_sql() -> str:
@@ -1412,15 +1578,13 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.node_count() <= PR_COLLECT_MAX_NODES
         and st.edge_count() <= PR_COLLECT_MAX_EDGES
     ):
-        edges = [(int(r[0]), int(r[1])) for r in und.select("a", "b").collect()]
+        edges = _collected_und(spark, sf_dir)
         m = len(edges)
-        lab = {
-            int(r[0]): int(r[1])
-            for r in q_label_propagation(spark, sf_dir).collect()
-        }
+        lab = dict(_lp_labels_local(spark, sf_dir))
         if m == 0:
             nc = len(set(lab.values()))
-            return spark.createDataFrame(
+            return _local_df(
+                spark,
                 [(nc, 0, 0)],
                 "n_communities BIGINT, m_edges BIGINT, q_num BIGINT",
             )
@@ -1439,7 +1603,8 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_num = sum(
             4 * m * ec.get(c, 0) - d * d for c, d in dc.items()
         )
-        return spark.createDataFrame(
+        return _local_df(
+            spark,
             [(len(set(lab.values())), m, q_num)],
             "n_communities BIGINT, m_edges BIGINT, q_num BIGINT",
         )
@@ -1574,11 +1739,11 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = st.node_count()
     if n > PR_COLLECT_MAX_NODES or st.edge_count() > PR_COLLECT_MAX_EDGES:
         return harmonic_centrality_distributed(spark, nodes, st.edges)
-    node_ids = sorted(int(r[0]) for r in nodes.collect())
+    node_ids = _collected_nodes(spark, sf_dir)
     anchors = node_ids[:HC_ANCHORS]
     succ: dict[int, list[int]] = {}
-    for r in st.edges.select("src", "dst").collect():
-        succ.setdefault(int(r[0]), []).append(int(r[1]))
+    for s, d, _ in _collected_edges(spark, sf_dir):
+        succ.setdefault(s, []).append(d)
     rows = []
     for a in anchors:
         seen = {a}
@@ -1596,8 +1761,8 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             harmonic += len(nxt) * (1_000_000 // dist)
             frontier = nxt
         rows.append((a, n_reached, harmonic))
-    return spark.createDataFrame(
-        rows, "anchor LONG, n_reached LONG, harmonic_millionths LONG"
+    return _local_df(
+        spark, rows, "anchor LONG, n_reached LONG, harmonic_millionths LONG"
     )
 
 
@@ -1700,11 +1865,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     if st.edge_count() > PR_COLLECT_MAX_EDGES:
         return pagerank_distributed(nodes, st.edges, n)
     edge_rows = [
-        (int(r[0]), int(r[1]))
-        for r in st.edges.select("src", "dst").collect()
+        (s, d) for s, d, _ in _collected_edges(spark, sf_dir)
     ]
-
-    node_ids = [int(r[0]) for r in nodes.collect()]
+    node_ids = _collected_nodes(spark, sf_dir)
     outdeg: dict[int, int] = {}
     for s, _ in edge_rows:
         outdeg[s] = outdeg.get(s, 0) + 1
@@ -1720,8 +1883,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rs is not None:
                 contrib[d] = contrib.get(d, 0) + rs // outdeg[s]
         r = {v: damp_base + 850 * contrib.get(v, 0) // 1000 for v in node_ids}
-    return spark.createDataFrame(
-        [(v, r[v]) for v in sorted(node_ids)],
+    return _local_df(
+        spark,
+        [(v, r[v]) for v in node_ids],  # _collected_nodes is sorted
         "node_id LONG, rank_ppm LONG",
     )
 

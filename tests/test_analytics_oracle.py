@@ -138,6 +138,28 @@ def test_modularity_distributed_matches_driver_path(spark, monkeypatch):
     assert dist == drv
 
 
+def test_sssp_distributed_matches_driver_path(spark):
+    """q_sssp_bellman_ford adaptively runs the Bellman-Ford relaxation
+    on the driver under the PR_COLLECT bounds (r12); the distributed
+    loop — the path actually taken past the bounds — must produce
+    identical distances."""
+    from kremis_spark.plans import graph_queries as gq
+
+    dist = gq.sssp_distributed(spark, SF_DIR).collect()
+    drv = gq.q_sssp_bellman_ford(spark, SF_DIR).collect()
+    assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
+
+
+def test_kcore_distributed_matches_driver_path(spark):
+    """Same pin for the k-core peel loop: the distributed rounds must
+    equal the driver-local peel (the PR_COLLECT path since r12)."""
+    from kremis_spark.plans import graph_queries as gq
+
+    dist = gq.kcore_distributed(spark, SF_DIR).collect()
+    drv = gq.q_kcore(spark, SF_DIR).collect()
+    assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
+
+
 def test_wcc_local_union_find_matches_distributed(spark):
     """_wcc_labels' driver-side union-find (the path taken under the
     collect bounds) must produce the same (n, label) rows as the

@@ -481,12 +481,15 @@ def test_zorder_layout_no_global_window(spark):
 
 
 def test_bm25_broadcast_idf_and_topk(spark):
-    """BM25: the 3-row idf table broadcasts onto the tf fact, and the
-    final top-k is a TakeOrdered — never a global sort of all scores."""
+    """BM25 (map-side since r12): with a fixed query-term list the tf
+    counts are scan-projection expressions, idf is a folded literal from
+    the memoized df dataset property, and the per-doc score is pure
+    map-side arithmetic — the plan must contain NO join at all, and the
+    final top-k is a TakeOrdered, never a global sort of all scores."""
     from kremis_spark.plans.retrieval import q_bm25_topk
 
     txt = plan_text(q_bm25_topk(spark, SF_DIR), "simple")
-    assert "BroadcastHashJoin" in txt, txt
+    assert "Join" not in txt, txt
     assert "TakeOrderedAndProject" in txt, txt
 
 
