@@ -36,6 +36,16 @@ def integerize(col: Column) -> Column:
     )
 
 
+def long_array_lit(vals) -> Column:
+    """Constant ``array<long>`` literal composed as ONE parsed SQL
+    expression. ``F.array(*[F.lit(v).cast("long") ...])`` costs
+    ~2·dim py4j round-trips per call (measured: ~0.35 s of driver time
+    per 64-dim query literal, ×3 inside pipe_ann_pareto's build); the
+    parsed text yields the identical CreateArray-of-Literals tree in a
+    single round-trip."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 def int_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -110,19 +120,30 @@ def cosine_topk(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k against one query vector:
-    (vec_id, cosine), ordered (cosine desc, vec_id asc)."""
-    qarr = F.array(*[F.lit(v).cast("long") for v in query_ivec])
-    qnorm = sum(v * v for v in query_ivec)
+    (vec_id, cosine), ordered (cosine desc, vec_id asc).
+
+    The scorer is composed as ONE parsed SQL expression — the
+    column-by-column build (int_dot lambdas + per-element query
+    literals + cosine_col) cost ~0.35 s of py4j round-trips per call
+    (×3 calls inside pipe_ann_pareto). The parsed text yields the
+    identical aggregate/zip_with/sqrt/divide tree, so the IEEE doubles
+    are bit-identical (pinned by test_cosine_topk_sql_text_equivalence).
+    """
+    qtext = "array(" + ",".join(f"{int(v)}L" for v in query_ivec) + ")"
+    qnorm = sum(int(v) * int(v) for v in query_ivec)
+    dot_sql = (
+        f"aggregate(zip_with(ivec, {qtext}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    cos_sql = (
+        f"CAST({dot_sql} AS DOUBLE) / (SQRT(CAST(norm AS DOUBLE))"
+        f" * SQRT(CAST(CAST({qnorm} AS BIGINT) AS DOUBLE)))"
+    )
     out = prepared.filter(F.col("norm") > 0)
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return (
-        out.withColumn("dot", int_dot(F.col("ivec"), qarr))
-        .withColumn(
-            "cosine",
-            cosine_col(F.col("dot"), F.col("norm"), F.lit(qnorm).cast("long")),
-        )
-        .select(id_col, "cosine")
+        out.selectExpr(id_col, f"{cos_sql} AS cosine")
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

@@ -44,6 +44,7 @@ from kremis_spark.functions.similarity import (
     hyperplanes,
     int_dot,
     ivf_probe_cells,
+    long_array_lit,
     with_ivf_cell,
     with_lsh_bucket,
 )
@@ -140,7 +141,7 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     qid, qivec = qrow
     span = hi - lo + 1
     qcodes = [((v - lo) * SQ_LEVELS) // span for v in qivec]
-    qarr = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
+    qarr = long_array_lit(qcodes)
 
     base = prep.filter(F.col("vec_id") != qid)
     quant = base.withColumn("codes", _quantize("ivec", lo, hi))
@@ -155,7 +156,7 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.withColumn(
             "cosine",
             cosine_col(
-                int_dot(F.col("ivec"), F.array(*[F.lit(v).cast("long") for v in qivec])),
+                int_dot(F.col("ivec"), long_array_lit(qivec)),
                 F.col("norm"),
                 F.lit(qnorm).cast("long"),
             ),
@@ -229,7 +230,7 @@ def q_ann_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         # query aug is 0, so its last plane component contributes nothing
         if sum(a * b for a, b in zip(qivec, plane[:EMB_DIM])) > 0:
             qbucket |= 1 << p
-    qarr = F.array(*[F.lit(v).cast("long") for v in qivec])
+    qarr = long_array_lit(qivec)
     topb = (
         bucketed.filter(F.col("bucket") == qbucket)
         .withColumn("dot", int_dot(F.col("ivec"), qarr))

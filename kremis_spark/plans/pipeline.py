@@ -1346,6 +1346,54 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_BLOCK_CAP = 64
 
 
+def _blocked_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-shingle-blocked candidate pairs with exact Jaccard — the
+    blocking-index twin of ``_verified_pairs``, materialized once per
+    session. Two gates consume it (q_ngram_jaccard's top pairs and
+    q_lsh_recall's blocked-generator truth side); each previously
+    re-derived the identical block fact, capped pair list, and verify
+    join per call (guide §2.4: one serving index, probed by its
+    consumers)."""
+
+    def build() -> DataFrame:
+        docs = _docs_parallel(spark, sf_dir)
+        hashed = _hashed(spark, sf_dir)
+        # doc-sized (doc_id, blk); feeds the block-size cull AND the
+        # member join — and downstream, jaccard_verify references the
+        # pair list from four branches (candidate union ×2,
+        # intersection, final join), so an unmaterialized block chain
+        # was re-planned ~4× into a 140-Exchange plan (guide §2.4 /
+        # §3.3: materialize to truncate)
+        blocks = M.checkpoint(
+            hashed.groupBy("doc_id").agg(F.min("h1").alias("blk"))
+        )
+        ok = (
+            blocks.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") >= 2) & (F.col("n") <= NGRAM_BLOCK_CAP))
+            .select("blk")
+        )
+        # no broadcast hint: qualifying blocks are corpus-sized in a
+        # dup-heavy dataset — AQE flips to broadcast when the list is
+        # actually small
+        members = blocks.join(ok, "blk")
+        pairs = M.checkpoint(
+            members.select("blk", F.col("doc_id").alias("doc_a"))
+            .join(members.select("blk", F.col("doc_id").alias("doc_b")), "blk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # NO n_pairs_hint: the hint would route verify to the
+        # array-intersect branch, measured 2.5x SLOWER here (min
+        # 1.7 -> 4.4 s at sf0.1) — min-shingle blocks yield far more
+        # candidate pairs than the banded LSH path, so the distributed
+        # intersection join wins
+        return M.checkpoint(D.jaccard_verify(docs, pairs, hashed=hashed))
+
+    return M.memo("pipe_blocked_verified", spark, sf_dir, build)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone n-gram Jaccard near-dup: single-key min-shingle
     blocking (docs sharing their minimum 32-bit hashed word-bigram form a
@@ -1356,39 +1404,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: block assignment is one group-agg over the shared hashed
     shingle set; blocks above NGRAM_BLOCK_CAP are dropped (they are
     non-discriminative and would emit quadratic pairs); the pair join is
-    per-block and bounded by the cap."""
-    docs = _docs_parallel(spark, sf_dir)
-    hashed = _hashed(spark, sf_dir)
-    # doc-sized (doc_id, blk); feeds the block-size cull AND the member
-    # join — and downstream, jaccard_verify references the pair list
-    # from four branches (candidate union ×2, intersection, final join),
-    # so an unmaterialized block chain was re-planned ~4× into a
-    # 140-Exchange plan (guide §2.4 / §3.3: materialize to truncate)
-    blocks = M.ephemeral_checkpoint(
-        hashed.groupBy("doc_id").agg(F.min("h1").alias("blk"))
-    )
-    ok = (
-        blocks.groupBy("blk")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= NGRAM_BLOCK_CAP))
-        .select("blk")
-    )
-    # no broadcast hint: qualifying blocks are corpus-sized in a dup-heavy
-    # dataset — AQE flips to broadcast when the list is actually small
-    members = blocks.join(ok, "blk")
-    pairs = M.ephemeral_checkpoint(
-        members.select("blk", F.col("doc_id").alias("doc_a"))
-        .join(members.select("blk", F.col("doc_id").alias("doc_b")), "blk")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # NO n_pairs_hint: the hint would route verify to the array-intersect
-    # branch, measured 2.5x SLOWER here (min 1.7 -> 4.4 s at sf0.1) —
-    # min-shingle blocks yield far more candidate pairs than the banded
-    # LSH path, so the distributed intersection join wins
+    per-block and bounded by the cap. The verified pair table is the
+    session-shared ``_blocked_verified`` index."""
     return (
-        D.jaccard_verify(docs, pairs, hashed=hashed)
+        _blocked_verified(spark, sf_dir)
         .orderBy(F.desc("jaccard_millis"), "doc_a", "doc_b")
         .limit(PAIR_TOPN)
     )
@@ -3065,31 +3084,12 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN)
         .select("doc_a", "doc_b")
     )
-    docs = _docs_parallel(spark, sf_dir)
-    hashed = _hashed(spark, sf_dir)
-    blocks = hashed.groupBy("doc_id").agg(F.min("h1").alias("blk"))
-    ok = (
-        blocks.groupBy("blk")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= NGRAM_BLOCK_CAP))
-        .select("blk")
-    )
-    # no broadcast hint: qualifying blocks are corpus-sized in a dup-heavy
-    # dataset — AQE flips to broadcast when the list is actually small
-    members = blocks.join(ok, "blk")
-    bpairs = (
-        members.select("blk", F.col("doc_id").alias("doc_a"))
-        .join(members.select("blk", F.col("doc_id").alias("doc_b")), "blk")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
     strong_blk = (
-        D.jaccard_verify(docs, bpairs, hashed=hashed)
+        _blocked_verified(spark, sf_dir)
         .filter(F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN)
         .select("doc_a", "doc_b")
         # strong-pair list (tiny); its three consumers (pool union, hit
-        # count, recall) otherwise re-run the blocked jaccard_verify
+        # count, recall) otherwise re-scan the blocked verify memo
         .transform(M.ephemeral_checkpoint)
     )
     pooled = strong_lsh.union(strong_blk).distinct()

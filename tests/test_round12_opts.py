@@ -302,3 +302,57 @@ def test_semdedup_assignment_is_session_memoized(spark):
     assert first is not None
     E.q_semdedup(spark, SF).collect()
     assert M.peek("pipe_semdedup_assigned", spark, SF) is first
+
+
+def test_cosine_topk_sql_text_equivalence(spark):
+    """cosine_topk's single parsed-SQL scorer must be bit-identical
+    (including the IEEE cosine doubles) to the column-by-column
+    construction it replaced."""
+    from kremis_spark.functions.similarity import (
+        cosine_col,
+        cosine_topk,
+        int_dot,
+        prepared_embeddings,
+    )
+
+    docs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    prep = prepared_embeddings(docs)
+    qrow = prep.orderBy("vec_id").limit(1).collect()[0]
+    qivec = [int(v) for v in qrow["ivec"]]
+    qid = int(qrow["vec_id"])
+
+    # the pre-r12 construction, verbatim
+    qarr = F.array(*[F.lit(v).cast("long") for v in qivec])
+    qnorm = sum(v * v for v in qivec)
+    old = (
+        prep.filter(F.col("norm") > 0)
+        .filter(F.col("vec_id") != qid)
+        .withColumn("dot", int_dot(F.col("ivec"), qarr))
+        .withColumn(
+            "cosine",
+            cosine_col(
+                F.col("dot"), F.col("norm"), F.lit(qnorm).cast("long")
+            ),
+        )
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    ).collect()
+    new = cosine_topk(prep, qivec, k=10, exclude_id=qid).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in new] == [
+        (r["vec_id"], r["cosine"]) for r in old
+    ]
+
+
+def test_blocked_verified_is_session_memoized(spark):
+    """The min-shingle blocked verified-pair table is one session memo
+    shared by q_ngram_jaccard and q_lsh_recall (each previously
+    re-derived the block fact + capped pairs + verify join per call)."""
+    from kremis_spark import memo as M
+    from kremis_spark.plans import pipeline as P
+
+    P.q_ngram_jaccard(spark, SF).collect()
+    first = M.peek("pipe_blocked_verified", spark, SF)
+    assert first is not None
+    P.q_lsh_recall(spark, SF).collect()
+    assert M.peek("pipe_blocked_verified", spark, SF) is first
