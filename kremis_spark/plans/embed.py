@@ -692,6 +692,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("bucket")
         )
         keys = ["cell", "sub"]
+    # The pair self-join's per-row work (a 64-dim integer dot per
+    # candidate pair) is CPU-heavy while its shuffle BYTES are tiny, so
+    # AQE's byte-sized coalescing collapsed the whole quadratic search
+    # into ONE task (measured: one 1.75 s single-task job = 85% of the
+    # gate). An explicit-width repartition on the search keys pins the
+    # exchange width (AQE never coalesces a user-specified partition
+    # count — guide §2.2/§2.5: size partitions to the WORK when bytes
+    # mislead); width follows the session's core count, so the knob is
+    # cluster-adaptive, and both join branches reuse the one exchange.
+    assigned = assigned.repartition(
+        spark.sparkContext.defaultParallelism, *keys
+    )
     a = assigned.select(
         *keys,
         F.col("vec_id").alias("vec_a"),
@@ -1657,7 +1669,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 2) & (F.col("n") <= KNN_BUCKET_CAP))
         .select("bucket")
     )
-    inb = prep.join(sizes, "bucket")
+    # Explicit-width repartition on the bucket key — same single-task
+    # AQE-coalescing collapse and fix as q_knn_graph (see the NOTE
+    # there); width follows the session core count.
+    inb = prep.join(sizes, "bucket").repartition(
+        spark.sparkContext.defaultParallelism, "bucket"
+    )
     a = inb.select(
         "bucket",
         F.col("vec_id").alias("anchor_id"),

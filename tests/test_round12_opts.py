@@ -356,3 +356,42 @@ def test_blocked_verified_is_session_memoized(spark):
     assert first is not None
     P.q_lsh_recall(spark, SF).collect()
     assert M.peek("pipe_blocked_verified", spark, SF) is first
+
+
+def test_pair_joins_pin_explicit_shuffle_width(spark):
+    """The CPU-heavy pair self-joins (semdedup, knn graph, hard
+    negatives, simhash banding) repartition on their search keys with a
+    user-specified width, so AQE's byte-sized coalescing can never
+    collapse the quadratic stage to one task (r12: measured 0.2-1.8 s
+    single-task jobs before the fix)."""
+    from kremis_spark.plans import embed as E
+    from kremis_spark.plans import pipeline as P
+
+    n = spark.sparkContext.defaultParallelism
+    for fn, key in (
+        (E.q_semdedup, "cell"),
+        (P.q_knn_graph, "bucket"),
+        (E.q_hard_negatives, "bucket"),
+        (P.q_simhash_neardup, "band"),
+    ):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert f"hashpartitioning({key}", plan
+        assert f", {n}), REPARTITION_BY_NUM" in plan, (
+            fn.__name__,
+            plan[:2000],
+        )
+
+
+def test_heldout_model_is_session_memoized(spark):
+    """q_heldout_ppl's train-side bigram model (vocab table + scalar
+    total) is a session memo — the artifact a pipeline trains once per
+    (corpus, split) snapshot — not a per-call rebuild."""
+    from kremis_spark import memo as M
+    from kremis_spark.plans import pipeline as P
+
+    P.q_heldout_ppl(spark, SF).collect()
+    first = M.peek("pipe_heldout_model", spark, SF)
+    tt = M.peek("pipe_heldout_model_total", spark, SF)
+    assert first is not None and isinstance(tt, int)
+    P.q_heldout_ppl(spark, SF).collect()
+    assert M.peek("pipe_heldout_model", spark, SF) is first
