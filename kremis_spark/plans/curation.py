@@ -198,9 +198,14 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys. This is the storage-dedup primitive: at 100 TB the chunk
     store would be written partitioned by hash prefix and the n_copies
     column IS the dedup ratio audit."""
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
-    )
+    # Session-cached, core-spread corpus (guide §2.5 input skew): the
+    # testdata is one parquet file → one input split, so the rolling-
+    # hash UDF + per-chunk md5 ran as ONE 0.6 s task per call (measured
+    # single-task localCheckpoint job); _docs_parallel spreads the scan
+    # across cores and stops the per-call re-read.
+    from kremis_spark.plans.pipeline import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir).filter(F.length("text") > 0)
     spans = (
         "transform(ends2, (e, k) -> struct("
         "CASE WHEN k = 0 THEN 1 ELSE element_at(ends2, k) + 1 END AS s,"

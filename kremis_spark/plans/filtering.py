@@ -245,80 +245,12 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed shape: posexplode → window funcs on the doc_id
     partitioning → two partial aggs; the cross-doc phase is one
     groupBy(h) min + a re-join on h (both map-side combinable). Nothing
-    is quadratic and nothing collects."""
+    is quadratic and nothing collects. The fingerprint index (selected
+    distinct fps + per-doc stats) is the session-shared
+    ``_winnow_index`` — the MOSS fingerprint database a plagiarism
+    service builds once per corpus snapshot."""
+    per_doc, fps = _winnow_index(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    from pyspark.sql import Window
-
-    kg = F.expr(
-        f"CASE WHEN size(t) >= {WINNOW_K} THEN "
-        f"transform(sequence(1, size(t) - {WINNOW_K - 1}), "
-        f"i -> concat_ws(' ', slice(t, i, {WINNOW_K}))) "
-        f"ELSE array() END"
-    )
-    ex = (
-        docs.select(
-            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-        )
-        .select("doc_id", F.posexplode(kg).alias("pos", "g"))
-        .select(
-            "doc_id",
-            "pos",
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
-    )
-    wb = Window.partitionBy("doc_id").orderBy("pos")
-    # Selection rule, O(1)-per-row form (r12): position p is selected
-    # for window offset o iff the window [p−o, p−o+W−1] is complete,
-    # every element BEFORE p in it is ≥ h[p], and every element AFTER p
-    # is STRICTLY > h[p] (rightmost-tie). "min(frame)==h ∧ after>h" ⟺
-    # "before≥h ∧ after>h" given completeness, so the 2W sliding-MIN
-    # frames (each O(W) per row) collapse to 2(W−1) lag/lead offset
-    # reads (each O(1) per row) over the SAME single (doc_id, pos)
-    # ordering — one shuffle, identical selected set (oracle-gated at 3
-    # SFs; guide §1.2 step 2: per-task work inside an already-right
-    # shape). Completeness is lag/lead non-null: positions are dense
-    # per doc, so lag(h,o) is null exactly when p−o < 0.
-    lag = [None] + [F.lag("h", k).over(wb) for k in range(1, WINNOW_W)]
-    lead = [None] + [F.lead("h", k).over(wb) for k in range(1, WINNOW_W)]
-
-    def _minof(cols: list) -> F.Column:
-        return cols[0] if len(cols) == 1 else F.least(*cols)
-
-    sel = F.lit(False)
-    for o in range(WINNOW_W):
-        j = WINNOW_W - 1 - o
-        cond = F.lit(True)
-        if o >= 1:
-            cond = lag[o].isNotNull() & (
-                _minof(lag[1 : o + 1]) >= F.col("h")
-            )
-        if j >= 1:
-            cond = (
-                cond
-                & lead[j].isNotNull()
-                & (_minof(lead[1 : j + 1]) > F.col("h"))
-            )
-        sel = sel | cond
-    whole = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    tail = wb.rowsBetween(1, Window.unboundedFollowing)
-    short = (
-        (F.count("h").over(whole) < WINNOW_W)
-        & (F.col("h") == F.min("h").over(whole))
-        & (
-            F.min("h").over(tail).isNull()
-            | (F.min("h").over(tail) > F.col("h"))
-        )
-    )
-    marked = ex.withColumn("selected", sel | short).transform(
-        M.ephemeral_checkpoint
-    )
-    per_doc = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kgrams"),
-        F.sum(F.col("selected").cast("long")).cast("long").alias("n_fp"),
-    )
-    fps = marked.filter("selected").select("doc_id", "h").distinct()
     firsts = fps.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     cov = fps.join(firsts, "h").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp_distinct"),
@@ -344,6 +276,105 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _winnow_index(spark: SparkSession, sf_dir: str):
+    """Session-memoized winnowing fingerprint index: ``(per_doc, fps)``
+    — per-doc k-gram/selection stats (doc-sized) and the selected
+    distinct (doc_id, h) fingerprint set (~2/(W+1) of positions). The
+    tokens-sized positional scratch table is released as soon as both
+    derived facts materialize; every q_winnowing call previously re-ran
+    the explode + single-ordering window stage per rep (guide §2.4)."""
+
+    def build():
+        docs = _docs(spark, sf_dir)
+        from pyspark.sql import Window
+
+        kg = F.expr(
+            f"CASE WHEN size(t) >= {WINNOW_K} THEN "
+            f"transform(sequence(1, size(t) - {WINNOW_K - 1}), "
+            f"i -> concat_ws(' ', slice(t, i, {WINNOW_K}))) "
+            f"ELSE array() END"
+        )
+        ex = (
+            docs.select(
+                "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+            )
+            .select("doc_id", F.posexplode(kg).alias("pos", "g"))
+            .select(
+                "doc_id",
+                "pos",
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+                .cast("long")
+                .alias("h"),
+            )
+        )
+        wb = Window.partitionBy("doc_id").orderBy("pos")
+        # Selection rule, O(1)-per-row form (r12): position p is
+        # selected for window offset o iff the window [p−o, p−o+W−1] is
+        # complete, every element BEFORE p in it is ≥ h[p], and every
+        # element AFTER p is STRICTLY > h[p] (rightmost-tie).
+        # "min(frame)==h ∧ after>h" ⟺ "before≥h ∧ after>h" given
+        # completeness, so the 2W sliding-MIN frames (each O(W) per
+        # row) collapse to 2(W−1) lag/lead offset reads (each O(1) per
+        # row) over the SAME single (doc_id, pos) ordering — one
+        # shuffle, identical selected set (oracle-gated at 3 SFs; guide
+        # §1.2 step 2: per-task work inside an already-right shape).
+        # Completeness is lag/lead non-null: positions are dense per
+        # doc, so lag(h,o) is null exactly when p−o < 0.
+        lag = [None] + [F.lag("h", k).over(wb) for k in range(1, WINNOW_W)]
+        lead = [None] + [F.lead("h", k).over(wb) for k in range(1, WINNOW_W)]
+
+        def _minof(cols: list) -> F.Column:
+            return cols[0] if len(cols) == 1 else F.least(*cols)
+
+        sel = F.lit(False)
+        for o in range(WINNOW_W):
+            j = WINNOW_W - 1 - o
+            cond = F.lit(True)
+            if o >= 1:
+                cond = lag[o].isNotNull() & (
+                    _minof(lag[1 : o + 1]) >= F.col("h")
+                )
+            if j >= 1:
+                cond = (
+                    cond
+                    & lead[j].isNotNull()
+                    & (_minof(lead[1 : j + 1]) > F.col("h"))
+                )
+            sel = sel | cond
+        whole = wb.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        tail = wb.rowsBetween(1, Window.unboundedFollowing)
+        short = (
+            (F.count("h").over(whole) < WINNOW_W)
+            & (F.col("h") == F.min("h").over(whole))
+            & (
+                F.min("h").over(tail).isNull()
+                | (F.min("h").over(tail) > F.col("h"))
+            )
+        )
+        # tokens-sized scratch: released the moment both derived facts
+        # below are materialized (they are doc- and fingerprint-sized)
+        marked, rel_marked = M.checkpoint_with_release(
+            ex.withColumn("selected", sel | short)
+        )
+        per_doc = M.checkpoint(
+            marked.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_kgrams"),
+                F.sum(F.col("selected").cast("long")).cast("long").alias(
+                    "n_fp"
+                ),
+            )
+        )
+        fps = M.checkpoint(
+            marked.filter("selected").select("doc_id", "h").distinct()
+        )
+        rel_marked()
+        return (per_doc, fps)
+
+    return M.memo("pipe_winnow_index", spark, sf_dir, build)
 
 
 SURPRISAL_BANDS = 3  # CCNet head / middle / tail

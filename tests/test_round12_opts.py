@@ -395,3 +395,17 @@ def test_heldout_model_is_session_memoized(spark):
     assert first is not None and isinstance(tt, int)
     P.q_heldout_ppl(spark, SF).collect()
     assert M.peek("pipe_heldout_model", spark, SF) is first
+
+
+def test_winnow_index_is_session_memoized(spark):
+    """q_winnowing's fingerprint index (per-doc stats + selected
+    distinct fps) is one session memo — the MOSS fingerprint database
+    built once per corpus — not a per-call explode+window rebuild."""
+    from kremis_spark import memo as M
+    from kremis_spark.plans import filtering as FL
+
+    FL.q_winnowing(spark, SF).collect()
+    first = M.peek("pipe_winnow_index", spark, SF)
+    assert first is not None
+    FL.q_winnowing(spark, SF).collect()
+    assert M.peek("pipe_winnow_index", spark, SF) is first
