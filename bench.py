@@ -260,7 +260,14 @@ def main() -> None:
         _memo.tick()
         if warmup_dir is not None:
             try:  # excluded from totals; compiles this query's codegen
-                fn(spark, warmup_dir).collect()
+                # twice: two-touch lazy memos (memo.lazy_memo) execute a
+                # DIFFERENT plan shape on the first touch (stream-through)
+                # than on later touches (index build + probe) — one
+                # warmup pass would leave the build/probe shapes
+                # uncompiled and bill their C2 time to the timed reps
+                # (r12: pipe_heldout_ppl carried an 8.5 s JIT burst).
+                for _ in range(2):
+                    fn(spark, warmup_dir).collect()
             except Exception as exc:  # noqa: BLE001 — never fail the bench
                 print(f"warmup skipped for {name}: {exc}", file=sys.stderr)
         if jvmstats:  # re-baseline so warmup JIT isn't billed to the query
@@ -307,6 +314,7 @@ def main() -> None:
 
     # Storage telemetry: live persistent-RDD blocks + registry entries at
     # session end — the memo registry's flat-footprint claim, measured.
+    memo_builds: dict[str, float] = {}
     try:
         from kremis_spark import memo as _M
 
@@ -318,6 +326,12 @@ def main() -> None:
         if "memo_mb" in mstats:
             extras["memo_mb"] = mstats["memo_mb"]
         extras["memo_loose"] = mstats["loose"]
+        # Per-memo build wall-seconds (r12 verdict: make first-toucher
+        # cold attribution auditable — a query's cold rep that built a
+        # shared index is self-explaining via this table). Full detail
+        # goes to BENCH_FULL.json; the stdout line carries the total.
+        memo_builds = _M.build_times()
+        extras["memo_build_sec"] = round(sum(memo_builds.values()), 1)
     except Exception:  # noqa: BLE001 — telemetry must never fail the bench
         pass
 
@@ -366,6 +380,7 @@ def main() -> None:
                     "queries_median": medians,
                     "queries_min": minima,
                     "warmup_sf_dir": warmup_dir,
+                    "memo_builds": memo_builds,
                     **({"jvm_stats": jvm_rows} if jvm_rows else {}),
                     **extras,
                 },
@@ -376,10 +391,38 @@ def main() -> None:
     except OSError as exc:
         print(f"BENCH_FULL.json not written: {exc}", file=sys.stderr)
 
-    # Curated headline subset: slowest queries tell the perf story best.
-    headline = dict(
-        sorted(times.items(), key=lambda kv: kv[1], reverse=True)
-    )
+    # Printed headline subset: a FIXED, committed name list (the r12
+    # printed set — historically the slowest queries), NOT
+    # shrink-by-popping-fastest. The old shrink made the printed set
+    # depend on each run's timings, so the driver's round-over-round
+    # comparison saw a shifting common set and mislabeled fast-moving
+    # queries as "dropped" (r12 verdict item 2). Same names every round
+    # → stable n_common, queries_dropped = 0. Remaining room (if any) is
+    # padded with the slowest unpinned queries; the driver treats added
+    # names as new_in_bench, never as drops.
+    PINNED = [
+        "ingest", "pipe_heldout_ppl", "stream_neardup_flags",
+        "pipe_media_phash_bands", "pipe_semdedup", "pipe_surprisal_prune",
+        "pipe_winnowing", "orders_market_basket", "stream_bot_flags",
+        "graph_jaccard_neighbors", "tpch_rfm_segments", "pipe_containment",
+        "pipe_media_feature_knn", "tpch_q21_waiting_supplier",
+        "graph_link_prediction", "pipe_ann_pareto", "pipe_cdc_chunks",
+        "pipe_dedup_incremental", "pipe_kmeans_train", "pipe_e2e_curation",
+        "stream_running_totals", "pipe_multimodal_decode",
+        "stream_session_windows", "stream_cusum_alarm",
+        "pipe_bloom_decontaminate", "stream_stream_join",
+        "pipe_pack_order_ablation", "graph_strongest_path_dist",
+        "graph_strongest_path", "pipe_simhash_neardup",
+        "pipe_source_diversity", "pipe_stratified_sample",
+        "pipe_packing_efficiency", "pipe_ngram_jaccard",
+        "pipe_quality_vs_dup", "pipe_decontaminate", "events_hll_intersect",
+        "stream_hll_by_type", "pipe_knn_graph", "pipe_dup_ngram_coverage",
+        "pipe_tfidf_top_terms",
+    ]
+    headline = {n: times[n] for n in PINNED if n in times}
+    for n, v in sorted(times.items(), key=lambda kv: kv[1], reverse=True):
+        if n not in headline:
+            headline[n] = v
     out = {
         "metric": "kremis_spark_headline_total",
         "value": total,
@@ -390,11 +433,18 @@ def main() -> None:
         "full": "BENCH_FULL.json",
         **extras,
     }
-    # Shrink to fit the driver's 2000-char stdout tail: drop the fastest
-    # remaining queries until the serialized line is comfortably short.
+    # Fit the driver's 2000-char stdout tail: drop padding (unpinned)
+    # names first; pinned names only as a last resort (never expected —
+    # the pinned set serializes well under the limit).
     line = json.dumps(out)
     while len(line) > 1800 and headline:
-        headline.pop(min(headline, key=headline.get))
+        unpinned = [n for n in headline if n not in PINNED]
+        victim = (
+            min(unpinned, key=headline.get)
+            if unpinned
+            else min(headline, key=headline.get)
+        )
+        headline.pop(victim)
         out["queries"] = headline
         out["queries_shown"] = len(headline)
         line = json.dumps(out)

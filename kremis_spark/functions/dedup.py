@@ -442,6 +442,37 @@ def jaccard_verify(
     )
 
 
+def union_find_labels(edges) -> list[tuple[int, int]]:
+    """Driver-side connected components with MIN representatives over an
+    iterable of (a, b) node-id pairs — the exact labels converged
+    min-label propagation produces (every component labeled by its
+    smallest node id), as sorted (n, label) rows over the nodes that
+    appear in the pairs. The driver-local twin of
+    :func:`connected_components` for pair sets small enough to collect
+    (guide §5: sub-driver-memory data does not need an iterative
+    distributed loop); shared by the graph WCC labels and the dedup
+    strong-labels build."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min representative = the converged min-label result
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((x, find(x)) for x in parent)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 from collections import OrderedDict
 from typing import Any, Callable
 
@@ -135,6 +136,15 @@ class _Entry:
 # (name, app_id, sf_dir) -> _Entry; insertion order == touch LRU
 # (move_to_end on every hit).
 _ENTRIES: OrderedDict[tuple[str, str, str], _Entry] = OrderedDict()
+# memo name -> cumulative build wall-seconds (this process, all
+# datasets). First-toucher cold-attribution telemetry (r12 verdict: the
+# shared-index build cost lands on whichever query touches the memo
+# first; this makes the billing auditable in BENCH_FULL.json instead of
+# needing cProfile archaeology). Never cleared — it is an audit log.
+_BUILD_SECS: dict[str, float] = {}
+# (name, app_id, sf_dir) -> touches BEFORE the entry was memoized; used
+# by lazy_memo's build-on-second-touch rule. Cleared with the entries.
+_TOUCHES: dict[tuple[str, str, str], int] = {}
 # LRU over datasets: (app_id, sf_dir) -> None (OrderedDict as an LRU set)
 _DATASETS: OrderedDict[tuple[str, str], None] = OrderedDict()
 
@@ -489,10 +499,15 @@ def memo(name: str, spark, sf_dir: str, build: Callable[[], Any]) -> Any:
         stack = _building_stack()
         stack.append(frame)
         ids_before = _persistent_ids(sc)
+        _t0 = time.time()
         try:
             value = build()
         finally:
             stack.remove(frame)
+            with _LOCK:
+                _BUILD_SECS[name] = _BUILD_SECS.get(name, 0.0) + (
+                    time.time() - _t0
+                )
         # Every build sweeps exactly ITS OWN persistent ids: the diff
         # over the build window minus whatever nested memo builds
         # already claimed for their entries. (The former design let the
@@ -550,6 +565,61 @@ def _note_dep(key: tuple[str, str, str]) -> None:
         stack[-1].deps.add(key)
 
 
+def lazy_memo(
+    name: str,
+    spark,
+    sf_dir: str,
+    build: Callable[[], Any],
+    cold: Callable[[], Any] | None = None,
+) -> Any:
+    """:func:`memo` that skips materialization on the FIRST touch per
+    (application, dataset): touch 1 returns ``cold()`` (default
+    ``build()``) WITHOUT registering an entry — the caller's plan
+    streams through exactly like an unmemoized call; from touch 2 on,
+    the value comes from :func:`memo` (built once, then hits).
+
+    This is the cold-rep fix for session-shared serving indexes (r12
+    verdict item 1, guide §2.4/§5): a shared index whose first consumer
+    is also its only consumer SO FAR gains nothing from eager
+    materialization — the first probe pays an index write + read-back
+    instead of streaming through the same subtree. Deferring the build
+    to the second touch restores the unmemoized cold latency while every
+    later consumer still probes the materialized index.
+
+    ``cold`` exists for builds whose return value is a tuple of
+    DataFrames or whose stream-through form wants a per-call
+    :func:`ephemeral_checkpoint` on a multi-consumer scratch table
+    (released by :func:`tick`) instead of the session checkpoint.
+    The cold path MUST compute the same values as the built path —
+    callers' results must not depend on which touch served them.
+
+    Touch counts are per (name, app, sf_dir) and reset when the entry's
+    dataset is released (:func:`clear_all` / dataset LRU), so a rebuilt
+    dataset starts lazy again."""
+    key = (name, spark.sparkContext.applicationId, sf_dir)
+    with _LOCK:
+        if key in _ENTRIES:  # already memoized (by us or a sibling gate)
+            hit = _ENTRIES[key]
+            hit.last_epoch = _EPOCH
+            _ENTRIES.move_to_end(key)
+            _DATASETS.move_to_end((key[1], key[2]))
+            _note_dep(key)
+            return hit.value
+        n = _TOUCHES.get(key, 0) + 1
+        _TOUCHES[key] = n
+    if n <= 1:
+        return (cold or build)()
+    return memo(name, spark, sf_dir, build)
+
+
+def build_times() -> dict[str, float]:
+    """Cumulative build wall-seconds per memo name (this process, all
+    datasets) — the first-toucher cold-attribution audit. A parent
+    build's time INCLUDES any nested memo builds it triggered."""
+    with _LOCK:
+        return {k: round(v, 3) for k, v in _BUILD_SECS.items()}
+
+
 def peek(name: str, spark, sf_dir: str) -> Any | None:
     """Return the memoized value if present, else None (no build)."""
     key = (name, spark.sparkContext.applicationId, sf_dir)
@@ -564,6 +634,8 @@ def _release_dataset(ds: tuple[str, str]) -> None:
         doomed = [k for k in _ENTRIES if k[1] == app and k[2] == sf_dir]
         entries = [_ENTRIES.pop(k) for k in doomed]
         _DATASETS.pop(ds, None)
+        for k in [t for t in _TOUCHES if t[1] == app and t[2] == sf_dir]:
+            _TOUCHES.pop(k, None)
     for ent in entries:
         for fn in ent.releasables:
             fn()
@@ -579,6 +651,7 @@ def clear_all() -> None:
         _ENTRIES.clear()
         _DATASETS.clear()
         _LOOSE.clear()
+        _TOUCHES.clear()
     for ent in entries:
         for fn in ent.releasables:
             fn()

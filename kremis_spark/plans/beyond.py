@@ -235,10 +235,16 @@ def _phash_hot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     pHash table, bucket-size cull to 2..cap members, materialized ONCE
     per (session, dataset). All three media-dedup gates (band display,
     exact verify, keep-first dedup) probe this relation; each previously
-    re-ran the explode + size agg + join per call (guide §2.4)."""
+    re-ran the explode + size agg + join per call (guide §2.4).
+
+    Two-touch lazy (r12 verdict item 1: phash_bands cold 2.1→3.8 s was
+    the index materialization billed to the first probe): touch 1
+    returns the band/cull join UNmaterialized — the probing gate's plan
+    streams through it like the pre-memo inline chain — and the session
+    index is checkpointed on the second touch."""
     from kremis_spark import memo as M
 
-    def build() -> DataFrame:
+    def build(_memoize: bool = True) -> DataFrame:
         ph = _media_phash(spark, sf_dir)
         bands = ph.select(
             "item_id",
@@ -265,9 +271,16 @@ def _phash_hot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("n") >= 2) & (F.col("n") <= PHASH_BUCKET_CAP))
             .select("modality", "band", "bval")
         )
-        return M.checkpoint(bands.join(sizes, ["modality", "band", "bval"]))
+        joined = bands.join(sizes, ["modality", "band", "bval"])
+        return M.checkpoint(joined) if _memoize else joined
 
-    return M.memo("media_phash_hot_bands", spark, sf_dir, build)
+    return M.lazy_memo(
+        "media_phash_hot_bands",
+        spark,
+        sf_dir,
+        build,
+        cold=lambda: build(_memoize=False),
+    )
 
 
 def _phash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,12 +753,17 @@ def _neardup_corpus_index(spark: SparkSession, sf_dir: str):
     warm benefit). Lifecycle is owned by the central memo registry,
     whose checkpoint() release actually unpersists the checkpointed
     RDDs (the old best-effort ``df._jdf.rdd().unpersist`` built a NEW
-    derived RDD and released nothing)."""
+    derived RDD and released nothing).
+
+    Two-touch lazy (r12 verdict item 1: stream_neardup_flags cold
+    2.7→4.1 s was first-toucher billing of this chain): touch 1 derives
+    the broadcast sides lazily from the (also lazily-served) corpus
+    index; the hot-capped projection is checkpointed from touch 2 on."""
     from kremis_spark import memo as M
     from kremis_spark.functions import dedup as D
     from kremis_spark.plans.pipeline import _corpus_index
 
-    def build():
+    def build(_memoize: bool = True):
         # The band rows and md5 set come from the session-shared corpus
         # index (plans/pipeline._corpus_index) — the same materialized
         # fact the batch incremental dedup probes; this entry only owns
@@ -761,20 +779,25 @@ def _neardup_corpus_index(spark: SparkSession, sf_dir: str):
             .select(*key_cols)
         )
         sig_cols = [f"sig_{k}" for k in range(D.NUM_HASHES)]
+        capped = corp_bands.join(ok_keys, key_cols).select(
+            *key_cols,
+            *[
+                F.col(c).alias(f"__sb{k}")
+                for k, c in enumerate(sig_cols)
+            ],
+        )
         corp_side = F.broadcast(
-            M.checkpoint(
-                corp_bands.join(ok_keys, key_cols).select(
-                    *key_cols,
-                    *[
-                        F.col(c).alias(f"__sb{k}")
-                        for k, c in enumerate(sig_cols)
-                    ],
-                )
-            )
+            M.checkpoint(capped) if _memoize else capped
         )
         return (corp_md, corp_side, key_cols, sig_cols)
 
-    return M.memo("stream_neardup_index", spark, sf_dir, build)
+    return M.lazy_memo(
+        "stream_neardup_index",
+        spark,
+        sf_dir,
+        build,
+        cold=lambda: build(_memoize=False),
+    )
 
 
 def q_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

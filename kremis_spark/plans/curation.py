@@ -315,9 +315,15 @@ def _decon_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bench rebuilt the same explode+md5+distinct pass ~9× per
     session (guide §2.4: repeated identical stage → one shared
     materialization; this is the eval-decon index a production pipeline
-    builds once per corpus snapshot)."""
+    builds once per corpus snapshot).
 
-    def build():
+    Two-touch lazy (r12 verdict item 1): the first consumer per session
+    streams through a per-call ephemeral materialization (the pre-memo
+    cold plan — the gram fact feeds 3 branches of one plan, so one
+    per-call cut is still needed); the session index is built on the
+    second touch."""
+
+    def build(_memoize: bool = True):
         # round-robin repartition: locally the corpus is one parquet
         # row group (one task); the shingle stage is CPU-bound, so
         # decouple its parallelism from the file layout. On a real
@@ -326,7 +332,7 @@ def _decon_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = read_table(spark, sf_dir, "documents").repartition(
             spark.sparkContext.defaultParallelism
         )
-        return M.checkpoint(
+        grams = (
             docs.select(
                 "doc_id",
                 F.explode(word_shingles(n=DECON_NGRAM)).alias("sh"),
@@ -334,8 +340,17 @@ def _decon_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.md5("sh").alias("h"))
             .distinct()
         )
+        return M.checkpoint(grams) if _memoize else M.ephemeral_checkpoint(
+            grams
+        )
 
-    return M.memo("pipe_decon_grams", spark, sf_dir, build)
+    return M.lazy_memo(
+        "pipe_decon_grams",
+        spark,
+        sf_dir,
+        build,
+        cold=lambda: build(_memoize=False),
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -282,9 +282,10 @@ def _winnow_index(spark: SparkSession, sf_dir: str):
     """Session-memoized winnowing fingerprint index: ``(per_doc, fps)``
     — per-doc k-gram/selection stats (doc-sized) and the selected
     distinct (doc_id, h) fingerprint set (~2/(W+1) of positions). The
-    tokens-sized positional scratch table is released as soon as both
-    derived facts materialize; every q_winnowing call previously re-ran
-    the explode + single-ordering window stage per rep (guide §2.4)."""
+    every q_winnowing call previously re-ran the explode +
+    single-ordering window stage per rep (guide §2.4). The index is one
+    (doc_id, h)-grained table; both returned facts are exchange-free
+    projections of it (r13 — see the build comment)."""
 
     def build():
         docs = _docs(spark, sf_dir)
@@ -355,23 +356,28 @@ def _winnow_index(spark: SparkSession, sf_dir: str):
                 | (F.min("h").over(tail) > F.col("h"))
             )
         )
-        # tokens-sized scratch: released the moment both derived facts
-        # below are materialized (they are doc- and fingerprint-sized)
-        marked, rel_marked = M.checkpoint_with_release(
-            ex.withColumn("selected", sel | short)
-        )
-        per_doc = M.checkpoint(
-            marked.groupBy("doc_id").agg(
-                F.count(F.lit(1)).cast("long").alias("n_kgrams"),
-                F.sum(F.col("selected").cast("long")).cast("long").alias(
-                    "n_fp"
-                ),
+        # ONE materialization at the (doc_id, h) grain instead of three
+        # (r13; was: tokens-sized `marked` + per-doc stats + distinct
+        # fps, each its own checkpoint): the per-(doc, h) rollup
+        # piggybacks on the window stage's doc_id partitioning (doc_id
+        # ⊆ (doc_id, h) ⇒ no new exchange), and BOTH probe-side facts
+        # are cheap exchange-free projections of it — per_doc re-groups
+        # by doc_id (same partitioning again), fps is a filter (the
+        # (doc_id, h) grain IS distinct). Build cost drops from one
+        # tokens-sized write + two derived passes to one FP-grained
+        # write on the same single shuffle.
+        marked = ex.withColumn("selected", sel | short)
+        g = M.checkpoint(
+            marked.groupBy("doc_id", "h").agg(
+                F.count(F.lit(1)).alias("n_pos"),
+                F.sum(F.col("selected").cast("long")).alias("n_sel"),
             )
         )
-        fps = M.checkpoint(
-            marked.filter("selected").select("doc_id", "h").distinct()
+        per_doc = g.groupBy("doc_id").agg(
+            F.sum("n_pos").cast("long").alias("n_kgrams"),
+            F.sum("n_sel").cast("long").alias("n_fp"),
         )
-        rel_marked()
+        fps = g.filter(F.col("n_sel") > 0).select("doc_id", "h")
         return (per_doc, fps)
 
     return M.memo("pipe_winnow_index", spark, sf_dir, build)

@@ -626,25 +626,11 @@ def _wcc_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = connected_components(und)
     else:
-        parent: dict[int, int] = {}
+        from kremis_spark.functions.dedup import union_find_labels
 
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b, _ in _collected_edges(spark, sf_dir):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # min representative = the converged min-label result
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        rows = sorted((x, find(x)) for x in parent)
+        rows = union_find_labels(
+            (a, b) for a, b, _ in _collected_edges(spark, sf_dir)
+        )
         out = _local_df(spark, rows, "n LONG, label LONG")
     return out
 

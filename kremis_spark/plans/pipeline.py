@@ -666,6 +666,12 @@ def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_JACCARD_MIN = 500  # 0.5 in millis
 SWEEP_BAND_MILLIS = 100  # threshold-sweep bucket width (0.1 Jaccard)
+# Strong-pair graphs at or below this many edges label on the driver
+# (union-find, min representatives — identical to converged min-label
+# propagation); above it the distributed pointer-jumping loop runs.
+# Same rationale and order of magnitude as the graph family's
+# PR_COLLECT bounds: 2M (long, long) pairs collect in ~32 MB.
+STRONG_CC_MAX_PAIRS = 2_000_000
 
 
 def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,14 +737,31 @@ def _strong_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage split, heldout ppl, dup inflation, dedup-keep, temperature
     mix, quality-vs-dup, e2e curation) previously re-ran the iterative
     min-label loop (~6-10 chained jobs each); the memo runs it once.
-    connected_components already returns a localCheckpoint-ed table, so
-    the memo holds materialized rows, not lineage (the registry's
-    build-scope sweep owns those internal checkpoint blocks)."""
+
+    Adaptive (r13, the graph family's PR_COLLECT split applied here —
+    guide §5): the strong-pair table is already materialized, so its
+    count is one cheap scan; under ``STRONG_CC_MAX_PAIRS`` the labels
+    come from a driver-side union-find with min representatives —
+    IDENTICAL to converged min-label propagation (every component gets
+    its minimum node id), measured 1.5 s of iterative join jobs →
+    ~10 ms for the sf0.1 pair set. Larger pair graphs run the
+    distributed pointer-jumping loop (the 100 TB path; parity-pinned by
+    test_strong_labels_driver_local_matches_distributed)."""
 
     def build() -> DataFrame:
         strong = _verified_pairs(spark, sf_dir).filter(
             F.col("jaccard_millis") >= CLUSTER_JACCARD_MIN
         ).select("doc_a", "doc_b")
+        if strong.count() <= STRONG_CC_MAX_PAIRS:
+            from kremis_spark.plans.graph_queries import _local_df
+
+            rows = D.union_find_labels(
+                (r["doc_a"], r["doc_b"]) for r in strong.collect()
+            )
+            return _local_df(spark, rows, "doc_id LONG, label LONG")
+        # connected_components returns a localCheckpoint-ed table, so
+        # the memo holds materialized rows, not lineage (the registry's
+        # build-scope sweep owns those internal checkpoint blocks)
         return D.connected_components(strong).withColumnRenamed("n", "doc_id")
 
     return M.memo("pipe_strong_labels", spark, sf_dir, build)
@@ -1278,23 +1301,37 @@ def _corpus_index(spark: SparkSession, sf_dir: str):
     corpus on every call/rep). The production shape is a nightly corpus
     index built once and served to every batch/micro-batch probe
     (guide §2.4: two operations keyed the same way share one
-    materialization)."""
+    materialization).
 
-    def build():
+    Two-touch lazy (r12 verdict item 1): the first consumer per session
+    gets the band rows and md5 set UNmaterialized — both derive from
+    already-memoized parents (the signature table and the spread
+    corpus), so the cold plan streams through one projection/dedup of
+    each — and the index is checkpointed on the second touch."""
+
+    def build(_memoize: bool = True):
         is_inc = (F.col("doc_id") % INCOMING_MOD) == 0
         b_rows, key_cols = D._banded(
             _sigs(spark, sf_dir).filter(~is_inc), "doc_id"
         )
-        b_rows = M.checkpoint(b_rows)
-        corp_md = M.checkpoint(
+        corp_md = (
             _docs_parallel(spark, sf_dir)
             .filter(~is_inc)
             .select(F.md5("text").alias("m"))
             .distinct()
         )
+        if _memoize:
+            b_rows = M.checkpoint(b_rows)
+            corp_md = M.checkpoint(corp_md)
         return b_rows, corp_md, key_cols
 
-    return M.memo("pipe_corpus_index", spark, sf_dir, build)
+    return M.lazy_memo(
+        "pipe_corpus_index",
+        spark,
+        sf_dir,
+        build,
+        cold=lambda: build(_memoize=False),
+    )
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2960,16 +2997,22 @@ def q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline trains ONCE per recipe, then scores many candidate sets
     # against. Session memos (guide §2.4/§5), not per-call rebuilds:
     # previously every call/rep re-ran the train-side explode + agg and
-    # paid a scalar-readback job for the total.
-    tcounts = M.memo(
+    # paid a scalar-readback job for the total. Two-touch lazy (r12
+    # verdict item 1: cold 1.4→6.1 s — the memo materialization plus a
+    # JIT burst over the new cold plan shapes): the first call scores
+    # against the UNmaterialized train agg (the pre-memo cold plan);
+    # the model table is checkpointed on the second touch.
+    _model = (
+        lambda: sh.filter(~F.col("is_val"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tcounts = M.lazy_memo(
         "pipe_heldout_model",
         spark,
         sf_dir,
-        lambda: M.checkpoint(
-            sh.filter(~F.col("is_val"))
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("c"))
-        ),
+        lambda: M.checkpoint(_model()),
+        cold=_model,
     )
     tt = M.memo(
         "pipe_heldout_model_total",

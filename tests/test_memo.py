@@ -233,3 +233,78 @@ def test_tick_and_budget_between_queries_keep_results_correct(spark, monkeypatch
             got = [tuple(r) for r in P.QUERIES[q](spark, sf).collect()]
             assert got == baseline[q], (q, round_)
     M.clear_all()
+
+
+def test_lazy_memo_two_touch_contract(spark):
+    """lazy_memo: touch 1 returns the cold value WITHOUT registering an
+    entry (cold reps stream through), touch 2 builds the memo, touch 3+
+    hits it; touch counts reset with clear_all; a pre-existing entry
+    (built by a sibling via plain memo) is served immediately."""
+    M.clear_all()
+    calls = {"cold": 0, "build": 0}
+
+    def cold():
+        calls["cold"] += 1
+        return "lazy-value"
+
+    def build():
+        calls["build"] += 1
+        return "built-value"
+
+    assert M.lazy_memo("t_lazy", spark, "ds_a", build, cold=cold) == (
+        "lazy-value"
+    )
+    assert M.peek("t_lazy", spark, "ds_a") is None
+    assert M.lazy_memo("t_lazy", spark, "ds_a", build, cold=cold) == (
+        "built-value"
+    )
+    assert M.peek("t_lazy", spark, "ds_a") == "built-value"
+    assert M.lazy_memo("t_lazy", spark, "ds_a", build, cold=cold) == (
+        "built-value"
+    )
+    assert calls == {"cold": 1, "build": 1}
+    # clear_all resets the touch counter: lazy again
+    M.clear_all()
+    assert M.lazy_memo("t_lazy", spark, "ds_a", build, cold=cold) == (
+        "lazy-value"
+    )
+    assert calls == {"cold": 2, "build": 1}
+    # an entry built by plain memo() is served without a lazy detour
+    M.clear_all()
+    M.memo("t_lazy2", spark, "ds_a", lambda: "eager")
+    assert M.lazy_memo(
+        "t_lazy2", spark, "ds_a", build, cold=cold
+    ) == "eager"
+    assert calls == {"cold": 2, "build": 1}
+    M.clear_all()
+
+
+def test_lazy_memo_default_cold_is_build_unregistered(spark):
+    """Without an explicit cold path, touch 1 runs build() but registers
+    nothing — checkpoints made inside it are the caller's (loose), not
+    an entry's."""
+    M.clear_all()
+    df1 = M.lazy_memo(
+        "t_lazy_df", spark, "ds_a",
+        lambda: spark.range(100).selectExpr("id", "id * 3 AS y"),
+    )
+    assert M.peek("t_lazy_df", spark, "ds_a") is None
+    df2 = M.lazy_memo(
+        "t_lazy_df", spark, "ds_a",
+        lambda: spark.range(100).selectExpr("id", "id * 3 AS y"),
+    )
+    assert M.peek("t_lazy_df", spark, "ds_a") is df2
+    assert sorted(map(tuple, df1.collect())) == sorted(
+        map(tuple, df2.collect())
+    )
+    M.clear_all()
+
+
+def test_build_times_accumulate(spark):
+    """build_times() records wall seconds per memo name — the
+    first-toucher cold-attribution telemetry surfaced in
+    BENCH_FULL.json's memo_builds."""
+    M.clear_all()
+    M.memo("t_timed", spark, "ds_a", lambda: spark.range(10).count())
+    bt = M.build_times()
+    assert "t_timed" in bt and bt["t_timed"] >= 0.0
