@@ -307,10 +307,16 @@ def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supplier) pairs with an any-line-returned flag serve both the
     # returned set (flag = 1) and the all-pairs set — the before-plan
     # derived them separately and scanned lineitem 3× (guide §2.4).
-    pairs = M.ephemeral_checkpoint(
-        li.groupBy("l_orderkey", "l_suppkey").agg(
-            F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
-        )
+    # NO checkpoint (r13, measured): the three consumers build on an
+    # IDENTICAL aggregate subtree, so exchange reuse dedupes the scan +
+    # partial agg at runtime (ReusedExchange in the final AQE plan) —
+    # the r12 ephemeral materialization replaced that free reuse with a
+    # write + readback and cost 0.66 s cold / 0.14 s warm at sf0.1
+    # (A/B: ckpt [2.06, 1.33, 1.37, 1.16] vs none [1.40, 1.14, 1.02,
+    # 1.02]); the same reuse holds at scale because the exchange is the
+    # cut point, so lineitem is still scanned once.
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
     )
     l1 = pairs.filter(F.col("ret") == 1).select("l_orderkey", "l_suppkey")
     other = pairs.select(

@@ -138,7 +138,16 @@ def _media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: M.checkpoint(
-            phash_for_media(_media_decodable(spark, sf_dir)).filter(
+            # spread the decode across cores (guide §2.5 input skew):
+            # the documents testdata is one parquet split, so without
+            # the repartition the decode+DCT UDF ran as ONE 1.4 s task
+            # (measured r13); the features build below already does this
+            phash_for_media(
+                partition_for_decode(
+                    _media_decodable(spark, sf_dir),
+                    buckets=spark.sparkContext.defaultParallelism,
+                )
+            ).filter(
                 F.col("phash").isNotNull()
             )
         ),

@@ -283,10 +283,13 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal. The closed form (largest k with P_k + (n−k)·t_k ≤ B over
     the ascending-sorted sources) makes the level reproducible in pure
     SQL for the oracle."""
-    docs = read_table(spark, sf_dir, "documents")
+    from kremis_spark.plans.pipeline import _doc_stats
+
+    # shared doc-length dim (one tokenize pass per session, not per call)
     agg = (
-        docs.groupBy("source")
-        .agg(F.sum(F.size(tokens())).cast("long").alias("t"))
+        _doc_stats(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("t"))
         .transform(M.ephemeral_checkpoint)
     )
     rows = sorted((int(r["t"]), r["source"]) for r in agg.collect())
@@ -433,9 +436,11 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles each row once and the offsets table is one row per
     partition."""
     from kremis_spark.operators.prefix import exclusive_prefix_sum
+    from kremis_spark.plans.pipeline import _doc_stats
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("n_toks")
+    # shared doc-length dim (one tokenize pass per session, not per call)
+    docs = _doc_stats(spark, sf_dir).select(
+        "doc_id", F.col("n_tokens").alias("n_toks")
     )
     pref = exclusive_prefix_sum(docs, ["doc_id"], "n_toks", "tok_start")
     first = F.expr(f"tok_start div {SEQ_LEN}")

@@ -407,15 +407,11 @@ def q_surprisal_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB corpus ranks across many tasks instead of serializing
     through one per-source window task. Final agg is one tiny
     per-source row set."""
-    from kremis_spark.functions import text as T
-    from kremis_spark.plans.pipeline import _docs_parallel, q_lm_surprisal
+    from kremis_spark.plans.pipeline import _doc_stats, q_lm_surprisal
 
     per = q_lm_surprisal(spark, sf_dir)
-    docs = _docs_parallel(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.size(T.tokens("text")).cast("long").alias("n_tokens"),
-    )
+    # shared doc-length dim (one tokenize pass per session, not per call)
+    docs = _doc_stats(spark, sf_dir).select("doc_id", "source", "n_tokens")
     d = docs.join(per, "doc_id").select(
         "doc_id",
         "source",

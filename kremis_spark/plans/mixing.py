@@ -42,6 +42,7 @@ from kremis_spark.plans.pipeline import (
     _STOP_LIST,
     _TOKS,
     CLUSTER_JACCARD_MIN,
+    _doc_stats,
     _docs_parallel,
     _quality_base,
     _strong_labels,
@@ -83,9 +84,10 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count, then scalar normalization over the (tiny) source
     dimension via an unpartitioned window — safe because the window input
     is one row per SOURCE, not per document."""
-    docs = _docs_parallel(spark, sf_dir)
+    # shared doc-length dim (one tokenize pass per session, not per call)
     per = (
-        docs.select("source", F.size(T.tokens()).cast("long").alias("n"))
+        _doc_stats(spark, sf_dir)
+        .select("source", F.col("n_tokens").alias("n"))
         .groupBy("source")
         .agg(F.sum("n").alias("n_tokens"))
         .withColumn("s0", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
@@ -731,8 +733,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     still ranks across many tasks (a per-source row_number window would
     serialize it through one) — joined against the broadcast quota
     table. Nothing global except the tiny allocation table."""
-    docs = _docs_parallel(spark, sf_dir).select(
-        "doc_id", "source", F.size(T.tokens("text")).cast("long").alias("nt")
+    docs = _doc_stats(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_tokens").alias("nt")
     )
     srcn = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     wall = Window.partitionBy()
@@ -1030,8 +1032,8 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kremis_spark.plans.pipeline import q_lm_surprisal
 
     per = q_lm_surprisal(spark, sf_dir)
-    docs = _docs_parallel(spark, sf_dir).select(
-        "doc_id", "source", F.size(T.tokens("text")).cast("long").alias("nt")
+    docs = _doc_stats(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_tokens").alias("nt")
     )
     src = (
         docs.join(per, "doc_id")

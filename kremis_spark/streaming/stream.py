@@ -233,10 +233,12 @@ def running_gap_moments(events: DataFrame) -> DataFrame:
     across micro-batches, so the emitted moments after any batch split
     equal the batch computation over everything seen so far — the
     streaming half of the bot-regularity screen
-    (plans/analytics_ext.q_bot_regularity). Rows are folded in
-    (ts, event_id) order inside each batch; the carried last_ts stitches
-    the first gap of the next batch, which is what makes the result
-    split-invariant. Gaps are whole seconds of the normalized
+    (plans/analytics_ext.q_bot_regularity). Timestamps are folded in
+    sorted order inside each batch (the gap multiset depends only on
+    the sorted ts values — ties contribute 0 under any tiebreak); the
+    carried last_ts stitches the first gap of the next batch, which is
+    what makes the result split-invariant. Gaps are whole seconds of
+    the normalized
     nanosecond `ts` (floor division), matching the batch operator
     exactly."""
     import pandas as pd  # noqa: F401 — required by the pandas UDF contract
@@ -250,11 +252,19 @@ def running_gap_moments(events: DataFrame) -> DataFrame:
             n, s, s2, last_ts, has_last = state.get
         else:
             n, s, s2, last_ts, has_last = 0, 0, 0, 0, 0
+        # update() runs once per USER group — per-group pandas overhead
+        # (concat of a single frame, sort_values with a tiebreak column)
+        # multiplied by the key count dominated addBatch (measured r13:
+        # ~0.7 s for 100k rows). The gap sequence depends only on the
+        # SORTED ts multiset — diffs over equal timestamps are 0 under
+        # any tiebreak — so a plain numpy sort of ts is result-identical
+        # to sort_values(["ts", "event_id"]) here.
         frames = [pdf for pdf in pdf_iter]
         if frames:
-            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
             ts = pdf["ts"].to_numpy(dtype="int64")
             if len(ts):
+                ts = np.sort(ts)
                 # vectorized gap fold; the carried last_ts stitches the
                 # first gap of this batch (numpy // floors like Python)
                 seq = np.concatenate(([last_ts], ts)) if has_last else ts
@@ -273,7 +283,10 @@ def running_gap_moments(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.select("user_id", "ts", "event_id").groupBy(
+    # ship only (user_id, ts) to the Python workers — the gap fold no
+    # longer needs the event_id tiebreak (guide §2.3/§4.1: pass only
+    # the columns the function touches)
+    return events.select("user_id", "ts").groupBy(
         "user_id"
     ).applyInPandasWithState(
         update,
