@@ -3022,22 +3022,20 @@ def q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline trains ONCE per recipe, then scores many candidate sets
     # against. Session memos (guide §2.4/§5), not per-call rebuilds:
     # previously every call/rep re-ran the train-side explode + agg and
-    # paid a scalar-readback job for the total. Two-touch lazy (r12
-    # verdict item 1: cold 1.4→6.1 s — the memo materialization plus a
-    # JIT burst over the new cold plan shapes): the first call scores
-    # against the UNmaterialized train agg (the pre-memo cold plan);
-    # the model table is checkpointed on the second touch.
-    _model = (
-        lambda: sh.filter(~F.col("is_val"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tcounts = M.lazy_memo(
+    # paid a scalar-readback job for the total. EAGER deliberately
+    # (two-touch lazy was tried r13 and REJECTED by measurement: the
+    # model has TWO consumers in every call — the scalar-total readback
+    # below and the scoring join — so a lazy first touch runs the train
+    # agg twice; isolated cold 6.7 s eager vs 7.8 s lazy).
+    tcounts = M.memo(
         "pipe_heldout_model",
         spark,
         sf_dir,
-        lambda: M.checkpoint(_model()),
-        cold=_model,
+        lambda: M.checkpoint(
+            sh.filter(~F.col("is_val"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        ),
     )
     tt = M.memo(
         "pipe_heldout_model_total",

@@ -404,22 +404,19 @@ def test_pair_joins_pin_explicit_shuffle_width(spark):
 
 def test_heldout_model_is_session_memoized(spark):
     """q_heldout_ppl's train-side bigram model (vocab table + scalar
-    total) is a session memo — the artifact a pipeline trains once per
-    (corpus, split) snapshot — built on the SECOND touch (the cold
-    call scores against the unmaterialized train agg), with identical
-    results on both paths."""
+    total) is an EAGER session memo — the artifact a pipeline trains
+    once per (corpus, split) snapshot, materialized on the first call
+    (deliberately not two-touch lazy: the model has two consumers per
+    call, so a lazy first touch would run the train agg twice)."""
     from kremis_spark import memo as M
     from kremis_spark.plans import pipeline as P
 
     M.clear_all()
-    r1 = P.q_heldout_ppl(spark, SF).collect()  # touch 1: lazy model
-    assert M.peek("pipe_heldout_model", spark, SF) is None
-    tt = M.peek("pipe_heldout_model_total", spark, SF)
-    assert isinstance(tt, int)  # the scalar total memoizes on touch 1
-    r2 = P.q_heldout_ppl(spark, SF).collect()  # touch 2: builds
+    r1 = P.q_heldout_ppl(spark, SF).collect()
     first = M.peek("pipe_heldout_model", spark, SF)
-    assert first is not None
-    P.q_heldout_ppl(spark, SF).collect()
+    tt = M.peek("pipe_heldout_model_total", spark, SF)
+    assert first is not None and isinstance(tt, int)
+    r2 = P.q_heldout_ppl(spark, SF).collect()
     assert M.peek("pipe_heldout_model", spark, SF) is first
     assert r1 == r2
 
