@@ -419,10 +419,13 @@ def main() -> None:
         "stream_hll_by_type", "pipe_knn_graph", "pipe_dup_ngram_coverage",
         "pipe_tfidf_top_terms",
     ]
-    headline = {n: times[n] for n in PINNED if n in times}
+    # printed values rounded to 2 decimals (BENCH_FULL.json keeps 3):
+    # the stdout line must fit 1800 chars WITH all 41 pinned names —
+    # the r13 memo_build_sec extra otherwise pushed one pinned name out
+    headline = {n: round(times[n], 2) for n in PINNED if n in times}
     for n, v in sorted(times.items(), key=lambda kv: kv[1], reverse=True):
         if n not in headline:
-            headline[n] = v
+            headline[n] = round(v, 2)
     out = {
         "metric": "kremis_spark_headline_total",
         "value": total,

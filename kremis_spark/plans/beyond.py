@@ -764,10 +764,12 @@ def _neardup_corpus_index(spark: SparkSession, sf_dir: str):
     RDDs (the old best-effort ``df._jdf.rdd().unpersist`` built a NEW
     derived RDD and released nothing).
 
-    Two-touch lazy (r12 verdict item 1: stream_neardup_flags cold
-    2.7→4.1 s was first-toucher billing of this chain): touch 1 derives
-    the broadcast sides lazily from the (also lazily-served) corpus
-    index; the hot-capped projection is checkpointed from touch 2 on."""
+    EAGER deliberately (two-touch lazy was tried r13 and REJECTED by
+    measurement: a stream-static join's broadcast side is built once
+    per stream start from the STATIC plan, so leaving it unmaterialized
+    hands the stream a deep corpus-banding subtree to plan and execute
+    — closing-bench cold went 4.1→5.3 s lazy; eager keeps the stream's
+    static sides shallow memo scans)."""
     from kremis_spark import memo as M
     from kremis_spark.functions import dedup as D
     from kremis_spark.plans.pipeline import _corpus_index
@@ -800,13 +802,7 @@ def _neardup_corpus_index(spark: SparkSession, sf_dir: str):
         )
         return (corp_md, corp_side, key_cols, sig_cols)
 
-    return M.lazy_memo(
-        "stream_neardup_index",
-        spark,
-        sf_dir,
-        build,
-        cold=lambda: build(_memoize=False),
-    )
+    return M.memo("stream_neardup_index", spark, sf_dir, build)
 
 
 def q_stream_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
